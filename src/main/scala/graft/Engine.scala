@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{ChangeLog, RowHash, Sync, SyncMode}
+import graft.sinks.{FileSink, SinkSpec}
+
+/** End-to-end export pipeline façade — the Scala shape of the reference's
+  * `__main__` flow (export.py:325–337): row-count guard → plan → hash
+  * column → sink → watermark out.
+  *
+  * The watermark protocol (SURVEY §2.9) is explicit: callers persist
+  * `SyncResult.newWatermarkMs` and pass it back as the next run's
+  * `timeCutoffMs`. Only CDC produces a non-zero watermark
+  * (export.py:158 vs 167/173/188).
+  */
+final case class HashSpec(column: String, ignoreColumns: Set[String] = Set.empty)
+
+final case class ExportSpec(
+    mode: SyncMode,
+    nonNullableCols: Seq[String] = Nil,
+    hash: Option[HashSpec] = None,
+    sink: Option[SinkSpec] = None,
+    rowCountLimit: Long = 0L)
+
+final case class SyncResult(df: DataFrame, newWatermarkMs: Long)
+
+/** CDC-specific spec: reads a change log rather than a snapshot table.
+  * First sync (`timeCutoffMs == 0`) folds the log to a snapshot as-of the
+  * latest commit (CDF retention fallback, export.py:112–114) and anchors
+  * the new watermark to that commit; incremental reads changes in
+  * `(cutoff, now]` and anchors to `nowMs` (export.py:139–158).
+  */
+final case class CdcSpec(keyCols: Seq[String], timeCutoffMs: Long, nowMs: Long)
+
+object Engine {
+
+  def plan(df: DataFrame, spec: ExportSpec): DataFrame = {
+    val planned = Sync.plan(df, spec.mode, spec.nonNullableCols)
+    spec.hash.fold(planned)(h => RowHash.withHashColumn(planned, h.column, h.ignoreColumns))
+  }
+
+  /** Batch export run: guard, plan, write (if a sink is configured). */
+  def run(df: DataFrame, spec: ExportSpec): SyncResult = {
+    FileSink.validateRowCount(df, spec.rowCountLimit)
+    val out = plan(df, spec)
+    spec.sink.foreach(FileSink.write(out, _))
+    SyncResult(out, 0L)
+  }
+
+  /** CDC export over a change log (S2–S4 emulated, SURVEY §7.4). */
+  def runCdc(log: DataFrame, spec: CdcSpec,
+             hash: Option[HashSpec] = None,
+             sink: Option[SinkSpec] = None): SyncResult = {
+    val (df0, watermark) =
+      if (spec.timeCutoffMs == 0) {
+        val endMs = ChangeLog.latestCommitMs(log)
+        (ChangeLog.snapshotAsOf(log, spec.keyCols, endMs), endMs)
+      } else {
+        (ChangeLog.tableChanges(log, spec.timeCutoffMs + 1, spec.nowMs), spec.nowMs)
+      }
+    val out = hash.fold(df0)(h => RowHash.withHashColumn(df0, h.column, h.ignoreColumns))
+    sink.foreach(FileSink.write(out, _))
+    SyncResult(out, watermark)
+  }
+
+  /** Local-mode session with the layout this engine assumes: UTC, AQE on,
+    * shuffle parallelism sized to the cores (not the 200 default).
+    */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.operators.{ChangeLog, Sync, SyncMode}
+import graft.sources.SqlSource
+
+/** Named query registry — one entry per implemented operator (SURVEY §2),
+  * each paired (when SQL-expressible) with a DuckDB oracle over the same
+  * parquet tables. [[SparkEntry]] exposes these to the driver.
+  *
+  * Conventions for oracle hash-parity (driver sorts columns by name, then
+  * hashes values):
+  *   - every computed column is aliased identically in Spark and SQL;
+  *   - rankings always carry an explicit tie-breaker (the reference's bare
+  *     `ORDER BY t DESC` is nondeterministic on ties);
+  *   - money aggregates run in DECIMAL (exact) and are emitted as DOUBLE,
+  *     so Spark's partial-agg summation order can't perturb low bits.
+  */
+object Queries {
+
+  final case class Entry(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Fixed deterministic sync parameters (l_shipdate spans 1995‥2001,
+  // events.ts spans Jan 2024).
+  private val CutoffMs = 883612800000L       // 1998-01-01T00:00:00Z
+  private val NowMs = 1009843200000L         // 2002-01-01T00:00:00Z
+  private val DelayMs = 180L * 24 * 3600 * 1000
+  private val EvCutoffMs = 1704844800000L    // 2024-01-10T00:00:00Z
+  private val EvEndMs = 1705708800000L       // 2024-01-20T00:00:00Z
+
+  /** DuckDB-side events relation: ts is TIMESTAMP_NS in the raw parquet —
+    * truncate to µs to match Spark's read (see [[Tables.load]]).
+    */
+  private val EvOracle =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  val all: Seq[Entry] = Seq(
+
+    // S1 + F1 + P1 — full sync with non-nullable filter (export.py:168–173)
+    Entry("q_full",
+      (s, d) => Sync.plan(t(s, d, "lineitem"), SyncMode.Full, Seq("l_returnflag")),
+      Some("SELECT * FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag != ''")),
+
+    // F2 + F3 — time-based sync with watermark + late-data bound
+    // (export.py:159–167); unix_timestamp is second-precision in both.
+    Entry("q_time_based",
+      (s, d) => Sync.plan(t(s, d, "lineitem"),
+        SyncMode.TimeBased("l_shipdate", CutoffMs, DelayMs, NowMs), Seq("l_returnflag")),
+      Some(s"""SELECT * FROM lineitem
+               WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT)*1000 >= $CutoffMs
+                 AND l_returnflag IS NOT NULL AND l_returnflag != ''
+                 AND CAST(floor(epoch(l_shipdate)) AS BIGINT)*1000 <= ${NowMs - DelayMs}""")),
+
+    // W1 + F5 + O3 — scd-latest: latest order per customer (export.py:174–188).
+    // row_num (constantly 1) stays in the schema, as the reference exports it.
+    Entry("q_scd_latest",
+      (s, d) => Sync.plan(t(s, d, "orders"),
+        SyncMode.ScdLatest("o_custkey", "o_orderdate", keepRank = true,
+          tieBreakers = Seq("o_orderkey")))
+        // row_number() is IntegerType in Spark, BIGINT in DuckDB — align
+        // the verify schema without changing engine semantics.
+        .withColumn("row_num", col("row_num").cast("long")),
+      Some("""SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS row_num
+                FROM orders) RankedRows
+              WHERE row_num = 1""")),
+
+    // SURVEY §4.3 — scale rewrite of scd-latest: partial+final hash agg
+    // (max_by over a struct) instead of Exchange+Sort+Window. Same rows.
+    Entry("q_scd_latest_maxby",
+      (s, d) => Sync.latestByGroup(t(s, d, "orders"), "o_custkey",
+        struct(col("o_orderdate"), col("o_orderkey"))),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders) x
+              WHERE rn = 1""")),
+
+    // W1 over the event stream: latest event per user, rank dropped.
+    Entry("q_scd_latest_events",
+      (s, d) => Sync.plan(t(s, d, "events"),
+        SyncMode.ScdLatest("user_id", "ts", keepRank = false,
+          tieBreakers = Seq("event_id"))),
+      Some(s"""SELECT event_id, ts, user_id, event_type, value, props FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM $EvOracle e) x
+               WHERE rn = 1""")),
+
+    // F2 on the event stream: watermark lower bound only.
+    Entry("q_time_based_events",
+      (s, d) => Sync.plan(t(s, d, "events"),
+        SyncMode.TimeBased("ts", EvCutoffMs)),
+      Some(s"""SELECT * FROM $EvOracle e
+               WHERE CAST(floor(epoch(ts)) AS BIGINT)*1000 >= $EvCutoffMs""")),
+
+    // S2 — CDC first sync: snapshot-as-of latest commit over the change
+    // log (export.py:112–114), all rows tagged INSERT. The log is
+    // synthesized deterministically from events (ChangeLog.synthesize):
+    // event_id%10 → 0‥5 insert, 6‥7 update_postimage, 8 update_preimage,
+    // 9 delete; so the folded snapshot keeps event_id%10 < 8.
+    Entry("q_cdc_first_sync",
+      (s, d) => {
+        val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+        ChangeLog.snapshotAsOf(log, Seq("event_id"), ChangeLog.latestCommitMs(log))
+      },
+      Some(s"""SELECT 'INSERT' AS _mp_change_type, event_id, ts, user_id,
+                      event_type, value, props
+               FROM $EvOracle e WHERE event_id % 10 < 8""")),
+
+    // S3 + F4 + P3 — CDC incremental: table_changes in (cutoff, end] with
+    // the reference's CASE mapping (export.py:115–128); +1 ms exclusive
+    // start.
+    Entry("q_cdc_incremental",
+      (s, d) => {
+        val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+        ChangeLog.tableChanges(log, EvCutoffMs + 1, EvEndMs)
+      },
+      Some(s"""SELECT CASE
+                 WHEN _change_type = 'update_postimage' THEN 'INSERT'
+                 WHEN _change_type = 'update_preimage' THEN 'DELETE'
+                 WHEN _change_type = 'insert' THEN 'INSERT'
+                 ELSE 'DELETE' END AS _mp_change_type,
+                 event_id, ts, user_id, event_type, value, props,
+                 _change_type, _commit_timestamp
+               FROM (SELECT e.*,
+                       CASE WHEN event_id % 10 < 6 THEN 'insert'
+                            WHEN event_id % 10 < 8 THEN 'update_postimage'
+                            WHEN event_id % 10 < 9 THEN 'update_preimage'
+                            ELSE 'delete' END AS _change_type,
+                       ts AS _commit_timestamp
+                     FROM $EvOracle e) log
+               WHERE CAST(floor(epoch(_commit_timestamp)) AS BIGINT)*1000 >= ${EvCutoffMs + 1}
+                 AND CAST(floor(epoch(_commit_timestamp)) AS BIGINT)*1000 <= $EvEndMs""")),
+
+    // S4 + O1 — DESCRIBE HISTORY LIMIT 1 → latest commit ms
+    // (export.py:49–60).
+    Entry("q_commit_history",
+      (s, d) => {
+        val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+        log.agg((unix_timestamp(max(col(ChangeLog.CommitTs))) * 1000)
+          .cast("long").as("latest_commit_ms"))
+      },
+      Some("""SELECT CAST(floor(epoch(CAST(max(ts) AS TIMESTAMP))) AS BIGINT)*1000
+                     AS latest_commit_ms FROM events""")),
+
+    // A1 — ungrouped count(*), the row-count guard's probe (export.py:38).
+    Entry("q_rowcount",
+      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("row_count")),
+      Some("SELECT count(*) AS row_count FROM lineitem")),
+
+    // S6 + S7 — file-loaded custom SQL with Spark 4 named parameters
+    // (export.py:70–100, 203): write the recurring_query.sql under the
+    // workspace-style path, load it, run with :start/:end_timestamp.
+    Entry("q_custom_sql",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val p = SqlSource.queryPath("target/custom-sql", "proj", "cat", "sch",
+          "orders", timeCutoffMs = CutoffMs - 1)
+        Files.createDirectories(p.getParent)
+        Files.writeString(p,
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            |FROM orders
+            |WHERE o_orderdate >= CAST(:start_timestamp AS TIMESTAMP)
+            |  AND o_orderdate <= CAST(:end_timestamp AS TIMESTAMP)""".stripMargin)
+        val (text, params) = SqlSource.load(p, CutoffMs - 1, NowMs)
+        SqlSource.run(s, text, params)
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                 AND o_orderdate <= TIMESTAMP '2002-01-01 00:00:00'""")),
+
+    // Grouped aggregation (bench headliner; enters the engine through the
+    // custom-SQL surface). Money math runs in DECIMAL (exact) and is
+    // emitted as DOUBLE so partial-agg order can't perturb low bits.
+    Entry("q_agg_pricing",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                     count(*) AS count_order
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // Join surface: revenue per nation; the dimension side is explicitly
+    // broadcast (at 100 TB the fact side shuffles on the join key, nation
+    // never should).
+    Entry("q_join_revenue",
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+               count(lit(1)).as("orders_cnt"))
+      },
+      Some("""SELECT n_name,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                     count(*) AS orders_cnt
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name""")),
+
+    // Global top-k (TakeOrderedAndProject — no full sort at scale).
+    Entry("q_topk_orders",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("""SELECT * FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(e => e.name -> e.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(e => e.oracle.map(o => e.name -> normalize(o))).toMap
+
+  /** Collapse the multiline indentation of oracle literals to single-line
+    * SQL (cosmetic; keeps the JSON dump readable).
+    */
+  private def normalize(sql: String): String =
+    sql.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
+}

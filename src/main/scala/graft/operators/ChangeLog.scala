@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Emulation of the Delta facilities the reference's `cdc` sync type uses —
+  * time travel (`TIMESTAMP AS OF`, export.py:114), the `table_changes` TVF
+  * (export.py:127), and `DESCRIBE HISTORY` (export.py:56) — over a plain
+  * parquet **change-log convention**, since no Delta jar ships with the
+  * local Spark (SURVEY §7.4).
+  *
+  * A change log is any DataFrame carrying the data columns plus:
+  *   - `_change_type`      ∈ {insert, update_preimage, update_postimage, delete}
+  *   - `_commit_timestamp` TIMESTAMP of the commit that produced the row
+  *
+  * — the exact column vocabulary Delta CDF exposes and the reference's CASE
+  * mapping consumes (export.py:121–126).
+  *
+  * Scale notes: every operator here is a scan + narrow filter/projection
+  * (plus one hash aggregate for the snapshot fold), so parquet min/max
+  * row-group skipping on `_commit_timestamp` prunes the range scans
+  * automatically, and the snapshot fold uses `max_by` partial aggregation
+  * rather than a windowed sort (one row per key per mapper on the shuffle).
+  */
+object ChangeLog {
+  val ChangeType = "_change_type"
+  val CommitTs = "_commit_timestamp"
+  val MpChangeType = "_mp_change_type"
+
+  private def commitMs: Column = (unix_timestamp(col(CommitTs)) * 1000).cast("long")
+
+  /** S4 — `DESCRIBE HISTORY t LIMIT 1` → latest commit timestamp in ms
+    * (export.py:49–60). History newest-first + LIMIT 1 ≡ max commit ts.
+    * Returns 0 for an empty log.
+    */
+  def latestCommitMs(log: DataFrame): Long = {
+    val row = log.agg(max(commitMs)).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** P3 (export.py:121–126): Delta change types → Mixpanel change types.
+    * `update_postimage`/`insert` → INSERT, everything else → DELETE.
+    */
+  def mpChangeType(changeType: Column): Column =
+    when(changeType === "update_postimage", "INSERT")
+      .when(changeType === "update_preimage", "DELETE")
+      .when(changeType === "insert", "INSERT")
+      .otherwise("DELETE")
+
+  /** S3 + F4 + P3 — `table_changes(t, start, end)` with the reference's
+    * CASE projection (export.py:115–128). Bounds are inclusive ms-epoch;
+    * the caller passes `start = cutoff + 1` for the exclusive-start
+    * watermark protocol (export.py:92, 115–116). Column order matches the
+    * reference's `SELECT CASE … as _mp_change_type, *`.
+    */
+  def tableChanges(log: DataFrame, startMs: Long, endMs: Long): DataFrame =
+    log.filter(commitMs >= startMs && commitMs <= endMs)
+      .select(mpChangeType(col(ChangeType)).as(MpChangeType) +: log.columns.map(col): _*)
+
+  /** S2 — `SELECT 'INSERT' as _mp_change_type, * FROM t TIMESTAMP AS OF ts`
+    * (export.py:112–114): reconstruct the table state at `tsMs` by folding
+    * the change log per key — latest change at-or-before `tsMs` wins, and a
+    * final `delete` means the row is absent. All surviving rows are tagged
+    * `'INSERT'` exactly as the reference's first-sync snapshot does.
+    *
+    * `keyCols` is the table's primary key (Delta tracks row identity
+    * internally; a parquet log needs it explicit).
+    */
+  def snapshotAsOf(log: DataFrame, keyCols: Seq[String], tsMs: Long): DataFrame = {
+    val dataCols = log.columns.filterNot(c => c == ChangeType || c == CommitTs)
+    // update_preimage rows describe the pre-state of an update, never a
+    // resulting state — drop them before folding.
+    val states = log
+      .filter(commitMs <= tsMs && col(ChangeType) =!= "update_preimage")
+    val latest = states
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(col(ChangeType) +: dataCols.map(col): _*), col(CommitTs)).as("__s"))
+      .filter(col(s"__s.$ChangeType") =!= "delete")
+    latest.select(lit("INSERT").as(MpChangeType) +: dataCols.map(c => col(s"__s.$c").as(c)): _*)
+  }
+
+  /** Synthesize a change log from any table for tests/demo pipelines: a
+    * deterministic `_change_type` derived from a key column and a
+    * `_commit_timestamp` taken from an existing timestamp column. Mirrors
+    * the shape Delta CDF would emit without requiring Delta.
+    */
+  def synthesize(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.withColumn(ChangeType,
+        when(pmod(col(keyCol), lit(10)) < 6, "insert")
+          .when(pmod(col(keyCol), lit(10)) < 8, "update_postimage")
+          .when(pmod(col(keyCol), lit(10)) < 9, "update_preimage")
+          .otherwise("delete"))
+      .withColumn(CommitTs, col(tsCol))
+}

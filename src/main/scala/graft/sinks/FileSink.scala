@@ -1,0 +1,64 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's sink surface (export.py:216–232): gzip-compressed JSON
+  * lines or CSV, `mode("overwrite")`, optional `maxRecordsPerFile`, plus
+  * the pre-export row-count guard (export.py:31–46).
+  *
+  * The sink URI is fully parameterized: `gs://bucket//prefix/` in the
+  * reference, `file:`/local paths in tests. When the scheme is `gs`, the
+  * GCS-connector Hadoop confs (export.py:196–201) are applied from
+  * [[GcsAuth]]; no connector jar ships locally so that path is
+  * config-plumbing only.
+  */
+final case class GcsAuth(projectId: String, serviceAccountEmail: String,
+                         privateKey: String, privateKeyId: String)
+
+final case class SinkSpec(
+    format: String,                     // "json" | "csv" (export.py:238–243)
+    uri: String,
+    maxRecordsPerFile: Option[Long] = None,
+    gcsAuth: Option[GcsAuth] = None)
+
+object FileSink {
+
+  /** F6 (export.py:31–46): fail before exporting if the source exceeds the
+    * row limit; `limit <= 0` disables the guard. Failures during counting
+    * are wrapped as "Row count unavailable" like the reference.
+    */
+  def validateRowCount(df: => DataFrame, limit: Long): Unit = {
+    if (limit <= 0) return
+    val n =
+      try df.count()
+      catch { case e: Exception => throw new RuntimeException(s"Row count unavailable: ${e.getMessage}", e) }
+    if (n > limit) throw new RuntimeException(s"Row count $n exceeds limit $limit")
+  }
+
+  /** Apply the reference's per-job GCS connector configuration
+    * (export.py:196–201) — only meaningful when a gcs-connector jar is on
+    * the classpath; harmless confs otherwise.
+    */
+  def configureGcs(spark: SparkSession, auth: GcsAuth): Unit = {
+    spark.conf.set("google.cloud.auth.service.account.enable", "true")
+    spark.conf.set("fs.gs.project.id", auth.projectId)
+    spark.conf.set("fs.gs.auth.service.account.email", auth.serviceAccountEmail)
+    spark.conf.set("fs.gs.auth.service.account.private.key", auth.privateKey)
+    spark.conf.set("fs.gs.auth.service.account.private.key.id", auth.privateKeyId)
+  }
+
+  /** K1–K3 (export.py:216–232). CSV keeps the reference's `coalesce(1)` +
+    * header semantics — a deliberate single-file contract that serializes
+    * the write through one task; at 100 TB use JSON (per-partition
+    * parallel write) or set `singleFileCsv = false` (SURVEY §7.6 flags the
+    * coalesce as the anti-scale choice being preserved for parity).
+    */
+  def write(df: DataFrame, spec: SinkSpec, singleFileCsv: Boolean = true): Unit = {
+    if (spec.uri.startsWith("gs://")) spec.gcsAuth.foreach(configureGcs(df.sparkSession, _))
+    val out = if (spec.format == "csv" && singleFileCsv) df.coalesce(1) else df
+    var w = out.write.format(spec.format).option("compression", "gzip")
+    spec.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    if (spec.format == "csv") w = w.option("header", "true")
+    w.mode("overwrite").save(spec.uri)
+  }
+}

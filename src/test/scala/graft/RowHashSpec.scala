@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RowHash
+
+class RowHashSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def hashes(df: org.apache.spark.sql.DataFrame,
+                     ignore: Set[String] = Set.empty): Seq[String] =
+    RowHash.withHashColumn(df, "h", ignore)
+      .select("h").as[String].collect().toSeq.sorted
+
+  test("hash is invariant to column order (names are sorted)") {
+    val df1 = Seq((1, "a", 2.0)).toDF("x", "y", "z")
+    val df2 = df1.select("z", "x", "y")
+    assert(hashes(df1) == hashes(df2))
+  }
+
+  test("ignore columns are excluded exactly by name, not substring") {
+    // reference bug (export.py:208): substring membership would drop `id`
+    // when `ids_extra` is ignored; exact-name semantics must keep it.
+    val df = Seq((1, 7, "a")).toDF("id", "ids_extra", "v")
+    val withIgnore = hashes(df, Set("ids_extra"))
+    val equivalent = hashes(df.drop("ids_extra"))
+    assert(withIgnore == equivalent)
+    val dfDifferentId = Seq((2, 7, "a")).toDF("id", "ids_extra", "v")
+    assert(hashes(dfDifferentId, Set("ids_extra")) != withIgnore)
+  }
+
+  test("hash added even when no ignore columns (fixes reference gate bug)") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    assert(RowHash.withHashColumn(df, "h").columns.contains("h"))
+  }
+
+  test("empty hash column name disables the projection") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    assert(RowHash.withHashColumn(df, "").columns.toSeq == Seq("x", "y"))
+  }
+
+  test("hash is deterministic across evaluations and equals md5 of the json") {
+    val df = Seq((1, "a", 2.5)).toDF("b", "a", "c")
+    val h1 = hashes(df)
+    val h2 = hashes(df)
+    assert(h1 == h2)
+    // struct fields sorted by name: a, b, c
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("""{"a":"a","b":1,"c":2.5}""".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h1.head == expected)
+  }
+
+  test("null fields are omitted from the json (null vs absent equivalence)") {
+    val a = Seq((Some(1), Option.empty[String])).toDF("x", "y")
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("""{"x":1}""".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hashes(a).head == expected)
+  }
+}
