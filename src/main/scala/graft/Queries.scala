@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
 
-import graft.operators.{ChangeLog, Sync, SyncMode}
+import graft.functions.TextAnalysis
+import graft.operators.{ChangeLog, Dedup, Multimodal, Similarity, Sync, SyncMode}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -232,7 +233,123 @@ object Queries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10),
       Some("""SELECT * FROM orders
-              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // LLM-data-pipeline extensions (SURVEY §7.5) over documents /
+    // embeddings. Oracle SQL is rendered from the same constants as the
+    // Spark plans (TextAnalysis/Dedup/Similarity/Multimodal duck*
+    // builders) so both engines execute the identical formula.
+    // ------------------------------------------------------------------
+
+    // Text analysis: whitespace + BPE-ish token counts, stopword count,
+    // quality score — all built-in-function columns, no UDFs.
+    Entry("q_text_stats",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id,
+                      ${TextAnalysis.duckTokenCount} AS n_tokens,
+                      ${TextAnalysis.duckBpeTokenCount("text")} AS n_bpe_tokens,
+                      ${TextAnalysis.duckStopwordCount} AS n_stopwords,
+                      ${TextAnalysis.duckQualityScore("text")} AS quality
+               FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                     FROM documents) d""")),
+
+    // Language-ID heuristic (marker-word scoring, deterministic
+    // first-match tie-break) next to the labeled lang column.
+    Entry("q_lang_id",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.langScore(col("text"), "en").as("score_en")),
+      Some(s"""SELECT doc_id, lang,
+                      ${TextAnalysis.duckLangId} AS lang_pred,
+                      ${TextAnalysis.duckLangScore("en")} AS score_en
+               FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                     FROM documents) d""")),
+
+    // Rolling-hash document fingerprint (Rabin–Karp left fold).
+    Entry("q_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.duckFingerprint("text")} AS fingerprint
+               FROM documents""")),
+
+    // Exact dedup: one hash partial-agg on md5(text), min-id keeper.
+    Entry("q_dedup_exact",
+      (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id"),
+      Some("""SELECT * FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""")),
+
+    // Ground-truth near-dup pairs: exact word-3-gram Jaccard ≥ 0.5,
+    // bounded to doc_id < 1000 (the O(n²) oracle twin of the LSH path).
+    Entry("q_dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 1000),
+      Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 1000))),
+
+    // MinHash+LSH near-dup detection at scale: 126 hashes, 42 bands × 3
+    // rows (≈99.7% recall at j=0.5), exact-Jaccard verification.
+    // xxhash64 has no DuckDB twin → rows-only check.
+    Entry("q_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5),
+      None),
+
+    // SimHash near-dup detection: 64-bit signatures, 16-bit chunk
+    // buckets, hamming ≤ 10 verification. rows-only (xxhash64).
+    Entry("q_dedup_simhash",
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id",
+        maxHamming = 10),
+      None),
+
+    // Embedding-cosine near-dup pairs (exact; double left-fold dot
+    // product matches DuckDB list_dot_product bitwise).
+    Entry("q_dedup_embedding",
+      (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
+        "embedding", "vec_id", threshold = 0.35),
+      Some(Dedup.duckEmbeddingNearDupPairs("embeddings", "embedding", "vec_id",
+        threshold = 0.35))),
+
+    // ANN brute-force baseline: cosine top-5 for query set vec_id < 10,
+    // broadcast queries, windowed top-k — scores oracle-checked.
+    Entry("q_ann_bruteforce",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", k = 5)
+      },
+      Some(Similarity.duckBruteForceTopK("embeddings", "embedding", "vec_id",
+        k = 5, maxQueryId = 10))),
+
+    // ANN scale path: IVF over label cells (centroid probe, nProbe=3).
+    // Centroid means are fp-order-dependent → rows-only check.
+    Entry("q_ann_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", "label", k = 5, nProbe = 3)
+      },
+      None),
+
+    // Multimodal: binary payload + batched per-partition decode stub
+    // (mapPartitions with explicit encoder — the mapInPandas shape).
+    Entry("q_mm_decode",
+      (s, d) => Multimodal.decodeBatch(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id"),
+      Some(Multimodal.duckDecodeBatch("documents", "text", "doc_id"))),
+
+    // Multimodal frame sampling: every 2nd 64-byte frame, flat rows.
+    Entry("q_mm_frames",
+      (s, d) => Multimodal.frameSample(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id", step = 2),
+      Some(Multimodal.duckFrameSample("documents", "text", "doc_id", step = 2)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for LLM-data pipelines (SURVEY §7.5): token
+  * counting, quality scoring, language-ID heuristic, and rolling-hash
+  * fingerprinting. The reference exports tables verbatim; these are the
+  * scale extensions a training-data pipeline needs on top.
+  *
+  * Everything here is pure `Column` composition over built-in functions
+  * (split / transform / aggregate / filter higher-order functions) — no
+  * UDFs, so the scalar parts stay inside whole-stage codegen and nothing
+  * crosses a serialization boundary. Each function has a DuckDB-SQL twin
+  * (`duck*` methods) rendered from the SAME constants, so the driver's
+  * oracle executes the identical formula; ScalaTest + tools/check_oracle.py
+  * enforce the parity empirically.
+  *
+  * Engine-parity ground rules (why the formulas look the way they do):
+  *   - integer arithmetic everywhere until one final double division, so
+  *     IEEE evaluation order cannot drift between engines;
+  *   - left-fold (`aggregate` / `list_reduce`) for hashes — both engines
+  *     fold left-to-right;
+  *   - `round(x, 6)` on anything double-valued that reaches an output.
+  */
+object TextAnalysis {
+
+  /** Stopword list for quality scoring (tiny on purpose — a real pipeline
+    * would load a language-specific list; the *operator shape* is what
+    * matters: per-token membership count over a split array).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  /** (language, marker words) for the n-gram/marker language-ID heuristic.
+    * First-match-wins tie-break in declaration order; all-zero scores map
+    * to "und" (undetermined).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "los", "una"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "une"))
+
+  /** Polynomial rolling-hash parameters (Rabin–Karp style): 31-base over
+    * char codes mod a large prime. Fits BIGINT: acc < 1e9+7, so
+    * acc*31+127 < 2^35 — no overflow in either engine.
+    */
+  val FpBase = 31L
+  val FpMod = 1000000007L
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, or single
+    * non-space symbols — the classic pre-tokenization split. Identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB) for this pattern.
+    */
+  val BpeTokenRx = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  // ---------------------------------------------------------------- Spark
+
+  /** Whitespace tokens of trimmed text; empty text → empty array (Spark's
+    * `split("", rx)` returns `[""]`, which would miscount).
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: number of `BpeTokenRx` matches. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenRx), lit(0))).cast("long")
+
+  /** Exact-word occurrence count (duplicates counted). */
+  def wordCount(c: Column, word: String): Column =
+    size(filter(tokens(c), t => t === lit(word))).cast("long")
+
+  def stopwordCount(c: Column): Column =
+    Stopwords.map(wordCount(c, _)).reduce(_ + _)
+
+  /** Alphabetic-or-space character count (quality signal). */
+  def alphaSpaceCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[A-Za-z ]", ""))).cast("long")
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·min(tokens/100, 1) + 0.4·(1 − stopword_ratio) + 0.2·alpha_ratio.
+    * Single formula, one rounding at the end. Guarded for empty text.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nChr = length(c).cast("double")
+    val stopRatio = when(nTok === 0.0, 0.0)
+      .otherwise(stopwordCount(c).cast("double") / nTok)
+    val alphaRatio = when(nChr === 0.0, 0.0)
+      .otherwise(alphaSpaceCount(c).cast("double") / nChr)
+    round(
+      lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.2) * alphaRatio, 6)
+  }
+
+  /** Marker score for one language = total occurrences of its markers. */
+  def langScore(c: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(wordCount(c, _)).reduce(_ + _)
+
+  /** Language-ID: first language (declaration order) whose score is
+    * maximal and positive; "und" when every score is zero.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Rolling-hash document fingerprint: left fold of
+    * `acc·31 + ascii(char) mod p` over the characters. `split(c, "")`
+    * yields zero-width artifacts at the ends in some engines — the
+    * `filter(_ ≠ "")` makes both sides see exactly the characters.
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * FpBase + ascii(ch).cast("long")) % FpMod)
+
+  // --------------------------------------------------- DuckDB oracle SQL
+  // Same formulas rendered for DuckDB. `w` must be bound in the enclosing
+  // query as regexp_split_to_array(trim(text), '\s+') with the empty-text
+  // guard — see duckTokensBind.
+
+  /** Binds `w` (token array of `col`) for use by the other duck* snippets:
+    * `FROM (SELECT *, ${duckTokensBind("text")} AS w FROM documents) d`.
+    */
+  def duckTokensBind(col: String): String =
+    s"CASE WHEN length(trim($col)) = 0 THEN [] ELSE regexp_split_to_array(trim($col), '\\s+') END"
+
+  def duckTokenCount: String = "CAST(len(w) AS BIGINT)"
+
+  def duckBpeTokenCount(col: String): String =
+    s"CAST(len(regexp_extract_all($col, '$BpeTokenRx')) AS BIGINT)"
+
+  def duckWordCount(word: String): String =
+    s"CAST(len(list_filter(w, t -> t = '$word')) AS BIGINT)"
+
+  def duckStopwordCount: String =
+    Stopwords.map(duckWordCount).mkString(" + ")
+
+  def duckAlphaSpaceCount(col: String): String =
+    s"CAST(length($col) - length(regexp_replace($col, '[A-Za-z ]', '', 'g')) AS BIGINT)"
+
+  def duckQualityScore(col: String): String = {
+    val nTok = "CAST(len(w) AS DOUBLE)"
+    val nChr = s"CAST(length($col) AS DOUBLE)"
+    val stopR = s"CASE WHEN $nTok = 0.0 THEN 0.0 ELSE CAST(${duckStopwordCount} AS DOUBLE) / $nTok END"
+    val alphaR = s"CASE WHEN $nChr = 0.0 THEN 0.0 ELSE CAST(${duckAlphaSpaceCount(col)} AS DOUBLE) / $nChr END"
+    s"round(0.4 * least($nTok / 100.0, 1.0) + 0.4 * (1.0 - ($stopR)) + 0.2 * ($alphaR), 6)"
+  }
+
+  def duckLangScore(lang: String): String =
+    LangMarkers.toMap.apply(lang).map(duckWordCount).mkString(" + ")
+
+  def duckLangId: String = {
+    val best = LangMarkers.map { case (l, _) => s"(${duckLangScore(l)})" }
+      .reduce((a, b) => s"greatest($a, $b)")
+    val chain = LangMarkers.map { case (l, _) =>
+      s"WHEN (${duckLangScore(l)}) > 0 AND (${duckLangScore(l)}) = $best THEN '$l'"
+    }.mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
+
+  def duckFingerprint(col: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_filter(string_split($col, ''), c -> c <> ''),
+       |                   c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, ch) -> (acc * $FpBase + ch) % $FpMod)""".stripMargin
+}

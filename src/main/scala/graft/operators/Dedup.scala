@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §7.5): exact,
+  * exact n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale design (the point of each shape):
+  *   - exact dedup is one hash-partial-aggregate — a single shuffle on
+  *     md5(text), no sort, no window;
+  *   - MinHash+LSH turns the O(n²) near-dup problem into an equi-join on
+  *     LSH band keys: per-doc signature (narrow, embarrassingly parallel)
+  *     → explode b band keys → shuffle on band key → verify only the
+  *     candidate pairs. At 100 TB the only all-to-all is the band-key
+  *     shuffle, whose fan-in per bucket is bounded by collision rate;
+  *   - SimHash is the same play with 64-bit signatures and pigeonhole
+  *     16-bit chunk buckets (hamming ≤ 3 ⇒ some chunk of 4 is exact);
+  *   - the exact pairwise variant exists as the oracle-checkable ground
+  *     truth and MUST be bounded by the caller (`maxDocId`) — it is the
+  *     O(n²) thing the LSH paths replace.
+  *
+  * All signature math uses built-in higher-order functions over
+  * `xxhash64` — no UDFs, nothing leaves the JVM row format.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct). Documents shorter than n words
+    * fall back to a single whole-text shingle so they can still match
+    * exact twins.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(trim(c)))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. Integer
+    * sizes → one double division: engine-exact, no fp-order drift.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, 0.0).otherwise(inter / union)
+  }
+
+  /** Exact dedup: keep the min-`idCol` row per distinct `textCol` value.
+    * One shuffle (hash partial agg on md5(text)), no window/sort — the
+    * 100 TB-safe shape for exact dedup.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(md5(col(textCol)).as("_h"))
+      .agg(min_by(keep, col(idCol)).as("_row"))
+      .select(df.columns.map(c => col(s"_row.$c")).toSeq: _*)
+  }
+
+  /** Exact pairwise n-gram-Jaccard near-dup pairs — the ground-truth
+    * O(n²) variant, bounded to `idCol < maxDocId`. Output: one row per
+    * unordered pair with jaccard ≥ threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double, maxDocId: Long): DataFrame = {
+    val withSh = df.filter(col(idCol) < maxDocId)
+      .select(col(idCol), shingles(col(textCol), n).as("_sh"))
+    val a = withSh.select(col(idCol).as("id_a"), col("_sh").as("_sha"))
+    val b = withSh.select(col(idCol).as("id_b"), col("_sh").as("_shb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("_sha"), col("_shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** DuckDB oracle for [[ngramJaccardPairs]] over table `tbl`. */
+  def duckNgramJaccardPairs(tbl: String, textCol: String, idCol: String,
+                            n: Int, threshold: Double, maxDocId: Long): String = {
+    val toks = s"CASE WHEN length(trim($textCol)) = 0 THEN [] " +
+      s"ELSE regexp_split_to_array(trim($textCol), '\\s+') END"
+    val gram = (1 to n).map(k => s"w[i + ${k - 1}]").mkString(" || ' ' || ")
+    val sh = s"CASE WHEN len(w) >= $n THEN " +
+      s"list_distinct([$gram for i in range(1, len(w) - $n + 2)]) " +
+      s"ELSE [trim($textCol)] END"
+    s"""WITH t AS (SELECT $idCol AS id, $sh AS sh
+       |           FROM (SELECT *, $toks AS w FROM $tbl WHERE $idCol < $maxDocId)),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |        round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 6) AS jaccard
+       |      FROM t a, t b WHERE a.id < b.id)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * `xxhash64(seed, shingle)`, signature[s] = min over shingles.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingleCol, x => xxhash64(s, x))))
+
+  /** MinHash + LSH near-dup pairs at scale:
+    * signature (k = bands·rowsPerBand) → b band keys per doc → equi-join
+    * on (band index, band slice) → distinct candidate pairs → exact
+    * Jaccard verification ≥ threshold.
+    *
+    * With bands=42, rowsPerBand=3 the detect probability at j=0.5 is
+    * 1−(1−0.5³)⁴² ≈ 0.997 — near-exact recall at the dedup threshold
+    * while touching only hash-colliding pairs.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("_sh"))
+      .withColumn("_sig", minhashSignature(col("_sh"), k))
+    // One row per (doc, band): band key = xxhash64 of the r-slice.
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "bkey")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard (re-join the shingle sets).
+    val sh = sig.select(col("id"), col("_sh"))
+    cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("_sha"), col("_shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (term frequency = vote
+    * weight): bit b of the signature is the sign of Σ_tokens ±1 where the
+    * sign is bit b of xxhash64(token).
+    */
+  def simhash(c: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(c), t => xxhash64(t))
+    // Single pass over the tokens: a 64-wide vote vector accumulated with
+    // one fold, then packed into a long. (shiftright/shiftleft go through
+    // call_function because the Column API overloads only take literal
+    // bit counts.)
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) =>
+        a + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the four 16-bit chunks
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), equi-join on
+    * (chunk index, chunk value), verify hamming ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunks = array((0 until 4).map(i =>
+      shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)
+    val chunked = sigs.select(col("id"), col("sig"), posexplode(chunks))
+      .toDF("id", "sig", "chunk", "ckey")
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("_sa"), col("y.sig").as("_sb"))
+      .distinct()
+      .withColumn("hamming", hamming(col("_sa"), col("_sb")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, exact within the corpus (vectors
+    * are pre-normalized ⇒ cosine = dot product, computed as a double
+    * left-fold so the oracle matches bitwise). The O(n²) pair join is the
+    * ground-truth variant; [[Similarity.lshNearDupPairs]] is the scale
+    * path.
+    */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.dot(col("_va"), col("_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** DuckDB oracle for [[embeddingNearDupPairs]] over table `tbl`. */
+  def duckEmbeddingNearDupPairs(tbl: String, vecCol: String, idCol: String,
+                                threshold: Double): String =
+    s"""WITH p AS (
+       |  SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |         round(list_dot_product(CAST(a.$vecCol AS DOUBLE[]),
+       |                                CAST(b.$vecCol AS DOUBLE[])), 6) AS cosine
+       |  FROM $tbl a, $tbl b WHERE a.$idCol < b.$idCol)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $threshold""".stripMargin
+}

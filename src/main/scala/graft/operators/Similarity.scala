@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding
+  * column (`array<float>`), SURVEY §7.5.
+  *
+  * Scale design:
+  *   - the query set is always the small side → `broadcast()` it; the
+  *     corpus scan stays shuffle-free and the per-partition work is a
+  *     narrow map (dot products) + per-query top-k;
+  *   - top-k uses a window only over (queries × candidates), never a
+  *     global sort of the corpus;
+  *   - the IVF variant prunes the corpus to the `nProbe` partitions whose
+  *     centroid is closest to the query — at 1000 executors that is a
+  *     partition-pruned scan, not a full pass;
+  *   - the sign-LSH variant buckets vectors by hyperplane sign bits so
+  *     near-dup candidate generation is an equi-join on bucket keys.
+  *
+  * Dot products run as double left-folds over `zip_with` — bitwise equal
+  * to DuckDB's `list_dot_product` (verified empirically), which makes the
+  * brute-force results oracle-checkable including scores.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns: one
+    * `zip_with` multiply + left-fold sum. Codegen-friendly (built-in
+    * higher-order functions), deterministic accumulation order.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors by dot product (vectors are pre-normalized ⇒ cosine).
+    * Self-matches (same id) are excluded. Output:
+    * (query_id, vec_id, rank, score).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+      .join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("_score", dot(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        round(col("_score"), 6).as("score"))
+  }
+
+  /** DuckDB oracle for [[bruteForceTopK]] with queries = `idCol < maxQueryId`. */
+  def duckBruteForceTopK(tbl: String, vecCol: String, idCol: String,
+                         k: Int, maxQueryId: Long): String =
+    s"""WITH q AS (SELECT $idCol AS query_id, CAST($vecCol AS DOUBLE[]) AS qv
+       |           FROM $tbl WHERE $idCol < $maxQueryId),
+       |s AS (SELECT q.query_id, c.$idCol AS vec_id,
+       |             list_dot_product(q.qv, CAST(c.$vecCol AS DOUBLE[])) AS score,
+       |             ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |               ORDER BY list_dot_product(q.qv, CAST(c.$vecCol AS DOUBLE[])) DESC,
+       |                        c.$idCol ASC) AS rank
+       |      FROM q, $tbl c WHERE c.$idCol <> q.query_id)
+       |SELECT query_id, vec_id, rank, round(score, 6) AS score
+       |FROM s WHERE rank <= $k""".stripMargin
+
+  /** IVF-style ANN (the scale path): coarse-quantize the corpus into
+    * `label`-keyed partitions (stand-in for k-means cells — centroids are
+    * the per-cell mean vector), then for each query probe only the
+    * `nProbe` nearest cells and run exact top-k inside them.
+    *
+    * At scale the corpus is stored partitioned by cell id, so the probe
+    * is partition pruning; the centroid table is tiny and broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame = {
+    // Centroids: mean per component via posexplode + hash agg (one
+    // shuffle over (cell, component) — scales linearly, no collect).
+    val centroids = corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    // Probe assignment: nProbe nearest centroids per query.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cscore").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids), expr("true"))
+      .withColumn("_cscore", dot(col("_qv"), col("centroid")))
+      .withColumn("_crank", row_number().over(probeW))
+      .filter(col("_crank") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("cell"))
+    // Exact search inside probed cells only.
+    val scored = corpus.select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
+        col(vecCol).as("_cv"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("_score", dot(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        round(col("_score"), 6).as("score"))
+  }
+
+  /** Sign-LSH bucket key: `nBits` hyperplane sign bits packed into a
+    * long. Hyperplanes are pseudo-random unit-ish vectors derived
+    * deterministically from `xxhash64(bit, component)` — no data needed,
+    * same planes on every executor, no broadcast of plane matrices.
+    */
+  def signLshKey(vecCol: Column, dim: Int, nBits: Int, seed: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x.cast("double") *
+            // hash-derived pseudo-random coefficient in [-1, 1)
+            (pmod(xxhash64(lit(seed), lit(b), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-dup candidates via sign-LSH bucketing (scale path for
+    * [[Dedup.embeddingNearDupPairs]]): bucket on the key, pair within
+    * buckets, verify exact cosine ≥ threshold. Multi-probe via `nTables`
+    * independent bit sets raises recall.
+    */
+  def lshNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                      dim: Int, nBits: Int, nTables: Int,
+                      threshold: Double): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+    val tabled = (0 until nTables).map { t =>
+      keyed.select(col("id"), col("_v"), lit(t).as("tbl"),
+        signLshKey(col("_v"), dim, nBits, seed = t).as("bkey"))
+    }.reduce(_ union _)
+    val cand = tabled.as("x").join(tabled.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x._v").as("_va"), col("y._v").as("_vb"))
+      .distinct()
+    cand.withColumn("cosine", round(dot(col("_va"), col("_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

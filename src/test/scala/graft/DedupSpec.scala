@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  test("shingles: word 3-grams, distinct, short-text fallback") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))   // shorter than n → whole text
+    assert(got(2) == Seq(""))
+  }
+
+  test("jaccard on known sets") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.as[Double].head() == 0.5)
+  }
+
+  test("exact dedup keeps exactly the min-id row per text") {
+    import spark.implicits._
+    val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "dup"), (2L, "uniq")))
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "text", "doc_id",
+      n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text → hamming 0; pairs are verified") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (50 to 90).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("embedding near-dup pairs: exact dot product over doubles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    // cos(1,2)=0.8, cos(2,3)=0.6, cos(1,3)=0
+    assert(pairs == Set((1L, 2L, 0.8)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private def emb(rows: (Long, Seq[Float], Int)*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("dot product matches a scalar fold") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+    assert(df.as[Double].head() == 32.0)
+  }
+
+  test("brute-force top-k ranks by score desc with id tie-break, no self-match") {
+    import spark.implicits._
+    val corpus = emb(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.5f, 0.5f), 1))
+    val out = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0),
+        "embedding", "vec_id", k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L, 1L), (0L, 3L, 2L)))
+  }
+
+  test("ivf top-k probes nearest cells and returns ranked neighbors") {
+    val corpus = emb(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.95f, 0.05f), 0),
+      (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(-1.0f, 0.0f), 1),
+      (4L, Seq(-0.9f, -0.1f), 1), (5L, Seq(0.0f, 1.0f), 2))
+    val out = Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") === 0),
+      "embedding", "vec_id", "label", k = 2, nProbe = 1)
+    import spark.implicits._
+    val rows = out.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // probe=1 → only cell 0 searched; nearest are 1 then 2
+    assert(rows == Set((0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("sign-LSH near-dup path verifies with exact cosine") {
+    val df = emb(
+      (1L, Seq.fill(8)(0.5f), 0), (2L, Seq.fill(8)(0.49f), 0),
+      (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f), 1))
+    val pairs = Similarity.lshNearDupPairs(df, "embedding", "vec_id",
+      dim = 8, nBits = 4, nTables = 2, threshold = 0.9)
+    import spark.implicits._
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("multimodal decode stub plumbing: batched mapPartitions output") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.decodeBatch(Multimodal.attachBinary(df, "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows == Set((1L, 4, 4, 'a'.toLong + 'b' + 'c'), (2L, 1, 1, 0L)))
+  }
+
+  test("multimodal frame sampling emits every step-th frame") {
+    import spark.implicits._
+    val text = "x" * 200 // 4 frames of 64 → sampled frames 0 and 2
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = Multimodal.frameSample(Multimodal.attachBinary(df, "text"), "doc_id", step = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set((0, 120L * 64), (2, 120L * 64)))
+  }
+}

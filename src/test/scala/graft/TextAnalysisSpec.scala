@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("token count handles empty, padded, and multi-space text") {
+    import spark.implicits._
+    val df = Seq("", "   ", "one", " a  b   c ", "x y").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+    assert(df.as[Long].collect().toSeq == Seq(0L, 0L, 1L, 3L, 2L))
+  }
+
+  test("bpe-ish token count splits letter runs, digit runs, symbols") {
+    import spark.implicits._
+    val df = one("ab12cd!x").select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+    // ab | 12 | cd | ! | x
+    assert(df.as[Long].head() == 5L)
+  }
+
+  test("stopword and word counts count duplicate occurrences") {
+    import spark.implicits._
+    val df = one("the cat the hat a cat")
+    assert(df.select(TextAnalysis.wordCount(col("text"), "the")).as[Long].head() == 2L)
+    assert(df.select(TextAnalysis.wordCount(col("text"), "cat")).as[Long].head() == 2L)
+    assert(df.select(TextAnalysis.stopwordCount(col("text"))).as[Long].head() == 3L)
+  }
+
+  test("quality score is in [0,1] and 0-token text is safe") {
+    import spark.implicits._
+    val df = Seq("", "the the the", "a quick brown fox jumps over stuff")
+      .toDF("text").select(TextAnalysis.qualityScore(col("text")).as("q"))
+    df.as[Double].collect().foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("langId picks marker-majority language, und for no markers") {
+    import spark.implicits._
+    val df = Seq("the cat and a dog", "el los una perro", "xyz qqq", "")
+      .toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und", "und"))
+  }
+
+  test("fingerprint equals the hand-computed rolling hash") {
+    import spark.implicits._
+    val text = "ab c"
+    val expected = text.foldLeft(0L)((acc, ch) =>
+      (acc * TextAnalysis.FpBase + ch.toLong) % TextAnalysis.FpMod)
+    val got = one(text).select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
+    assert(got == expected)
+    // empty text folds to the init value
+    assert(one("").select(TextAnalysis.fingerprint(col("text"))).as[Long].head() == 0L)
+  }
+}
