@@ -27,6 +27,17 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** Spread a small input across all cores before a CPU-bound narrow
+    * stage (signatures, pairwise verification). A 100 TB scan already
+    * has thousands of splits and skips this (no extra shuffle); a
+    * dimension-sized input read from one file would otherwise pin the
+    * whole signature stage to a single task.
+    */
+  private[operators] def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Word n-gram shingle set (distinct). Documents shorter than n words
     * fall back to a single whole-text shingle so they can still match
     * exact twins.
@@ -65,7 +76,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double, maxDocId: Long): DataFrame = {
-    val withSh = df.filter(col(idCol) < maxDocId)
+    val withSh = rebalance(df.filter(col(idCol) < maxDocId))
       .select(col(idCol), shingles(col(textCol), n).as("_sh"))
     val a = withSh.select(col(idCol).as("id_a"), col("_sh").as("_sha"))
     val b = withSh.select(col(idCol).as("id_b"), col("_sh").as("_shb"))
@@ -94,12 +105,25 @@ object Dedup {
        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold""".stripMargin
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * `xxhash64(seed, shingle)`, signature[s] = min over shingles.
+  /** MinHash signature: k permutations approximated by one `xxhash64`
+    * per shingle STRING followed by k cheap re-hashes of that 8-byte
+    * long (`xxhash64(seed, h)`), folded to the k-wide minimum in a
+    * single `aggregate` pass.
+    *
+    * Why this shape: the naive `transform(seeds, s -> min(xxhash64(s,
+    * shingle)))` hashes every shingle string k times — k·|sh| string
+    * traversals per row. Here each string is hashed once and the k
+    * variants are fixed-width long hashes inside one fold, so no
+    * expensive subexpression is ever re-evaluated. (Wrapping-multiply
+    * permutations would be cheaper still, but Spark 4's ANSI mode
+    * rejects long overflow.)
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingleCol, x => xxhash64(s, x))))
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val hashes = transform(shingleCol, x => xxhash64(x))
+    aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)), (m, s) =>
+        least(m, xxhash64(s, h))))
+  }
 
   /** MinHash + LSH near-dup pairs at scale:
     * signature (k = bands·rowsPerBand) → b band keys per doc → equi-join
@@ -114,7 +138,7 @@ object Dedup {
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
+    val sig = rebalance(df).select(col(idCol).as("id"),
       shingles(col(textCol), n).as("_sh"))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
     // One row per (doc, band): band key = xxhash64 of the r-slice.
@@ -166,7 +190,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = rebalance(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunks = array((0 until 4).map(i =>
       shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)
     val chunked = sigs.select(col("id"), col("sig"), posexplode(chunks))
@@ -190,7 +214,7 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val a = rebalance(df).select(col(idCol).as("id_a"), col(vecCol).as("_va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(Similarity.dot(col("_va"), col("_vb")), 6))

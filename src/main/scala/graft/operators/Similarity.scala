@@ -25,11 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns: one
-    * `zip_with` multiply + left-fold sum. Codegen-friendly (built-in
-    * higher-order functions), deterministic accumulation order.
+  /** Double-precision dot product of two numeric-array columns — the
+    * native codegen expression
+    * ([[org.apache.spark.sql.graft.DotProduct]]): one fused loop inside
+    * whole-stage codegen. Same left-fold accumulation as [[dotHof]] and
+    * DuckDB's `list_dot_product`.
     */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotProduct(a, b)
+
+  /** Built-in-only formulation of [[dot]] (`zip_with` multiply +
+    * left-fold sum). Kept as the portable reference implementation; the
+    * interpreted HOF path costs ~10× on the similarity hot loops.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -42,7 +51,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
-    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+    val scored = Dedup.rebalance(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
       .join(q, col("vec_id") =!= col("query_id"))
       .withColumn("_score", dot(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -134,7 +143,7 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                       dim: Int, nBits: Int, nTables: Int,
                       threshold: Double): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+    val keyed = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
     val tabled = (0 until nTables).map { t =>
       keyed.select(col("id"), col("_v"), lit(t).as("tbl"),
         signLshKey(col("_v"), dim, nBits, seed = t).as("bkey"))
