@@ -1,0 +1,26 @@
+package graft
+import java.nio.file.{Files, Paths}
+/** Diagnostic main: dumps `explain("formatted")` for the headline
+  * queries to target/plans.txt — the plan-audit loop behind BASELINE.md.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("local[4]", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val names = Seq("q_time_based", "q_join_revenue", "q_scd_latest", "q_scd_latest_maxby",
+      "q_ann_bruteforce", "q_dedup_minhash_lsh", "q_dedup_exact", "q_topk_orders", "q_mm_decode")
+    val sb = new StringBuilder
+    names.foreach { n =>
+      sb.append(s"\n========== $n ==========\n")
+      try {
+        val df = SparkEntry.queries(n)(spark, d)
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable => sb.append("ERROR " + e) }
+    }
+    Files.writeString(Paths.get("target/plans.txt"), sb.toString)
+    println("WROTE target/plans.txt")
+    spark.stop()
+  }
+}

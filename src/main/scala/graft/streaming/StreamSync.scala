@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming face of the sync engine (SURVEY §2.9 notes the
+  * reference is watermark-batch; this is the `readStream` extension for
+  * continuous ingest of the same change-log convention).
+  *
+  * Design: the batch engine's change-log tables (`_change_type`,
+  * `_commit_timestamp` columns appended to the source schema,
+  * [[graft.operators.ChangeLog]]) are exactly a streamable CDC feed —
+  * `readStream` over the log directory + event-time watermark on
+  * `_commit_timestamp` gives the incremental scan with late-data
+  * handling that the batch path implements manually via `delay_ms`
+  * (export.py:164–166).
+  *
+  * Scale notes: windowed counts are partial-aggregated per trigger
+  * (shuffle carries one row per (key, window) per microbatch);
+  * latest-per-key state is bounded by the key cardinality and evicted
+  * by processing-time timeout.
+  */
+object StreamSync {
+
+  /** Open the change-log directory as a stream. `schema` must be the
+    * log's schema (streaming file sources require one — obtain it from
+    * a one-off batch read of the same path).
+    */
+  def readChangeLog(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Event-time windowed change counts per change type: watermark +
+    * tumbling window aggregation — the streaming analogue of the
+    * per-sync row accounting the batch orchestrator does between runs.
+    */
+  def windowedChangeCounts(log: DataFrame, watermarkDelay: String,
+                           windowLength: String): DataFrame =
+    log.withWatermark("_commit_timestamp", watermarkDelay)
+      .groupBy(window(col("_commit_timestamp"), windowLength), col("_change_type"))
+      .agg(count(lit(1)).as("n_changes"))
+      .select(col("window.start").as("window_start"),
+        col("_change_type"), col("n_changes"))
+
+  /** Latest-row-per-key state record: commit ms + the row's JSON
+    * rendering (schema-agnostic, like the reference's `SELECT *` shape).
+    */
+  final case class KeyedLatest(key: Long, commitMs: Long, json: String)
+
+  private def latestEncoder: Encoder[KeyedLatest] = Encoders.product[KeyedLatest]
+
+  /** Continuously maintained scd-latest: for each key, keep the row with
+    * the greatest `_commit_timestamp` seen so far — the streaming
+    * equivalent of the batch `ScdLatest` window (W1) running
+    * incrementally via `mapGroupsWithState`.
+    *
+    * Emits the current latest row for every key updated in the trigger.
+    * State per key is one (commitMs, json) pair. `stateTtl` (processing
+    * time) evicts idle keys so state stays bounded on 100 TB key spaces;
+    * note that pending timers make the engine schedule no-data batches,
+    * so `processAllAvailable()` (a test/dev API) never settles with a
+    * TTL — pass `None` in harness code.
+    */
+  def streamingLatestByKey(log: DataFrame, keyCol: String,
+                           stateTtl: Option[String] = Some("1 hour")): Dataset[KeyedLatest] = {
+    implicit val enc: Encoder[KeyedLatest] = latestEncoder
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val projected = log.select(
+      col(keyCol).cast("long").as("key"),
+      (unix_timestamp(col("_commit_timestamp")) * 1000).as("commitMs"),
+      to_json(struct(log.columns.map(col): _*)).as("json"))
+      .as[KeyedLatest]
+
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    projected.groupByKey(_.key)
+      .mapGroupsWithState[KeyedLatest, KeyedLatest](timeoutConf) {
+        (key: Long, rows: Iterator[KeyedLatest], state: GroupState[KeyedLatest]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val ord = Ordering.Tuple2[Long, String]
+            val incoming = rows.maxBy(r => (r.commitMs, r.json))(ord)
+            val best = state.getOption
+              .filter(s => ord.gteq((s.commitMs, s.json), (incoming.commitMs, incoming.json)))
+              .getOrElse(incoming)
+            state.update(best)
+            stateTtl.foreach(state.setTimeoutDuration)
+            best
+          }
+      }
+  }
+
+  /** Wire a streaming DataFrame to a parquet sink directory with a
+    * checkpoint — the streaming version of [[graft.sinks.FileSink]].
+    */
+  def writeParquet(df: DataFrame, outDir: String, checkpointDir: String,
+                   outputMode: OutputMode = OutputMode.Append()) =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+}

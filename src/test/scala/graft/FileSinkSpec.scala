@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.{ChangeLog, SyncMode}
+import graft.sinks.{FileSink, SinkSpec}
+
+class FileSinkSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(name: String): String = {
+    val p = Files.createTempDirectory(name)
+    p.toFile.deleteOnExit()
+    p.resolve("out").toString
+  }
+
+  test("json sink writes gzip part files that read back identically") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "v")
+    val out = tmpDir("graft-json")
+    FileSink.write(df, SinkSpec("json", out))
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".json.gz"))
+    assert(parts.nonEmpty, "expected gzip json part files")
+    val back = spark.read.json(out).select("id", "v").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, null)))
+  }
+
+  test("csv sink: single gzip file with header (reference coalesce(1) semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val out = tmpDir("graft-csv")
+    FileSink.write(df, SinkSpec("csv", out))
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv.gz"))
+    assert(parts.length == 1, s"coalesce(1) must produce exactly one part, got $parts")
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(back.count() == 2)
+  }
+
+  test("maxRecordsPerFile bounds json part size") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+    val out = tmpDir("graft-mrpf")
+    FileSink.write(df, SinkSpec("json", out, maxRecordsPerFile = Some(30L)))
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".json.gz"))
+    assert(parts.length == 4, s"100 rows / 30 per file → 4 parts, got ${parts.length}")
+  }
+
+  test("row-count guard: passes under limit, fails over, disabled at 0") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    FileSink.validateRowCount(df, 0)   // disabled
+    FileSink.validateRowCount(df, 3)   // at the limit → ok
+    val e = intercept[RuntimeException](FileSink.validateRowCount(df, 2))
+    assert(e.getMessage.contains("exceeds limit"))
+  }
+
+  test("Engine.run composes guard, plan, hash, sink; Engine.runCdc round-trips the watermark") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf, "events")
+    val out = tmpDir("graft-e2e")
+    val res = Engine.run(events, ExportSpec(
+      mode = SyncMode.ScdLatest("user_id", "ts", keepRank = false, tieBreakers = Seq("event_id")),
+      nonNullableCols = Seq("event_type"),
+      hash = Some(HashSpec("row_hash")),
+      sink = Some(SinkSpec("json", out)),
+      rowCountLimit = 1000000L))
+    assert(res.newWatermarkMs == 0L) // only CDC carries a watermark
+    val back = spark.read.json(out)
+    assert(back.columns.contains("row_hash"))
+    assert(back.count() == res.df.count())
+
+    // CDC first sync: watermark anchored to the latest commit; second
+    // sync from that watermark sees no further changes.
+    val log = ChangeLog.synthesize(events, "event_id", "ts")
+    val first = Engine.runCdc(log, CdcSpec(Seq("event_id"), timeCutoffMs = 0L, nowMs = 0L))
+    assert(first.newWatermarkMs == ChangeLog.latestCommitMs(log))
+    assert(first.df.count() > 0)
+    val futureNow = first.newWatermarkMs + 1000L
+    val second = Engine.runCdc(log, CdcSpec(Seq("event_id"), first.newWatermarkMs, futureNow))
+    assert(second.newWatermarkMs == futureNow)
+    assert(second.df.count() == 0L) // nothing after the watermark
+  }
+}

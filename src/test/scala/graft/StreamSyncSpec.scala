@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamSync
+
+class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed change counts aggregate by tumbling window and change type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val log = input.toDF().toDF("event_id", "_change_type", "_commit_timestamp")
+    val q = StreamSync.windowedChangeCounts(log, "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("wcc").outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, "insert", ts("2024-01-01 00:00:10")),
+        (2L, "insert", ts("2024-01-01 00:00:20")),
+        (3L, "delete", ts("2024-01-01 00:00:30")),
+        (4L, "insert", ts("2024-01-01 00:01:10")))
+      q.processAllAvailable()
+      val rows = spark.table("wcc")
+        .select("window_start", "_change_type", "n_changes")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 00:00:00"), "insert", 2L),
+        (ts("2024-01-01 00:00:00"), "delete", 1L),
+        (ts("2024-01-01 00:01:00"), "insert", 1L)))
+    } finally q.stop()
+  }
+
+  test("streamingLatestByKey keeps the newest row per key across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val log = input.toDF().toDF("user_id", "_commit_timestamp", "payload")
+    val q = StreamSync.streamingLatestByKey(log, "user_id", stateTtl = None)
+      .writeStream.format("memory").queryName("slk").outputMode("update").start()
+    try {
+      input.addData((7L, ts("2024-01-01 00:00:01"), "a"))
+      q.processAllAvailable()
+      input.addData(
+        (7L, ts("2024-01-01 00:00:05"), "b"),  // newer → replaces
+        (9L, ts("2024-01-01 00:00:02"), "c"))
+      q.processAllAvailable()
+      input.addData((7L, ts("2024-01-01 00:00:03"), "stale")) // older → kept b
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.{col, get_json_object}
+      val latest = spark.table("slk")
+        .groupBy(col("key"))
+        .agg(org.apache.spark.sql.functions.max_by(col("json"), col("commitMs")).as("json"))
+        .select(col("key"), get_json_object(col("json"), "$.payload").as("p"))
+        .as[(Long, String)].collect().toMap
+      assert(latest == Map(7L -> "b", 9L -> "c"))
+    } finally q.stop()
+  }
+}
