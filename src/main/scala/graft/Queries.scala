@@ -243,9 +243,11 @@ object Queries {
     // ------------------------------------------------------------------
 
     // Text analysis: whitespace + BPE-ish token counts, stopword count,
-    // quality score — all built-in-function columns, no UDFs.
+    // quality score — all built-in-function columns, no UDFs. (The
+    // rebalance spreads the regex-heavy projection across cores; a
+    // multi-split 100 TB scan skips it.)
     Entry("q_text_stats",
-      (s, d) => t(s, d, "documents").select(
+      (s, d) => Dedup.rebalance(t(s, d, "documents")).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
@@ -262,7 +264,7 @@ object Queries {
     // Language-ID heuristic (marker-word scoring, deterministic
     // first-match tie-break) next to the labeled lang column.
     Entry("q_lang_id",
-      (s, d) => t(s, d, "documents").select(
+      (s, d) => Dedup.rebalance(t(s, d, "documents")).select(
         col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_pred"),
         TextAnalysis.langScore(col("text"), "en").as("score_en")),
@@ -274,7 +276,7 @@ object Queries {
 
     // Rolling-hash document fingerprint (Rabin–Karp left fold).
     Entry("q_fingerprint",
-      (s, d) => t(s, d, "documents").select(
+      (s, d) => Dedup.rebalance(t(s, d, "documents")).select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint")),
       Some(s"""SELECT doc_id, ${TextAnalysis.duckFingerprint("text")} AS fingerprint

@@ -33,7 +33,7 @@ object Dedup {
     * dimension-sized input read from one file would otherwise pin the
     * whole signature stage to a single task.
     */
-  private[operators] def rebalance(df: DataFrame): DataFrame = {
+  def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
