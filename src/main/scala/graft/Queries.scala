@@ -247,12 +247,14 @@ object Queries {
     // rebalance spreads the regex-heavy projection across cores; a
     // multi-split 100 TB scan skips it.)
     Entry("q_text_stats",
-      (s, d) => Dedup.rebalance(t(s, d, "documents")).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
-        TextAnalysis.qualityScore(col("text")).as("quality")),
+      (s, d) => Dedup.rebalance(t(s, d, "documents"))
+        .withColumn("_w", TextAnalysis.tokens(col("text"))) // bind the split once
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountOf(col("_w")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          TextAnalysis.stopwordCountOf(col("_w")).as("n_stopwords"),
+          TextAnalysis.qualityScoreOf(col("text"), col("_w")).as("quality")),
       Some(s"""SELECT doc_id,
                       ${TextAnalysis.duckTokenCount} AS n_tokens,
                       ${TextAnalysis.duckBpeTokenCount("text")} AS n_bpe_tokens,

@@ -63,6 +63,36 @@ object TextAnalysis {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))
 
+  /** Token-column variants: every function here is also usable against a
+    * pre-bound token array so a multi-stat projection splits the text
+    * ONCE. `CollapseProject` will not inline a non-cheap alias that is
+    * referenced many times, so `withColumn("w", tokens(c))` is a real
+    * binding, not sugar.
+    */
+  def tokenCountOf(w: Column): Column = size(w).cast("long")
+
+  def wordCountOf(w: Column, word: String): Column =
+    size(filter(w, t => t === lit(word))).cast("long")
+
+  def stopwordCountOf(w: Column): Column =
+    Stopwords.map(wordCountOf(w, _)).reduce(_ + _)
+
+  /** [[qualityScore]] against a pre-bound token array (one text split
+    * for the whole stat row instead of ~12).
+    */
+  def qualityScoreOf(c: Column, w: Column): Column = {
+    val nTok = tokenCountOf(w).cast("double")
+    val nChr = length(c).cast("double")
+    val stopRatio = when(nTok === 0.0, 0.0)
+      .otherwise(stopwordCountOf(w).cast("double") / nTok)
+    val alphaRatio = when(nChr === 0.0, 0.0)
+      .otherwise(alphaSpaceCount(c).cast("double") / nChr)
+    round(
+      lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.2) * alphaRatio, 6)
+  }
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 

@@ -55,6 +55,20 @@ object FileSink {
     */
   def write(df: DataFrame, spec: SinkSpec, singleFileCsv: Boolean = true): Unit = {
     if (spec.uri.startsWith("gs://")) spec.gcsAuth.foreach(configureGcs(df.sparkSession, _))
+    if (spec.format == "csv") {
+      // Spark's CSV writer rejects nested types at execution time with an
+      // opaque error; fail fast with the actionable one (SURVEY §7.6
+      // risk 4: the reference inherits this constraint implicitly).
+      val nested = df.schema.fields.filter(f => f.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType => true
+        case _ => false
+      })
+      require(nested.isEmpty,
+        s"CSV sink cannot serialize nested columns ${nested.map(_.name).mkString(", ")}; " +
+          "flatten them (e.g. to_json) or use the json sink")
+    }
     val out = if (spec.format == "csv" && singleFileCsv) df.coalesce(1) else df
     var w = out.write.format(spec.format).option("compression", "gzip")
     spec.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
