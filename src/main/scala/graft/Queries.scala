@@ -266,10 +266,12 @@ object Queries {
     // Language-ID heuristic (marker-word scoring, deterministic
     // first-match tie-break) next to the labeled lang column.
     Entry("q_lang_id",
-      (s, d) => Dedup.rebalance(t(s, d, "documents")).select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.langScore(col("text"), "en").as("score_en")),
+      (s, d) => Dedup.rebalance(t(s, d, "documents"))
+        .withColumn("_w", TextAnalysis.tokens(col("text"))) // bind the split once
+        .select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.langIdOf(col("_w")).as("lang_pred"),
+          TextAnalysis.langScoreOf(col("_w"), "en").as("score_en")),
       Some(s"""SELECT doc_id, lang,
                       ${TextAnalysis.duckLangId} AS lang_pred,
                       ${TextAnalysis.duckLangScore("en")} AS score_en

@@ -130,13 +130,23 @@ object TextAnalysis {
 
   /** Marker score for one language = total occurrences of its markers. */
   def langScore(c: Column, lang: String): Column =
-    LangMarkers.toMap.apply(lang).map(wordCount(c, _)).reduce(_ + _)
+    langScoreOf(tokens(c), lang)
+
+  /** [[langScore]] against a pre-bound token array. */
+  def langScoreOf(w: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(wordCountOf(w, _)).reduce(_ + _)
 
   /** Language-ID: first language (declaration order) whose score is
     * maximal and positive; "und" when every score is zero.
     */
-  def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
+  def langId(c: Column): Column = langIdOf(tokens(c))
+
+  /** [[langId]] against a pre-bound token array — the CASE chain
+    * references each score several times, so binding the split once
+    * matters (~24 re-splits per row otherwise).
+    */
+  def langIdOf(w: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScoreOf(w, l) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((l, s), els) =>
       when(s > 0 && s === best, lit(l)).otherwise(els)

@@ -184,15 +184,21 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the four 16-bit chunks
-    * (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), equi-join on
-    * (chunk index, chunk value), verify hamming ≤ maxHamming.
+  /** SimHash near-dup pairs: bucket by `maxHamming + 1` bit-chunks of
+    * the 64-bit signature (pigeonhole: hamming ≤ maxHamming ⇒ at least
+    * one chunk is bit-identical, so candidate recall is exact), equi-join
+    * on (chunk index, chunk value), verify hamming ≤ maxHamming.
+    * Narrower chunks (more of them) trade more candidate collisions for
+    * the recall guarantee at higher hamming radii.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming out of range")
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks // last chunk may be narrower
     val sigs = rebalance(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val chunks = array((0 until 4).map(i =>
-      shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)
+    val chunks = array((0 until nChunks).map(i =>
+      shiftright(col("sig"), i * width).bitwiseAND((1L << width) - 1L)): _*)
     val chunked = sigs.select(col("id"), col("sig"), posexplode(chunks))
       .toDF("id", "sig", "chunk", "ckey")
     chunked.as("x").join(chunked.as("y"),

@@ -62,12 +62,13 @@ object FileSink {
       val nested = df.schema.fields.filter(f => f.dataType match {
         case _: org.apache.spark.sql.types.StructType |
              _: org.apache.spark.sql.types.ArrayType |
-             _: org.apache.spark.sql.types.MapType => true
+             _: org.apache.spark.sql.types.MapType |
+             org.apache.spark.sql.types.BinaryType => true
         case _ => false
       })
       require(nested.isEmpty,
-        s"CSV sink cannot serialize nested columns ${nested.map(_.name).mkString(", ")}; " +
-          "flatten them (e.g. to_json) or use the json sink")
+        s"CSV sink cannot serialize nested/binary columns ${nested.map(_.name).mkString(", ")}; " +
+          "flatten them (e.g. to_json/base64) or use the json sink")
     }
     val out = if (spec.format == "csv" && singleFileCsv) df.coalesce(1) else df
     var w = out.write.format(spec.format).option("compression", "gzip")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming face of the sync engine (SURVEY §2.9 notes the
@@ -43,10 +43,12 @@ object StreamSync {
       .select(col("window.start").as("window_start"),
         col("_change_type"), col("n_changes"))
 
-  /** Latest-row-per-key state record: commit ms + the row's JSON
+  /** Latest-row-per-key state record: commit time in µs (TimestampType's
+    * full precision — `unix_timestamp` would truncate to seconds and let
+    * the JSON tie-break decide sub-second order) + the row's JSON
     * rendering (schema-agnostic, like the reference's `SELECT *` shape).
     */
-  final case class KeyedLatest(key: Long, commitMs: Long, json: String)
+  final case class KeyedLatest(key: Long, commitUs: Long, json: String)
 
   private def latestEncoder: Encoder[KeyedLatest] = Encoders.product[KeyedLatest]
 
@@ -55,12 +57,14 @@ object StreamSync {
     * equivalent of the batch `ScdLatest` window (W1) running
     * incrementally via `mapGroupsWithState`.
     *
-    * Emits the current latest row for every key updated in the trigger.
-    * State per key is one (commitMs, json) pair. `stateTtl` (processing
-    * time) evicts idle keys so state stays bounded on 100 TB key spaces;
-    * note that pending timers make the engine schedule no-data batches,
-    * so `processAllAvailable()` (a test/dev API) never settles with a
-    * TTL — pass `None` in harness code.
+    * Emits the current latest row for every key updated in the trigger
+    * and nothing on state eviction (`flatMapGroupsWithState` — a timeout
+    * must not re-emit an unchanged row to update-mode consumers). State
+    * per key is one (commitUs, json) pair. `stateTtl` (processing time)
+    * evicts idle keys so state stays bounded on 100 TB key spaces; note
+    * that pending timers make the engine schedule no-data batches, so
+    * `processAllAvailable()` (a test/dev API) never settles with a TTL —
+    * pass `None` in harness code.
     */
   def streamingLatestByKey(log: DataFrame, keyCol: String,
                            stateTtl: Option[String] = Some("1 hour")): Dataset[KeyedLatest] = {
@@ -68,7 +72,7 @@ object StreamSync {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     val projected = log.select(
       col(keyCol).cast("long").as("key"),
-      (unix_timestamp(col("_commit_timestamp")) * 1000).as("commitMs"),
+      unix_micros(col("_commit_timestamp")).as("commitUs"),
       to_json(struct(log.columns.map(col): _*)).as("json"))
       .as[KeyedLatest]
 
@@ -76,33 +80,47 @@ object StreamSync {
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     projected.groupByKey(_.key)
-      .mapGroupsWithState[KeyedLatest, KeyedLatest](timeoutConf) {
+      .flatMapGroupsWithState[KeyedLatest, KeyedLatest](
+        OutputMode.Update(), timeoutConf) {
         (key: Long, rows: Iterator[KeyedLatest], state: GroupState[KeyedLatest]) =>
           if (state.hasTimedOut) {
-            val last = state.get
             state.remove()
-            last
+            Iterator.empty
           } else {
             val ord = Ordering.Tuple2[Long, String]
-            val incoming = rows.maxBy(r => (r.commitMs, r.json))(ord)
+            val incoming = rows.maxBy(r => (r.commitUs, r.json))(ord)
             val best = state.getOption
-              .filter(s => ord.gteq((s.commitMs, s.json), (incoming.commitMs, incoming.json)))
+              .filter(s => ord.gteq((s.commitUs, s.json), (incoming.commitUs, incoming.json)))
               .getOrElse(incoming)
             state.update(best)
             stateTtl.foreach(state.setTimeoutDuration)
-            best
+            Iterator.single(best)
           }
       }
   }
 
-  /** Wire a streaming DataFrame to a parquet sink directory with a
-    * checkpoint — the streaming version of [[graft.sinks.FileSink]].
+  /** Streaming exact dedup — the streaming face of
+    * [[graft.operators.Dedup.exact]]: drop repeats of `keyCols` where the
+    * duplicate arrives within the event-time watermark of the original.
+    * State is evicted once the watermark passes, so memory stays bounded
+    * by (arrival rate × delay), not by stream history — the only
+    * formulation that survives an unbounded 100 TB/day feed.
     */
-  def writeParquet(df: DataFrame, outDir: String, checkpointDir: String,
-                   outputMode: OutputMode = OutputMode.Append()) =
+  def streamingDedup(log: DataFrame, keyCols: Seq[String],
+                     watermarkDelay: String): DataFrame =
+    log.withWatermark("_commit_timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Start a parquet sink with a checkpoint — the streaming version of
+    * [[graft.sinks.FileSink]]. Returns the running query (stop it or
+    * `awaitTermination` on the caller side).
+    */
+  def startParquetSink(df: DataFrame, outDir: String, checkpointDir: String,
+                       outputMode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .format("parquet")
       .option("path", outDir)
+      .start()
 }

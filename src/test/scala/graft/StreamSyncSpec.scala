@@ -36,6 +36,27 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingDedup drops in-watermark duplicates, keeps distinct keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val log = input.toDF().toDF("event_id", "_commit_timestamp")
+    val q = StreamSync.streamingDedup(log, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("sdd").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:01")),
+        (1L, ts("2024-01-01 00:00:02")),  // dup within watermark → dropped
+        (2L, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:00:04"))) // still within watermark
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.col
+      val ids = spark.table("sdd").select(col("event_id")).as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streamingLatestByKey keeps the newest row per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -55,10 +76,50 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
       import org.apache.spark.sql.functions.{col, get_json_object}
       val latest = spark.table("slk")
         .groupBy(col("key"))
-        .agg(org.apache.spark.sql.functions.max_by(col("json"), col("commitMs")).as("json"))
+        .agg(org.apache.spark.sql.functions.max_by(col("json"), col("commitUs")).as("json"))
         .select(col("key"), get_json_object(col("json"), "$.payload").as("p"))
         .as[(Long, String)].collect().toMap
       assert(latest == Map(7L -> "b", 9L -> "c"))
+    } finally q.stop()
+  }
+
+  test("streamingLatestByKey orders by sub-second commit time (µs precision)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val log = input.toDF().toDF("user_id", "_commit_timestamp", "payload")
+    val q = StreamSync.streamingLatestByKey(log, "user_id", stateTtl = None)
+      .writeStream.format("memory").queryName("slkus").outputMode("update").start()
+    try {
+      // same second, different milliseconds — "a" is newer despite a
+      // smaller JSON rendering
+      input.addData((1L, Timestamp.valueOf("2024-01-01 00:00:01.9"), "a"))
+      q.processAllAvailable()
+      input.addData((1L, Timestamp.valueOf("2024-01-01 00:00:01.1"), "b"))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.{col, get_json_object}
+      val latest = spark.table("slkus")
+        .groupBy(col("key"))
+        .agg(org.apache.spark.sql.functions.max_by(col("json"), col("commitUs")).as("json"))
+        .select(get_json_object(col("json"), "$.payload").as("p"))
+        .as[String].collect().toSeq
+      assert(latest == Seq("a"))
+    } finally q.stop()
+  }
+
+  test("startParquetSink runs the stream into parquet files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val input = MemoryStream[(Long, Timestamp)]
+    val log = input.toDF().toDF("event_id", "_commit_timestamp")
+    val q = StreamSync.startParquetSink(log,
+      dir.resolve("out").toString, dir.resolve("ckpt").toString)
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:01")), (2L, ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val back = spark.read.parquet(dir.resolve("out").toString)
+      assert(back.count() == 2)
     } finally q.stop()
   }
 }
