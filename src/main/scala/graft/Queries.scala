@@ -308,11 +308,13 @@ object Queries {
         n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5),
       None),
 
-    // SimHash near-dup detection: 64-bit signatures, 16-bit chunk
-    // buckets, hamming ≤ 10 verification. rows-only (xxhash64).
+    // SimHash near-dup detection: 64-bit signatures, pigeonhole chunk
+    // buckets (maxHamming+1 chunks → exact candidate recall), hamming ≤ 6
+    // verification — all planted near-dups measure ≤ 5 while radius ≥ 7
+    // is dominated by shared-vocabulary noise. rows-only (xxhash64).
     Entry("q_dedup_simhash",
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id",
-        maxHamming = 10),
+        maxHamming = 6),
       None),
 
     // Embedding-cosine near-dup pairs (exact; double left-fold dot
