@@ -300,6 +300,19 @@ object Queries {
       Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 1000))),
 
+    // Pair resolution: near-dup pairs → connected components → keep the
+    // min-id representative per cluster (the actual dedup). Oracle is a
+    // recursive-CTE transitive closure over the same exact pairs.
+    Entry("q_dedup_resolve",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.5, maxDocId = 1000)
+        Dedup.resolvePairs(docs, pairs, "doc_id")
+      },
+      Some(Dedup.duckResolveNgramPairs("documents", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 1000))),
+
     // MinHash+LSH near-dup detection at scale: 126 hashes, 42 bands × 3
     // rows (≈99.7% recall at j=0.5), exact-Jaccard verification.
     // xxhash64 has no DuckDB twin → rows-only check.

@@ -228,6 +228,63 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Resolve near-dup pairs into clusters and drop every row that is not
+    * its cluster's representative (min id) — the step that turns any of
+    * the pair-finding operators above into an actual deduplicated corpus.
+    *
+    * Clusters are connected components computed by iterative min-label
+    * propagation (Pregel-lite): each round every node adopts the
+    * smallest label among itself and its neighbors; convergence takes
+    * O(log(component diameter)) rounds. Each round is one shuffle join +
+    * partial-agg min — the 100 TB-safe shape (no driver-side graph). A
+    * `localCheckpoint` per round cuts the exponential lineage growth
+    * that iterative plans otherwise accumulate.
+    */
+  def resolvePairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                   maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("_chg"))
+        .localCheckpoint()
+      converged = updated.filter(col("_chg")).isEmpty
+      labels = updated.drop("_chg")
+      i += 1
+    }
+    // Drop non-representatives; rows never seen in a pair survive.
+    val losers = labels.filter(col("id") =!= col("lbl")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
+  /** DuckDB oracle for [[resolvePairs]] over [[ngramJaccardPairs]]: the
+    * transitive closure via a recursive CTE, keeping each component's
+    * min id and all unpaired docs.
+    */
+  def duckResolveNgramPairs(tbl: String, textCol: String, idCol: String,
+                            n: Int, threshold: Double, maxDocId: Long): String = {
+    val pairsSql = duckNgramJaccardPairs(tbl, textCol, idCol, n, threshold, maxDocId)
+    s"""WITH pairs AS ($pairsSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |cc AS (
+       |  WITH RECURSIVE reach(id, lbl) AS (
+       |    SELECT src, src FROM e
+       |    UNION
+       |    SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.id)
+       |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |SELECT d.* FROM $tbl d
+       |WHERE d.$idCol NOT IN (SELECT id FROM cc WHERE id <> lbl)""".stripMargin
+  }
+
   /** DuckDB oracle for [[embeddingNearDupPairs]] over table `tbl`. */
   def duckEmbeddingNearDupPairs(tbl: String, vecCol: String, idCol: String,
                                 threshold: Double): String =

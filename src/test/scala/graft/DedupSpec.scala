@@ -54,6 +54,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("resolvePairs keeps min-id per component and all unpaired rows") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    // chain 1-2-3 (transitive), pair 10-11, singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.resolvePairs(docs, pairs, "doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L))
+  }
+
+  test("resolvePairs with no pairs keeps everything") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = spark.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    assert(Dedup.resolvePairs(docs, pairs, "doc_id").count() == 2)
+  }
+
   test("embedding near-dup pairs: exact dot product over doubles") {
     import spark.implicits._
     val df = Seq(
