@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Native codegen expressions must be bitwise-identical to their
+  * built-in-HOF reference formulations on real data.
+  */
+class NativeExprSpec extends AnyFunSuite with SparkTestBase {
+
+  test("SimHash64 native == HOF formulation on the documents fixture") {
+    val docs = Tables.load(spark, sf, "documents")
+    val diff = docs.select(
+      Dedup.simhash(col("text")).as("native"),
+      Dedup.simhashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("DotProduct native == HOF formulation on the embeddings fixture") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val diff = a.join(b, col("ia") < col("ib")).limit(20000)
+      .select(Similarity.dot(col("va"), col("vb")).as("native"),
+        Similarity.dotHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("SimHash64 handles empty token arrays") {
+    import spark.implicits._
+    val sig = Seq("").toDF("text").select(Dedup.simhash(col("text")))
+      .as[Long].head()
+    assert(sig == 0L)
+  }
+}
