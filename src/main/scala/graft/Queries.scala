@@ -306,12 +306,15 @@ object Queries {
     Entry("q_dedup_resolve",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // Bounded tighter than q_dedup_ngram_jaccard: this query pays the
+        // O(n²) pair search AND the clustering loop; the production route
+        // feeds resolvePairs from minhashLshPairs instead.
         val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-          n = 3, threshold = 0.5, maxDocId = 1000)
+          n = 3, threshold = 0.5, maxDocId = 500)
         Dedup.resolvePairs(docs, pairs, "doc_id")
       },
       Some(Dedup.duckResolveNgramPairs("documents", "text", "doc_id",
-        n = 3, threshold = 0.5, maxDocId = 1000))),
+        n = 3, threshold = 0.5, maxDocId = 500))),
 
     // MinHash+LSH near-dup detection at scale: 126 hashes, 42 bands × 3
     // rows (≈99.7% recall at j=0.5), exact-Jaccard verification.
