@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.TextAnalysis
-import graft.operators.{ChangeLog, Dedup, Multimodal, Similarity, Sync, SyncMode}
+import graft.operators.{ChangeLog, Dedup, Multimodal, Sessionize, Similarity, Sync, SyncMode}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -234,6 +234,15 @@ object Queries {
         .limit(10),
       Some("""SELECT * FROM orders
               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // Gap-based sessionization over the event stream (30-minute gap):
+    // per-session rollups with one exchange shared by the lag window,
+    // the running-sum window, and the final agg.
+    Entry("q_sessionize",
+      (s, d) => Sessionize.sessions(t(s, d, "events"),
+        "user_id", "ts", "event_id", "value", gapMs = 30L * 60 * 1000),
+      Some(Sessionize.duckSessions(EvOracle + " e",
+        "user_id", "ts", "event_id", "value", gapMs = 30L * 60 * 1000))),
 
     // ------------------------------------------------------------------
     // LLM-data-pipeline extensions (SURVEY §7.5) over documents /
