@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.TextAnalysis
-import graft.operators.{ChangeLog, Dedup, Multimodal, Sessionize, Similarity, Sync, SyncMode}
+import graft.operators.{ChangeLog, Dedup, Funnel, Multimodal, Sessionize, Similarity, Sync, SyncMode}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -243,6 +243,15 @@ object Queries {
         "user_id", "ts", "event_id", "value", gapMs = 30L * 60 * 1000),
       Some(Sessionize.duckSessions(EvOracle + " e",
         "user_id", "ts", "event_id", "value", gapMs = 30L * 60 * 1000))),
+
+    // Ordered funnel: earliest view → click → purchase per user, step
+    // conversion counts (the product-analytics companion to the event
+    // exports).
+    Entry("q_funnel",
+      (s, d) => Funnel.stepCounts(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some(Funnel.duckStepCounts3(EvOracle, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")))),
 
     // ------------------------------------------------------------------
     // LLM-data-pipeline extensions (SURVEY §7.5) over documents /
