@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.TextAnalysis
-import graft.operators.{ChangeLog, Dedup, Funnel, Multimodal, Sessionize, Similarity, Sync, SyncMode}
+import graft.operators.{ChangeLog, Dedup, Funnel, Multimodal, Retention, Sessionize, Similarity, Sync, SyncMode}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -252,6 +252,26 @@ object Queries {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
       Some(Funnel.duckStepCounts3(EvOracle, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase")))),
+
+    // Weekly cohort retention: users cohorted by first-event week,
+    // counted per (cohort, week offset).
+    Entry("q_retention",
+      (s, d) => Retention.weeklyCohorts(t(s, d, "events"), "user_id", "ts"),
+      Some(Retention.duckWeeklyCohorts(EvOracle, "user_id", "ts"))),
+
+    // Corpus term frequency: explode whitespace tokens, top-20 terms by
+    // total occurrences with lexicographic tie-break
+    // (TakeOrderedAndProject — no global sort).
+    Entry("q_term_freq",
+      (s, d) => Dedup.rebalance(t(s, d, "documents"))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20),
+      Some(s"""SELECT term, count(*) AS n
+               FROM (SELECT unnest(${TextAnalysis.duckTokensBind("text")}) AS term
+                     FROM documents) x
+               GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""")),
 
     // ------------------------------------------------------------------
     // LLM-data-pipeline extensions (SURVEY §7.5) over documents /
