@@ -64,6 +64,27 @@ object Engine {
     SyncResult(out, watermark)
   }
 
+  /** CDC with user-supplied SQL (export.py:145–153): the watermark picks
+    * `initial_query.sql` vs `recurring_query.sql`, the end anchor is the
+    * caller-provided consistent snapshot time (latest commit on first
+    * sync, "now" after — export.py:141–144), and the file's
+    * `:start_timestamp`/`:end_timestamp` named params are bound exactly
+    * like the reference's `spark.sql(query, args)`.
+    */
+  def runCdcCustomSql(spark: SparkSession, queriesBaseDir: String,
+                      project: String, catalog: String, schema: String,
+                      table: String, timeCutoffMs: Long, endMs: Long,
+                      hash: Option[HashSpec] = None,
+                      sink: Option[SinkSpec] = None): SyncResult = {
+    val path = sources.SqlSource.queryPath(
+      queriesBaseDir, project, catalog, schema, table, timeCutoffMs)
+    val (text, params) = sources.SqlSource.load(path, timeCutoffMs, endMs)
+    val df0 = sources.SqlSource.run(spark, text, params)
+    val out = hash.fold(df0)(h => RowHash.withHashColumn(df0, h.column, h.ignoreColumns))
+    sink.foreach(FileSink.write(out, _))
+    SyncResult(out, endMs)
+  }
+
   /** Local-mode session with the layout this engine assumes: UTC, AQE on,
     * shuffle parallelism sized to the cores (not the 200 default).
     */
