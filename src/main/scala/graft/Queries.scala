@@ -146,18 +146,19 @@ object Queries {
                             ELSE 'delete' END AS _change_type,
                        ts AS _commit_timestamp
                      FROM $EvOracle e) log
-               WHERE CAST(floor(epoch(_commit_timestamp)) AS BIGINT)*1000 >= ${EvCutoffMs + 1}
-                 AND CAST(floor(epoch(_commit_timestamp)) AS BIGINT)*1000 <= $EvEndMs""")),
+               WHERE epoch_us(_commit_timestamp) // 1000 >= ${EvCutoffMs + 1}
+                 AND epoch_us(_commit_timestamp) // 1000 <= $EvEndMs""")),
 
     // S4 + O1 — DESCRIBE HISTORY LIMIT 1 → latest commit ms
-    // (export.py:49–60).
+    // (export.py:49–60). Millisecond precision (Delta commit timestamps
+    // are ms; see ChangeLog.commitMs).
     Entry("q_commit_history",
       (s, d) => {
         val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
-        log.agg((unix_timestamp(max(col(ChangeLog.CommitTs))) * 1000)
-          .cast("long").as("latest_commit_ms"))
+        log.agg(expr(s"unix_micros(max(`${ChangeLog.CommitTs}`)) div 1000")
+          .as("latest_commit_ms"))
       },
-      Some("""SELECT CAST(floor(epoch(CAST(max(ts) AS TIMESTAMP))) AS BIGINT)*1000
+      Some("""SELECT epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000
                      AS latest_commit_ms FROM events""")),
 
     // A1 — ungrouped count(*), the row-count guard's probe (export.py:38).

@@ -27,7 +27,14 @@ object ChangeLog {
   val CommitTs = "_commit_timestamp"
   val MpChangeType = "_mp_change_type"
 
-  private def commitMs: Column = (unix_timestamp(col(CommitTs)) * 1000).cast("long")
+  /** Commit timestamp at MILLISECOND precision (ms epoch). Delta CDF bounds
+    * `table_changes` at millisecond ISO timestamps (export.py:115–127) and
+    * the watermark protocol's `+1 ms` exclusive start (export.py:91–92)
+    * requires ms fidelity: a second-truncated bound would silently skip a
+    * commit at `…00.500` when the watermark is `…00.200`. `unix_micros`
+    * keeps the arithmetic integral (`div`, not `/` — no double rounding).
+    */
+  private def commitMs: Column = expr(s"unix_micros(`$CommitTs`) div 1000")
 
   /** S4 — `DESCRIBE HISTORY t LIMIT 1` → latest commit timestamp in ms
     * (export.py:49–60). History newest-first + LIMIT 1 ≡ max commit ts.

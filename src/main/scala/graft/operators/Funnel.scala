@@ -9,47 +9,67 @@ import org.apache.spark.sql.functions._
   * step k iff they performed step k at-or-after their earliest
   * conversion time of step k-1.
   *
-  * Shape: one filtered aggregate per step, each joined to the previous
-  * step's per-user conversion time. Every intermediate is one row per
-  * converted user (monotonically shrinking), so the joins get cheaper
-  * down the funnel and AQE broadcasts the small sides; the event scan
-  * is read once per step with the step predicate pushed to parquet.
+  * Shape: one filtered aggregate per step, LEFT-joined onto the running
+  * per-user conversion frame, so the whole funnel is a single plan in
+  * which each step's event scan appears exactly once (the step predicate
+  * is pushed to parquet). Per-step counts then fall out of ONE aggregate
+  * over the final frame — `count(t_k)` — instead of re-running the
+  * conversion chain per step. Every intermediate is one row per step-1
+  * user (monotonically shrinking conversion columns), so AQE broadcasts
+  * the small sides down the funnel.
   */
 object Funnel {
 
-  /** Per-user conversion times: one row per user who completed the whole
-    * funnel, with `t1..tN` the earliest valid time of each step.
+  /** Per-user conversion times for the full step sequence, computed in a
+    * single pass: one row per user who completed step 1, with `t1..tN`
+    * the earliest valid time of each step and `t_k` NULL from the first
+    * step the user did not reach. Each step's events are scanned once.
     */
-  def conversions(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+  def conversionTimes(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
-      case (prev, (step, i)) =>
-        val tcol = s"t${i + 1}"
-        val stepEvents = events.filter(col(typeCol) === step)
-        val converted = prev match {
-          case None =>
-            stepEvents.groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol))
-          case Some(p) =>
-            stepEvents.join(p, userCol)
-              .filter(col(tsCol) >= col(s"t$i"))
-              .groupBy((col(userCol) +: (1 to i).map(j => col(s"t$j"))): _*)
-              .agg(min(col(tsCol)).as(tcol))
-        }
-        Some(converted)
-    }.get
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      val tcol = s"t${i + 1}"
+      // Earliest step-i event at-or-after the user's step-(i-1) time.
+      val stepMin = events.filter(col(typeCol) === step)
+        .join(prev.select(col(userCol), col(s"t$i")), userCol)
+        .filter(col(tsCol) >= col(s"t$i"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol))
+      prev.join(stepMin.select(col(userCol).as("__u"), col(tcol)),
+          prev(userCol) === col("__u"), "left")
+        .drop("__u")
+    }
   }
 
-  /** Funnel summary: one row per step with the converted-user count. */
+  /** Per-user conversion times of fully-converted users only — one row
+    * per user who completed every step (the historical contract).
+    */
+  def conversions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame =
+    conversionTimes(events, userCol, tsCol, typeCol, steps)
+      .filter(col(s"t${steps.length}").isNotNull)
+
+  /** Funnel summary: one row per step with the converted-user count.
+    * Single conversion pass + one ungrouped aggregate (`count(t_k)` is
+    * non-null-only), then a tiny N-row reshape on the driver side of the
+    * plan (literal union — no extra scan).
+    */
   def stepCounts(events: DataFrame, userCol: String, tsCol: String,
                  typeCol: String, steps: Seq[String]): DataFrame = {
-    val frames = steps.indices.map { i =>
-      conversions(events, userCol, tsCol, typeCol, steps.take(i + 1))
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
-          col("n_users"))
+    val conv = conversionTimes(events, userCol, tsCol, typeCol, steps)
+    val counted = conv.agg(
+      count(col("t1")).as("c1"),
+      steps.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}")): _*)
+    // Reshape the 1×N count row to (step, event_type, n_users) rows via
+    // an inline stack — stays one job, no per-step re-aggregation.
+    val stacked = steps.indices.map { i =>
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+        col(s"c${i + 1}").as("n_users"))
     }
-    frames.reduce(_ union _)
+    counted.select(explode(array(stacked: _*)).as("_s"))
+      .select(col("_s.step"), col("_s.event_type"), col("_s.n_users"))
   }
 
   /** DuckDB oracle for [[stepCounts]] with three steps (the gate query

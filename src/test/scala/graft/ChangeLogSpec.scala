@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+import graft.operators.ChangeLog
+
+/** Millisecond fidelity of the CDC emulation (export.py:91–92, 115–127):
+  * Delta CDF bounds `table_changes` at ms ISO timestamps and the watermark
+  * protocol's `+1 ms` exclusive start is vacuous at second granularity.
+  * These cases fail under second-truncated commit bounds.
+  */
+class ChangeLogSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def log() = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 00:00:00.100"), "insert"),
+      (2L, ts("2024-01-01 00:00:00.500"), "insert"), // sub-second, same second as watermark
+      (3L, ts("2024-01-01 00:00:01.250"), "insert"))
+      .toDF("id", ChangeLog.CommitTs, "v")
+      .withColumn(ChangeLog.ChangeType, org.apache.spark.sql.functions.col("v"))
+      .drop("v")
+  }
+
+  test("latestCommitMs is millisecond-precise (not floor-to-second)") {
+    assert(ChangeLog.latestCommitMs(log()) == ts("2024-01-01 00:00:01.250").getTime)
+  }
+
+  test("watermark round-trip: a commit 300ms after the cutoff, same second, is NOT skipped") {
+    val cutoffMs = ts("2024-01-01 00:00:00.200").getTime
+    val endMs = ts("2024-01-01 00:00:02.000").getTime
+    // Exclusive-start protocol: next incremental reads (cutoff, end].
+    val ids = ChangeLog.tableChanges(log(), cutoffMs + 1, endMs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L)) // floor-to-second would drop id=2
+  }
+
+  test("watermark round-trip: two syncs partition the log with no gap and no overlap") {
+    val l = log()
+    val w1 = ts("2024-01-01 00:00:00.500").getTime // watermark after sync 1
+    val end = ChangeLog.latestCommitMs(l)
+    val first = ChangeLog.tableChanges(l, 0L, w1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val second = ChangeLog.tableChanges(l, w1 + 1, end)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 2L))
+    assert(second == Set(3L))
+  }
+}
