@@ -355,30 +355,66 @@ object Queries {
       Some(Dedup.duckResolveNgramPairs("documents", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 500))),
 
-    // MinHash+LSH near-dup detection at scale: 126 hashes, 42 bands × 3
-    // rows (≈99.7% recall at j=0.5), exact-Jaccard verification.
-    // xxhash64 has no DuckDB twin → rows-only check.
+    // MinHash+LSH near-dup detection: 126 hashes, 42 bands × 3 rows
+    // (≈99.7% per-pair detection at j=0.5), signature-group collapse +
+    // bucket cap (skew guard), exact-Jaccard verification. HARD oracle:
+    // on the bounded fixture scope the LSH output must equal the exact
+    // ground-truth pair set — the verified output is a subset of the
+    // exact pairs by construction, so equality IS a 100%-recall check
+    // (hashes are deterministic, so this is stable run-to-run).
     Entry("q_dedup_minhash_lsh",
-      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+      (s, d) => Dedup.minhashLshPairs(
+        t(s, d, "documents").filter(col("doc_id") < 1000), "text", "doc_id",
         n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5),
-      None),
+      Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 1000))),
 
     // SimHash near-dup detection: 64-bit signatures, pigeonhole chunk
-    // buckets (maxHamming+1 chunks → exact candidate recall), hamming ≤ 6
-    // verification — all planted near-dups measure ≤ 5 while radius ≥ 7
-    // is dominated by shared-vocabulary noise. rows-only (xxhash64).
+    // buckets (maxHamming+1 chunks → exact candidate recall), signature
+    // collapse + bucket cap. HARD oracle: candidates within hamming ≤ 10
+    // are re-verified with exact n-gram Jaccard and must reproduce the
+    // exact ground-truth pair set on the bounded scope — every true
+    // near-dup pair (j ≥ 0.5) measures hamming ≤ 9 on this corpus, so a
+    // missed pair (bucketing bug or radius regression) turns the gate red.
     Entry("q_dedup_simhash",
-      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id",
-        maxHamming = 6),
-      None),
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+        // radius 10: every j ≥ 0.5 pair in the corpus measures ≤ 9
+        // (fixture max, margin 1); 11 pigeonhole chunks keep candidate
+        // recall exact at this radius.
+        val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
+        val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("_sh"))
+        pairs
+          .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+          .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+          .withColumn("jaccard", round(Dedup.jaccard(col("_sha"), col("_shb")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+      },
+      Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 1000))),
 
-    // Embedding-cosine near-dup pairs (exact; double left-fold dot
-    // product matches DuckDB list_dot_product bitwise).
+    // Embedding-cosine near-dup pairs (exact ground truth; double
+    // left-fold dot product matches DuckDB list_dot_product bitwise).
+    // Caller-bounded like its n-gram sibling — the O(n²) join must never
+    // see an unbounded corpus; q_dedup_embedding_lsh is the scale path.
     Entry("q_dedup_embedding",
       (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
-        "embedding", "vec_id", threshold = 0.35),
+        "embedding", "vec_id", threshold = 0.35, maxId = 1000),
       Some(Dedup.duckEmbeddingNearDupPairs("embeddings", "embedding", "vec_id",
-        threshold = 0.35))),
+        threshold = 0.35, maxId = 1000))),
+
+    // Sign-LSH embedding near-dup (the production scale path): bucketed
+    // equi-join on hyperplane sign keys, exact-cosine verification. HARD
+    // oracle: must equal the exact pair set on the bounded scope (output
+    // ⊆ exact by construction ⇒ equality = 100% recall on the fixture).
+    Entry("q_dedup_embedding_lsh",
+      (s, d) => Similarity.lshNearDupPairs(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000),
+        "embedding", "vec_id", dim = 64, nBits = 4, nTables = 64,
+        threshold = 0.35),
+      Some(Dedup.duckEmbeddingNearDupPairs("embeddings", "embedding", "vec_id",
+        threshold = 0.35, maxId = 1000))),
 
     // ANN brute-force baseline: cosine top-5 for query set vec_id < 10,
     // broadcast queries, windowed top-k — scores oracle-checked.
@@ -392,14 +428,18 @@ object Queries {
         k = 5, maxQueryId = 10))),
 
     // ANN scale path: IVF over label cells (centroid probe, nProbe=3).
-    // Centroid means are fp-order-dependent → rows-only check.
+    // HARD oracle: DuckDB mirrors the IVF computation itself (centroids
+    // → probes → in-cell exact search), so probe selection AND the
+    // probed-cell top-k are both checked; emitted scores are exact dot
+    // products, bitwise equal between engines.
     Entry("q_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
           "embedding", "vec_id", "label", k = 5, nProbe = 3)
       },
-      None),
+      Some(Similarity.duckIvfTopK("embeddings", "embedding", "vec_id", "label",
+        dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
 
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).

@@ -125,34 +125,120 @@ object Dedup {
         least(m, xxhash64(s, h))))
   }
 
+  /** Default cap on LSH bucket size: buckets (band/chunk collisions)
+    * larger than this are dropped — within-bucket pairing is quadratic,
+    * and a bucket this hot on non-identical signatures is hash-degenerate
+    * noise, not near-dup signal (identical signatures are collapsed
+    * BEFORE banding, so real duplicate mass never hits this cap).
+    */
+  val DefaultMaxBucketSize = 1024
+
+  /** Within an identical-signature group, emit all pairs up to this group
+    * size; larger groups emit a star (rep ↔ member) instead — O(m) rows,
+    * enough for connected-component resolution ([[resolvePairs]]) without
+    * the O(m²) blowup of a million-duplicate cluster.
+    */
+  val AllPairsGroupCap = 64
+
+  /** Group structure over identical signatures: every row gains `_rep`
+    * (min id of its signature group) and `_cnt` (group size) via one
+    * window over the signature key — a single exchange, reused by every
+    * downstream consumer (ReuseExchange), so the CPU-heavy signature
+    * stage runs once.
+    */
+  private def withSigGroups(sig: DataFrame, sigKey: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(sigKey)
+    sig.withColumn("_rep", min(col("id")).over(w))
+      .withColumn("_cnt", count(lit(1)).over(w))
+  }
+
+  /** Within-group candidate pairs for identical-signature groups: all
+    * pairs for groups ≤ [[AllPairsGroupCap]], star (rep, member) above.
+    */
+  private def withinGroupPairs(members: DataFrame, keyCol: String): DataFrame = {
+    val small = members.filter(col("_cnt") <= AllPairsGroupCap)
+    val allPairs = small.as("x").join(small.as("y"),
+        col(s"x.$keyCol") === col(s"y.$keyCol") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val star = members.filter(col("_cnt") > AllPairsGroupCap && col("id") =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col("id").as("id_b"))
+    allPairs.union(star)
+  }
+
+  /** Drop rows in oversized buckets (skew guard): one window count over
+    * the bucket key — the exchange it introduces is the same one the
+    * following self-join needs, so the guard costs no extra shuffle. The
+    * dropped-row count is published as an `observe` metric
+    * (`graft.lsh_bucket_drops`) for listeners.
+    */
+  private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+                                    maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val sized = banded.withColumn("_bn", count(lit(1)).over(w))
+    sized.observe("graft.lsh_bucket_drops",
+        sum(when(col("_bn") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"))
+      .filter(col("_bn") <= maxBucketSize).drop("_bn")
+  }
+
   /** MinHash + LSH near-dup pairs at scale:
-    * signature (k = bands·rowsPerBand) → b band keys per doc → equi-join
-    * on (band index, band slice) → distinct candidate pairs → exact
+    * signature (k = bands·rowsPerBand) → collapse identical signatures to
+    * one representative (duplicate-heavy corpora — THE target workload —
+    * otherwise put whole duplicate clusters into every band bucket and
+    * the within-bucket pairing goes quadratic on one task) → b band keys
+    * per distinct signature → bucket-capped equi-join on (band, slice
+    * hash) → expand representative pairs back to member pairs → exact
     * Jaccard verification ≥ threshold.
     *
     * With bands=42, rowsPerBand=3 the detect probability at j=0.5 is
     * 1−(1−0.5³)⁴² ≈ 0.997 — near-exact recall at the dedup threshold
-    * while touching only hash-colliding pairs.
+    * while touching only hash-colliding pairs. Within identical-signature
+    * groups larger than [[AllPairsGroupCap]], pairs are emitted as a star
+    * (complete pair lists are quadratic in group size; the star keeps
+    * [[resolvePairs]] clustering exact).
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val k = bands * rowsPerBand
     val sig = rebalance(df).select(col(idCol).as("id"),
       shingles(col(textCol), n).as("_sh"))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
-    // One row per (doc, band): band key = xxhash64 of the r-slice.
-    val banded = sig.select(col("id"),
+      // 64-bit key over the signature array: cheap shuffle key; a key
+      // collision merely merges two groups and the exact-Jaccard
+      // verification still filters every expanded pair.
+      .withColumn("_skey", xxhash64(col("_sig")))
+    val members = withSigGroups(sig, col("_skey"))
+    val within = withinGroupPairs(members, "_skey")
+    // Band only one representative per distinct signature.
+    val reps = members.filter(col("id") === col("_rep"))
+    val banded = reps.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "bkey")
-    val cand = banded.as("x").join(banded.as("y"),
+    val capped = capBuckets(banded, Seq("band", "bkey"), maxBucketSize)
+    val repPairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("ra"), col("y.id").as("rb"))
       .distinct()
-    // Verify candidates with exact Jaccard (re-join the shingle sets).
-    val sh = sig.select(col("id"), col("_sh"))
+    // Expand representative pairs to member pairs (cross product of the
+    // two signature groups — exactly the pairs the oracle contains).
+    val membership = members.select(col("_rep"), col("id"))
+    val cross = repPairs
+      .join(membership.select(col("_rep").as("ra"), col("id").as("ma")), "ra")
+      .join(membership.select(col("_rep").as("rb"), col("id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"))
+    // Within-group and cross-group pair sets are disjoint (same vs
+    // different signature group) and each is already duplicate-free, so
+    // no distinct pass is needed on the union.
+    val cand = within.union(cross)
+    // Verify every candidate with exact Jaccard (re-join the shingle
+    // sets; identical MinHash signatures do NOT guarantee identical
+    // shingles, so within-group pairs are verified too).
+    val sh = members.select(col("id"), col("_sh"))
     cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
@@ -197,36 +283,55 @@ object Dedup {
     * the recall guarantee at higher hamming radii.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming out of range")
     val nChunks = maxHamming + 1
     val width = (64 + nChunks - 1) / nChunks // last chunk may be narrower
     val sigs = rebalance(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // Collapse identical signatures (hamming 0) before chunk-bucketing —
+    // the duplicate-cluster skew guard; see minhashLshPairs.
+    val members = withSigGroups(sigs, col("sig"))
+    val within = withinGroupPairs(members, "sig")
+      .withColumn("hamming", lit(0L)) // identical signature ⇒ hamming 0
+    val reps = members.filter(col("id") === col("_rep"))
     val chunks = array((0 until nChunks).map(i =>
       shiftright(col("sig"), i * width).bitwiseAND((1L << width) - 1L)): _*)
-    val chunked = sigs.select(col("id"), col("sig"), posexplode(chunks))
+    val chunked = reps.select(col("id"), col("sig"), posexplode(chunks))
       .toDF("id", "sig", "chunk", "ckey")
-    chunked.as("x").join(chunked.as("y"),
+    val capped = capBuckets(chunked, Seq("chunk", "ckey"), maxBucketSize)
+    // Verify hamming on representative pairs BEFORE expansion: members
+    // share their representative's signature, so the distance carries
+    // over to every expanded member pair.
+    val repPairs = capped.as("x").join(capped.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+      .select(col("x.id").as("ra"), col("y.id").as("rb"),
         col("x.sig").as("_sa"), col("y.sig").as("_sb"))
       .distinct()
       .withColumn("hamming", hamming(col("_sa"), col("_sb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val membership = members.select(col("_rep"), col("id"))
+    val cross = repPairs
+      .join(membership.select(col("_rep").as("ra"), col("id").as("ma")), "ra")
+      .join(membership.select(col("_rep").as("rb"), col("id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    // Disjoint, duplicate-free sets — no distinct pass needed.
+    within.union(cross)
   }
 
-  /** Embedding-cosine near-dup pairs, exact within the corpus (vectors
-    * are pre-normalized ⇒ cosine = dot product, computed as a double
-    * left-fold so the oracle matches bitwise). The O(n²) pair join is the
-    * ground-truth variant; [[Similarity.lshNearDupPairs]] is the scale
-    * path.
+  /** Embedding-cosine near-dup pairs, exact within the `idCol < maxId`
+    * scope (vectors are pre-normalized ⇒ cosine = dot product, computed
+    * as a double left-fold so the oracle matches bitwise). The O(n²)
+    * pair join is the ground-truth variant and MUST be caller-bounded —
+    * [[Similarity.lshNearDupPairs]] is the scale path.
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double): DataFrame = {
-    val a = rebalance(df).select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+                            threshold: Double, maxId: Long): DataFrame = {
+    val bounded = rebalance(df.filter(col(idCol) < maxId))
+    val a = bounded.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = bounded.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(Similarity.dot(col("_va"), col("_vb")), 6))
       .filter(col("cosine") >= threshold)
@@ -292,11 +397,12 @@ object Dedup {
 
   /** DuckDB oracle for [[embeddingNearDupPairs]] over table `tbl`. */
   def duckEmbeddingNearDupPairs(tbl: String, vecCol: String, idCol: String,
-                                threshold: Double): String =
+                                threshold: Double, maxId: Long): String =
     s"""WITH p AS (
        |  SELECT a.$idCol AS id_a, b.$idCol AS id_b,
        |         round(list_dot_product(CAST(a.$vecCol AS DOUBLE[]),
        |                                CAST(b.$vecCol AS DOUBLE[])), 6) AS cosine
-       |  FROM $tbl a, $tbl b WHERE a.$idCol < b.$idCol)
+       |  FROM $tbl a, $tbl b
+       |  WHERE a.$idCol < b.$idCol AND a.$idCol < $maxId AND b.$idCol < $maxId)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $threshold""".stripMargin
 }

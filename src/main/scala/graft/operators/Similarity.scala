@@ -117,6 +117,42 @@ object Similarity {
         round(col("_score"), 6).as("score"))
   }
 
+  /** DuckDB oracle for [[ivfTopK]] with queries = `idCol < maxQueryId`:
+    * mirrors the IVF computation itself (per-cell mean centroids →
+    * `nProbe` nearest cells per query → exact top-k within probed cells).
+    * Centroid means are fp-order-dependent in the last bits, but they
+    * only pick WHICH cells are probed (margins on real data dwarf the
+    * noise); the emitted scores are exact dot products on raw vectors,
+    * bitwise equal between engines.
+    */
+  def duckIvfTopK(tbl: String, vecCol: String, idCol: String, cellCol: String,
+                  dim: Int, k: Int, nProbe: Int, maxQueryId: Long): String =
+    s"""WITH q AS (SELECT $idCol AS query_id, CAST($vecCol AS DOUBLE[]) AS qv
+       |           FROM $tbl WHERE $idCol < $maxQueryId),
+       |cent AS (
+       |  SELECT cell, list(m ORDER BY i) AS centroid FROM (
+       |    SELECT $cellCol AS cell, i, avg(CAST($vecCol AS DOUBLE[])[i]) AS m
+       |    FROM $tbl, range(1, ${dim + 1}) t(i)
+       |    GROUP BY $cellCol, i)
+       |  GROUP BY cell),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_dot_product(q.qv, c.centroid) DESC, c.cell ASC) AS crank
+       |    FROM q, cent c) x
+       |  WHERE crank <= $nProbe),
+       |s AS (
+       |  SELECT p.query_id, t.$idCol AS vec_id,
+       |         list_dot_product(p.qv, CAST(t.$vecCol AS DOUBLE[])) AS score
+       |  FROM probes p JOIN $tbl t ON t.$cellCol = p.cell
+       |  WHERE t.$idCol <> p.query_id),
+       |r AS (SELECT query_id, vec_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+       |SELECT query_id, vec_id, rank, round(score, 6) AS score
+       |FROM r WHERE rank <= $k""".stripMargin
+
   /** Sign-LSH bucket key: `nBits` hyperplane sign bits packed into a
     * long. Hyperplanes are pseudo-random unit-ish vectors derived
     * deterministically from `xxhash64(bit, component)` — no data needed,
@@ -142,13 +178,15 @@ object Similarity {
     */
   def lshNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                       dim: Int, nBits: Int, nTables: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     val keyed = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
     val tabled = (0 until nTables).map { t =>
       keyed.select(col("id"), col("_v"), lit(t).as("tbl"),
         signLshKey(col("_v"), dim, nBits, seed = t).as("bkey"))
     }.reduce(_ union _)
-    val cand = tabled.as("x").join(tabled.as("y"),
+    val capped = Dedup.capBuckets(tabled, Seq("tbl", "bkey"), maxBucketSize)
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

@@ -77,9 +77,55 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)), (3L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.7)
+    val pairs = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.7, maxId = 100)
       .as[(Long, Long, Double)].collect().toSet
     // cos(1,2)=0.8, cos(2,3)=0.6, cos(1,3)=0
     assert(pairs == Set((1L, 2L, 0.8)))
+  }
+
+  test("embedding near-dup pairs respect the maxId bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)), (50L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.7, maxId = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0.8))) // id 50 outside the bound
+  }
+
+  test("skew guard: 1000 identical docs don't create a quadratic bucket; planted pairs survive") {
+    import spark.implicits._
+    val dupText = (1 to 30).map(i => s"d$i").mkString(" ")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val rows = (100L until 1100L).map(i => (i, dupText)) ++ Seq((1L, base), (2L, nearDup))
+    val df = rows.toDF("doc_id", "text").repartition(8)
+
+    val mh = Dedup.minhashLshPairs(df, "text", "doc_id",
+      n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // The planted cross-signature near-dup pair is found...
+    assert(mh.contains((1L, 2L)))
+    // ...and the identical-doc cluster resolves as a star (O(m) rows,
+    // rep = min id 100), not the O(m²) 499,500-pair blowup.
+    val dupPairs = mh.filter(p => p._1 >= 100L)
+    assert(dupPairs.size == 999)
+    assert(dupPairs.forall(_._1 == 100L))
+
+    val sh = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 2L)))
+    val shDup = sh.filter(p => p._1 >= 100L)
+    assert(shDup.size == 999 && shDup.forall(_._1 == 100L))
+  }
+
+  test("minhash LSH emits all pairs within small identical-signature groups") {
+    import spark.implicits._
+    val text = (1 to 25).map(i => s"s$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "text", "doc_id",
+      n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // all pairs, not a star
   }
 }
