@@ -338,38 +338,87 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Cut iterative lineage: reliable `checkpoint()` when the session has
+    * a checkpoint dir configured (`sparkContext.setCheckpointDir` — the
+    * fault-tolerant choice on a real cluster, where a lost executor
+    * otherwise recomputes the whole iteration history), `localCheckpoint`
+    * otherwise (fine on local[n]).
+    */
+  private def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round is two group-by-min +
+    * join passes that rewire every node toward its neighborhood minimum,
+    * converging to per-component stars in O(log n) rounds — unlike plain
+    * min-label propagation, which needs O(component diameter) rounds and
+    * silently stalls on long chains.
+    *
+    * Returns (id, lbl) for every node that appears in a pair, where
+    * `lbl` is the component's minimum id. Throws `IllegalStateException`
+    * if `maxIters` rounds pass without convergence rather than returning
+    * wrong labels.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    var edges = cutLineage(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var prevSig: (Long, Option[Long]) = (-1L, None)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // Large-star: every node links its larger neighbors to the minimum
+      // of its closed neighborhood.
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("src"), col("_mn")).as("_m"))
+      val ls = sym.join(mins, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .distinct()
+      // Small-star: edges now point large → small; every node links its
+      // smaller neighbors (and itself) to the neighborhood minimum.
+      val mins2 = ls.groupBy("src").agg(min(col("dst")).as("_m"))
+      val ss = ls.join(mins2, "src")
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(mins2.select(col("src"), col("_m").as("dst")))
+        .distinct()
+      edges = cutLineage(ss)
+      // Convergence = edge-set fixpoint, detected by (count, xor of row
+      // hashes) — one tiny aggregate per round, no full-set comparison.
+      // bit_xor is order-independent and cannot overflow (ANSI mode
+      // rejects a sum of hashes); edges are distinct, so xor-cancelling
+      // duplicates cannot occur.
+      val sigRow = edges.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) None else Some(sigRow.getLong(1)))
+      converged = sig == prevSig
+      prevSig = sig
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "the pair graph is larger than expected; raise maxIters")
+    // Converged edges are (node → component min) stars; roots appear
+    // only on the dst side and label themselves.
+    val nonRoots = edges.select(col("src").as("id"), col("dst").as("lbl"))
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("lbl", col("id"))
+    nonRoots.union(roots)
+  }
+
   /** Resolve near-dup pairs into clusters and drop every row that is not
     * its cluster's representative (min id) — the step that turns any of
     * the pair-finding operators above into an actual deduplicated corpus.
-    *
-    * Clusters are connected components computed by iterative min-label
-    * propagation (Pregel-lite): each round every node adopts the
-    * smallest label among itself and its neighbors; convergence takes
-    * O(log(component diameter)) rounds. Each round is one shuffle join +
-    * partial-agg min — the 100 TB-safe shape (no driver-side graph). A
-    * `localCheckpoint` per round cuts the exponential lineage growth
-    * that iterative plans otherwise accumulate.
+    * Components via [[connectedComponents]] (large-star/small-star,
+    * O(log n) rounds, convergence-checked).
     */
   def resolvePairs(df: DataFrame, pairs: DataFrame, idCol: String,
-                   maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    var converged = labels.isEmpty
-    var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl") < col("lbl")).as("_chg"))
-        .localCheckpoint()
-      converged = updated.filter(col("_chg")).isEmpty
-      labels = updated.drop("_chg")
-      i += 1
-    }
+                   maxIters: Int = 50): DataFrame = {
+    val labels = connectedComponents(pairs, maxIters)
     // Drop non-representatives; rows never seen in a pair survive.
     val losers = labels.filter(col("id") =!= col("lbl")).select(col("id"))
     df.join(losers, df(idCol) === losers("id"), "left_anti")

@@ -6,27 +6,25 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY §7.5): image/audio/video payloads
   * travel as opaque `binary` columns with a typed metadata struct, and
-  * decode / feature-extract / frame-sample run as batched per-partition
-  * transforms — the Scala analogue of `mapInPandas` (an iterator of
-  * fixed-size batches per partition, explicit output schema, nothing on
-  * the driver).
+  * decode / feature-extract / frame-sample run as per-partition
+  * transforms — the Scala analogue of `mapInPandas` (a partition
+  * iterator, explicit output schema, nothing on the driver).
   *
-  * The actual media codecs are NOT in this container, so the decode step
-  * is a clearly-marked deterministic STUB (`decodeStub`): it derives fake
-  * width/height/checksum from the raw bytes. Everything around it — the
-  * binary schema, the partition-iterator batch shape, the explicit result
-  * encoder, the flat (exploded) frame output — is the real pipeline and
-  * is oracle-tested byte-for-byte.
+  * The decode step is pluggable ([[Decoder]]): [[imageDecode]] is a REAL
+  * codec on the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG — no external
+  * native libs needed), [[decodeStub]] is the deterministic fake used by
+  * the oracle-checked gate query (the synthetic corpus carries text
+  * payloads, not images). The binary schema, the partition-iterator
+  * shape, the explicit result encoder, and the flat (exploded) frame
+  * output are the same pipeline either way, oracle-tested byte-for-byte.
   */
 object Multimodal {
 
   /** Bytes per synthetic "frame" for the frame-sample stub. */
   val FrameBytes = 64
 
-  /** Batch size for the per-partition iterator — the `mapInPandas`
-    * batch-shape analogue; a real decoder would vectorize over this.
-    */
-  val BatchSize = 64
+  /** A decoder turns an opaque payload into (width, height, checksum). */
+  type Decoder = Array[Byte] => (Int, Int, Long)
 
   /** Attach a binary payload + typed metadata struct to a text table,
     * standing in for a real media column (deterministic: payload =
@@ -38,9 +36,10 @@ object Multimodal {
         lit("fake/binary").as("format"),
         octet_length(col("payload")).cast("long").as("n_bytes")))
 
-  /** STUB decode: a real implementation would hand `bytes` to an image
-    * or audio codec here. The stub derives deterministic fake dimensions
-    * and a byte checksum so the surrounding plumbing stays testable.
+  /** STUB decode: derives deterministic fake dimensions and a byte
+    * checksum from the raw bytes, so the surrounding plumbing is
+    * oracle-testable without media codecs. Swap in [[imageDecode]] (or
+    * any [[Decoder]]) for real payloads.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
     val n = bytes.length
@@ -50,12 +49,34 @@ object Multimodal {
     (n % 320 + 1, n % 240 + 1, checksum)
   }
 
-  /** Batched per-partition decode of (`idCol`, payload) → flat metadata
-    * row (id, width, height, checksum). Runs as `mapPartitions` with an
-    * explicit row encoder: no shuffle, no driver round-trip, batches of
-    * [[BatchSize]] rows exactly like a Pandas-UDF batch.
+  /** REAL image decode via the JDK's built-in codecs (`javax.imageio`:
+    * PNG, BMP, GIF, JPEG — no external native libs): actual pixel
+    * dimensions plus a deterministic checksum over the 24-bit RGB
+    * raster. Runs executor-side inside [[decodeBatch]]'s mapPartitions —
+    * codec work cannot be a Catalyst expression, this is the justified
+    * per-partition imperative path.
     */
-  def decodeBatch(df: DataFrame, idCol: String): DataFrame = {
+  def imageDecode(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "imageDecode: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var checksum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { checksum += img.getRGB(x, y) & 0xFFFFFF; x += 1 }
+      y += 1
+    }
+    (w, h, checksum)
+  }
+
+  /** Per-partition decode of (`idCol`, payload) → flat metadata row
+    * (id, width, height, checksum) with a pluggable [[Decoder]]. Runs as
+    * `mapPartitions` with an explicit row encoder: no shuffle, no driver
+    * round-trip — the Scala analogue of a `mapInPandas` decode stage.
+    */
+  def decodeBatch(df: DataFrame, idCol: String,
+                  decoder: Decoder = decodeStub): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
@@ -63,11 +84,9 @@ object Multimodal {
       StructField("checksum", LongType, nullable = false)))
     val src = df.select(col(idCol).cast("long"), col("payload"))
     src.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        batch.map { r =>
-          val (w, h, cs) = decodeStub(r.getAs[Array[Byte]]("payload"))
-          Row(r.getLong(0), w, h, cs)
-        }
+      it.map { r =>
+        val (w, h, cs) = decoder(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), w, h, cs)
       }
     }(Encoders.row(schema))
   }
@@ -96,18 +115,16 @@ object Multimodal {
       StructField("frame_checksum", LongType, nullable = false)))
     val src = df.select(col(idCol).cast("long"), col("payload"))
     src.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]]("payload")
-          val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
-          (0 until nFrames by step).map { f =>
-            val from = f * FrameBytes
-            val until = math.min(from + FrameBytes, bytes.length)
-            var cs = 0L
-            var i = from
-            while (i < until) { cs += bytes(i) & 0xFF; i += 1 }
-            Row(r.getLong(0), f, cs)
-          }
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames by step).map { f =>
+          val from = f * FrameBytes
+          val until = math.min(from + FrameBytes, bytes.length)
+          var cs = 0L
+          var i = from
+          while (i < until) { cs += bytes(i) & 0xFF; i += 1 }
+          Row(r.getLong(0), f, cs)
         }
       }
     }(Encoders.row(schema))

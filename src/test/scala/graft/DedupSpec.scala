@@ -64,6 +64,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 10L, 20L))
   }
 
+  test("resolvePairs resolves a 100-node chain in O(log n) rounds (diameter-independent)") {
+    import spark.implicits._
+    // A path graph 0-1-2-…-99: min-label propagation needs ~100 rounds;
+    // large-star/small-star converges logarithmically.
+    val docs = (0L until 100L).toDF("doc_id")
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val kept = Dedup.resolvePairs(docs, pairs, "doc_id", maxIters = 15)
+      .as[Long].collect().toSet
+    assert(kept == Set(0L))
+    val labels = Dedup.connectedComponents(pairs, maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 100 && labels.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents raises on non-convergence instead of returning wrong labels") {
+    import spark.implicits._
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIters = 1).collect()
+    }
+  }
+
   test("resolvePairs with no pairs keeps everything") {
     import spark.implicits._
     val docs = Seq(1L, 2L).toDF("doc_id")

@@ -63,6 +63,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((1L, 4, 4, 'a'.toLong + 'b' + 'c'), (2L, 1, 1, 0L)))
   }
 
+  test("multimodal real image decode: javax.imageio PNG through the same pipeline") {
+    import spark.implicits._
+    // Render two deterministic PNGs in-JVM and push them through the
+    // decode pipeline with the real codec plugged in.
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, png(3, 2, 0x112233)), (2L, png(5, 4, 0x000001)))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeBatch(df, "doc_id", Multimodal.imageDecode)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows == Set((1L, 3, 2, 6L * 0x112233), (2L, 5, 4, 20L * 1)))
+  }
+
   test("multimodal frame sampling emits every step-th frame") {
     import spark.implicits._
     val text = "x" * 200 // 4 frames of 64 → sampled frames 0 and 2
