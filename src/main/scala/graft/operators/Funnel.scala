@@ -9,38 +9,56 @@ import org.apache.spark.sql.functions._
   * step k iff they performed step k at-or-after their earliest
   * conversion time of step k-1.
   *
-  * Shape: one filtered aggregate per step, LEFT-joined onto the running
-  * per-user conversion frame, so the whole funnel is a single plan in
-  * which each step's event scan appears exactly once (the step predicate
-  * is pushed to parquet). Per-step counts then fall out of ONE aggregate
-  * over the final frame — `count(t_k)` — instead of re-running the
-  * conversion chain per step. Every intermediate is one row per step-1
-  * user (monotonically shrinking conversion columns), so AQE broadcasts
-  * the small sides down the funnel.
+  * Shape: a TRUE single pass — one scan of the events (only step-typed
+  * rows survive the pushed filter), one shuffle on the user key, and a
+  * per-user time-sorted fold that fills the step-time vector in order.
+  * No joins, no per-step re-aggregation, and the plan is linear in the
+  * number of steps (a join-chain formulation embeds the previous frame
+  * twice per step — exponential static plans past a handful of steps).
+  * The per-user state is its step-typed events; Spark's object hash
+  * aggregate falls back to sort-based spill under memory pressure, so
+  * heavy users degrade to disk, not OOM.
   */
 object Funnel {
 
   /** Per-user conversion times for the full step sequence, computed in a
     * single pass: one row per user who completed step 1, with `t1..tN`
     * the earliest valid time of each step and `t_k` NULL from the first
-    * step the user did not reach. Each step's events are scanned once.
+    * step the user did not reach.
+    *
+    * Semantics of the fold (equal to the chained min-after-previous
+    * joins): events sorted by (ts, step index) — ties process the
+    * earlier step first, so a same-timestamp next-step event still
+    * converts (inclusive `>=` bound, like the reference's time filters);
+    * `t_k` is set by the first step-k event at-or-after `t_(k-1)`.
     */
   def conversionTimes(events: DataFrame, userCol: String, tsCol: String,
                       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
-    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
-      val tcol = s"t${i + 1}"
-      // Earliest step-i event at-or-after the user's step-(i-1) time.
-      val stepMin = events.filter(col(typeCol) === step)
-        .join(prev.select(col(userCol), col(s"t$i")), userCol)
-        .filter(col(tsCol) >= col(s"t$i"))
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol))
-      prev.join(stepMin.select(col(userCol).as("__u"), col(tcol)),
-          prev(userCol) === col("__u"), "left")
-        .drop("__u")
+    val n = steps.length
+    val tsType = events.schema(tsCol).dataType
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(acc)
     }
+    val se = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), stepIdx.as("s")).as("_e"))
+    val folded = se.groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("_e"))).as("_es"))
+      .withColumn("_ts", aggregate(
+        col("_es"),
+        array_repeat(lit(null).cast(tsType), n),
+        (acc, e) => {
+          val s = e.getField("s")
+          val ts = e.getField("ts")
+          val eligible = element_at(acc, s + 1).isNull &&
+            (s === 0 || (element_at(acc, s).isNotNull && ts >= element_at(acc, s)))
+          transform(sequence(lit(0), lit(n - 1)), i =>
+            when(i === s && eligible, ts).otherwise(element_at(acc, i + 1)))
+        }))
+    folded.select(col(userCol) +:
+        (1 to n).map(k => element_at(col("_ts"), k).as(s"t$k")): _*)
+      .filter(col("t1").isNotNull)
   }
 
   /** Per-user conversion times of fully-converted users only — one row

@@ -180,11 +180,13 @@ object Similarity {
                       dim: Int, nBits: Int, nTables: Int,
                       threshold: Double,
                       maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    // All table keys in ONE projection + posexplode — a single scan and
+    // signature stage, not an nTables-way union of re-scans.
     val keyed = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
-    val tabled = (0 until nTables).map { t =>
-      keyed.select(col("id"), col("_v"), lit(t).as("tbl"),
-        signLshKey(col("_v"), dim, nBits, seed = t).as("bkey"))
-    }.reduce(_ union _)
+    val tabled = keyed.select(col("id"), col("_v"),
+        posexplode(array((0 until nTables).map(t =>
+          signLshKey(col("_v"), dim, nBits, seed = t)): _*)))
+      .toDF("id", "_v", "tbl", "bkey")
     val capped = Dedup.capBuckets(tabled, Seq("tbl", "bkey"), maxBucketSize)
     val cand = capped.as("x").join(capped.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&

@@ -27,6 +27,29 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     assert(counts == Set((1, "A", 3L), (2, "B", 1L)))
   }
 
+  test("fold semantics match chained min-after-previous joins on interleaved events") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: click before any view doesn't count; conversion is
+      // view@01:00 → click@03:00 → purchase@04:00
+      (1L, ts("2024-01-01 00:00:00"), "click"),
+      (1L, ts("2024-01-01 01:00:00"), "view"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"), // before click time → ignored
+      (1L, ts("2024-01-01 03:00:00"), "click"),
+      (1L, ts("2024-01-01 04:00:00"), "purchase"),
+      // user 2: stops after click
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:30:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val conv = Funnel.conversionTimes(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect()
+      .map { case (u, t1, t2, t3) => u -> ((t1, t2, t3)) }.toMap
+    assert(conv(1L) == (ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"),
+      ts("2024-01-01 04:00:00")))
+    assert(conv(2L) == (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"), null))
+  }
+
   test("same-timestamp step events count (>= boundary, like the reference's inclusive bounds)") {
     import spark.implicits._
     val t0 = ts("2024-01-01 00:00:00")
