@@ -157,6 +157,10 @@ object Similarity {
     * long. Hyperplanes are pseudo-random unit-ish vectors derived
     * deterministically from `xxhash64(bit, component)` — no data needed,
     * same planes on every executor, no broadcast of plane matrices.
+    *
+    * Built-in-only formulation, kept as the portable reference; the hot
+    * path uses the native [[org.apache.spark.sql.graft.SignLshKeys]]
+    * (identical keys, one fused codegen loop for all tables).
     */
   def signLshKey(vecCol: Column, dim: Int, nBits: Int, seed: Int): Column = {
     val bits = (0 until nBits).map { b =>
@@ -180,12 +184,12 @@ object Similarity {
                       dim: Int, nBits: Int, nTables: Int,
                       threshold: Double,
                       maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
-    // All table keys in ONE projection + posexplode — a single scan and
-    // signature stage, not an nTables-way union of re-scans.
+    // All table keys in ONE native projection + posexplode — a single
+    // scan and one fused codegen loop, not an nTables-way union of
+    // interpreted per-table folds.
     val keyed = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
     val tabled = keyed.select(col("id"), col("_v"),
-        posexplode(array((0 until nTables).map(t =>
-          signLshKey(col("_v"), dim, nBits, seed = t)): _*)))
+        posexplode(org.apache.spark.sql.graft.SignLshKeys(col("_v"), dim, nBits, nTables)))
       .toDF("id", "_v", "tbl", "bkey")
     val capped = Dedup.capBuckets(tabled, Seq("tbl", "bkey"), maxBucketSize)
     val cand = capped.as("x").join(capped.as("y"),

@@ -30,6 +30,18 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("SignLshKeys native == HOF signLshKey per table on the embeddings fixture") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    val nBits = 4; val nTables = 8; val dim = 64
+    val hofKeys = array((0 until nTables).map(t =>
+      Similarity.signLshKey(col("embedding"), dim, nBits, seed = t)): _*)
+    val diff = emb.select(
+      org.apache.spark.sql.graft.SignLshKeys(col("embedding"), dim, nBits, nTables).as("native"),
+      hofKeys.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("SimHash64 handles empty token arrays") {
     import spark.implicits._
     val sig = Seq("").toDF("text").select(Dedup.simhash(col("text")))
