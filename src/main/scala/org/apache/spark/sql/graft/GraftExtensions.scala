@@ -19,6 +19,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * on spark-submit — no code changes in the session owner.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     what: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
@@ -26,6 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_dot(arrayA, arrayB) takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_simhash64(hashArray) takes exactly 1 argument")
+        SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sign_lsh_keys"),
+      new ExpressionInfo(classOf[SignLshKeys].getCanonicalName, "graft_sign_lsh_keys"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4,
+          "graft_sign_lsh_keys(vec, dim, nBits, nTables) takes exactly 4 arguments")
+        SignLshKeys(children.head, intLit(children(1), "dim"),
+          intLit(children(2), "nBits"), intLit(children(3), "nTables"))
       }))
   }
 }

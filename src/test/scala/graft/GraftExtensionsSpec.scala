@@ -21,6 +21,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         "SELECT graft_dot(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d")
         .head().getDouble(0)
       assert(got == 32.0)
+      val sig = s2.sql("SELECT graft_simhash64(array(CAST(7 AS BIGINT))) AS s")
+        .head().getLong(0)
+      assert(sig == 7L) // single hash votes its own bits
+      val keys = s2.sql(
+        "SELECT graft_sign_lsh_keys(array(1.0F, 0.0F), 2, 4, 3) AS k")
+        .head().getSeq[Long](0)
+      assert(keys.length == 3)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
