@@ -441,6 +441,23 @@ object Queries {
       Some(Similarity.duckIvfTopK("embeddings", "embedding", "vec_id", "label",
         dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
 
+    // ANN IVF over LEARNED cells: deterministic distributed Lloyd
+    // k-means (min-id init, max-dot assignment with min-cell tie-break,
+    // mean update) builds the coarse quantizer, then the same centroid
+    // probe + in-cell search. Oracle unrolls the k-means iterations as
+    // CTEs and mirrors the whole pipeline.
+    Entry("q_ann_ivf_kmeans",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cells = Similarity.kmeansCells(emb, "embedding", "vec_id", k = 8, iters = 2)
+        val corpus = emb.join(cells, "vec_id")
+        Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
+          "embedding", "vec_id", "cell", k = 5, nProbe = 3)
+      },
+      Some(Similarity.duckIvfTopK(
+        Similarity.duckKmeansRel("embeddings", "embedding", "vec_id", k = 8, iters = 2, dim = 64),
+        "embedding", "vec_id", "cell", dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
+
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).
     Entry("q_mm_decode",

@@ -76,24 +76,93 @@ object Similarity {
        |SELECT query_id, vec_id, rank, round(score, 6) AS score
        |FROM s WHERE rank <= $k""".stripMargin
 
+  /** Per-cell mean centroids of an assigned corpus: mean per component
+    * via posexplode + hash agg (one shuffle over (cell, component) —
+    * scales linearly, no collect). Output: (cell, centroid).
+    */
+  def centroidsOf(assigned: DataFrame, vecCol: String, cellCol: String): DataFrame =
+    assigned
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** Lloyd k-means over pre-normalized vectors (cosine = dot), fully
+    * distributed and DETERMINISTIC so an oracle can mirror it:
+    * initial centroids are the k vectors with the smallest ids, each
+    * assignment picks the max-dot centroid with min-cell tie-break, and
+    * each update is the per-cell component mean ([[centroidsOf]]).
+    * Fixed `iters` iterations (no data-dependent stopping) — per
+    * iteration one broadcast of k centroids, one windowed argmax over
+    * k×n scored rows, one (cell, component) aggregate. Cells that lose
+    * all members disappear (both engines drop them identically).
+    *
+    * Returns the final assignment (`idCol`, cell).
+    */
+  def kmeansCells(df: DataFrame, vecCol: String, idCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    val vecs = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("_score").desc, col("cell").asc)
+      vecs.join(broadcast(centroids), expr("true"))
+        .withColumn("_score", dot(col("_v"), col("centroid")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("id"), col("_v"), col("cell"))
+    }
+    val init = vecs.filter(col("id") < k)
+      .select(col("id").as("cell"), col("_v").as("centroid"))
+    var assigned = assign(init)
+    for (_ <- 1 until iters)
+      assigned = assign(centroidsOf(assigned, "_v", "cell"))
+    assigned.select(col("id").as(idCol), col("cell"))
+  }
+
+  /** DuckDB oracle twin of [[kmeansCells]] as a parenthesized relation:
+    * `tbl`'s rows plus the learned `cell` column. Iterations are
+    * unrolled CTEs mirroring init/assign/update exactly.
+    */
+  def duckKmeansRel(tbl: String, vecCol: String, idCol: String,
+                    k: Int, iters: Int, dim: Int): String = {
+    def assignCte(name: String, centRel: String): String =
+      s"""$name AS (
+         |  SELECT vid, emb, cell FROM (
+         |    SELECT v.vid, v.emb, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vid
+         |             ORDER BY list_dot_product(v.emb, c.centroid) DESC, c.cell ASC) AS rn
+         |    FROM v, $centRel c) x WHERE rn = 1)""".stripMargin
+    def centCte(name: String, assignRel: String): String =
+      s"""$name AS (
+         |  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos, avg(emb[pos]) AS m
+         |    FROM $assignRel, range(1, ${dim + 1}) t(pos)
+         |    GROUP BY cell, pos) y
+         |  GROUP BY cell)""".stripMargin
+    val iterCtes = (2 to iters).flatMap { i =>
+      Seq(centCte(s"c${i - 1}", s"a${i - 1}"), assignCte(s"a$i", s"c${i - 1}"))
+    }
+    val ctes = Seq(
+      s"v AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS emb FROM $tbl)",
+      s"c0 AS (SELECT $idCol AS cell, CAST($vecCol AS DOUBLE[]) AS centroid FROM $tbl WHERE $idCol < $k)",
+      assignCte("a1", "c0")) ++ iterCtes
+    s"""(WITH ${ctes.mkString(",\n")}
+       |SELECT t.*, a$iters.cell AS cell FROM $tbl t JOIN a$iters ON t.$idCol = a$iters.vid)""".stripMargin
+  }
+
   /** IVF-style ANN (the scale path): coarse-quantize the corpus into
-    * `label`-keyed partitions (stand-in for k-means cells — centroids are
-    * the per-cell mean vector), then for each query probe only the
-    * `nProbe` nearest cells and run exact top-k inside them.
+    * `cellCol`-keyed partitions (a pre-existing label or a
+    * [[kmeansCells]] assignment — centroids are the per-cell mean
+    * vector), then for each query probe only the `nProbe` nearest cells
+    * and run exact top-k inside them.
     *
     * At scale the corpus is stored partitioned by cell id, so the probe
     * is partition pruning; the centroid table is tiny and broadcast.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame = {
-    // Centroids: mean per component via posexplode + hash agg (one
-    // shuffle over (cell, component) — scales linearly, no collect).
-    val centroids = corpus
-      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(avg("v").as("m"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+    val centroids = centroidsOf(corpus, vecCol, cellCol)
     // Probe assignment: nProbe nearest centroids per query.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val probeW = Window.partitionBy(col("query_id"))

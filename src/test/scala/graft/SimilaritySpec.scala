@@ -63,6 +63,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((1L, 4, 4, 'a'.toLong + 'b' + 'c'), (2L, 1, 1, 0L)))
   }
 
+  test("kmeansCells separates two obvious clusters and is deterministic") {
+    val df = emb(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (3L, Seq(0f, 0f, 0f, 0.1f, 0.9f, 0f, 0f, 0f), 0),
+      (4L, Seq(0.95f, 0f, 0.05f, 0f, 0f, 0f, 0f, 0f), 0))
+    import spark.implicits._
+    val got = Similarity.kmeansCells(df, "embedding", "vec_id", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 0L && got(2L) == 0L && got(4L) == 0L) // x-axis cluster
+    assert(got(1L) == 1L && got(3L) == 1L)                  // y-axis cluster
+    val again = Similarity.kmeansCells(df, "embedding", "vec_id", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("multimodal real image decode: javax.imageio PNG through the same pipeline") {
     import spark.implicits._
     // Render two deterministic PNGs in-JVM and push them through the
