@@ -355,6 +355,22 @@ object Queries {
       Some(Dedup.duckResolveNgramPairs("documents", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 500))),
 
+    // The PRODUCTION dedup route end-to-end: MinHash+LSH pair finding →
+    // connected components → representative-only corpus. Oracle is the
+    // recursive-CTE closure over the exact pair set (equal to the LSH
+    // pair set on the bounded scope — recall-checked by
+    // q_dedup_minhash_lsh), so this gates the whole pipeline a user
+    // would actually run at scale.
+    Entry("q_dedup_resolve_lsh",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+        Dedup.resolvePairs(t(s, d, "documents"), pairs, "doc_id")
+      },
+      Some(Dedup.duckResolveNgramPairs("documents", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 1000))),
+
     // MinHash+LSH near-dup detection: 126 hashes, 42 bands × 3 rows
     // (≈99.7% per-pair detection at j=0.5), signature-group collapse +
     // bucket cap (skew guard), exact-Jaccard verification. HARD oracle:
