@@ -10,7 +10,8 @@ object Plans {
     val d = "/root/testdata/sf0.01"
     val names = Seq("q_time_based", "q_join_revenue", "q_scd_latest", "q_scd_latest_maxby",
       "q_ann_bruteforce", "q_dedup_minhash_lsh", "q_dedup_exact", "q_topk_orders", "q_mm_decode",
-      "q_funnel", "q_dedup_embedding_lsh", "q_dedup_simhash", "q_ann_ivf", "q_sessionize")
+      "q_funnel", "q_dedup_embedding_lsh", "q_dedup_simhash", "q_ann_ivf", "q_sessionize",
+      "q_pipeline_prep", "q_emb_quantize", "q_asof_join", "q_range_join")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
 
-import graft.functions.TextAnalysis
-import graft.operators.{ChangeLog, Dedup, Funnel, Multimodal, Retention, Sessionize, Similarity, Sync, SyncMode}
+import graft.functions.{Embeddings, TextAnalysis}
+import graft.operators.{AsofJoin, ChangeLog, Dedup, Funnel, Multimodal, Pipeline, RangeJoin, Retention, Sessionize, Similarity, Sync, SyncMode}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -473,6 +473,76 @@ object Queries {
       Some(Similarity.duckIvfTopK(
         Similarity.duckKmeansRel("embeddings", "embedding", "vec_id", k = 8, iters = 2, dim = 64),
         "embedding", "vec_id", "cell", dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
+
+    // As-of join (point-in-time lookup): every view event matched to the
+    // user's most recent purchase at-or-before it. Spark has no built-in
+    // as-of operator — AsofJoin is the union-and-carry sort-merge
+    // formulation (one exchange, no nested-loop join); the oracle is
+    // DuckDB's NATIVE `ASOF LEFT JOIN`, so the semantics are checked
+    // against an independent first-class implementation.
+    Entry("q_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        // Collapse right rows to one per (user_id, ts) for determinism.
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        AsofJoin.asofJoin(views, purchases, Seq("user_id"), "ts", Seq("value"))
+      },
+      Some(AsofJoin.duckAsofJoin(
+        s"(SELECT event_id, user_id, ts FROM $EvOracle e WHERE event_type = 'view')",
+        s"(SELECT user_id, ts, max_by(value, event_id) AS value FROM $EvOracle e " +
+          "WHERE event_type = 'purchase' GROUP BY 1, 2)",
+        Seq("user_id"), "ts",
+        leftOutCols = Seq("event_id", "user_id", "ts"),
+        payloadCols = Seq("value")))),
+
+    // Interval join WITHOUT an equi key (purchases inside the 10-minute
+    // window after any error event): the naive theta-join is a
+    // BroadcastNestedLoopJoin; RangeJoin bucketizes time so it runs as a
+    // bucket equi-join + exact containment filter. Everything stays in
+    // µs-epoch integers, so the oracle (a plain inequality join) matches
+    // exactly.
+    Entry("q_range_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) + 600000000L).as("end_us"))
+        RangeJoin.bucketedIntervalJoin(purchases, "p_us",
+            errors, "start_us", "end_us", bucketUs = 600000000L)
+          .select(col("purchase_id"), col("error_id"),
+            (col("p_us") - col("start_us")).as("lag_us"))
+      },
+      Some(s"""SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+                      epoch_us(p.ts) - epoch_us(e.ts) AS lag_us
+               FROM (SELECT * FROM $EvOracle ev WHERE event_type = 'purchase') p,
+                    (SELECT * FROM $EvOracle ev2 WHERE event_type = 'error') e
+               WHERE epoch_us(p.ts) >= epoch_us(e.ts)
+                 AND epoch_us(p.ts) < epoch_us(e.ts) + 600000000""")),
+
+    // The COMPOSED training-data prep pipeline end-to-end: score →
+    // language/quality filter → exact dedup → LSH near-dup resolve →
+    // training manifest. Oracle mirrors stages directly with the exact
+    // pairwise ground truth in place of LSH, so this re-proves 100% LSH
+    // recall through the whole composition.
+    Entry("q_pipeline_prep",
+      (s, d) => Pipeline.prepCorpus(t(s, d, "documents"), "text", "doc_id",
+        lang = "en", minQuality = 0.75),
+      Some(Pipeline.duckPrepCorpus("documents", "text", "doc_id",
+        lang = "en", minQuality = 0.75, n = 3, threshold = 0.5))),
+
+    // Symmetric int8 embedding quantization (the 4× storage shrink before
+    // indexing/shipping vectors): scale, quantized-vector digest, and
+    // reconstruction MSE — every value bitwise-checked against DuckDB.
+    Entry("q_emb_quantize",
+      (s, d) => Embeddings.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id"),
+      Some(Embeddings.duckQuantizeInt8("embeddings", "embedding", "vec_id"))),
 
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding storage/compression operators for the vector side of a
+  * training-data pipeline. The headline one is symmetric int8
+  * quantization — the standard 4× shrink applied before shipping or
+  * indexing 100 TB of float vectors:
+  *
+  *   scale = max(|x|) / 127 ;  q_i = floor(x_i / scale + 0.5)
+  *
+  * Everything is built-in higher-order functions over the array column —
+  * one narrow codegen'd projection per row, no UDFs, no shuffle — and
+  * every formula has a DuckDB twin (left-fold reductions, identical IEEE
+  * double arithmetic) so the gate checks values bitwise.
+  */
+object Embeddings {
+
+  /** Modulus for the quantized-vector digest (same prime family as
+    * [[TextAnalysis.fingerprint]]): keeps the rolling hash inside a Long
+    * under ANSI overflow checking.
+    */
+  val DigestMod = 1000000007L
+
+  private def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** max(|x_i|) via one left fold. */
+  def maxAbs(vec: Column): Column =
+    aggregate(asDouble(vec), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+
+  /** Symmetric int8 quantization of `vecCol`, emitted as audit scalars:
+    * the scale, a rolling-hash digest pinning every quantized value, and
+    * the reconstruction MSE. A production variant would emit the
+    * `array<tinyint>` itself; scalars keep the gate's hash compare
+    * engine-portable while proving the identical quantization math.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("_e"))
+      .withColumn("_scale", maxAbs(col("_e")) / 127.0)
+      // All-zero vectors quantize to zeros (scale 0 guard).
+      .withColumn("_q", transform(col("_e"), x =>
+        when(col("_scale") === 0.0, lit(0L))
+          .otherwise(floor(x / col("_scale") + 0.5))))
+      .select(
+        col(idCol),
+        round(col("_scale"), 9).as("scale"),
+        aggregate(col("_q"), lit(0L),
+          (acc, v) => (acc * 31L + v) % DigestMod).as("q_digest"),
+        round(
+          aggregate(zip_with(col("_e"), col("_q"),
+              (x, q) => (x - q * col("_scale")) * (x - q * col("_scale"))),
+            lit(0.0), _ + _) / size(col("_e")).cast("double"),
+          9).as("mse"))
+
+  /** DuckDB oracle for [[quantizeInt8]] over table `tbl`. */
+  def duckQuantizeInt8(tbl: String, vecCol: String, idCol: String): String =
+    s"""WITH v AS (
+       |  SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS e FROM $tbl),
+       |s AS (
+       |  SELECT $idCol, e,
+       |         list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+       |                     (acc, x) -> greatest(acc, x)) / 127.0 AS sc
+       |  FROM v),
+       |q AS (
+       |  SELECT $idCol, e, sc,
+       |         list_transform(e, x -> CASE WHEN sc = 0.0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(floor(x / sc + 0.5) AS BIGINT) END) AS qv
+       |  FROM s)
+       |SELECT $idCol,
+       |       round(sc, 9) AS scale,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+       |                   (acc, x) -> (acc * 31 + x) % $DigestMod) AS q_digest,
+       |       round(list_reduce(list_prepend(0.0,
+       |               [(e[i] - qv[i] * sc) * (e[i] - qv[i] * sc)
+       |                for i in range(1, len(e) + 1)]),
+       |             (acc, x) -> acc + x) / CAST(len(e) AS DOUBLE), 9) AS mse
+       |FROM q""".stripMargin
+}

@@ -35,7 +35,10 @@ object Dedup {
     */
   def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Probe the physical partition count without df.rdd, which would bolt
+    // a Row-deserializer stage onto the plan just to ask a metadata question.
+    val current = df.queryExecution.toRdd.getNumPartitions
+    if (current < target) df.repartition(target) else df
   }
 
   /** Word n-gram shingle set (distinct). Documents shorter than n words
@@ -86,24 +89,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** DuckDB oracle for [[ngramJaccardPairs]] over table `tbl`. */
-  def duckNgramJaccardPairs(tbl: String, textCol: String, idCol: String,
-                            n: Int, threshold: Double, maxDocId: Long): String = {
-    val toks = s"CASE WHEN length(trim($textCol)) = 0 THEN [] " +
-      s"ELSE regexp_split_to_array(trim($textCol), '\\s+') END"
+  /** DuckDB rendering of [[shingles]]: word n-gram set over a token array
+    * bound as `w` in the enclosing scope ([[TextAnalysis.duckTokensBind]]).
+    */
+  def duckShingles(textCol: String, n: Int): String = {
     val gram = (1 to n).map(k => s"w[i + ${k - 1}]").mkString(" || ' ' || ")
-    val sh = s"CASE WHEN len(w) >= $n THEN " +
+    s"CASE WHEN len(w) >= $n THEN " +
       s"list_distinct([$gram for i in range(1, len(w) - $n + 2)]) " +
       s"ELSE [trim($textCol)] END"
-    s"""WITH t AS (SELECT $idCol AS id, $sh AS sh
-       |           FROM (SELECT *, $toks AS w FROM $tbl WHERE $idCol < $maxDocId)),
-       |p AS (SELECT a.id AS id_a, b.id AS id_b,
-       |        round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-       |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 6) AS jaccard
-       |      FROM t a, t b WHERE a.id < b.id)
-       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold""".stripMargin
   }
+
+  /** DuckDB rendering of [[jaccard]] over two shingle-array expressions. */
+  def duckJaccard(a: String, b: String): String =
+    s"round(CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0 " +
+      s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) " +
+      s"/ CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE) END, 6)"
+
+  /** CTE chain rendering the exact pairwise n-gram-Jaccard pair search
+    * over relation `rel` (a table or an earlier CTE name). Declares CTEs
+    * `${p}t` (shingle sets) and `${p}p` (scored pairs) — compose inside a
+    * `WITH` list and read `SELECT id_a, id_b, jaccard FROM ${p}p`.
+    */
+  def duckPairCtes(rel: String, textCol: String, idCol: String,
+                   n: Int, where: String, p: String = ""): String =
+    s"""${p}t AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+       |           FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $rel WHERE $where)),
+       |${p}p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |        ${duckJaccard("a.sh", "b.sh")} AS jaccard
+       |      FROM ${p}t a, ${p}t b WHERE a.id < b.id)""".stripMargin
+
+  /** DuckDB oracle for [[ngramJaccardPairs]] over table `tbl`. */
+  def duckNgramJaccardPairs(tbl: String, textCol: String, idCol: String,
+                            n: Int, threshold: Double, maxDocId: Long): String =
+    s"""WITH ${duckPairCtes(tbl, textCol, idCol, n, s"$idCol < $maxDocId")}
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold""".stripMargin
 
   /** MinHash signature: k permutations approximated by one `xxhash64`
     * per shingle STRING followed by k cheap re-hashes of that 8-byte

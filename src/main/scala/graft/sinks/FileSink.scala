@@ -76,4 +76,41 @@ object FileSink {
     if (spec.format == "csv") w = w.option("header", "true")
     w.mode("overwrite").save(spec.uri)
   }
+
+  /** The scale-path export shape (replaces `coalesce(1)` when the output
+    * is re-read by engines rather than handed to one consumer):
+    * range-repartition on `sortCols` then sort within partitions, so each
+    * of the `numFiles` output files covers a tight, non-overlapping key
+    * range — parquet min/max footer statistics then let any downstream
+    * range scan skip whole files instead of filtering rows. Optional
+    * Hive-style directory partitioning on low-cardinality columns
+    * composes on top (directory pruning before footer pruning).
+    */
+  def writeRangeSorted(df: DataFrame, uri: String, sortCols: Seq[String],
+                       numFiles: Int, format: String = "parquet",
+                       hivePartitionCols: Seq[String] = Nil): Unit = {
+    val keys = sortCols.map(df(_))
+    val arranged = df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    var w = arranged.write.format(format)
+    if (hivePartitionCols.nonEmpty) w = w.partitionBy(hivePartitionCols: _*)
+    w.mode("overwrite").save(uri)
+  }
+
+  /** Persist `df` as a bucketed + sorted catalog table: rows are hashed
+    * into `nBuckets` files by `bucketCol` and sorted inside each. Two
+    * tables bucketed the same way join with NO Exchange on either side
+    * (Catalyst recognizes the co-located `HashPartitioning`) — the
+    * pre-shuffle that turns every repeated big-big join on the same key
+    * into a scan-local merge at 100 TB. Requires `saveAsTable` (bucket
+    * metadata lives in the catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
 }

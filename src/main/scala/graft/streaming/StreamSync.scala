@@ -111,6 +111,23 @@ object StreamSync {
     log.withWatermark("_commit_timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming sessionization — the streaming face of
+    * [[graft.operators.Sessionize]]: gap-based event-time sessions via
+    * the built-in `session_window`, which merges rows less than `gap`
+    * apart per key and closes (emits, in Append mode) a session once the
+    * watermark passes its end. State per key is the open session only —
+    * bounded by key cardinality, not stream history.
+    */
+  def streamingSessions(events: DataFrame, tsCol: String, keyCol: String,
+                        watermarkDelay: String, gap: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Start a parquet sink with a checkpoint — the streaming version of
     * [[graft.sinks.FileSink]]. Returns the running query (stop it or
     * `awaitTermination` on the caller side).

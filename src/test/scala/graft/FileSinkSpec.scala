@@ -51,6 +51,48 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(parts.length == 4, s"100 rows / 30 per file → 4 parts, got ${parts.length}")
   }
 
+  test("writeRangeSorted: output files cover disjoint key ranges") {
+    import spark.implicits._
+    // Deliberately shuffled input: ids interleaved across 4 partitions.
+    val df = spark.range(0, 1000).select((col("id") * 7919 % 1000).as("k"))
+      .repartition(4)
+    val out = tmpDir("graft-range")
+    FileSink.writeRangeSorted(df, out, Seq("k"), numFiles = 4)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .as[(String, Long, Long)].collect()
+    assert(perFile.length == 4)
+    val ranges = perFile.map(r => (r._2, r._3)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: hi=$hi lo=$lo")
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
+  test("writeBucketed: same-bucketing join plans with no shuffle exchange") {
+    import spark.implicits._
+    val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    FileSink.writeBucketed(a, "bkt_a", "k", nBuckets = 8)
+    FileSink.writeBucketed(b, "bkt_b", "k", nBuckets = 8)
+    try {
+      // Force a non-broadcast join so the exchange question is real.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be shuffle-free, plan was:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("row-count guard: passes under limit, fails over, disabled at 0") {
     import spark.implicits._
     val df = Seq(1, 2, 3).toDF("x")

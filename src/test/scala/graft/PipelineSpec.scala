@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Embeddings
+import graft.operators.Pipeline
+
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val enText =
+    "the quick brown fox jumps over the lazy dog and then the fox runs away to the forest with a friend"
+
+  test("prepCorpus filters, exact-dedups and near-dup-dedups into a manifest") {
+    import spark.implicits._
+    val docs = Seq(
+      // near-dup cluster: 0 survives, 1 is a one-word variant (j > 0.5)
+      (0L, enText),
+      (1L, enText.replace("lazy", "sleepy")),
+      // exact duplicate of 0 → removed by exact dedup
+      (2L, enText),
+      // distinct English doc → survives
+      (3L, "a completely different story about the sea and the ships that sail on it every day with the wind"),
+      // not English → filtered
+      (4L, "el zorro marrón salta sobre el perro perezoso y luego corre"),
+      // empty/low quality → filtered
+      (5L, "")
+    ).toDF("doc_id", "text")
+
+    val out = Pipeline.prepCorpus(docs, "text", "doc_id",
+      lang = "en", minQuality = 0.5)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 3L))
+
+    val row0 = out.filter($"doc_id" === 0L).head()
+    assert(row0.getAs[String]("lang_pred") == "en")
+    assert(row0.getAs[Double]("quality") >= 0.5)
+    assert(row0.getAs[Long]("n_tokens") == 21L)
+  }
+
+  test("prepCorpus keeps unpaired docs when no near-dups exist") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "the cat sat on the mat and looked at the moon for a while"),
+      (11L, "a dog ran through the park chasing the ball with great joy today")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.prepCorpus(docs, "text", "doc_id",
+      lang = "en", minQuality = 0.0)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
+  test("quantizeInt8 emits exact scale, digest and mse for known vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero → scale 0, q = 0s
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(vecs, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+
+    // Expected values via the same double arithmetic the engine runs
+    // (java.lang.Math.floor == Spark FLOOR on doubles).
+    val xs = Seq(1.0f, -0.5f, 0.25f, 0.0f).map(_.toDouble)
+    val scale = xs.map(math.abs).max / 127.0
+    val q = xs.map(x => math.floor(x / scale + 0.5).toLong)
+    val digest = q.foldLeft(0L)((acc, v) => (acc * 31L + v) % Embeddings.DigestMod)
+    val mse = q.zip(xs)
+      .map { case (qi, x) => val d = x - qi * scale; d * d }.sum / 4.0
+    assert(math.abs(out(1L)._1 - scale) < 1e-9)
+    assert(out(1L)._2 == digest)
+    assert(math.abs(out(1L)._3 - mse) < 1e-9)
+    assert(out(2L) == ((0.0, 0L, 0.0)))
+  }
+
+  test("quantizeInt8 digests change when any component changes") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, 0.5f, 0.5f, 1.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.51f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val d = Embeddings.quantizeInt8(vecs, "embedding", "vec_id")
+      .select("q_digest").as[Long].collect().toSeq
+    assert(d.distinct.size == 2)
+  }
+}

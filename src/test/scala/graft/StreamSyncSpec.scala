@@ -107,6 +107,39 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingSessions closes gap-based sessions once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = StreamSync.streamingSessions(events, "ts", "user_id",
+      watermarkDelay = "10 seconds", gap = "1 minute")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 30 s apart (one session), then a 5-minute gap
+      // (second session); user 2: one event.
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:00:30")),
+        (2L, ts("2024-01-01 00:00:40")),
+        (1L, ts("2024-01-01 00:06:00")))
+      q.processAllAvailable()
+      // Advance the watermark far past every session end to flush them.
+      input.addData((99L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .filter(col("user_id") < 99)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:30"), 2L),
+        (2L, ts("2024-01-01 00:00:40"), ts("2024-01-01 00:01:40"), 1L),
+        (1L, ts("2024-01-01 00:06:00"), ts("2024-01-01 00:07:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("startParquetSink runs the stream into parquet files") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
