@@ -9,12 +9,22 @@ import java.nio.file.{Files, Paths}
   * (BASELINE.md measured ±3 s/query cold), so round-over-round deltas on
   * a cold run are compile time, not data. The JSON line goes to stdout
   * AND `target/bench.json` so the driver need not scrape sbt logs.
+  *
+  * A query that throws is NOT silently timed as ~0 s: its elapsed time
+  * is still recorded and its error surfaces in the `"errors"` JSON map
+  * (name → exception class + message), so a broken query is visible in
+  * the bench artifact, not just in the correctness gate.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY=q_a,q_b` restricts the run to the named
+  * queries (iteration tool; the driver never sets it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,23 +32,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def runAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def runAll(): (Map[String, Double], Map[String, String]) = {
+      val errors = Map.newBuilder[String, String]
+      val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      (times, errors.result())
+    }
     val runs = (1 to math.max(1, iters)).map(_ => runAll())
-    val results = runs.last // warm iteration
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (results, errors) = runs.last // warm iteration
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = runs.head.values.sum
+    val coldTotal = runs.head._1.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":${runs.length},"cold_total":$coldTotal}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${runs.length},"cold_total":$coldTotal}"""
     println(json)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

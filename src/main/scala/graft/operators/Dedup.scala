@@ -126,18 +126,28 @@ object Dedup {
 
   /** MinHash signature: k permutations approximated by one `xxhash64`
     * per shingle STRING followed by k cheap re-hashes of that 8-byte
-    * long (`xxhash64(seed, h)`), folded to the k-wide minimum in a
-    * single `aggregate` pass.
-    *
-    * Why this shape: the naive `transform(seeds, s -> min(xxhash64(s,
-    * shingle)))` hashes every shingle string k times — k·|sh| string
-    * traversals per row. Here each string is hashed once and the k
-    * variants are fixed-width long hashes inside one fold, so no
-    * expensive subexpression is ever re-evaluated. (Wrapping-multiply
-    * permutations would be cheaper still, but Spark 4's ANSI mode
-    * rejects long overflow.)
+    * long (`xxhash64(seed, h)`), folded to the k-wide minimum — the
+    * native codegen expression
+    * ([[org.apache.spark.sql.graft.MinHashSig]]): one fused primitive
+    * loop inside whole-stage codegen, bitwise-identical to
+    * [[minhashSignatureHof]] (the NativeExprSpec parity gate).
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    org.apache.spark.sql.graft.MinHashSig(shingleCol, k)
+
+  /** Built-in-only formulation of [[minhashSignature]] (aggregate +
+    * zip_with fold). Kept as the portable reference implementation;
+    * the interpreted HOF path allocates a boxed k-long array per
+    * shingle and costs ~10× on the signature hot loop.
+    *
+    * Why this fold shape: the naive `transform(seeds, s ->
+    * min(xxhash64(s, shingle)))` hashes every shingle string k times —
+    * k·|sh| string traversals per row. Here each string is hashed once
+    * and the k variants are fixed-width long hashes inside one fold.
+    * (Wrapping-multiply permutations would be cheaper still, but
+    * Spark 4's ANSI mode rejects long overflow.)
+    */
+  def minhashSignatureHof(shingleCol: Column, k: Int): Column = {
     val hashes = transform(shingleCol, x => xxhash64(x))
     aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)), (m, s) =>

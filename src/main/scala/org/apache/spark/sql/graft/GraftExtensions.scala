@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_minhash_sig(shingleArray, k) takes exactly 2 arguments")
+        MinHashSig(children.head, intLit(children(1), "k"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sign_lsh_keys"),
       new ExpressionInfo(classOf[SignLshKeys].getCanonicalName, "graft_sign_lsh_keys"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

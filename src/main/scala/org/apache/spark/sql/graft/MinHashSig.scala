@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
 
 /** Native k-wide MinHash signature over an array of shingle strings.
   *
-  * Semantics are identical to the HOF formulation
-  * ([[graft.operators.Dedup.minhashSignatureHof]]): each shingle is
+  * Semantics are identical to the HOF reference formulation
+  * (`graft.operators.Dedup.minhashSignatureHof`, parity-gated in
+  * NativeExprSpec): each shingle is
   * xxhash64'd once (seed 42; null shingles hash to the seed, matching
   * `xxhash64(NULL)`), then re-hashed per signature slot `s` with the
   * chained seed `xxhash64(s)` — `XXH64.hashLong(h, XXH64.hashInt(s, 42))`

@@ -28,6 +28,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         "SELECT graft_sign_lsh_keys(array(1.0F, 0.0F), 2, 4, 3) AS k")
         .head().getSeq[Long](0)
       assert(keys.length == 3)
+      val mh = s2.sql("SELECT graft_minhash_sig(array('a', 'b'), 4) AS m")
+        .head().getSeq[Long](0)
+      assert(mh.length == 4 && mh.forall(_ != Long.MaxValue))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

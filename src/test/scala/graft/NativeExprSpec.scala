@@ -42,6 +42,36 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("MinHashSig native == HOF formulation on the documents fixture") {
+    val docs = Tables.load(spark, sf, "documents")
+    val k = 126
+    val sh = Dedup.shingles(col("text"), 3)
+    val diff = docs.select(
+      Dedup.minhashSignature(sh, k).as("native"),
+      Dedup.minhashSignatureHof(sh, k).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("MinHashSig native == HOF on empty arrays and null shingles") {
+    import spark.implicits._
+    val k = 7
+    val rows = Seq(
+      Seq.empty[String],          // empty → all-MaxValue init
+      Seq(null.asInstanceOf[String]), // null shingle hashes to the seed
+      Seq("a", null, "b"))
+      .toDF("sh")
+    val diff = rows.select(
+      Dedup.minhashSignature(col("sh"), k).as("native"),
+      Dedup.minhashSignatureHof(col("sh"), k).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+    val empty = rows.filter(size(col("sh")) === 0)
+      .select(Dedup.minhashSignature(col("sh"), k))
+      .as[Seq[Long]].head()
+    assert(empty == Seq.fill(k)(Long.MaxValue))
+  }
+
   test("SimHash64 handles empty token arrays") {
     import spark.implicits._
     val sig = Seq("").toDF("text").select(Dedup.simhash(col("text")))
