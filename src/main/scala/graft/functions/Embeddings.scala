@@ -47,10 +47,13 @@ object Embeddings {
         round(col("_scale"), 9).as("scale"),
         aggregate(col("_q"), lit(0L),
           (acc, v) => (acc * 31L + v) % DigestMod).as("q_digest"),
+        // Empty vector ⇒ mse 0 by definition (the 0/0 division would be
+        // NaN in Spark but engine-dependent in DuckDB).
         round(
-          aggregate(zip_with(col("_e"), col("_q"),
-              (x, q) => (x - q * col("_scale")) * (x - q * col("_scale"))),
-            lit(0.0), _ + _) / size(col("_e")).cast("double"),
+          when(size(col("_e")) === 0, lit(0.0)).otherwise(
+            aggregate(zip_with(col("_e"), col("_q"),
+                (x, q) => (x - q * col("_scale")) * (x - q * col("_scale"))),
+              lit(0.0), _ + _) / size(col("_e")).cast("double")),
           9).as("mse"))
 
   /** DuckDB oracle for [[quantizeInt8]] over table `tbl`. */
@@ -71,9 +74,10 @@ object Embeddings {
        |       round(sc, 9) AS scale,
        |       list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
        |                   (acc, x) -> (acc * 31 + x) % $DigestMod) AS q_digest,
-       |       round(list_reduce(list_prepend(0.0,
+       |       round(CASE WHEN len(e) = 0 THEN 0.0
+       |             ELSE list_reduce(list_prepend(0.0,
        |               [(e[i] - qv[i] * sc) * (e[i] - qv[i] * sc)
        |                for i in range(1, len(e) + 1)]),
-       |             (acc, x) -> acc + x) / CAST(len(e) AS DOUBLE), 9) AS mse
+       |             (acc, x) -> acc + x) / CAST(len(e) AS DOUBLE) END, 9) AS mse
        |FROM q""".stripMargin
 }

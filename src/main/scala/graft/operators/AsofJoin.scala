@@ -35,6 +35,19 @@ object AsofJoin {
                tsCol: String, payloadCols: Seq[String],
                outPrefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Fail fast instead of silently corrupting the union/window logic:
+    // the internal tag columns are reserved, and payload names may not
+    // collide with non-key left columns (both sides would claim the slot
+    // in the unioned schema).
+    val reserved = Set("_side", "_asof_p", "_asof_match")
+    val clash = (leftCols ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input columns: ${clash.distinct.mkString(", ")}")
+    val overlap = payloadCols.filter(c => leftCols.contains(c) && !keys.contains(c) && c != tsCol)
+    require(overlap.isEmpty,
+      s"payload columns ${overlap.mkString(", ")} also exist on the left " +
+        "input — rename one side (the union would merge them)")
     val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
 
     val lSide = left.select(

@@ -59,6 +59,13 @@ object ChangeLog {
     * the caller passes `start = cutoff + 1` for the exclusive-start
     * watermark protocol (export.py:92, 115–116). Column order matches the
     * reference's `SELECT CASE … as _mp_change_type, *`.
+    *
+    * The reference also sets
+    * `spark.databricks.delta.changeDataFeed.timestampOutOfRange.enabled`
+    * (export.py:196) so Delta tolerates bounds past the latest commit.
+    * This emulation needs no analogue: the bounds here are plain filter
+    * predicates, so an out-of-range window simply yields zero rows
+    * instead of throwing — the behavior that flag opts into.
     */
   def tableChanges(log: DataFrame, startMs: Long, endMs: Long): DataFrame =
     log.filter(commitMs >= startMs && commitMs <= endMs)

@@ -304,18 +304,32 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by `maxHamming + 1` bit-chunks of
-    * the 64-bit signature (pigeonhole: hamming ≤ maxHamming ⇒ at least
-    * one chunk is bit-identical, so candidate recall is exact), equi-join
-    * on (chunk index, chunk value), verify hamming ≤ maxHamming.
-    * Narrower chunks (more of them) trade more candidate collisions for
-    * the recall guarantee at higher hamming radii.
+  /** SimHash near-dup pairs: pigeonhole-bucket the 64-bit signature so
+    * candidate recall at hamming ≤ maxHamming is EXACT, equi-join on
+    * (chunk index, bucket key), verify hamming ≤ maxHamming.
+    *
+    * Two bucketing regimes, picked by radius:
+    *   - small radius (exact chunks ≥ 8 bits wide): `maxHamming + 1`
+    *     exact chunks — hamming ≤ r over the whole word ⇒ some chunk is
+    *     bit-identical;
+    *   - large radius (exact chunks would be < 8 bits — at r = 10 that
+    *     is 11 chunks of 6 bits, i.e. 64 distinct keys, so every bucket
+    *     holds ~n/64 of the corpus and within-bucket pairing explodes):
+    *     `ceil((r+1)/3)` wide super-chunks with radius-1 multi-probing
+    *     on BOTH sides. Pigeonhole: if every super-chunk differed by
+    *     ≥ 3 bits the total would exceed r, so some super-chunk differs
+    *     by ≤ 2 — and two radius-1 probe sets always intersect at
+    *     distance ≤ 2 (midpoint key). Probing costs width+1 keys per
+    *     chunk per row, but the key space per chunk grows from 2^6 to
+    *     2^16 — buckets shrink ~1000×, which is what survives 100 TB.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int,
                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming out of range")
-    val nChunks = maxHamming + 1
+    val exactChunks = maxHamming + 1
+    val probing = 64 / exactChunks < 8
+    val nChunks = if (probing) (maxHamming + 3) / 3 else exactChunks
     val width = (64 + nChunks - 1) / nChunks // last chunk may be narrower
     val sigs = rebalance(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     // Collapse identical signatures (hamming 0) before chunk-bucketing —
@@ -324,10 +338,17 @@ object Dedup {
     val within = withinGroupPairs(members, "sig")
       .withColumn("hamming", lit(0L)) // identical signature ⇒ hamming 0
     val reps = members.filter(col("id") === col("_rep"))
-    val chunks = array((0 until nChunks).map(i =>
-      shiftright(col("sig"), i * width).bitwiseAND((1L << width) - 1L)): _*)
-    val chunked = reps.select(col("id"), col("sig"), posexplode(chunks))
-      .toDF("id", "sig", "chunk", "ckey")
+    val keysOfChunk = (i: Int) => {
+      val w = math.min(width, 64 - i * width) // actual width of chunk i
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      val base = shiftright(col("sig"), i * width).bitwiseAND(mask)
+      if (probing) base +: (0 until w).map(b => base.bitwiseXOR(1L << b))
+      else Seq(base)
+    }
+    val chunks = array((0 until nChunks).flatMap(i =>
+      keysOfChunk(i).map(k => struct(lit(i).as("c"), k.as("k")))): _*)
+    val chunked = reps.select(col("id"), col("sig"), explode(chunks).as("ck"))
+      .select(col("id"), col("sig"), col("ck.c").as("chunk"), col("ck.k").as("ckey"))
     val capped = capBuckets(chunked, Seq("chunk", "ckey"), maxBucketSize)
     // Verify hamming on representative pairs BEFORE expansion: members
     // share their representative's signature, so the distance carries
@@ -377,6 +398,19 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** The block-manager-persisted RDD behind a checkpointed DataFrame
+    * (its plan is a single `LogicalRDD` leaf), so iteration state can be
+    * freed the moment it is superseded instead of lingering until the
+    * ContextCleaner notices — across a many-query session the leaked
+    * blocks otherwise pressure the block manager into evictions that
+    * slow every LATER query (the round-2 warm-slower-than-cold bench
+    * inversion).
+    */
+  private def checkpointRdd(df: DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Connected components over an undirected pair list via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14): each round is two group-by-min +
@@ -391,10 +425,23 @@ object Dedup {
     * wrong labels.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Convergence = edge-set fixpoint, detected by (count, xor of row
+    // hashes) — one tiny aggregate per round, no full-set comparison.
+    // bit_xor is order-independent and cannot overflow (ANSI mode
+    // rejects a sum of hashes); edges are distinct, so xor-cancelling
+    // duplicates cannot occur.
+    def sigOf(df: DataFrame): (Long, Option[Long]) = {
+      val row = df.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1)))
+    }
     var edges = cutLineage(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
-    var prevSig: (Long, Option[Long]) = (-1L, None)
+    var prevSig = sigOf(edges)
+    if (prevSig._1 == 0L) { // no edges at all — nothing to cluster
+      checkpointRdd(edges).foreach(_.unpersist(false))
+      return pairs.limit(0).select(col("id_a").as("id"), col("id_b").as("lbl"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -414,14 +461,12 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .union(mins2.select(col("src"), col("_m").as("dst")))
         .distinct()
-      edges = cutLineage(ss)
-      // Convergence = edge-set fixpoint, detected by (count, xor of row
-      // hashes) — one tiny aggregate per round, no full-set comparison.
-      // bit_xor is order-independent and cannot overflow (ANSI mode
-      // rejects a sum of hashes); edges are distinct, so xor-cancelling
-      // duplicates cannot occur.
-      val sigRow = edges.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
-      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) None else Some(sigRow.getLong(1)))
+      val next = cutLineage(ss)
+      val sig = sigOf(next)
+      // `next` is materialized (checkpoints are eager), so the previous
+      // round's blocks are now unreachable from any plan — free them.
+      checkpointRdd(edges).foreach(_.unpersist(false))
+      edges = next
       converged = sig == prevSig
       prevSig = sig
       i += 1
@@ -436,7 +481,13 @@ object Dedup {
     val roots = edges.select(col("dst").as("id")).distinct()
       .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
       .withColumn("lbl", col("id"))
-    nonRoots.union(roots)
+    // Materialize the labels so the final edge checkpoint can be freed
+    // too — what escapes this method is ONE compact (id, lbl) RDD (one
+    // row per paired node), handed to the ContextCleaner when the
+    // caller's plan is collected.
+    val labels = cutLineage(nonRoots.union(roots))
+    checkpointRdd(edges).foreach(_.unpersist(false))
+    labels
   }
 
   /** Resolve near-dup pairs into clusters and drop every row that is not

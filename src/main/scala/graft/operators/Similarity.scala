@@ -93,30 +93,49 @@ object Similarity {
     * initial centroids are the k vectors with the smallest ids, each
     * assignment picks the max-dot centroid with min-cell tie-break, and
     * each update is the per-cell component mean ([[centroidsOf]]).
-    * Fixed `iters` iterations (no data-dependent stopping) — per
-    * iteration one broadcast of k centroids, one windowed argmax over
-    * k×n scored rows, one (cell, component) aggregate. Cells that lose
-    * all members disappear (both engines drop them identically).
+    * Fixed `iters` iterations (no data-dependent stopping).
+    *
+    * The assignment step is a pure NARROW projection: the k centroids
+    * (k·dim doubles — driver-trivial) are collected and inlined as
+    * literals, and the argmax is a fold over per-cell dot products under
+    * whole-stage codegen — no exchange touches the corpus between the
+    * scan and the cell label. Per iteration the only shuffle is the
+    * (cell, component) centroid-update aggregate, whose partial-agg
+    * output is k·dim rows per partition. (The previous shape —
+    * cross-join with broadcast centroids + row_number window — hashed
+    * the k×-fanned corpus every iteration; at 100 TB that is iters full
+    * shuffles of 8× the data for a computation that needs none.)
+    * Driver-side collect of k rows is metadata, not data — the same
+    * k-sized table every engine's k-means keeps on the coordinator.
+    * Codegen bounds this to moderate k (≤ ~1k cells, the IVF coarse-
+    * quantizer regime); beyond that the fold should move into a native
+    * expression over a broadcast centroid matrix.
     *
     * Returns the final assignment (`idCol`, cell).
     */
   def kmeansCells(df: DataFrame, vecCol: String, idCol: String,
                   k: Int, iters: Int): DataFrame = {
     val vecs = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("_score").desc, col("cell").asc)
-      vecs.join(broadcast(centroids), expr("true"))
-        .withColumn("_score", dot(col("_v"), col("centroid")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("id"), col("_v"), col("cell"))
+    // (cell, centroid) rows → ascending-cell literal list; strict `>`
+    // replacement in the fold keeps the LOWEST cell on score ties,
+    // mirroring the oracle's ORDER BY score DESC, cell ASC.
+    def assign(cents: Array[(Long, Seq[Double])]): DataFrame = {
+      val scored = cents.sortBy(_._1).map { case (cell, c) =>
+        struct(dot(col("_v"), typedlit(c)).as("score"), lit(cell).as("cell"))
+      }
+      val best = scored.reduce((a, b) =>
+        when(b.getField("score") > a.getField("score"), b).otherwise(a))
+      vecs.select(col("id"), col("_v"), best.getField("cell").as("cell"))
     }
+    def collectCents(centroids: DataFrame): Array[(Long, Seq[Double])] =
+      centroids.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1))
     val init = vecs.filter(col("id") < k)
-      .select(col("id").as("cell"), col("_v").as("centroid"))
-    var assigned = assign(init)
+      .select(col("id").as("cell"),
+        transform(col("_v"), x => x.cast("double")).as("centroid"))
+    var assigned = assign(collectCents(init))
     for (_ <- 1 until iters)
-      assigned = assign(centroidsOf(assigned, "_v", "cell"))
+      assigned = assign(collectCents(centroidsOf(assigned, "_v", "cell")))
     assigned.select(col("id").as(idCol), col("cell"))
   }
 

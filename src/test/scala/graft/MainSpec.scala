@@ -17,6 +17,10 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
   private def runMain(args: String*): String =
     Main.run(spark, Main.parseArgs(args.toArray))
 
+  test("flagship entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("full sync: JSON sink + result payload with the reference's query string") {
     val out = tmp()
     val json = runMain(
