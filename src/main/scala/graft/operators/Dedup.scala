@@ -174,11 +174,23 @@ object Dedup {
     * window over the signature key — a single exchange, reused by every
     * downstream consumer (ReuseExchange), so the CPU-heavy signature
     * stage runs once.
+    *
+    * `pin` is an always-true predicate that REFERENCES the signature
+    * payload column(s). Without it, column pruning gives each consumer
+    * branch a different projection under the window's exchange (the
+    * banding branch keeps `_sig`, the pairing/membership branches
+    * collapse it into the group key), the exchange subtrees stop being
+    * canonically equal, and exchange reuse silently dies — the
+    * signature stage then runs once PER BRANCH (measured: 2× full
+    * signature computation in the executed plan). The pin makes every
+    * branch require the same columns, restoring one shared stage.
     */
-  private def withSigGroups(sig: DataFrame, sigKey: Column): DataFrame = {
+  private def withSigGroups(sig: DataFrame, sigKey: Column,
+                            pin: Column = lit(true)): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(sigKey)
     sig.withColumn("_rep", min(col("id")).over(w))
       .withColumn("_cnt", count(lit(1)).over(w))
+      .filter(pin)
   }
 
   /** Within-group candidate pairs for identical-signature groups: all
@@ -200,8 +212,8 @@ object Dedup {
     * dropped-row count is published as an `observe` metric
     * (`graft.lsh_bucket_drops`) for listeners.
     */
-  private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
-                                    maxBucketSize: Int): DataFrame = {
+  private[graft] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+                                maxBucketSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
     val sized = banded.withColumn("_bn", count(lit(1)).over(w))
@@ -231,14 +243,22 @@ object Dedup {
                       threshold: Double,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = rebalance(df).select(col(idCol).as("id"),
+    // Shingles deliberately do NOT travel through the signature shuffle:
+    // shingle arrays are ~3× the text volume, so shipping them would
+    // triple the exchange payload at 100 TB. The verification join
+    // recomputes them in a second narrow scan instead (CPU-for-network,
+    // the right trade at scale).
+    val shingled = rebalance(df).select(col(idCol).as("id"),
       shingles(col(textCol), n).as("_sh"))
-      .withColumn("_sig", minhashSignature(col("_sh"), k))
+    val sig = shingled
+      .select(col("id"), minhashSignature(col("_sh"), k).as("_sig"))
       // 64-bit key over the signature array: cheap shuffle key; a key
       // collision merely merges two groups and the exact-Jaccard
       // verification still filters every expanded pair.
       .withColumn("_skey", xxhash64(col("_sig")))
-    val members = withSigGroups(sig, col("_skey"))
+    // Pin `_sig` (see withSigGroups): a signature always has k slots,
+    // so the predicate is constant-true but survives the optimizer.
+    val members = withSigGroups(sig, col("_skey"), pin = size(col("_sig")) >= 0)
     val within = withinGroupPairs(members, "_skey")
     // Band only one representative per distinct signature.
     val reps = members.filter(col("id") === col("_rep"))
@@ -267,7 +287,7 @@ object Dedup {
     // Verify every candidate with exact Jaccard (re-join the shingle
     // sets; identical MinHash signatures do NOT guarantee identical
     // shingles, so within-group pairs are verified too).
-    val sh = members.select(col("id"), col("_sh"))
+    val sh = shingled
     cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")

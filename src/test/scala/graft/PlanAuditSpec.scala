@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Plan-shape regression gates: the perf work on the dedup/ANN family
+  * is only durable if the plans keep their shape — these tests fail
+  * when a change silently reintroduces a recompute or a shuffle.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  test("minhashLshPairs evaluates the MinHash signature stage exactly once (stage reuse)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+    pairs.collect() // finalize the adaptive plan so stage reuse is visible
+    val plan = pairs.queryExecution.executedPlan.toString()
+    assert(plan.contains("isFinalPlan=true"))
+    val finalPlan = plan.substring(0, plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan.length
+      case i => i
+    })
+    // Every consumer of the signature-group window (pairing, banding,
+    // membership ×2) must reuse ONE signature exchange; a second
+    // occurrence means column pruning diverged the exchange subtrees
+    // and the signature stage is computed per branch again.
+    val evals = "graft_minhash_sig".r.findAllIn(finalPlan).size
+    assert(evals == 1,
+      s"expected exactly one MinHash signature evaluation in the final plan, found $evals:\n$finalPlan")
+  }
+
+  test("kmeansCells assignment is narrow: no shuffle/sort/window between scan and cell label") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cells = Similarity.kmeansCells(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val plan = cells.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"windowed argmax crept back into the assign step:\n$plan")
+    assert(!plan.contains("SortExec"), s"sort crept into the assign step:\n$plan")
+    // The only exchange allowed is the small-input rebalance repartition.
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+    assert(exchanges == rebalances,
+      s"assignment introduced a non-rebalance exchange:\n$plan")
+  }
+
+  test("lsh bucket cap drops oversized buckets and publishes graft.lsh_bucket_drops") {
+    import spark.implicits._
+    @volatile var observed: Option[Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.lsh_bucket_drops").foreach(r => observed = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 5 rows in bucket (0, 0), 1 row in bucket (0, 1), cap 2 ⇒ the hot
+      // bucket's 5 rows are dropped and the survivor passes through.
+      val banded = Seq((1L, 0, 0L), (2L, 0, 0L), (3L, 0, 0L), (4L, 0, 0L),
+        (5L, 0, 0L), (6L, 0, 1L)).toDF("id", "band", "bkey")
+      val kept = Dedup.capBuckets(banded, Seq("band", "bkey"), maxBucketSize = 2)
+        .collect()
+      assert(kept.map(_.getLong(0)).toSet == Set(6L))
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (observed.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(observed.isDefined, "observe metric never arrived at the listener")
+      assert(observed.get.getLong(0) == 5L,
+        s"expected 5 dropped rows, got ${observed.get}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+    }
+  }
+}
