@@ -11,7 +11,9 @@ object Plans {
     val names = Seq("q_time_based", "q_join_revenue", "q_scd_latest", "q_scd_latest_maxby",
       "q_ann_bruteforce", "q_dedup_minhash_lsh", "q_dedup_exact", "q_topk_orders", "q_mm_decode",
       "q_funnel", "q_dedup_embedding_lsh", "q_dedup_simhash", "q_ann_ivf", "q_sessionize",
-      "q_pipeline_prep", "q_emb_quantize", "q_asof_join", "q_range_join")
+      "q_pipeline_prep", "q_emb_quantize", "q_asof_join", "q_range_join",
+      "q_quality_gopher", "q_decontaminate", "q_chunk_dedup", "q_pii_redact",
+      "q_split_assign", "q_stratified_sample", "q_seq_pack")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")

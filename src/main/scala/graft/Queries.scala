@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
 
-import graft.functions.{Embeddings, TextAnalysis}
-import graft.operators.{AsofJoin, ChangeLog, Dedup, Funnel, Multimodal, Pipeline, RangeJoin, Retention, Sessionize, Similarity, Sync, SyncMode}
+import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
+import graft.operators.{AsofJoin, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Pipeline, RangeJoin, Retention, Sessionize, Similarity, Splits, Sync, SyncMode}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -44,6 +44,13 @@ object Queries {
     */
   private val EvOracle =
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** Target per-language sampling rates (hundredths) for the mixture
+    * audit — English downweighted, the rest kept or lightly trimmed.
+    * (Declared BEFORE `all`: object vals initialize in order.)
+    */
+  private val MixtureRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "es" -> 80, "zh" -> 25)
 
   val all: Seq[Entry] = Seq(
 
@@ -555,7 +562,100 @@ object Queries {
     Entry("q_mm_frames",
       (s, d) => Multimodal.frameSample(
         Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id", step = 2),
-      Some(Multimodal.duckFrameSample("documents", "text", "doc_id", step = 2)))
+      Some(Multimodal.duckFrameSample("documents", "text", "doc_id", step = 2))),
+
+    // ------------------------------------------------------------------
+    // Round-3 corpus-curation extensions: the filter/scrub/split/pack
+    // stages around dedup in a pre-training data pipeline.
+    // ------------------------------------------------------------------
+
+    // Gopher-style quality/repetition filters: mean word length, unique-
+    // word ratio, top-word frequency, duplicate-2-gram ratio + keep
+    // verdict. Narrow codegen projection — no shuffle at any scale.
+    Entry("q_quality_gopher",
+      (s, d) => Dedup.rebalance(t(s, d, "documents"))
+        .withColumn("_w", TextAnalysis.tokens(col("text"))) // bind the split once
+        .select(
+          col("doc_id"),
+          QualityFilters.meanWordLenOf(col("_w")).as("mean_word_len"),
+          QualityFilters.uniqWordRatioOf(col("_w")).as("uniq_word_ratio"),
+          QualityFilters.topWordRatioOf(col("_w")).as("top_word_ratio"),
+          QualityFilters.dup2gramRatioOf(col("_w")).as("dup_2gram_ratio"),
+          QualityFilters.keepOf(col("_w")).as("keep")),
+      Some(s"""SELECT doc_id,
+                      ${QualityFilters.duckMeanWordLen} AS mean_word_len,
+                      ${QualityFilters.duckUniqWordRatio} AS uniq_word_ratio,
+                      ${QualityFilters.duckTopWordRatio} AS top_word_ratio,
+                      ${QualityFilters.duckDup2gramRatio} AS dup_2gram_ratio,
+                      ${QualityFilters.duckKeep} AS keep
+               FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                     FROM documents) d""")),
+
+    // Benchmark decontamination: training docs sharing word 3-grams with
+    // the held-out eval split (doc_id % 97 = 0). Eval grams broadcast;
+    // the corpus side stays narrow until the per-doc count agg.
+    Entry("q_decontaminate",
+      (s, d) => Decontaminate.overlap(t(s, d, "documents"), "text", "doc_id",
+        evalPred = pmod(col("doc_id"), lit(97L)) === 0L, n = 3),
+      Some(Decontaminate.duckOverlap("documents", "text", "doc_id",
+        evalPredSql = "doc_id % 97 = 0", n = 3))),
+
+    // Sub-document exact dedup: 8-token chunks, first-occurrence keeper
+    // via ONE chunk-key exchange (C4-style line dedup generalized).
+    Entry("q_chunk_dedup",
+      (s, d) => ChunkDedup.stats(t(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 8),
+      Some(ChunkDedup.duckStats("documents", "text", "doc_id",
+        chunkTokens = 8))),
+
+    // PII scrub: inject deterministic fake email+phone per row, then
+    // count and mask them; the redacted text is fingerprinted so the
+    // oracle checks the full transform, not just the counts.
+    Entry("q_pii_redact",
+      (s, d) => Dedup.rebalance(t(s, d, "documents"))
+        .withColumn("_t", Redaction.withSyntheticPii(col("text"), col("doc_id")))
+        .select(
+          col("doc_id"),
+          Redaction.emailCount(col("_t")).as("n_emails"),
+          Redaction.phoneCount(col("_t")).as("n_phones"),
+          TextAnalysis.fingerprint(Redaction.redact(col("_t"))).as("redacted_fp")),
+      Some(s"""SELECT doc_id,
+                      ${Redaction.duckEmailCount("t")} AS n_emails,
+                      ${Redaction.duckPhoneCount("t")} AS n_phones,
+                      ${TextAnalysis.duckFingerprint(Redaction.duckRedact("t"))} AS redacted_fp
+               FROM (SELECT doc_id, ${Redaction.duckWithSyntheticPii("text", "doc_id")} AS t
+                     FROM documents) d""")),
+
+    // Deterministic 80/10/10 split assignment (hash-bucket of the id),
+    // audited per source — reproducible across engines and runs.
+    Entry("q_split_assign",
+      (s, d) => Splits.splitCounts(t(s, d, "documents"), "doc_id", "source",
+        trainPct = 80, valPct = 10),
+      Some(Splits.duckSplitCounts("documents", "doc_id", "source",
+        trainPct = 80, valPct = 10))),
+
+    // Per-language stratified downsampling to target mixture rates,
+    // audited: totals vs deterministic hash-sampled counts.
+    Entry("q_stratified_sample",
+      (s, d) => Splits.sampleAudit(t(s, d, "documents"), "doc_id", "lang",
+        rates = MixtureRates),
+      Some(Splits.duckSampleAudit("documents", "doc_id", "lang",
+        rates = MixtureRates))),
+
+    // Concat-and-chunk sequence packing into 512-token context windows,
+    // per source (one low-cardinality exchange; no global sort).
+    Entry("q_seq_pack",
+      (s, d) => Packing.assign(t(s, d, "documents"), "text", "doc_id",
+        groupCol = "source", ctxLen = 512),
+      Some(Packing.duckAssign("documents", "text", "doc_id",
+        groupCol = "source", ctxLen = 512))),
+
+    // Corpus mean-IDF (rare-word) score per document: one term-key
+    // exchange for document frequencies, term join back, per-doc
+    // SORTED left fold so the double sum is order-deterministic.
+    Entry("q_idf_score",
+      (s, d) => Idf.docScores(t(s, d, "documents"), "text", "doc_id"),
+      Some(Idf.duckDocScores("documents", "text", "doc_id")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality / repetition filters (Rae et al. 2021,
+  * "Scaling Language Models", table A1; also C4 / RefinedWeb heuristics):
+  * mean word length, unique-word ratio, top-word frequency ratio, and
+  * duplicate-2-gram ratio, combined into a keep/drop verdict. These are
+  * the standard pre-training corpus filters applied before dedup.
+  *
+  * Everything is pure `Column` composition over built-in higher-order
+  * functions (no UDFs — stays inside whole-stage codegen), computed
+  * against a token array bound ONCE in the enclosing projection
+  * ([[TextAnalysis.tokens]]). Per-row cost is O(tokens · distinct) for
+  * the top-word scan — bounded by document length, embarrassingly
+  * parallel, no shuffle anywhere: at 100 TB this is a narrow map over
+  * the scan, exactly the shape you want.
+  *
+  * Engine parity (same rules as [[TextAnalysis]]): integer counts until
+  * one final double division, `round(·, 6)` on every emitted double;
+  * each formula has a `duck*` twin rendered from the same constants.
+  */
+object QualityFilters {
+
+  /** Keep/drop thresholds (tuned so both classes are non-empty on the
+    * synthetic corpus; a production pipeline would fit them per-source).
+    */
+  val MinMeanWordLen = 3.0
+  val MaxMeanWordLen = 10.0
+  val MinUniqRatio = 0.33
+  val MaxTopWordRatio = 0.2
+  val MaxDup2gramRatio = 0.1
+
+  // ---------------------------------------------------------------- Spark
+
+  /** Mean word length: Σ len(token) / n_tokens (0 for empty docs). */
+  def meanWordLenOf(w: Column): Column =
+    round(when(size(w) === 0, 0.0).otherwise(
+      aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(w).cast("double")), 6)
+
+  /** Unique-word ratio: |distinct tokens| / n_tokens (0 for empty). */
+  def uniqWordRatioOf(w: Column): Column =
+    round(when(size(w) === 0, 0.0).otherwise(
+      size(array_distinct(w)).cast("double") / size(w).cast("double")), 6)
+
+  /** Top-word ratio: max single-token frequency / n_tokens. The scan is
+    * O(distinct · n) per row — fine for document-sized arrays.
+    */
+  def topWordRatioOf(w: Column): Column =
+    round(when(size(w) === 0, 0.0).otherwise(
+      array_max(transform(array_distinct(w),
+        x => size(filter(w, t => t === x))))
+        .cast("double") / size(w).cast("double")), 6)
+
+  /** Word 2-grams of a token array (positional, duplicates kept —
+    * repetition is exactly what we are measuring). Guarded: Spark's
+    * `sequence(1, 0)` would generate a DESCENDING range, so short docs
+    * short-circuit to an empty array before the sequence is built.
+    */
+  def bigramsOf(w: Column): Column =
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+
+  /** Duplicate-2-gram ratio: 1 − |distinct 2-grams| / |2-grams| (the
+    * Gopher repetition signal; 0 for docs shorter than 2 tokens).
+    */
+  def dup2gramRatioOf(w: Column): Column =
+    round(when(size(w) < 2, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(bigramsOf(w))).cast("double")
+        / (size(w) - 1).cast("double")), 6)
+
+  /** Combined keep verdict as 0/1 (BIGINT both engines — booleans hash
+    * differently across engines, longs do not).
+    */
+  def keepOf(w: Column): Column = {
+    val mw = meanWordLenOf(w)
+    (mw >= MinMeanWordLen && mw <= MaxMeanWordLen &&
+      uniqWordRatioOf(w) >= MinUniqRatio &&
+      topWordRatioOf(w) <= MaxTopWordRatio &&
+      dup2gramRatioOf(w) <= MaxDup2gramRatio).cast("long")
+  }
+
+  // --------------------------------------------------- DuckDB oracle SQL
+  // `w` must be bound in the enclosing query (TextAnalysis.duckTokensBind).
+
+  def duckMeanWordLen: String =
+    "round(CASE WHEN len(w) = 0 THEN 0.0 ELSE " +
+      "CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) " +
+      "/ CAST(len(w) AS DOUBLE) END, 6)"
+
+  def duckUniqWordRatio: String =
+    "round(CASE WHEN len(w) = 0 THEN 0.0 ELSE " +
+      "CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) END, 6)"
+
+  def duckTopWordRatio: String =
+    "round(CASE WHEN len(w) = 0 THEN 0.0 ELSE " +
+      "CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, t -> t = x)))) AS DOUBLE) " +
+      "/ CAST(len(w) AS DOUBLE) END, 6)"
+
+  def duckBigrams: String =
+    "[w[i] || ' ' || w[i+1] for i in range(1, len(w))]"
+
+  def duckDup2gramRatio: String =
+    "round(CASE WHEN len(w) < 2 THEN 0.0 ELSE " +
+      s"1.0 - CAST(len(list_distinct($duckBigrams)) AS DOUBLE) " +
+      "/ CAST(len(w) - 1 AS DOUBLE) END, 6)"
+
+  def duckKeep: String =
+    s"CAST(($duckMeanWordLen >= $MinMeanWordLen AND $duckMeanWordLen <= $MaxMeanWordLen " +
+      s"AND $duckUniqWordRatio >= $MinUniqRatio " +
+      s"AND $duckTopWordRatio <= $MaxTopWordRatio " +
+      s"AND $duckDup2gramRatio <= $MaxDup2gramRatio) AS BIGINT)"
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+  * Llama playbook — exact n-gram collision against the eval corpus).
+  *
+  * Scale shape: the eval set is tiny relative to the training corpus
+  * (benchmarks are MBs, corpora are TBs), so its distinct-gram set is
+  * collected into a broadcast hash relation and the training side stays
+  * a NARROW scan → explode → broadcast-hash semi-join → per-doc count.
+  * No all-to-all shuffle touches the 100 TB side until the final
+  * per-doc aggregate (hash partial agg on doc id, map-side combined).
+  */
+object Decontaminate {
+
+  /** Per-document overlap counts: one row per training document sharing
+    * ≥ 1 distinct word n-gram with the eval set.
+    *
+    * @param evalPred predicate selecting the eval rows INSIDE `docs`
+    *                 (a self-contained eval split; a separate eval
+    *                 DataFrame works identically via union-tagging)
+    * @return (idCol, n_overlap) — n_overlap = distinct shared n-grams
+    */
+  def overlap(docs: DataFrame, textCol: String, idCol: String,
+              evalPred: Column, n: Int): DataFrame = {
+    val sh = Dedup.rebalance(docs)
+      .select(col(idCol), evalPred.as("_is_eval"),
+        Dedup.shingles(col(textCol), n).as("_g"))
+    val evalGrams = sh.filter(col("_is_eval"))
+      .select(explode(col("_g")).as("gram")).distinct()
+    val trainGrams = sh.filter(!col("_is_eval"))
+      .select(col(idCol), explode(col("_g")).as("gram"))
+    // Shingle sets are distinct per doc and the eval side is distinct,
+    // so the join multiplicity is 1 and count(*) = distinct overlap.
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** DuckDB oracle for [[overlap]]: same shingle builder, same eval
+    * predicate, rendered from the same constants.
+    */
+  def duckOverlap(tbl: String, textCol: String, idCol: String,
+                  evalPredSql: String, n: Int): String =
+    s"""WITH d AS (SELECT *, ${graft.functions.TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+       |sh AS (SELECT $idCol, ($evalPredSql) AS is_eval,
+       |              ${Dedup.duckShingles(textCol, n)} AS g FROM d),
+       |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE is_eval),
+       |tr AS (SELECT $idCol, unnest(g) AS gram FROM sh WHERE NOT is_eval)
+       |SELECT $idCol, count(*) AS n_overlap
+       |FROM tr JOIN ev USING (gram) GROUP BY $idCol""".stripMargin
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deterministic corpus splitting and sampling: hash-bucket assignment
+  * to train/val/test splits and per-stratum (e.g. per-language)
+  * downsampling to target rates — the data-mixture machinery of a
+  * pre-training pipeline.
+  *
+  * The bucket is a pure function of the id (Rabin–Karp fold over its
+  * decimal string, [[TextAnalysis.fingerprint]] — parity with DuckDB is
+  * already gated by q_fingerprint), so membership is stable across
+  * runs, machines, and engines: re-running the pipeline on new data
+  * never reassigns an old row. That determinism is the point —
+  * `rand()`-based sampling is irreproducible and `TABLESAMPLE` is
+  * engine-specific.
+  *
+  * Scale shape: bucket/split/keep are narrow codegen projections over
+  * the scan (no shuffle, no state); the demo aggregates below add one
+  * map-side-combined hash agg. Filtering to a split is a predicate —
+  * at 100 TB the sampled corpus never materializes unsampled.
+  */
+object Splits {
+
+  /** Stable bucket in [0, buckets) from the row id. */
+  def bucketOf(id: Column, buckets: Int): Column =
+    pmod(TextAnalysis.fingerprint(id.cast("string")), lit(buckets.toLong))
+
+  /** train/val/test label by bucket percentile. */
+  def splitOf(id: Column, trainPct: Int, valPct: Int): Column = {
+    val b = bucketOf(id, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Per-(stratum, split) row counts — the stratification audit. */
+  def splitCounts(df: DataFrame, idCol: String, stratumCol: String,
+                  trainPct: Int, valPct: Int): DataFrame =
+    df.withColumn("split", splitOf(col(idCol), trainPct, valPct))
+      .groupBy(col(stratumCol), col("split"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Keep-predicate for per-stratum target rates (rate in [0,1], in
+    * hundredths): row kept iff bucket(id) < rate·100. Strata absent
+    * from `rates` keep everything.
+    */
+  def sampledPred(id: Column, stratum: Column,
+                  rates: Seq[(String, Int)]): Column = {
+    val b = bucketOf(id, 100)
+    rates.foldRight(lit(true)) { case ((s, pct), els) =>
+      when(stratum === s, b < pct).otherwise(els)
+    }
+  }
+
+  /** Per-stratum totals vs sampled counts under `rates` — the mixture
+    * audit (expected ≈ total · rate).
+    */
+  def sampleAudit(df: DataFrame, idCol: String, stratumCol: String,
+                  rates: Seq[(String, Int)]): DataFrame =
+    df.groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(sampledPred(col(idCol), col(stratumCol), rates).cast("long"))
+          .as("n_sampled"))
+
+  // --------------------------------------------------- DuckDB oracle SQL
+
+  /** Bucket twin: the Rabin–Karp fold over the id's decimal string. */
+  def duckBucket(idCol: String, buckets: Int): String =
+    s"(${TextAnalysis.duckFingerprint(s"CAST($idCol AS VARCHAR)")}) % $buckets"
+
+  def duckSplit(idCol: String, trainPct: Int, valPct: Int): String =
+    s"CASE WHEN ${duckBucket(idCol, 100)} < $trainPct THEN 'train' " +
+      s"WHEN ${duckBucket(idCol, 100)} < ${trainPct + valPct} THEN 'val' " +
+      s"ELSE 'test' END"
+
+  def duckSplitCounts(tbl: String, idCol: String, stratumCol: String,
+                      trainPct: Int, valPct: Int): String =
+    s"""SELECT $stratumCol, ${duckSplit(idCol, trainPct, valPct)} AS split,
+       |       count(*) AS n
+       |FROM $tbl GROUP BY 1, 2""".stripMargin
+
+  def duckSampledPred(idCol: String, stratumCol: String,
+                      rates: Seq[(String, Int)]): String =
+    rates.foldRight("TRUE") { case ((s, pct), els) =>
+      s"CASE WHEN $stratumCol = '$s' THEN ${duckBucket(idCol, 100)} < $pct ELSE $els END"
+    }
+
+  def duckSampleAudit(tbl: String, idCol: String, stratumCol: String,
+                      rates: Seq[(String, Int)]): String =
+    s"""SELECT $stratumCol, count(*) AS n_total,
+       |       CAST(sum(CAST(${duckSampledPred(idCol, stratumCol, rates)} AS BIGINT)) AS BIGINT) AS n_sampled
+       |FROM $tbl GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{QualityFilters, Redaction, TextAnalysis}
+import graft.operators.{ChunkDedup, Decontaminate, Idf, Packing, Splits}
+
+/** Unit gates for the round-3 corpus-curation operators (quality
+  * filters, decontamination, chunk dedup, redaction, splits, packing).
+  * The oracle gate proves engine parity on the full corpus; these pin
+  * the SEMANTICS on hand-checkable fixtures and the edge cases the
+  * corpus doesn't contain (empty text, short docs, window straddling).
+  */
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("quality filters: hand-computed stats on a known doc, zero-guards on empty") {
+    val df = Seq(
+      (1L, "aa bb aa cc"),        // 4 tokens, 3 uniq, top=2/4, bigrams: aa bb/bb aa/aa cc all distinct
+      (2L, ""),                   // empty: all stats 0
+      (3L, "x x x x")             // pathological repetition
+    ).toDF("id", "text").withColumn("w", TextAnalysis.tokens(col("text")))
+    val r = df.select(col("id"),
+      QualityFilters.meanWordLenOf(col("w")).as("mwl"),
+      QualityFilters.uniqWordRatioOf(col("w")).as("uniq"),
+      QualityFilters.topWordRatioOf(col("w")).as("top"),
+      QualityFilters.dup2gramRatioOf(col("w")).as("dup2"),
+      QualityFilters.keepOf(col("w")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(r(1L).getDouble(1) == 2.0)       // (2+2+2+2)/4
+    assert(r(1L).getDouble(2) == 0.75)      // 3/4
+    assert(r(1L).getDouble(3) == 0.5)       // aa appears 2/4
+    assert(r(1L).getDouble(4) == 0.0)       // 3 distinct bigrams of 3
+    assert(r(2L).getDouble(1) == 0.0 && r(2L).getDouble(2) == 0.0 &&
+      r(2L).getDouble(3) == 0.0 && r(2L).getDouble(4) == 0.0)
+    assert(r(2L).getLong(5) == 0L)          // empty docs dropped (mwl < min)
+    assert(r(3L).getDouble(3) == 1.0)       // top word is everything
+    assert(r(3L).getDouble(4) == round2(1.0 - 1.0 / 3.0)) // "x x" ×3
+    assert(r(3L).getLong(5) == 0L)
+  }
+
+  private def round2(d: Double): Double = math.round(d * 1e6) / 1e6
+
+  test("decontaminate: overlap counts exactly the shared distinct 3-grams") {
+    val df = Seq(
+      (0L, "a b c d e"),          // eval doc: grams {a b c, b c d, c d e}
+      (1L, "a b c d x"),          // shares {a b c, b c d} → 2
+      (2L, "z z z z z"),          // shares nothing
+      (3L, "c d e f g")           // shares {c d e} → 1
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlap(df, "text", "doc_id",
+      evalPred = col("doc_id") === 0L, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("chunk dedup: first global occurrence kept, later duplicates dropped") {
+    // 2-token chunks; doc 1 = [a b][c d], doc 2 = [a b][e f], doc 3 = [c d]
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val got = ChunkDedup.stats(df, "text", "doc_id", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L)), 3L -> ((1L, 0L))))
+  }
+
+  test("chunk dedup: empty docs contribute zero chunks (no descending-sequence blowup)") {
+    val df = Seq((1L, ""), (2L, "a b c")).toDF("doc_id", "text")
+    val got = ChunkDedup.stats(df, "text", "doc_id", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L)) // empty doc has no chunk rows at all
+  }
+
+  test("redaction: masks every email and phone, counts match") {
+    val df = Seq((7L, "hi")).toDF("doc_id", "text")
+      .withColumn("t", Redaction.withSyntheticPii(col("text"), col("doc_id")))
+    val r = df.select(
+      col("t"),
+      Redaction.emailCount(col("t")).as("ne"),
+      Redaction.phoneCount(col("t")).as("np"),
+      Redaction.redact(col("t")).as("red")).head()
+    assert(r.getString(0) == "hi contact user7@example.com call +1-555-0007")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getString(3) == "hi contact [EMAIL] call [PHONE]")
+  }
+
+  test("splits: deterministic buckets, exhaustive and stable partition") {
+    val df = (0L until 200L).toDF("id")
+    val splits = df.select(Splits.splitOf(col("id"), 80, 10).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 200L)
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+    // Same ids → same buckets on re-evaluation (pure function of id).
+    val b1 = df.select(Splits.bucketOf(col("id"), 100).as("b")).collect().map(_.getLong(0))
+    val b2 = df.select(Splits.bucketOf(col("id"), 100).as("b")).collect().map(_.getLong(0))
+    assert(b1.sameElements(b2) && b1.forall(b => b >= 0 && b < 100))
+  }
+
+  test("splits: sampledPred keeps everything for strata without a rate") {
+    val df = Seq((1L, "en"), (2L, "xx"), (3L, "xx")).toDF("id", "lang")
+    val kept = df.filter(Splits.sampledPred(col("id"), col("lang"), Seq("en" -> 0)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L)) // en rate 0 drops all en; unknown strata kept
+  }
+
+  test("packing: offsets, window ids, and straddling spans are exact") {
+    // ctx=4, one group; docs of 3, 3, 2 tokens in id order:
+    //   doc 1: start 0 → pack 0, offset 0, spans 1 (tokens 0..2)
+    //   doc 2: start 3 → pack 0, offset 3, spans 2 (tokens 3..5 straddles)
+    //   doc 3: start 6 → pack 1, offset 2, spans 1 (tokens 6..7)
+    val df = Seq(
+      (1L, "g", "a b c"), (2L, "g", "d e f"), (3L, "g", "h i")
+    ).toDF("doc_id", "src", "text")
+    val got = Packing.assign(df, "text", "doc_id", "src", ctxLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L, 1L)),
+      2L -> ((0L, 3L, 2L)),
+      3L -> ((1L, 2L, 1L))))
+  }
+
+  test("idf: hand-computed mean-IDF over a 3-doc corpus") {
+    // N=3; df: a=3, b=1, c=1. doc1/doc2 avg = (ln 1 + ln 3)/2; doc3 = ln 1 = 0.
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a")).toDF("doc_id", "text")
+    val got = Idf.docScores(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val half3 = math.round(math.log(3.0) / 2.0 * 1e6) / 1e6
+    assert(got == Map(1L -> ((2L, half3)), 2L -> ((2L, half3)), 3L -> ((1L, 0.0))))
+  }
+
+  test("packing: groups pack independently; empty docs span 1 at their boundary") {
+    val df = Seq(
+      (1L, "g1", "a b c d"), (2L, "g1", ""), (3L, "g1", "e"),
+      (4L, "g2", "x y")
+    ).toDF("doc_id", "src", "text")
+    val got = Packing.assign(df, "text", "doc_id", "src", ctxLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(2L) == ((1L, 0L, 1L))) // empty doc at pack boundary, spans 1
+    assert(got(3L) == ((1L, 0L, 1L))) // starts where the empty doc sat
+    assert(got(4L) == ((0L, 0L, 1L))) // fresh group restarts at 0
+  }
+}
