@@ -47,6 +47,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"assignment introduced a non-rebalance exchange:\n$plan")
   }
 
+  test("narrow corpus filters stay narrow: no exchange beyond the small-input rebalance") {
+    for (q <- Seq("q_quality_gopher", "q_pii_redact")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+      assert(exchanges == rebalances,
+        s"$q grew a non-rebalance exchange — the filter is no longer a pure map:\n$plan")
+    }
+  }
+
+  test("decontaminate joins the corpus against BROADCAST eval grams (no shuffle join)") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-side shuffle or nested-loop join crept into decontaminate:\n$plan")
+  }
+
+  test("sequence packing shuffles once, on the group key") {
+    val plan = SparkEntry.queries("q_seq_pack")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one (group-key) exchange:\n$plan")
+    assert(plan.contains("Window"), s"packing lost its window cumulative sum:\n$plan")
+  }
+
   test("lsh bucket cap drops oversized buckets and publishes graft.lsh_bucket_drops") {
     import spark.implicits._
     @volatile var observed: Option[Row] = None
