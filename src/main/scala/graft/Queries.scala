@@ -655,7 +655,16 @@ object Queries {
     // SORTED left fold so the double sum is order-deterministic.
     Entry("q_idf_score",
       (s, d) => Idf.docScores(t(s, d, "documents"), "text", "doc_id"),
-      Some(Idf.duckDocScores("documents", "text", "doc_id")))
+      Some(Idf.duckDocScores("documents", "text", "doc_id"))),
+
+    // The composed CURATION pipeline end-to-end: Gopher filter →
+    // decontaminate → chunk-dedup gate → deterministic split →
+    // sequence packing. Oracle composes the stage oracles.
+    Entry("q_pipeline_curate",
+      (s, d) => Pipeline.curateCorpus(t(s, d, "documents"), "text", "doc_id",
+        evalPred = pmod(col("doc_id"), lit(97L)) === 0L),
+      Some(Pipeline.duckCurateCorpus("documents", "text", "doc_id",
+        evalPredSql = "doc_id % 97 = 0")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{QualityFilters, TextAnalysis}
 
 /** The composed training-data preparation pipeline — the end-to-end flow a
   * user would actually run over a raw 100 TB document corpus:
@@ -49,6 +49,68 @@ object Pipeline {
     Dedup.resolvePairs(exact, pairs, idCol)
       .select(col(idCol), col("lang_pred"), col("quality"), col("n_tokens"))
   }
+
+  /** The round-3 composed CURATION pipeline — the filter/scrub/split/pack
+    * stages around dedup, composed end-to-end:
+    *
+    *   1. Gopher quality filter ([[QualityFilters.keepOf]], narrow) and
+    *      eval-set exclusion;
+    *   2. benchmark decontamination ([[Decontaminate.overlap]] anti-join
+    *      — eval grams broadcast, corpus side narrow);
+    *   3. sub-document chunk-dedup gate ([[ChunkDedup.stats]]: drop docs
+    *      whose kept-chunk ratio falls below `minKeptRatio`);
+    *   4. deterministic train/val/test split ([[Splits.splitOf]], pure
+    *      function of the id);
+    *   5. sequence packing per split ([[Packing.assign]]).
+    *
+    * Output manifest: (idCol, split, n_tokens, pack_id, pack_offset,
+    * n_spans) — what a training loader consumes. Every stage is gated
+    * on its own elsewhere; the DuckDB twin composes the same stage
+    * oracles, so the whole flow is hash-checked end-to-end.
+    */
+  def curateCorpus(docs: DataFrame, textCol: String, idCol: String,
+                   evalPred: Column, nGram: Int = 3, chunkTokens: Int = 8,
+                   minKeptRatio: Double = 0.9, ctxLen: Int = 512,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val kept = Dedup.rebalance(docs)
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .filter(QualityFilters.keepOf(col("_w")) === 1L && !evalPred)
+      .drop("_w")
+    val contaminated = Decontaminate
+      .overlap(docs, textCol, idCol, evalPred, nGram)
+      .select(col(idCol))
+    val clean = kept.join(contaminated, Seq(idCol), "left_anti")
+    val lowDup = ChunkDedup.stats(clean, textCol, idCol, chunkTokens)
+      .filter(col("kept_ratio") >= minKeptRatio)
+      .select(col(idCol))
+    val survivors = clean.join(lowDup, Seq(idCol))
+    Packing.assign(
+      survivors.withColumn("split", Splits.splitOf(col(idCol), trainPct, valPct)),
+      textCol, idCol, "split", ctxLen)
+  }
+
+  /** DuckDB oracle for [[curateCorpus]]: the stage oracles composed as
+    * derived tables (each `duck*` builder is a self-contained
+    * `WITH … SELECT`, legal in a parenthesized subquery).
+    */
+  def duckCurateCorpus(tbl: String, textCol: String, idCol: String,
+                       evalPredSql: String, nGram: Int = 3,
+                       chunkTokens: Int = 8, minKeptRatio: Double = 0.9,
+                       ctxLen: Int = 512, trainPct: Int = 80,
+                       valPct: Int = 10): String =
+    s"""WITH kept AS (
+       |  SELECT $idCol, $textCol
+       |  FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl) d
+       |  WHERE ${QualityFilters.duckKeep} = 1 AND NOT ($evalPredSql)),
+       |clean AS (
+       |  SELECT * FROM kept WHERE $idCol NOT IN (
+       |    SELECT $idCol FROM (${Decontaminate.duckOverlap(tbl, textCol, idCol, evalPredSql, nGram)}) o)),
+       |surv AS (
+       |  SELECT clean.* FROM clean
+       |  JOIN (SELECT $idCol FROM (${ChunkDedup.duckStats("clean", textCol, idCol, chunkTokens)}) c
+       |        WHERE kept_ratio >= $minKeptRatio) lowdup USING ($idCol)),
+       |sp AS (SELECT *, ${Splits.duckSplit(idCol, trainPct, valPct)} AS split FROM surv)
+       |SELECT * FROM (${Packing.duckAssign("sp", textCol, idCol, "split", ctxLen)}) packed""".stripMargin
 
   /** DuckDB oracle for [[prepCorpus]]: stages 1–3 mirrored directly, the
     * LSH pair search replaced by the exact pairwise ground truth

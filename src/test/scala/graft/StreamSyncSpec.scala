@@ -155,4 +155,30 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
       assert(back.count() == 2)
     } finally q.stop()
   }
+
+  test("corpus quality filters compose unchanged into a streaming pipeline") {
+    // The curation columns are pure (stateless) Column functions, so the
+    // SAME expressions run in a readStream plan with no modification —
+    // streaming ingest can score/filter documents before they land.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{QualityFilters, TextAnalysis}
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("_w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        QualityFilters.uniqWordRatioOf(col("_w")).as("uniq"),
+        QualityFilters.keepOf(col("_w")).as("keep"))
+    val q = docs.writeStream.format("memory").queryName("qf")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "spam spam spam spam"))
+      q.processAllAvailable()
+      val rows = spark.table("qf").select("doc_id", "keep")
+        .as[(Long, Long)].collect().toMap
+      assert(rows == Map(1L -> 1L, 2L -> 0L))
+    } finally q.stop()
+  }
 }
