@@ -43,9 +43,20 @@ object Dedup {
 
   /** Word n-gram shingle set (distinct). Documents shorter than n words
     * fall back to a single whole-text shingle so they can still match
-    * exact twins.
+    * exact twins. Native codegen expression
+    * ([[org.apache.spark.sql.graft.Shingles]]): shingling is the fixed
+    * per-row cost of every text-dedup operator, and the HOF chain it
+    * replaces is CodegenFallback. [[shinglesHof]] is the built-in-only
+    * reference (the NativeExprSpec parity gate).
     */
-  def shingles(c: Column, n: Int): Column = {
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Shingles(c, n)
+
+  /** Built-in-only formulation of [[shingles]] (split → windowed
+    * concat_ws → array_distinct) — kept as the executable spec the
+    * native expression is parity-tested against.
+    */
+  def shinglesHof(c: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(c)
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),

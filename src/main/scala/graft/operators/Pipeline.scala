@@ -43,7 +43,15 @@ object Pipeline {
       .withColumn("n_tokens", TextAnalysis.tokenCountOf(col("_w")))
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
       .drop("_w")
-    val exact = Dedup.exact(scored, textCol, idCol)
+    // Materialize the filtered+exact-deduped corpus BEFORE the LSH
+    // pass: minhashLshPairs reads its input three times (signature
+    // branch + both sides of the exact-Jaccard verification join), and
+    // resolvePairs reads it again — without the barrier the scoring
+    // projection and the dedup exchange re-execute per consumer
+    // (measured: the pair stage alone was 3× its standalone cost). At
+    // cluster scale this is the standard persist()/checkpoint() of the
+    // curated corpus before near-dup detection.
+    val exact = Dedup.exact(scored, textCol, idCol).localCheckpoint()
     val pairs = Dedup.minhashLshPairs(exact, textCol, idCol,
       n, bands, rowsPerBand, threshold)
     Dedup.resolvePairs(exact, pairs, idCol)
@@ -72,17 +80,36 @@ object Pipeline {
                    evalPred: Column, nGram: Int = 3, chunkTokens: Int = 8,
                    minKeptRatio: Double = 0.9, ctxLen: Int = 512,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val kept = Dedup.rebalance(docs)
+    // Gate lists are tiny (doc ids) but sit on top of expensive
+    // subtrees, so each is eagerly materialized ONCE (localCheckpoint;
+    // at cluster scale: checkpoint() to reliable storage) and the
+    // corpus joins against the materialized list. Two reasons:
+    //   1. `clean` has several downstream consumers — without the
+    //      barrier every consumer re-runs decontamination's explode
+    //      +join and the quality filter;
+    //   2. filtering directly on keepOf(...) lets PushDownPredicate
+    //      substitute the token-split into EVERY stat reference inside
+    //      the predicate (~10 re-splits per row, interpreted HOFs —
+    //      measured 3× the whole pipeline). Projecting the verdict
+    //      first and filtering AFTER the checkpoint barrier keeps the
+    //      split bound once.
+    val keptIds = Dedup.rebalance(docs)
       .withColumn("_w", TextAnalysis.tokens(col(textCol)))
-      .filter(QualityFilters.keepOf(col("_w")) === 1L && !evalPred)
-      .drop("_w")
+      .select(col(idCol), QualityFilters.keepOf(col("_w")).as("_keep"),
+        evalPred.as("_ev"))
+      .localCheckpoint()
+      .filter(col("_keep") === 1L && !col("_ev"))
+      .select(col(idCol))
     val contaminated = Decontaminate
       .overlap(docs, textCol, idCol, evalPred, nGram)
       .select(col(idCol))
-    val clean = kept.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val clean = docs.join(keptIds, Seq(idCol), "left_semi")
+      .join(contaminated, Seq(idCol), "left_anti")
     val lowDup = ChunkDedup.stats(clean, textCol, idCol, chunkTokens)
       .filter(col("kept_ratio") >= minKeptRatio)
       .select(col(idCol))
+      .localCheckpoint()
     val survivors = clean.join(lowDup, Seq(idCol))
     Packing.assign(
       survivors.withColumn("split", Splits.splitOf(col(idCol), trainPct, valPct)),

@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head, intLit(children(1), "k"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getCanonicalName, "graft_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_shingles(text, n) takes exactly 2 arguments")
+        Shingles(children.head, intLit(children(1), "n"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sign_lsh_keys"),
       new ExpressionInfo(classOf[SignLshKeys].getCanonicalName, "graft_sign_lsh_keys"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

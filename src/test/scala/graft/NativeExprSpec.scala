@@ -72,6 +72,37 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(empty == Seq.fill(k)(Long.MaxValue))
   }
 
+  test("Shingles native == HOF formulation on the documents fixture") {
+    val docs = Tables.load(spark, sf, "documents")
+    for (n <- Seq(1, 3, 5)) {
+      val diff = docs.select(
+        Dedup.shingles(col("text"), n).as("native"),
+        Dedup.shinglesHof(col("text"), n).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0L, s"n=$n shingle mismatch")
+    }
+  }
+
+  test("Shingles native == HOF on whitespace edge cases") {
+    import spark.implicits._
+    val rows = Seq(
+      "",                   // empty → [""] whole-text shingle
+      "   ",                // spaces only → same degenerate [""]
+      "one",                // fewer than n tokens → whole-text shingle
+      "one two",            // exactly n-1
+      "a b a b a b",        // duplicate grams → first-occurrence distinct
+      " padded   tokens\tand more ", // multi-space + tab separators
+      "a b c d").toDF("text")
+    val diff = rows.select(
+      Dedup.shingles(col("text"), 3).as("native"),
+      Dedup.shinglesHof(col("text"), 3).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+    val empty = rows.filter(length(trim(col("text"))) === 0)
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(empty.forall(_ == Seq("")))
+  }
+
   test("SimHash64 handles empty token arrays") {
     import spark.implicits._
     val sig = Seq("").toDF("text").select(Dedup.simhash(col("text")))
