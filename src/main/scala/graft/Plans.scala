@@ -13,7 +13,8 @@ object Plans {
       "q_funnel", "q_dedup_embedding_lsh", "q_dedup_simhash", "q_ann_ivf", "q_sessionize",
       "q_pipeline_prep", "q_emb_quantize", "q_asof_join", "q_range_join",
       "q_quality_gopher", "q_decontaminate", "q_chunk_dedup", "q_pii_redact",
-      "q_split_assign", "q_stratified_sample", "q_seq_pack", "q_idf_score")
+      "q_split_assign", "q_stratified_sample", "q_seq_pack", "q_idf_score",
+      "q_pipeline_curate", "q_ann_ivf_kmeans")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")

@@ -269,7 +269,12 @@ object Dedup {
       .withColumn("_skey", xxhash64(col("_sig")))
     // Pin `_sig` (see withSigGroups): a signature always has k slots,
     // so the predicate is constant-true but survives the optimizer.
-    val members = withSigGroups(sig, col("_skey"), pin = size(col("_sig")) >= 0)
+    // `coalesce(..., true)` keeps it constant-true even for null text
+    // (null shingles → null signature → `size(null)` is null, which a
+    // bare `>= 0` pin would silently filter out); null-signature rows
+    // group under xxhash64(null) like any other signature.
+    val members = withSigGroups(sig, col("_skey"),
+      pin = coalesce(size(col("_sig")) >= 0, lit(true)))
     val within = withinGroupPairs(members, "_skey")
     // Band only one representative per distinct signature.
     val reps = members.filter(col("id") === col("_rep"))

@@ -106,6 +106,11 @@ object Pipeline {
       .localCheckpoint()
     val clean = docs.join(keptIds, Seq(idCol), "left_semi")
       .join(contaminated, Seq(idCol), "left_anti")
+    // NOTE: documents whose text yields zero chunks (empty/whitespace
+    // text) have no ChunkDedup.stats row, so the inner join below drops
+    // them — the chunk-dedup gate excludes empty docs by construction
+    // (the oracle mirrors this; Packing's empty-doc spans-1 convention
+    // applies only to docs that reach the packing stage).
     val lowDup = ChunkDedup.stats(clean, textCol, idCol, chunkTokens)
       .filter(col("kept_ratio") >= minKeptRatio)
       .select(col(idCol))

@@ -116,16 +116,22 @@ object Similarity {
   def kmeansCells(df: DataFrame, vecCol: String, idCol: String,
                   k: Int, iters: Int): DataFrame = {
     val vecs = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
-    // (cell, centroid) rows → ascending-cell literal list; strict `>`
-    // replacement in the fold keeps the LOWEST cell on score ties,
-    // mirroring the oracle's ORDER BY score DESC, cell ASC.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (cell, centroid) rows → ascending-cell literal list. `array_max`
+    // compares the structs lexicographically (score first, then -cell),
+    // so the winner has the highest score and, on score ties, the
+    // LOWEST cell — mirroring the oracle's ORDER BY score DESC, cell
+    // ASC. The expression is linear in k; a when/otherwise fold here
+    // duplicates the accumulated CASE twice per step (condition + else
+    // branch), i.e. a 2^k expression tree that stalls analysis/codegen.
     def assign(cents: Array[(Long, Seq[Double])]): DataFrame = {
+      require(cents.nonEmpty,
+        s"kmeansCells: no centroids (need rows with $idCol < $k)")
       val scored = cents.sortBy(_._1).map { case (cell, c) =>
-        struct(dot(col("_v"), typedlit(c)).as("score"), lit(cell).as("cell"))
+        struct(dot(col("_v"), typedlit(c)).as("score"), lit(-cell).as("negcell"))
       }
-      val best = scored.reduce((a, b) =>
-        when(b.getField("score") > a.getField("score"), b).otherwise(a))
-      vecs.select(col("id"), col("_v"), best.getField("cell").as("cell"))
+      val best = array_max(array(scored: _*))
+      vecs.select(col("id"), col("_v"), (-best.getField("negcell")).as("cell"))
     }
     def collectCents(centroids: DataFrame): Array[(Long, Seq[Double])] =
       centroids.collect().map(r =>
@@ -136,7 +142,12 @@ object Similarity {
     var assigned = assign(collectCents(init))
     for (_ <- 1 until iters)
       assigned = assign(collectCents(centroidsOf(assigned, "_v", "cell")))
-    assigned.select(col("id").as(idCol), col("cell"))
+    val out = assigned.select(col("id").as(idCol), col("cell"))
+    // Drop the iteration cache: the final assignment is one narrow pass
+    // over the source, and leaving blocks pinned across unrelated
+    // queries is the round-2 warm-bench leak all over again.
+    vecs.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB oracle twin of [[kmeansCells]] as a parenthesized relation:

@@ -87,7 +87,10 @@ object Splits {
   def duckSampledPred(idCol: String, stratumCol: String,
                       rates: Seq[(String, Int)]): String =
     rates.foldRight("TRUE") { case ((s, pct), els) =>
-      s"CASE WHEN $stratumCol = '$s' THEN ${duckBucket(idCol, 100)} < $pct ELSE $els END"
+      // SQL-escape the stratum literal (' -> '') so a quote in a
+      // stratum value can't break the rendered oracle query.
+      val lit = s.replace("'", "''")
+      s"CASE WHEN $stratumCol = '$lit' THEN ${duckBucket(idCol, 100)} < $pct ELSE $els END"
     }
 
   def duckSampleAudit(tbl: String, idCol: String, stratumCol: String,
