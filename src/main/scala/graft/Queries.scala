@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Pipeline, RangeJoin, Retention, Sessionize, Similarity, Splits, Sync, SyncMode}
+import graft.operators.{AsofJoin, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, Splits, Sync, SyncMode, TfidfSim}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -664,7 +664,42 @@ object Queries {
       (s, d) => Pipeline.curateCorpus(t(s, d, "documents"), "text", "doc_id",
         evalPred = pmod(col("doc_id"), lit(97L)) === 0L),
       Some(Pipeline.duckCurateCorpus("documents", "text", "doc_id",
-        evalPredSql = "doc_id % 97 = 0")))
+        evalPredSql = "doc_id % 97 = 0"))),
+
+    // HyperLogLog distinct-user sketch per event type next to the exact
+    // answer — fixed-size registers, map-side-combinable max(rho), no
+    // raw-key countDistinct shuffle. Both estimator branches exercised.
+    Entry("q_hll_distinct",
+      (s, d) => Sketches.hllDistinct(t(s, d, "events"), "user_id", "event_type"),
+      Some(Sketches.duckHllDistinct(EvOracle, "user_id", "event_type"))),
+
+    // Count-min heavy hitters over document tokens: 3×256-cell sketch
+    // built in one map-side-combined agg; top-20 exact tokens get their
+    // (always ≥ exact) CMS point estimate via a broadcast cell lookup.
+    Entry("q_cms_topk",
+      (s, d) => Sketches.cmsHeavyHitters(t(s, d, "documents"), "text", k = 20),
+      Some(Sketches.duckCmsHeavyHitters("documents", "text", k = 20))),
+
+    // TF-IDF cosine document pairs over an inverted-index join with
+    // df-pruned vocabulary (sparse-vector complement to embedding LSH).
+    Entry("q_tfidf_pairs",
+      (s, d) => TfidfSim.pairs(t(s, d, "documents"), "text", "doc_id",
+        minCos = 0.25),
+      Some(TfidfSim.duckPairs("documents", "text", "doc_id", minCos = 0.25))),
+
+    // Trailing 7-day rolling counts per event type: one event-sized
+    // exchange (the daily agg); the RANGE window runs over calendar-
+    // bounded rows.
+    Entry("q_rolling_daily",
+      (s, d) => Rolling.dailyCounts(t(s, d, "events"), "ts", "event_type"),
+      Some(Rolling.duckDailyCounts(EvOracle, "ts", "event_type"))),
+
+    // Perceptual (average) hash over the opaque media payload — the
+    // image-dedup feature extractor on the decodeBatch plumbing.
+    Entry("q_mm_phash",
+      (s, d) => Multimodal.perceptualHash(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id"),
+      Some(Multimodal.duckPerceptualHash("documents", "text", "doc_id")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

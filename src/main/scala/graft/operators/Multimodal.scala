@@ -130,6 +130,70 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Bits in the perceptual hash (aHash): sampled byte positions. */
+  val PhashBits = 32
+
+  /** Perceptual hash (average-hash) over the payload bytes: sample
+    * [[PhashBits]] positions (cycling for short payloads), set bit i
+    * when byte_i is above the sample mean. For a decoded image raster
+    * this is the classic aHash ("pixel brighter than the mean"); here
+    * it runs on the same opaque-payload plumbing as [[decodeBatch]] —
+    * swap the byte source for a thumbnail raster in a real codec
+    * pipeline. Near-identical payloads land on hamming-near hashes, so
+    * downstream near-dup machinery ([[Dedup.simhashPairs]]'s pigeonhole
+    * bucketing) applies to media exactly as it does to text.
+    *
+    * The mean compare stays integral (`byte·bits > Σbytes` instead of
+    * `byte > Σ/bits`), so both engines compute identical bits.
+    * Output: (idCol, phash); empty payload → 0.
+    */
+  def perceptualHash(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val src = df.select(col(idCol).cast("long"), col("payload"))
+    src.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val n = bytes.length
+        val ph =
+          if (n == 0) 0L
+          else {
+            var s = 0L
+            var j = 0
+            while (j < PhashBits) { s += bytes(j % n) & 0xFF; j += 1 }
+            var acc = 0L
+            var i = 0
+            while (i < PhashBits) {
+              if ((bytes(i % n) & 0xFF).toLong * PhashBits > s) acc |= 1L << i
+              i += 1
+            }
+            acc
+          }
+        Row(r.getLong(0), ph)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** DuckDB oracle for [[perceptualHash]] over ASCII text (byte value =
+    * char code, mirroring [[attachBinary]]'s UTF-8 payload).
+    */
+  def duckPerceptualHash(tbl: String, textCol: String, idCol: String): String =
+    s"""WITH b AS (SELECT CAST($idCol AS BIGINT) AS $idCol, $textCol AS t,
+       |                  length($textCol) AS n FROM $tbl),
+       |s AS (SELECT $idCol,
+       |             CAST(sum(ascii(substr(t, CAST(j % n AS INT) + 1, 1))) AS BIGINT) AS s32
+       |      FROM b, range(0, $PhashBits) r(j) WHERE n > 0 GROUP BY $idCol),
+       |ph AS (SELECT b.$idCol,
+       |              CAST(sum(CASE WHEN CAST(ascii(substr(t, CAST(i % n AS INT) + 1, 1)) AS BIGINT)
+       |                                 * $PhashBits > s32
+       |                            THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS phash
+       |       FROM b JOIN s USING ($idCol), range(0, $PhashBits) r(i)
+       |       GROUP BY b.$idCol)
+       |SELECT $idCol, phash FROM ph
+       |UNION ALL
+       |SELECT $idCol, CAST(0 AS BIGINT) AS phash FROM b WHERE n = 0""".stripMargin
+
   /** DuckDB oracle for [[frameSample]] over ASCII text. */
   def duckFrameSample(tbl: String, textCol: String, idCol: String, step: Int): String =
     s"""SELECT CAST($idCol AS BIGINT) AS $idCol,

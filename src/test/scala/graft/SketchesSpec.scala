@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Rolling, Sketches, TfidfSim}
+
+/** Sketch / similarity / rolling-window operator semantics. Oracle
+  * hash-parity is gated by tools/check_oracle.py; these specs pin the
+  * mathematical properties the sketches must satisfy regardless of
+  * engine.
+  */
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("HLL estimate is within the m=64 error envelope and exact-aware") {
+    import spark.implicits._
+    // 3 groups of very different cardinality: the small one must take
+    // the linear-counting branch, the big one the raw-estimate branch.
+    val rows = (1 to 2000).map(i => ("big", i.toLong)) ++
+      (1 to 40).map(i => ("mid", i.toLong)) ++
+      Seq(("tiny", 1L), ("tiny", 1L), ("tiny", 2L))
+    val df = rows.toDF("grp", "v")
+    val out = Sketches.hllDistinct(df, "v", "grp")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("tiny")._1 == 2L)
+    // HLL with m=64 has ~13% standard error; allow 3 sigma.
+    out.foreach { case (g, (exact, est)) =>
+      assert(math.abs(est - exact) <= math.max(2.0, 0.40 * exact),
+        s"group $g: estimate $est too far from exact $exact")
+    }
+  }
+
+  test("HLL registers are merge-order independent (dyadic-exact sum)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val a = Sketches.hllDistinct(df, "v", "grp").as[(String, Long, Double)].head()
+    val b = Sketches.hllDistinct(df.repartition(13), "v", "grp")
+      .as[(String, Long, Double)].head()
+    assert(a == b)
+  }
+
+  test("count-min estimate is >= exact for every reported heavy hitter") {
+    import spark.implicits._
+    val docs = (1 to 100)
+      .map(i => (i.toLong, s"alpha beta w$i ${if (i % 2 == 0) "gamma" else "delta"}"))
+      .toDF("doc_id", "text")
+    val out = Sketches.cmsHeavyHitters(docs, "text", k = 5)
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 5)
+    out.foreach { case (term, exact, est) =>
+      assert(est >= exact, s"$term: cms $est < exact $exact")
+    }
+    val byTerm = out.map(r => r._1 -> r._2).toMap
+    assert(byTerm("alpha") == 100L && byTerm("gamma") == 50L)
+  }
+
+  test("tfidf pairs: identical docs hit cosine 1, disjoint docs absent") {
+    import spark.implicits._
+    // Filler docs keep the corpus above the df-cap floor (a term with
+    // df=2 survives pruning only when df·5 ≤ n_docs, i.e. n ≥ 10).
+    val docs = (Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "apple banana cherry apple"),
+      (3L, "dog elephant fox goose"),
+      (4L, "dog elephant fox goose"),
+      (5L, "zebra yak xylophone walrus")) ++
+      (6L to 15L).map(i => (i, s"unique$i words$i only$i"))).toDF("doc_id", "text")
+    val out = TfidfSim.pairs(docs, "text", "doc_id", minCos = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == Set((1L, 2L), (3L, 4L)))
+    out.values.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("rolling 7-day window sums trailing days within type, gap-aware") {
+    import spark.implicits._
+    val ts = (day: Int, k: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 0$k:00:00")
+    // type a: days 1,2,3 with 1,2,3 events; day 15 after a gap.
+    val rows =
+      (Seq(ts(1, 1)) ++ Seq(ts(2, 1), ts(2, 2)) ++
+        Seq(ts(3, 1), ts(3, 2), ts(3, 3)) ++ Seq(ts(15, 1))).map(("a", _)) ++
+        Seq(("b", ts(2, 5)))
+    val out = Rolling.dailyCounts(rows.toDF("event_type", "ts"), "ts", "event_type")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out(("a", "2024-01-03")) == ((3L, 6L, 2.0)))   // 1+2+3 over 3 days
+    assert(out(("a", "2024-01-15")) == ((1L, 1L, 1.0)))   // gap: window empty behind
+    assert(out(("b", "2024-01-02")) == ((1L, 1L, 1.0)))   // types isolated
+  }
+
+  test("perceptual hash: deterministic, above-mean bits, empty payload -> 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  // uniform -> no bit above mean
+      (2L, ""),                                   // empty -> 0
+      (3L, "abababababababababababababababab"),  // 'b' positions above mean
+      (4L, "abababababababababababababababab")).toDF("doc_id", "text")
+    val out = Multimodal.perceptualHash(
+        Multimodal.attachBinary(docs, "text"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 0L)
+    assert(out(3L) == out(4L) && out(3L) != 0L)
+    // 'b' (98) at odd positions is above the 97.5 mean: bits 1,3,5,…
+    val expected = (1 until Multimodal.PhashBits by 2)
+      .foldLeft(0L)((acc, i) => acc | (1L << i))
+    assert(out(3L) == expected)
+  }
+}
