@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, Splits, Sync, SyncMode, TfidfSim}
+import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -699,7 +699,41 @@ object Queries {
     Entry("q_mm_phash",
       (s, d) => Multimodal.perceptualHash(
         Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id"),
-      Some(Multimodal.duckPerceptualHash("documents", "text", "doc_id")))
+      Some(Multimodal.duckPerceptualHash("documents", "text", "doc_id"))),
+
+    // Bloom-filter semi-join pruning: 512-byte bitset over the filtered
+    // customer keys prunes the orders scan with a narrow bit-test — no
+    // exchange before pruning; audit row counts candidates vs members.
+    Entry("q_bloom_prune",
+      (s, d) => BloomPrune.pruneAudit(
+        t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey"),
+      Some(BloomPrune.duckPruneAudit(
+        "orders", "o_custkey",
+        "(SELECT * FROM customer WHERE c_mktsegment = 'BUILDING')",
+        "c_custkey"))),
+
+    // Salted skew join: lineitem ⋈ part on l_partkey spread over 8
+    // salts under a shuffle_hash hint; the oracle is the UNSALTED join
+    // — salting must be invisible in the result.
+    Entry("q_skew_join",
+      (s, d) => SkewJoin.salted(
+          t(s, d, "lineitem"),
+          t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          key = "l_partkey", saltSrcCol = "l_orderkey", nSalt = 8)
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT p_brand,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                     count(*) AS n_items
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
