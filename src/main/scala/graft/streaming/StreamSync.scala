@@ -128,6 +128,32 @@ object StreamSync {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream interval join: enrich a fact stream with the most
+    * recent dim-stream rows whose event time falls within
+    * `joinWindow` BEFORE the fact (inclusive) — the canonical
+    * watermarked stream-stream join (late enrichment, clickstream ⋈
+    * impression attribution, CDC ⋈ CDC).
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so each side's buffered state is evicted
+    * once the watermark passes `joinWindow + watermarkDelay` — bounded
+    * by rate × horizon, never by stream history. Dim columns arrive
+    * prefixed `dim_` to keep the output schema collision-free.
+    */
+  def streamingIntervalJoin(facts: DataFrame, factTsCol: String,
+                            dims: DataFrame, dimTsCol: String,
+                            keyCol: String, watermarkDelay: String,
+                            joinWindow: String): DataFrame = {
+    val f = facts.withWatermark(factTsCol, watermarkDelay)
+    val d = dims
+      .select(dims.columns.map(c => col(c).as(s"dim_$c")): _*)
+      .withWatermark(s"dim_$dimTsCol", watermarkDelay)
+    f.join(d,
+      col(keyCol) === col(s"dim_$keyCol") &&
+        col(s"dim_$dimTsCol") >= col(factTsCol) - expr(s"INTERVAL $joinWindow") &&
+        col(s"dim_$dimTsCol") <= col(factTsCol))
+  }
+
   /** Start a parquet sink with a checkpoint — the streaming version of
     * [[graft.sinks.FileSink]]. Returns the running query (stop it or
     * `awaitTermination` on the caller side).

@@ -181,4 +181,31 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
       assert(rows == Map(1L -> 1L, 2L -> 0L))
     } finally q.stop()
   }
+
+  test("streamingIntervalJoin enriches facts with in-window dims only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val factIn = MemoryStream[(Long, Timestamp, String)]
+    val dimIn = MemoryStream[(Long, Timestamp, String)]
+    val facts = factIn.toDF().toDF("user_id", "ts", "action")
+    val dims = dimIn.toDF().toDF("user_id", "ts", "segment")
+    val q = StreamSync.streamingIntervalJoin(
+        facts, "ts", dims, "ts", "user_id",
+        watermarkDelay = "10 seconds", joinWindow = "'5' MINUTE")
+      .select(col("user_id"), col("action"), col("dim_segment"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      dimIn.addData(
+        (1L, ts("2024-01-01 00:00:00"), "gold"),     // 2 min before fact → joins
+        (1L, ts("2023-12-31 23:00:00"), "stale"),    // 1 h before → outside window
+        (2L, ts("2024-01-01 00:03:00"), "late"))     // AFTER the fact → excluded
+      factIn.addData(
+        (1L, ts("2024-01-01 00:02:00"), "click"),
+        (2L, ts("2024-01-01 00:02:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .as[(Long, String, String)].collect().toSet
+      assert(rows == Set((1L, "click", "gold")))
+    } finally q.stop()
+  }
 }
