@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
+import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -733,7 +733,21 @@ object Queries {
                               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
                      count(*) AS n_items
               FROM lineitem JOIN part ON l_partkey = p_partkey
-              GROUP BY p_brand"""))
+              GROUP BY p_brand""")),
+
+    // CCNet-style bigram-LM perplexity scoring: count-based LM with
+    // add-one smoothing, per-doc mean negative log-prob via a sorted
+    // fold. The LM count tables are vocabulary-sized hash aggregates.
+    Entry("q_perplexity",
+      (s, d) => Perplexity.docScores(t(s, d, "documents"), "text", "doc_id"),
+      Some(Perplexity.duckDocScores("documents", "text", "doc_id"))),
+
+    // Temperature (α=0.5) mixture weights per source: sqrt-proportional
+    // sampling weights, normalized by a sorted fold over the tiny
+    // per-source aggregate.
+    Entry("q_mixture_weights",
+      (s, d) => Splits.mixtureWeights(t(s, d, "documents"), "text", "source"),
+      Some(Splits.duckMixtureWeights("documents", "text", "source")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -67,6 +67,44 @@ object Splits {
         sum(sampledPred(col(idCol), col(stratumCol), rates).cast("long"))
           .as("n_sampled"))
 
+  /** Temperature-based mixture weights over sources: each source's
+    * sampling weight ∝ (token count)^(1/2) — the standard "temperature
+    * sampling" that upweights small sources relative to proportional
+    * sampling (α = 0.5 here because `sqrt` is IEEE-correctly-rounded
+    * in every engine; a general `pow` is not, and α=0.5 is the common
+    * default in multilingual-mixture recipes anyway).
+    *
+    * Scale shape: one map-side-combined token-count aggregate to
+    * source cardinality (tiny), then the normalizing denominator is a
+    * SORTED fold over the collected per-source sqrt terms — source
+    * cardinality is dozens, so the single-row fold is metadata work;
+    * the weights join back via broadcast.
+    * Output: (srcCol, n_tokens, weight).
+    */
+  def mixtureWeights(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val perSrc = docs.groupBy(col(srcCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+    val denom = perSrc
+      .agg(sort_array(collect_list(struct(col(srcCol), col("n_tokens")))).as("_t"))
+      .select(aggregate(col("_t"), lit(0.0),
+        (acc, t) => acc + sqrt(t.getField("n_tokens").cast("double"))).as("_denom"))
+    perSrc.crossJoin(broadcast(denom))
+      .select(col(srcCol), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) / col("_denom"), 6).as("weight"))
+  }
+
+  /** DuckDB oracle twin of [[mixtureWeights]] — same sorted fold. */
+  def duckMixtureWeights(tbl: String, textCol: String, srcCol: String): String =
+    s"""WITH d AS (SELECT $srcCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+       |per AS (SELECT $srcCol, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+       |        FROM d GROUP BY 1),
+       |dn AS (SELECT list_reduce(
+       |         list_prepend(0.0, list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY $srcCol, n_tokens)),
+       |         (acc, x) -> acc + x) AS denom FROM per)
+       |SELECT $srcCol, n_tokens,
+       |       round(sqrt(CAST(n_tokens AS DOUBLE)) / denom, 6) AS weight
+       |FROM per, dn""".stripMargin
+
   // --------------------------------------------------- DuckDB oracle SQL
 
   /** Bucket twin: the Rabin–Karp fold over the id's decimal string. */

@@ -88,6 +88,34 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("b", "2024-01-02")) == ((1L, 1L, 1.0)))   // types isolated
   }
 
+  test("perplexity: repeated fluent bigrams score lower nll than rare ones") {
+    import spark.implicits._
+    // "good morning" appears in 9 docs -> high bigram count -> low nll;
+    // doc 10's bigrams are unique -> smoothed floor probability.
+    val docs = ((1L to 9L).map(i => (i, "good morning everyone")) :+
+      (10L, "zxq qqv wvx")).toDF("doc_id", "text")
+    val out = graft.operators.Perplexity.docScores(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.size == 10)
+    assert(out(1L) < out(10L),
+      s"fluent doc nll ${out(1L)} should undercut gibberish ${out(10L)}")
+  }
+
+  test("mixture weights: sum to ~1 and temperature upweights small sources") {
+    import spark.implicits._
+    val docs = ((1L to 90L).map(i => (i, "w " * 100, "big")) ++
+      (91L to 100L).map(i => (i, "w " * 100, "small")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Splits.mixtureWeights(docs, "text", "source")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6)
+    val (nBig, wBig) = out("big"); val (nSmall, wSmall) = out("small")
+    // proportional share would be 10%; sqrt-temperature gives 25%.
+    assert(nBig == 9L * nSmall)
+    assert(wSmall > nSmall.toDouble / (nBig + nSmall))
+    assert(math.abs(wSmall - 0.25) < 1e-6)
+  }
+
   test("perceptual hash: deterministic, above-mean bits, empty payload -> 0") {
     import spark.implicits._
     val docs = Seq(
