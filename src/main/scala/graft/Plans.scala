@@ -16,7 +16,8 @@ object Plans {
       "q_split_assign", "q_stratified_sample", "q_seq_pack", "q_idf_score",
       "q_pipeline_curate", "q_ann_ivf_kmeans",
       "q_hll_distinct", "q_cms_topk", "q_tfidf_pairs", "q_rolling_daily", "q_mm_phash",
-      "q_bloom_prune", "q_skew_join", "q_perplexity", "q_mixture_weights")
+      "q_bloom_prune", "q_skew_join", "q_perplexity", "q_mixture_weights",
+      "q_len_quantiles")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")

@@ -747,7 +747,24 @@ object Queries {
     // per-source aggregate.
     Entry("q_mixture_weights",
       (s, d) => Splits.mixtureWeights(t(s, d, "documents"), "text", "source"),
-      Some(Splits.duckMixtureWeights("documents", "text", "source")))
+      Some(Splits.duckMixtureWeights("documents", "text", "source"))),
+
+    // EXACT per-language length quantiles (linear interpolation — the
+    // corpus-profiling stat sheet). Exact `percentile` sorts within
+    // each group; fine at lang cardinality. Both engines interpolate
+    // lower + frac·(higher − lower); round(6) seals the last ulp.
+    Entry("q_len_quantiles",
+      (s, d) => t(s, d, "documents").groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(n_chars, 0.99D)"), 6).as("p99")),
+      Some("""SELECT lang, count(*) AS n_docs,
+                     round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                     round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                     round(quantile_cont(n_chars, 0.99), 6) AS p99
+              FROM documents GROUP BY lang"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -100,4 +100,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  test("bloom probe filter is narrow: no exchange between scan and bit-test") {
+    val orders = Tables.load(spark, sf, "orders")
+    val build = Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val bits = graft.operators.BloomPrune.buildBits(build, "c_custkey")
+    val probe = orders.filter(
+      graft.operators.BloomPrune.mightContain(col("o_custkey"), bits))
+    val plan = probe.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"bloom probe must be a narrow scan+filter, found an exchange:\n$plan")
+    assert(plan.contains("Scan parquet"), plan)
+  }
+
+  test("hll sketch plan aggregates registers, not raw distinct keys") {
+    val events = Tables.load(spark, sf, "events")
+    val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
+    val plan = out.queryExecution.optimizedPlan.toString()
+    // The sketch branch must reduce to (group, bucket) max(rho) — the
+    // only distinct expansion allowed is the separate exact-answer
+    // branch the audit query carries on purpose.
+    assert(plan.contains("max("), plan)
+    val pe = out.queryExecution.executedPlan.toString()
+    assert(pe.contains("partial_max") || pe.contains("max("),
+      s"register max must partial-aggregate map-side:\n$pe")
+  }
 }

@@ -58,4 +58,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // empty text folds to the init value
     assert(one("").select(TextAnalysis.fingerprint(col("text"))).as[Long].head() == 0L)
   }
+
+  test("null text: stats are null and quality/lang gates drop the row") {
+    import spark.implicits._
+    // General-engine posture (the fixtures carry no nulls): every text
+    // function propagates null rather than throwing, and the standard
+    // curation predicates (lang === x, quality >= q) evaluate to null
+    // ⇒ filtered out — null documents cannot leak into a curated set.
+    val df = Seq((1L, null: String), (2L, "the quick fox")).toDF("doc_id", "text")
+      .withColumn("_w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountOf(col("_w")).as("n_tok"),
+        TextAnalysis.qualityScoreOf(col("text"), col("_w")).as("q"),
+        TextAnalysis.langIdOf(col("_w")).as("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(1) && rows(1L).isNullAt(2) && rows(1L).isNullAt(4))
+    assert(!rows(2L).isNullAt(1))
+    val kept = df.filter(col("lang") === "en" && col("q") >= 0.0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
 }
