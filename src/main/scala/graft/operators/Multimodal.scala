@@ -149,13 +149,14 @@ object Multimodal {
     */
   def perceptualHash(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
+      StructField(idCol, LongType, nullable = true),
       StructField("phash", LongType, nullable = false)))
     val src = df.select(col(idCol).cast("long"), col("payload"))
     src.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
-        val n = bytes.length
+        // Null payload = no media: same verdict as an empty payload (0).
+        val n = if (bytes == null) 0 else bytes.length
         val ph =
           if (n == 0) 0L
           else {
@@ -170,7 +171,8 @@ object Multimodal {
             }
             acc
           }
-        Row(r.getLong(0), ph)
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        Row(id, ph)
       }
     }(Encoders.row(schema))
   }
@@ -192,7 +194,7 @@ object Multimodal {
        |       GROUP BY b.$idCol)
        |SELECT $idCol, phash FROM ph
        |UNION ALL
-       |SELECT $idCol, CAST(0 AS BIGINT) AS phash FROM b WHERE n = 0""".stripMargin
+       |SELECT $idCol, CAST(0 AS BIGINT) AS phash FROM b WHERE n = 0 OR n IS NULL""".stripMargin
 
   /** DuckDB oracle for [[frameSample]] over ASCII text. */
   def duckFrameSample(tbl: String, textCol: String, idCol: String, step: Int): String =

@@ -34,7 +34,12 @@ object Perplexity {
   def docScores(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = Dedup.rebalance(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_w"))
+    // Docs with <2 tokens have no bigrams: `sequence(1, size-1)` would run
+    // DESCENDING (stop < start) and hit element_at index 0. Filter them out
+    // of bigram extraction only — unigram/vocab counts still see every doc,
+    // matching the oracle, whose `range(1, len(w))` is simply empty.
     val bigrams = base
+      .filter(size(col("_w")) >= 2)
       .select(col(idCol),
         explode(expr(
           "transform(sequence(1, size(_w) - 1), i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2))"))

@@ -128,29 +128,35 @@ object StreamSync {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
-  /** Stream-stream interval join: enrich a fact stream with the most
-    * recent dim-stream rows whose event time falls within
-    * `joinWindow` BEFORE the fact (inclusive) — the canonical
-    * watermarked stream-stream join (late enrichment, clickstream ⋈
-    * impression attribution, CDC ⋈ CDC).
+  /** Stream-stream interval join: enrich a fact stream with ALL
+    * dim-stream rows whose event time falls within `joinWindowSeconds`
+    * BEFORE the fact (inclusive) — the canonical watermarked
+    * stream-stream join (late enrichment, clickstream ⋈ impression
+    * attribution, CDC ⋈ CDC). A fact with k in-window dim rows emits
+    * k output rows; pick-latest is a downstream aggregation choice,
+    * not this operator's.
     *
     * Both sides carry watermarks and the join condition bounds the
     * event-time distance, so each side's buffered state is evicted
     * once the watermark passes `joinWindow + watermarkDelay` — bounded
     * by rate × horizon, never by stream history. Dim columns arrive
     * prefixed `dim_` to keep the output schema collision-free.
+    * The window is a typed duration (seconds), not a SQL fragment —
+    * nothing caller-supplied is spliced into an expression.
     */
   def streamingIntervalJoin(facts: DataFrame, factTsCol: String,
                             dims: DataFrame, dimTsCol: String,
                             keyCol: String, watermarkDelay: String,
-                            joinWindow: String): DataFrame = {
+                            joinWindowSeconds: Long): DataFrame = {
+    require(joinWindowSeconds >= 0, s"joinWindowSeconds must be >= 0, got $joinWindowSeconds")
     val f = facts.withWatermark(factTsCol, watermarkDelay)
     val d = dims
       .select(dims.columns.map(c => col(c).as(s"dim_$c")): _*)
       .withWatermark(s"dim_$dimTsCol", watermarkDelay)
+    val window = expr("INTERVAL 1 SECOND") * lit(joinWindowSeconds)
     f.join(d,
       col(keyCol) === col(s"dim_$keyCol") &&
-        col(s"dim_$dimTsCol") >= col(factTsCol) - expr(s"INTERVAL $joinWindow") &&
+        col(s"dim_$dimTsCol") >= col(factTsCol) - window &&
         col(s"dim_$dimTsCol") <= col(factTsCol))
   }
 

@@ -101,6 +101,25 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       s"fluent doc nll ${out(1L)} should undercut gibberish ${out(10L)}")
   }
 
+  test("perplexity: docs with <2 tokens are excluded, not crashed on") {
+    import spark.implicits._
+    // Empty, one-token, and null texts have no bigrams: they must drop
+    // out of the scored output (no INVALID_ARRAY_INDEX from a
+    // descending `sequence`), while their tokens still feed the
+    // unigram/vocab counts — same posture as the DuckDB oracle, whose
+    // `range(1, len(w))` is empty for them.
+    val docs = Seq(
+      (1L, "good morning everyone"),
+      (2L, ""),
+      (3L, "solo"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "good morning team")).toDF("doc_id", "text")
+    val out = graft.operators.Perplexity.docScores(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out.keySet == Set(1L, 5L))
+    assert(out(1L) == 2L && out(5L) == 2L)
+  }
+
   test("mixture weights: sum to ~1 and temperature upweights small sources") {
     import spark.implicits._
     val docs = ((1L to 90L).map(i => (i, "w " * 100, "big")) ++
@@ -133,5 +152,22 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     val expected = (1 until Multimodal.PhashBits by 2)
       .foldLeft(0L)((acc, i) => acc | (1L << i))
     assert(out(3L) == expected)
+  }
+
+  test("perceptual hash: null payload and null id do not NPE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, null),                                  // null media -> phash 0
+      Row(null, "ab".getBytes("UTF-8")),              // null id propagates
+      Row(3L, Array.emptyByteArray))
+    val out = Multimodal.perceptualHash(spark.createDataFrame(rows, schema), "doc_id")
+      .collect().map(r => (if (r.isNullAt(0)) -999L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L)
+    assert(out(3L) == 0L)
+    assert(out.contains(-999L))
   }
 }

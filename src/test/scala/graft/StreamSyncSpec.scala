@@ -191,7 +191,7 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
     val dims = dimIn.toDF().toDF("user_id", "ts", "segment")
     val q = StreamSync.streamingIntervalJoin(
         facts, "ts", dims, "ts", "user_id",
-        watermarkDelay = "10 seconds", joinWindow = "'5' MINUTE")
+        watermarkDelay = "10 seconds", joinWindowSeconds = 300L)
       .select(col("user_id"), col("action"), col("dim_segment"))
       .writeStream.format("memory").queryName("ssj").outputMode("append").start()
     try {
