@@ -17,7 +17,8 @@ object Plans {
       "q_pipeline_curate", "q_ann_ivf_kmeans",
       "q_hll_distinct", "q_cms_topk", "q_tfidf_pairs", "q_rolling_daily", "q_mm_phash",
       "q_bloom_prune", "q_skew_join", "q_perplexity", "q_mixture_weights",
-      "q_len_quantiles")
+      "q_len_quantiles",
+      "q_kmv_jaccard", "q_pmi_colloc", "q_cube_stats", "q_group_sample")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")

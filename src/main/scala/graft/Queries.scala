@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
+import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -764,7 +764,65 @@ object Queries {
                      round(quantile_cont(n_chars, 0.5), 6) AS p50,
                      round(quantile_cont(n_chars, 0.9), 6) AS p90,
                      round(quantile_cont(n_chars, 0.99), 6) AS p99
-              FROM documents GROUP BY lang"""))
+              FROM documents GROUP BY lang""")),
+
+    // KMV (bottom-k) shingle-set sketches per source + pairwise overlap
+    // estimation: the mergeable "does crawl A overlap crawl B" sketch.
+    // The exact-intersection audit columns are the oracle scaffolding
+    // the sketch replaces at scale.
+    Entry("q_kmv_jaccard",
+      (s, d) => Sketches.kmvSourceJaccard(t(s, d, "documents"), "text", "source"),
+      Some(Sketches.duckKmvSourceJaccard("documents", "text", "source"))),
+
+    // PMI collocation mining over adjacent word pairs (phrase-vocabulary
+    // seeding): vocabulary-sized count tables, support-pruned scoring
+    // joins, one ln() per surviving bigram.
+    Entry("q_pmi_colloc",
+      (s, d) => Collocations.pmiPairs(t(s, d, "documents"), "text", minCount = 5L),
+      Some(Collocations.duckPmiPairs("documents", "text", minCount = 5L))),
+
+    // Multi-dimensional corpus rollup: CUBE over (lang, source) in one
+    // pass — per-cell, per-lang, per-source, and grand totals from a
+    // single partial-agg expansion (no four separate scans). Counts stay
+    // integral; rollup nulls are disambiguated to 'ALL'.
+    Entry("q_cube_stats",
+      (s, d) => t(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("total_chars")),
+      Some("""SELECT coalesce(lang, 'ALL') AS lang,
+                     coalesce(source, 'ALL') AS source,
+                     count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY CUBE (lang, source)""")),
+
+    // Deterministic exact-k per-stratum sample (fixed eval-set carve-out):
+    // the k smallest doc-id fingerprints per language. The rank-1..k
+    // filter plans as WindowGroupLimit — partial top-k map-side, no full
+    // per-group sort, and re-running on a grown corpus keeps prior picks
+    // stable unless displaced by a smaller hash.
+    Entry("q_group_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextAnalysis.fingerprint(col("doc_id").cast("string")).as("pri"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))))
+          .filter(col("rk") <= 10)
+          // row_number() is IntegerType in Spark, BIGINT in DuckDB.
+          .withColumn("rk", col("rk").cast("long"))
+          .select("lang", "rk", "doc_id", "pri")
+      },
+      Some(s"""SELECT lang, rk, doc_id, pri FROM (
+                 SELECT lang, doc_id,
+                        (${TextAnalysis.duckFingerprint("CAST(doc_id AS VARCHAR)")}) AS pri,
+                        row_number() OVER (PARTITION BY lang ORDER BY
+                          (${TextAnalysis.duckFingerprint("CAST(doc_id AS VARCHAR)")}), doc_id) AS rk
+                 FROM documents) WHERE rk <= 10"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -142,6 +143,116 @@ object Sketches {
       .groupBy("term", "n_exact").agg(min(col("cell_n")).as("cms_estimate"))
       .select("term", "n_exact", "cms_estimate")
   }
+
+  /** KMV sketch size (bottom-k minimum hash values). 128 against the
+    * fixtures' ~1.1–1.5k distinct shingles per source keeps the gate's
+    * estimates genuinely approximate (the sketch is ~10% of the set).
+    */
+  val KmvK = 128
+
+  /** Cross-source set-overlap estimation via KMV (k-minimum-values /
+    * bottom-k) sketches over word n-gram shingle sets — "how much does
+    * crawl snapshot A overlap crawl snapshot B" without ever joining
+    * the full shingle sets. For each source keep the k smallest shingle
+    * hashes; for a pair of sources, the bottom-k of the MERGED sketch
+    * is a uniform sample of A∪B, so the fraction of it present in both
+    * sketches estimates Jaccard(A, B) (Beyer et al., SIGMOD'07).
+    *
+    * Scale shape: the only corpus-sized exchange is the distinct on
+    * (source, hash); per-source bottom-k is a rank-1..k filter that
+    * Spark rewrites to WindowGroupLimit (partial top-k on the map side,
+    * never a full per-source sort); everything after operates on
+    * k·|sources| rows. The sketches are trivially mergeable (bottom-k
+    * of a union of bottom-k's), i.e. shippable as a per-shard artifact.
+    * The exact intersection audit (`inter_exact`, `j_exact`) is oracle
+    * scaffolding — a self-join on the distinct-shingle table, quadratic
+    * in overlap — and is what the sketch REPLACES at 100 TB.
+    *
+    * Output: (src_a, src_b, n_a, n_b, inter_exact, j_exact, inter_kmv,
+    * j_kmv) for every unordered source pair.
+    */
+  def kmvSourceJaccard(docs: DataFrame, textCol: String, srcCol: String,
+                       n: Int = 3, k: Int = KmvK): DataFrame = {
+    val st = Dedup.rebalance(docs)
+      .select(col(srcCol).as("src"),
+        explode(Dedup.shingles(col(textCol), n)).as("sh"))
+      .select(col("src"), TextAnalysis.fingerprint(col("sh")).as("h"))
+      .distinct()
+    val sk = st
+      .withColumn("_rk", row_number().over(Window.partitionBy("src").orderBy("h")))
+      .filter(col("_rk") <= k).drop("_rk")
+    val cnt = st.groupBy("src").agg(count(lit(1)).as("n"))
+    val pr = cnt.select(col("src").as("sa"))
+      .join(cnt.select(col("src").as("sb")), col("sa") < col("sb"))
+    // Tag each sketch hash with which side(s) of the pair hold it, then
+    // rank the merged hash set: rows 1..k are the pair's union sample.
+    val tagged = pr.join(sk.select(col("src").as("sa"), col("h")), Seq("sa"))
+        .select(col("sa"), col("sb"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
+      .unionByName(
+        pr.join(sk.select(col("src").as("sb"), col("h")), Seq("sb"))
+          .select(col("sa"), col("sb"), col("h"), lit(0).as("ina"), lit(1).as("inb")))
+    val est = tagged
+      .groupBy("sa", "sb", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+      .withColumn("_rk",
+        row_number().over(Window.partitionBy("sa", "sb").orderBy("h")))
+      .filter(col("_rk") <= k)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("nm"), sum(col("ina") * col("inb")).as("inter_kmv"))
+    val ie = st.as("a")
+      .join(st.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("sa"), col("b.src").as("sb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    pr.join(cnt.select(col("src").as("sa"), col("n").as("n_a")), Seq("sa"))
+      .join(cnt.select(col("src").as("sb"), col("n").as("n_b")), Seq("sb"))
+      .join(ie, Seq("sa", "sb"), "left")
+      .join(est, Seq("sa", "sb"))
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("n_a"), col("n_b"), col("inter_exact"),
+        round(col("inter_exact").cast("double")
+          / (col("n_a") + col("n_b") - col("inter_exact")).cast("double"), 6)
+          .as("j_exact"),
+        col("inter_kmv"),
+        round(col("inter_kmv").cast("double") / col("nm").cast("double"), 6)
+          .as("j_kmv"))
+  }
+
+  /** DuckDB oracle twin of [[kmvSourceJaccard]]. */
+  def duckKmvSourceJaccard(tbl: String, textCol: String, srcCol: String,
+                           n: Int = 3, k: Int = KmvK): String =
+    s"""WITH sh0 AS (SELECT src, unnest(${Dedup.duckShingles(textCol, n)}) AS sh
+       |             FROM (SELECT *, $srcCol AS src,
+       |                          ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl)),
+       |st AS (SELECT DISTINCT src, (${TextAnalysis.duckFingerprint("sh")}) AS h FROM sh0),
+       |cnt AS (SELECT src, count(*) AS n FROM st GROUP BY 1),
+       |sk AS (SELECT src, h FROM (SELECT src, h,
+       |                                  row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+       |                           FROM st) WHERE rk <= $k),
+       |pr AS (SELECT a.src AS sa, b.src AS sb FROM cnt a JOIN cnt b ON a.src < b.src),
+       |tg AS (SELECT pr.sa, pr.sb, s.h, 1 AS ina, 0 AS inb
+       |       FROM pr JOIN sk s ON s.src = pr.sa
+       |       UNION ALL
+       |       SELECT pr.sa, pr.sb, s.h, 0 AS ina, 1 AS inb
+       |       FROM pr JOIN sk s ON s.src = pr.sb),
+       |m AS (SELECT sa, sb, h, max(ina) AS ina, max(inb) AS inb FROM tg GROUP BY 1, 2, 3),
+       |r2 AS (SELECT sa, sb, ina, inb,
+       |              row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk FROM m),
+       |est AS (SELECT sa, sb, count(*) AS nm, CAST(sum(ina * inb) AS BIGINT) AS inter_kmv
+       |        FROM r2 WHERE rk <= $k GROUP BY 1, 2),
+       |ie AS (SELECT a.src AS sa, b.src AS sb, count(*) AS inter_exact
+       |       FROM st a JOIN st b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+       |SELECT pr.sa AS src_a, pr.sb AS src_b, ca.n AS n_a, cb.n AS n_b,
+       |       coalesce(ie.inter_exact, 0) AS inter_exact,
+       |       round(CAST(coalesce(ie.inter_exact, 0) AS DOUBLE)
+       |             / CAST(ca.n + cb.n - coalesce(ie.inter_exact, 0) AS DOUBLE), 6) AS j_exact,
+       |       est.inter_kmv,
+       |       round(CAST(est.inter_kmv AS DOUBLE) / CAST(est.nm AS DOUBLE), 6) AS j_kmv
+       |FROM pr
+       |JOIN cnt ca ON ca.src = pr.sa
+       |JOIN cnt cb ON cb.src = pr.sb
+       |LEFT JOIN ie ON ie.sa = pr.sa AND ie.sb = pr.sb
+       |JOIN est ON est.sa = pr.sa AND est.sb = pr.sb""".stripMargin
 
   /** DuckDB oracle twin of [[cmsHeavyHitters]]. */
   def duckCmsHeavyHitters(tbl: String, textCol: String, k: Int): String = {

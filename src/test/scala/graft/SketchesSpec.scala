@@ -88,6 +88,46 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("b", "2024-01-02")) == ((1L, 1L, 1.0)))   // types isolated
   }
 
+  test("kmv jaccard: exact when sets fit the sketch, close when they don't") {
+    import spark.implicits._
+    // Each 5-word text contributes 3 globally-unique shingles, so source
+    // overlap is controlled exactly by shared texts: A∩B = texts 6..10
+    // of 15 distinct -> J = 1/3. 30 shingles/source < k=128: the sketch
+    // IS the set, so the estimate must equal the exact value.
+    def text(i: Int) = s"a$i b$i c$i d$i e$i"
+    val small = ((1 to 10).map(i => (text(i), "A")) ++
+      (6 to 15).map(i => (text(i), "B"))).toDF("text", "source")
+    val s1 = Sketches.kmvSourceJaccard(small, "text", "source")
+      .select("j_exact", "j_kmv").as[(Double, Double)].head()
+    assert(s1 == ((0.333333, 0.333333)))
+    // 900 shingles/source >> k: genuinely approximate; 3σ for J=1/3 at
+    // k=128 is ~0.125.
+    val big = ((1 to 300).map(i => (text(i), "A")) ++
+      (151 to 450).map(i => (text(i), "B"))).toDF("text", "source")
+    val s2 = Sketches.kmvSourceJaccard(big, "text", "source")
+      .select("j_exact", "j_kmv").as[(Double, Double)].head()
+    assert(s2._1 == 0.333333)
+    assert(math.abs(s2._2 - s2._1) < 0.15,
+      s"kmv estimate ${s2._2} too far from exact ${s2._1}")
+  }
+
+  test("pmi: exclusive pair outranks a chance pair of promiscuous words") {
+    import spark.implicits._
+    // "new york": both words occur ONLY together. "a b": a and b each
+    // also pair with others, so their co-occurrence is closer to chance
+    // -> pmi lower by ~ln(4).
+    val docs = ((1 to 20).map(i => (i.toLong, "new york")) ++
+      (21 to 40).map(i => (i.toLong, "a b")) ++
+      (41 to 60).map(i => (i.toLong, "a c")) ++
+      (61 to 80).map(i => (i.toLong, "d b"))).toDF("doc_id", "text")
+    val out = graft.operators.Collocations.pmiPairs(docs, "text", minCount = 5L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out.keySet == Set(("new", "york"), ("a", "b"), ("a", "c"), ("d", "b")))
+    assert(out(("new", "york")) > out(("a", "b")))
+    assert(math.abs((out(("new", "york")) - out(("a", "b"))) - math.log(4.0)) < 1e-6)
+  }
+
   test("perplexity: repeated fluent bigrams score lower nll than rare ones") {
     import spark.implicits._
     // "good morning" appears in 9 docs -> high bigram count -> low nll;
