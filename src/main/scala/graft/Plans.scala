@@ -18,7 +18,8 @@ object Plans {
       "q_hll_distinct", "q_cms_topk", "q_tfidf_pairs", "q_rolling_daily", "q_mm_phash",
       "q_bloom_prune", "q_skew_join", "q_perplexity", "q_mixture_weights",
       "q_len_quantiles",
-      "q_kmv_jaccard", "q_pmi_colloc", "q_cube_stats", "q_group_sample")
+      "q_kmv_jaccard", "q_pmi_colloc", "q_cube_stats", "q_group_sample",
+      "q_incr_dedup", "q_ngram_novelty")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Funnel, Idf, Multimodal, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
+import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -822,7 +822,37 @@ object Queries {
                         (${TextAnalysis.duckFingerprint("CAST(doc_id AS VARCHAR)")}) AS pri,
                         row_number() OVER (PARTITION BY lang ORDER BY
                           (${TextAnalysis.duckFingerprint("CAST(doc_id AS VARCHAR)")}), doc_id) AS rk
-                 FROM documents) WHERE rk <= 10"""))
+                 FROM documents) WHERE rk <= 10""")),
+
+    // Incremental (index) dedup: screen the "new batch" fifth of the
+    // corpus against the rest via asymmetric MinHash banding — the
+    // continuous-ingestion pattern where the corpus index is precomputed
+    // and per-run cost is O(batch). Oracle is the exact batch×corpus
+    // Jaccard ground truth: the LSH route must reproduce it exactly on
+    // the gated scope (100%-recall equality gate, like the other LSH
+    // gates).
+    Entry("q_incr_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 1500)
+        Dedup.indexDedup(
+          corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+          batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+          "text", "doc_id", n = 3, bands = 42, rowsPerBand = 3,
+          threshold = 0.5)
+      },
+      Some(Dedup.duckIndexDedup("documents", "text", "doc_id", n = 3,
+        threshold = 0.5,
+        batchPred = "doc_id < 1500 AND doc_id % 5 = 0",
+        corpusPred = "doc_id < 1500 AND doc_id % 5 <> 0"))),
+
+    // Cross-document duplicated-n-gram fraction (MassiveText/RefinedWeb
+    // boilerplate signal): vocabulary-sized shingle-df aggregate, one
+    // join back, integral counts until the output division.
+    Entry("q_ngram_novelty",
+      (s, d) => Novelty.crossDocDupFraction(t(s, d, "documents"), "text",
+        "doc_id", n = 3),
+      Some(Novelty.duckCrossDocDupFraction("documents", "text", "doc_id",
+        n = 3)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -312,6 +312,91 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental (index) dedup: screen a NEW batch of documents against
+    * an EXISTING corpus — the continuous-ingestion shape ("dedup the
+    * daily crawl against the training set") where the corpus side is a
+    * precomputed banded MinHash index and only the batch is fresh work.
+    *
+    * Asymmetric MinHash+LSH: band both sides, equi-join batch band keys
+    * against the (bucket-capped) corpus index, verify every candidate
+    * with exact shingle Jaccard, and report per batch doc the matched
+    * corpus doc (min id among verified matches) or a keep verdict.
+    *
+    * Scale shape: at production the corpus banding is written ONCE as a
+    * table bucketed by (band, bkey) and each day's batch — orders of
+    * magnitude smaller — shuffles only its own band keys into that
+    * layout (or broadcasts, when the batch fits); cost per run is
+    * O(batch) + colliding candidates, never O(corpus). The batch also
+    * never joins the corpus text: verification re-joins the two narrow
+    * shingle relations only for hash-colliding candidate pairs.
+    * A duplicate-heavy corpus additionally wants the identical-signature
+    * collapse from [[minhashLshPairs]] before banding; elided here (the
+    * fixtures carry no exact duplicates) to keep the index one narrow
+    * projection.
+    *
+    * Output: (doc_id, matched, match_jaccard, keep) — one row per batch
+    * doc; `matched`/`match_jaccard` null and `keep` = 1 when no corpus
+    * doc reaches `threshold`.
+    */
+  def indexDedup(corpus: DataFrame, batch: DataFrame, textCol: String,
+                 idCol: String, n: Int, bands: Int, rowsPerBand: Int,
+                 threshold: Double,
+                 maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val k = bands * rowsPerBand
+    def shingled(df: DataFrame) = rebalance(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
+    def bandKeys(sh: DataFrame) = sh
+      .select(col("id"), minhashSignature(col("_sh"), k).as("_sig"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "bkey")
+    val bsh = shingled(batch)
+    val csh = shingled(corpus)
+    val index = capBuckets(bandKeys(csh), Seq("band", "bkey"), maxBucketSize)
+    val cand = bandKeys(bsh).as("b")
+      .join(index.as("c"),
+        col("b.band") === col("c.band") && col("b.bkey") === col("c.bkey"))
+      .select(col("b.id").as("doc_id"), col("c.id").as("cid"))
+      .distinct()
+    val verified = cand
+      .join(bsh.select(col("id").as("doc_id"), col("_sh").as("_shb")), "doc_id")
+      .join(csh.select(col("id").as("cid"), col("_sh").as("_shc")), "cid")
+      .withColumn("j", round(jaccard(col("_shb"), col("_shc")), 6))
+      .filter(col("j") >= threshold)
+    val best = verified.groupBy("doc_id").agg(
+      min("cid").as("matched"),
+      min_by(col("j"), col("cid")).as("match_jaccard"))
+    bsh.select(col("id").as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("matched"), col("match_jaccard"),
+        when(col("matched").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** DuckDB oracle twin of [[indexDedup]]: exact pairwise Jaccard
+    * between the batch and corpus partitions of `tbl` (ground truth —
+    * the LSH route must reproduce it exactly on the gated scope).
+    */
+  def duckIndexDedup(tbl: String, textCol: String, idCol: String, n: Int,
+                     threshold: Double, batchPred: String,
+                     corpusPred: String): String =
+    s"""WITH bt AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+       |            FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |                  FROM $tbl WHERE $batchPred)),
+       |ct AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+       |       FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |             FROM $tbl WHERE $corpusPred)),
+       |f AS (SELECT doc_id, cid, j FROM (
+       |        SELECT b.id AS doc_id, c.id AS cid,
+       |               ${duckJaccard("b.sh", "c.sh")} AS j
+       |        FROM bt b, ct c) WHERE j >= $threshold),
+       |m AS (SELECT doc_id, min(cid) AS matched FROM f GROUP BY 1),
+       |mj AS (SELECT f.doc_id, f.cid, f.j FROM f
+       |       JOIN m ON f.doc_id = m.doc_id AND f.cid = m.matched)
+       |SELECT b.id AS doc_id, mj.cid AS matched, mj.j AS match_jaccard,
+       |       CASE WHEN mj.cid IS NULL THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM bt b LEFT JOIN mj ON mj.doc_id = b.id""".stripMargin
+
   /** 64-bit SimHash over whitespace tokens (term frequency = vote
     * weight): bit b of the signature is the sign of Σ_tokens ±1 where the
     * sign is bit b of xxhash64(token).

@@ -150,4 +150,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // all pairs, not a star
   }
+
+  test("indexDedup screens the batch against the corpus only (asymmetric)") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((100L, base), (101L, "totally different words here now ok yes")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                  // exact corpus dup -> drop
+      (2L, "unseen fresh novel content entirely"), // no match -> keep
+      (3L, "unseen fresh novel content entirely")  // batch-internal dup: NOT flagged
+    ).toDF("doc_id", "text")
+    val out = Dedup.indexDedup(corpus, batch, "text", "doc_id",
+      n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+      .select("doc_id", "matched", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+    assert(out(1L) == ((100L, 0L)))
+    // Batch-internal duplicates pass: the index screens against the
+    // corpus; intra-batch dedup is minhashLshPairs on the batch.
+    assert(out(2L) == ((-1L, 1L)))
+    assert(out(3L) == ((-1L, 1L)))
+  }
+
+  test("cross-doc dup fraction: boilerplate shingles counted, unique ones not") {
+    import spark.implicits._
+    val boiler = "all rights reserved by the site"   // 5 tokens -> 4 3-gram shingles... (6 tokens -> 4)
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "completely original text with no shared phrases at all")).toDF("doc_id", "text")
+    val out = graft.operators.Novelty.crossDocDupFraction(docs, "text", "doc_id", n = 3)
+      .select("doc_id", "n_shingles", "n_dup")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // docs 1/2 share exactly the 4 shingles fully inside the boilerplate
+    // prefix; their continuation shingles differ. doc 3 shares nothing.
+    assert(out(1L)._2 == 4L && out(2L)._2 == 4L)
+    assert(out(3L)._2 == 0L)
+  }
 }
