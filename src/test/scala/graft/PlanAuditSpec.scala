@@ -114,6 +114,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Scan parquet"), plan)
   }
 
+  test("group-sample and kmv bottom-k plan as WindowGroupLimit, not full sorts") {
+    val plan = SparkEntry.queries("q_group_sample")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-1..k filter no longer rewrites to WindowGroupLimit:\n$plan")
+    val kmv = SparkEntry.queries("q_kmv_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(kmv.contains("WindowGroupLimit"),
+      s"per-source bottom-k lost its WindowGroupLimit rewrite:\n$kmv")
+  }
+
+  test("cube stats expand once and shuffle once") {
+    val plan = SparkEntry.queries("q_cube_stats")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"CUBE must expand grouping sets exactly once:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"cube rollup should need exactly one exchange:\n$plan")
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")

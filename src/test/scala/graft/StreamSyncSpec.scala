@@ -182,6 +182,28 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("startDedupedIngest drops corpus dups AND cross-trigger dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fresh1 = "completely new content about topic one arriving now"
+    val fresh2 = "another novel document on a second subject entirely"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("ingest").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+    val q = StreamSync.startDedupedIngest(docs, corpus, "text", "doc_id", out, ckpt)
+    try {
+      in.addData((1L, base), (2L, fresh1))          // 1 dups the corpus
+      q.processAllAvailable()
+      in.addData((3L, fresh1), (4L, fresh2))        // 3 dups ALREADY-INGESTED 2
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streamingIntervalJoin enriches facts with in-window dims only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
