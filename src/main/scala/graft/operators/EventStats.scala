@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream profiling operators: pivoted daily activity matrices,
+  * trailing-window anomaly scores, and semi-structured JSON property
+  * extraction — the monitoring/profiling companions to the reference's
+  * event-table exports.
+  */
+object EventStats {
+
+  /** Daily event matrix: one row per day, one count column per event
+    * type (Spark's relational pivot). `types` is passed EXPLICITLY —
+    * `.pivot(col)` without values triggers a separate distinct-scan
+    * job to discover the columns, which at 100 TB is a full extra pass;
+    * with literal values the whole thing is ONE partial-agg exchange on
+    * the (day) key, identical to a manual CASE aggregation.
+    * Output: (day, <type...>, total).
+    */
+  def pivotDaily(events: DataFrame, tsCol: String, typeCol: String,
+                 types: Seq[String]): DataFrame =
+    events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)))
+      // pivot emits NULL for day×type cells with no rows — a count is 0.
+      .select(col("day") +: types.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
+      .withColumn("total", types.map(t => col(s"`$t`")).reduce(_ + _))
+
+  /** DuckDB oracle twin of [[pivotDaily]]: conditional aggregation
+    * (what the pivot plans to under the hood).
+    */
+  def duckPivotDaily(rel: String, tsCol: String, typeCol: String,
+                     types: Seq[String]): String = {
+    val cells = types.map { t =>
+      val l = t.replace("'", "''")
+      s"CAST(count(*) FILTER (WHERE $typeCol = '$l') AS BIGINT) AS \"$t\""
+    }.mkString(", ")
+    s"""SELECT CAST($tsCol AS DATE) AS day, $cells, count(*) AS total
+       |FROM $rel GROUP BY 1""".stripMargin
+  }
+
+  /** Trailing-window anomaly z-scores over the daily count series of
+    * each event type: each day scored against the mean/stddev of the
+    * PRECEDING `win` days (current day excluded — today must not dilute
+    * its own baseline). Only days with a full trailing window are
+    * emitted (partial baselines produce garbage z-scores).
+    *
+    * Scale shape: the raw stream reduces map-side to (day × type)
+    * cardinality in one exchange; the windows run over that tiny daily
+    * series (one more exchange at type cardinality). Nothing
+    * event-sized ever sorts.
+    *
+    * Float parity: daily counts are integers, so Σc and Σc² are EXACT
+    * BIGINTs; mean/variance come from those two sums in one fixed
+    * expression (sample variance, n−1), so both engines compute
+    * bit-identical doubles. round(6) seals the output.
+    * Output: (event_type, day, n, z).
+    */
+  def anomalyZscores(events: DataFrame, tsCol: String, typeCol: String,
+                     win: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-win, -1)
+    val winN = count(col("n")).over(w)
+    val s1 = sum(col("n")).over(w).cast("double")
+    val s2 = sum(col("n") * col("n")).over(w).cast("double")
+    val mean = s1 / win
+    val variance = (s2 - s1 * s1 / win) / (win - 1)
+    daily
+      .withColumn("_wn", winN)
+      .withColumn("_z", (col("n").cast("double") - mean) / sqrt(variance))
+      .filter(col("_wn") === win && sqrt(variance) > 0.0)
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("_z"), 6).as("z"))
+  }
+
+  /** DuckDB oracle twin of [[anomalyZscores]] — same two exact integer
+    * sums, same expression shape.
+    */
+  def duckAnomalyZscores(rel: String, tsCol: String, typeCol: String,
+                         win: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+       |         count(*) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT event_type, day, n,
+       |    count(n) OVER w AS wn,
+       |    CAST(sum(n) OVER w AS DOUBLE) AS s1,
+       |    CAST(sum(n * n) OVER w AS DOUBLE) AS s2
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN $win PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day, n,
+       |       round((CAST(n AS DOUBLE) - s1 / $win) /
+       |             sqrt((s2 - s1 * s1 / $win) / ${win - 1}), 6) AS z
+       |FROM scored
+       |WHERE wn = $win AND sqrt((s2 - s1 * s1 / $win) / ${win - 1}) > 0.0""".stripMargin
+
+  /** Semi-structured property extraction: parse the JSON `propsCol`
+    * with a declared schema (`from_json` — schema'd, codegen'd, no
+    * UDF) and aggregate the extracted field per event type. A real
+    * pipeline points this at arbitrarily nested payloads; the operator
+    * shape (schema-on-read projection → agg) is identical.
+    * Output: (event_type, n_events, n_with_k, sum_k, min_k, max_k, avg_k).
+    */
+  def jsonPropStats(events: DataFrame, propsCol: String,
+                    typeCol: String): DataFrame =
+    events
+      .withColumn("_k", from_json(col(propsCol), "k BIGINT").getField("k"))
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_k")).as("n_with_k"),
+        sum(col("_k")).as("sum_k"),
+        min(col("_k")).as("min_k"),
+        max(col("_k")).as("max_k"),
+        round(sum(col("_k")).cast("double") / count(col("_k")).cast("double"), 6)
+          .as("avg_k"))
+
+  /** DuckDB oracle twin of [[jsonPropStats]]. The fixture payloads are
+    * single-key objects, so a regex extract reproduces the schema'd
+    * parse exactly (keeps the oracle independent of DuckDB's JSON
+    * extension).
+    */
+  def duckJsonPropStats(rel: String, propsCol: String,
+                        typeCol: String): String =
+    s"""WITH p AS (
+       |  SELECT $typeCol,
+       |         CAST(nullif(regexp_extract($propsCol,
+       |           '"k"\\s*:\\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
+       |  FROM $rel)
+       |SELECT $typeCol AS event_type, count(*) AS n_events,
+       |       count(k) AS n_with_k,
+       |       CAST(sum(k) AS BIGINT) AS sum_k,
+       |       min(k) AS min_k, max(k) AS max_k,
+       |       round(CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE), 6) AS avg_k
+       |FROM p GROUP BY 1""".stripMargin
+}
