@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -51,6 +51,14 @@ object Queries {
     */
   private val MixtureRates: Seq[(String, Int)] =
     Seq("en" -> 50, "es" -> 80, "zh" -> 25)
+
+  /** Fixed BM25 query terms (lowercase, matching the corpus vocab with
+    * distinct document frequencies) and the pivot's literal type list —
+    * `error` is deliberately EXCLUDED to exercise the listed-types-only
+    * `total` semantic.
+    */
+  private val BmTerms = Seq("spark", "hash", "window")
+  private val PivotTypes = Seq("click", "view", "purchase", "signup")
 
   val all: Seq[Entry] = Seq(
 
@@ -768,11 +776,21 @@ object Queries {
 
     // KMV (bottom-k) shingle-set sketches per source + pairwise overlap
     // estimation: the mergeable "does crawl A overlap crawl B" sketch.
-    // The exact-intersection audit columns are the oracle scaffolding
-    // the sketch replaces at scale.
+    // SKETCH-ONLY — the production estimator never pays the exact
+    // intersection; that audit is the separate bounded q_kmv_exact.
     Entry("q_kmv_jaccard",
       (s, d) => Sketches.kmvSourceJaccard(t(s, d, "documents"), "text", "source"),
       Some(Sketches.duckKmvSourceJaccard("documents", "text", "source"))),
+
+    // Exact cross-source shingle overlap: the ground-truth twin the KMV
+    // sketch replaces at scale — a shingle-hash self-join, quadratic in
+    // overlap, so BOUNDED to doc_id < 2000 (the q_dedup_ngram_jaccard
+    // pattern).
+    Entry("q_kmv_exact",
+      (s, d) => Sketches.exactSourceOverlap(
+        t(s, d, "documents").filter(col("doc_id") < 2000), "text", "source"),
+      Some(Sketches.duckExactSourceOverlap(
+        "(SELECT * FROM documents WHERE doc_id < 2000)", "text", "source"))),
 
     // PMI collocation mining over adjacent word pairs (phrase-vocabulary
     // seeding): vocabulary-sized count tables, support-pruned scoring
@@ -852,7 +870,38 @@ object Queries {
       (s, d) => Novelty.crossDocDupFraction(t(s, d, "documents"), "text",
         "doc_id", n = 3),
       Some(Novelty.duckCrossDocDupFraction("documents", "text", "doc_id",
-        n = 3)))
+        n = 3))),
+
+    // BM25 topical scoring of every document against a fixed query-term
+    // set (quality-targeted corpus selection). One scan + one 1-row
+    // broadcast of the corpus constants — no explode, no per-term shuffle.
+    Entry("q_bm25",
+      (s, d) => Bm25.score(t(s, d, "documents"), "text", "doc_id",
+        BmTerms),
+      Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
+
+    // Daily event-type activity matrix (relational pivot with LITERAL
+    // type values — one partial-agg exchange, no distinct-discovery scan).
+    Entry("q_event_pivot",
+      (s, d) => EventStats.pivotDaily(t(s, d, "events"), "ts", "event_type",
+        PivotTypes),
+      Some(EventStats.duckPivotDaily(EvOracle, "ts", "event_type",
+        PivotTypes))),
+
+    // Trailing-7-day z-score anomaly detection on the per-type daily
+    // series: two exchanges, both at (day × type) cardinality.
+    Entry("q_event_anomaly",
+      (s, d) => EventStats.anomalyZscores(t(s, d, "events"), "ts",
+        "event_type", win = 7),
+      Some(EventStats.duckAnomalyZscores(EvOracle, "ts", "event_type",
+        win = 7))),
+
+    // Schema-on-read JSON property extraction + per-type aggregation
+    // (from_json with a declared schema — codegen'd, no UDF).
+    Entry("q_event_props",
+      (s, d) => EventStats.jsonPropStats(t(s, d, "events"), "props",
+        "event_type"),
+      Some(EventStats.duckJsonPropStats(EvOracle, "props", "event_type")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

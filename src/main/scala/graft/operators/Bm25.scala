@@ -40,18 +40,19 @@ object Bm25 {
             terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct,
       "query terms must be non-empty and distinct")
+    require(terms == terms.map(_.toLowerCase),
+      "query terms must be lowercase (documents are lowercased before matching)")
     val base = Dedup.rebalance(docs)
-      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_w", TextAnalysis.tokens(lower(col(textCol))))
       .withColumn("_dl", size(col("_w")).cast("long"))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       df.withColumn(s"_tf$i", TextAnalysis.wordCountOf(col("_w"), t))
     }
     // ONE tiny aggregate: N, Σ|d|, df per query term.
-    val stats = withTf.agg(
-      count(lit(1)).as("_n"),
-      sum(col("_dl")).as("_sumdl"),
+    val statAggs = Seq(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl")) ++
       terms.indices.map(i =>
-        sum((col(s"_tf$i") > 0).cast("long")).as(s"_df$i")): _*)
+        sum((col(s"_tf$i") > 0).cast("long")).as(s"_df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
     val scored = withTf.crossJoin(broadcast(stats))
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val termScores = terms.indices.map { i =>
@@ -60,7 +61,7 @@ object Bm25 {
         (col("_n").cast("double") - col(s"_df$i").cast("double") + 0.5) /
           (col(s"_df$i").cast("double") + 0.5) + 1.0)
       idf * (tf * (K1 + 1.0)) /
-        (tf + K1 * (1.0 - B + B * col("_dl").cast("double") / avgdl))
+        (tf + lit(K1) * (lit(1.0) - B + lit(B) * col("_dl").cast("double") / avgdl))
     }
     scored.select(col(idCol), col("_dl").as("dl"),
       round(termScores.reduce(_ + _), 6).as("bm25"))
@@ -83,7 +84,7 @@ object Bm25 {
          |  (CAST(tf$i AS DOUBLE) + ${K1} * (1.0 - ${B} + ${B} * CAST(dl AS DOUBLE) /
          |     (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))""".stripMargin
     }.mkString(" + ")
-    s"""WITH d AS (SELECT $idCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+    s"""WITH d AS (SELECT $idCol, ${TextAnalysis.duckTokensBind(s"lower($textCol)")} AS w FROM $tbl),
        |tf AS (SELECT $idCol, CAST(len(w) AS BIGINT) AS dl, $tfCols FROM d),
        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfCols FROM tf)
        |SELECT $idCol, dl, round($termScores, 6) AS bm25 FROM tf, st""".stripMargin

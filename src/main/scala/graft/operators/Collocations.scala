@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -22,12 +22,24 @@ import graft.functions.TextAnalysis
   * the (min-count-pruned) bigram vocabulary, never the corpus again.
   * Totals ride along as a broadcast 1-row cross join.
   *
-  * Engine parity: counts are integral and the products stay in BIGINT
-  * (gate scale keeps c12·Nt² < 2^63; at web scale you'd shift to
-  * log-space sums), so the single `ln(int/int)` is the only floating
-  * step; `round(…, 6)` seals it.
+  * Engine parity: counts are integral, and the score is computed in
+  * LOG-SPACE — `ln c12 + 2·ln Nt − ln Nb − ln c1 − ln c2` — so no
+  * intermediate product can overflow BIGINT no matter the corpus size
+  * (the naive `c12·Nt²` silently wraps once Nt ≳ 3×10⁹ tokens, i.e. a
+  * few GB of text). Both engines evaluate the identical fixed `+`/`−`
+  * chain over exactly-representable integer-valued doubles; `round(…, 6)`
+  * seals the last ulp.
   */
 object Collocations {
+
+  /** Log-space PMI score from the five count columns — overflow-free at
+    * any corpus size (see object doc). Kept as a named expression so the
+    * overflow regime is unit-testable with synthetic counts.
+    */
+  def pmiExpr(c12: Column, c1: Column, c2: Column,
+              nt: Column, nb: Column): Column =
+    log(c12.cast("double")) + lit(2.0) * log(nt.cast("double")) -
+      log(nb.cast("double")) - log(c1.cast("double")) - log(c2.cast("double"))
 
   /** Adjacent-pair PMI over the corpus, restricted to bigrams seen at
     * least `minCount` times (the standard support prune — rare pairs
@@ -56,8 +68,8 @@ object Collocations {
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c12"),
-        round(log((col("c12") * col("nt") * col("nt")).cast("double")
-          / (col("nb") * col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+        round(pmiExpr(col("c12"), col("c1"), col("c2"),
+          col("nt"), col("nb")), 6).as("pmi"))
   }
 
   /** DuckDB oracle twin of [[pmiPairs]]. */
@@ -72,8 +84,9 @@ object Collocations {
        |tot AS (SELECT (SELECT count(*) FROM tok) AS nt,
        |               (SELECT count(*) FROM bg) AS nb)
        |SELECT b.w1, b.w2, b.c12,
-       |       round(ln(CAST(b.c12 * nt * nt AS DOUBLE)
-       |                / CAST(nb * u1.c * u2.c AS DOUBLE)), 6) AS pmi
+       |       round(ln(CAST(b.c12 AS DOUBLE)) + 2.0 * ln(CAST(nt AS DOUBLE))
+       |             - ln(CAST(nb AS DOUBLE)) - ln(CAST(u1.c AS DOUBLE))
+       |             - ln(CAST(u2.c AS DOUBLE)), 6) AS pmi
        |FROM big b
        |JOIN uni u1 ON u1.w = b.w1
        |JOIN uni u2 ON u2.w = b.w2, tot""".stripMargin

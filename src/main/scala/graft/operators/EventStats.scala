@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Event-stream profiling operators: pivoted daily activity matrices,
   * trailing-window anomaly scores, and semi-structured JSON property
@@ -17,6 +18,8 @@ object EventStats {
     * job to discover the columns, which at 100 TB is a full extra pass;
     * with literal values the whole thing is ONE partial-agg exchange on
     * the (day) key, identical to a manual CASE aggregation.
+    * `total` counts only the LISTED types (it is the row-sum of the
+    * pivot cells) — events of unlisted types are excluded everywhere.
     * Output: (day, <type...>, total).
     */
   def pivotDaily(events: DataFrame, tsCol: String, typeCol: String,
@@ -39,7 +42,9 @@ object EventStats {
       val l = t.replace("'", "''")
       s"CAST(count(*) FILTER (WHERE $typeCol = '$l') AS BIGINT) AS \"$t\""
     }.mkString(", ")
-    s"""SELECT CAST($tsCol AS DATE) AS day, $cells, count(*) AS total
+    val inList = types.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""SELECT CAST($tsCol AS DATE) AS day, $cells,
+       |       CAST(count(*) FILTER (WHERE $typeCol IN ($inList)) AS BIGINT) AS total
        |FROM $rel GROUP BY 1""".stripMargin
   }
 
@@ -67,17 +72,19 @@ object EventStats {
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-win, -1)
-    val winN = count(col("n")).over(w)
-    val s1 = sum(col("n")).over(w).cast("double")
-    val s2 = sum(col("n") * col("n")).over(w).cast("double")
-    val mean = s1 / win
-    val variance = (s2 - s1 * s1 / win) / (win - 1)
-    daily
-      .withColumn("_wn", winN)
-      .withColumn("_z", (col("n").cast("double") - mean) / sqrt(variance))
+    // Window expressions are materialized as columns BEFORE the filter
+    // (a window function may not appear inside WHERE), and mean/variance
+    // derive from the two exact integer sums in one fixed expression.
+    val scored = daily
+      .withColumn("_wn", count(col("n")).over(w))
+      .withColumn("_s1", sum(col("n")).over(w).cast("double"))
+      .withColumn("_s2", sum(col("n") * col("n")).over(w).cast("double"))
+    val mean = col("_s1") / win
+    val variance = (col("_s2") - col("_s1") * col("_s1") / win) / (win - 1)
+    scored
       .filter(col("_wn") === win && sqrt(variance) > 0.0)
       .select(col("event_type"), col("day"), col("n"),
-        round(col("_z"), 6).as("z"))
+        round((col("n").cast("double") - mean) / sqrt(variance), 6).as("z"))
   }
 
   /** DuckDB oracle twin of [[anomalyZscores]] — same two exact integer
@@ -113,7 +120,7 @@ object EventStats {
   def jsonPropStats(events: DataFrame, propsCol: String,
                     typeCol: String): DataFrame =
     events
-      .withColumn("_k", from_json(col(propsCol), "k BIGINT").getField("k"))
+      .withColumn("_k", from_json(col(propsCol), StructType.fromDDL("k BIGINT")).getField("k"))
       .groupBy(col(typeCol).as("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -125,16 +132,20 @@ object EventStats {
           .as("avg_k"))
 
   /** DuckDB oracle twin of [[jsonPropStats]]. The fixture payloads are
-    * single-key objects, so a regex extract reproduces the schema'd
-    * parse exactly (keeps the oracle independent of DuckDB's JSON
-    * extension).
+    * FLAT single-key objects (`{"k": <int>}`), so a regex extract
+    * reproduces the schema'd parse exactly (keeps the oracle
+    * independent of DuckDB's JSON extension). The value group must be
+    * terminated by `,`/`}`/whitespace so a float payload (`"k": 5.5`)
+    * yields NULL here just as `from_json` with `k BIGINT` does —
+    * nested `"k"` keys would still diverge, hence the flat-fixture
+    * constraint (asserted in EventStatsSpec).
     */
   def duckJsonPropStats(rel: String, propsCol: String,
                         typeCol: String): String =
     s"""WITH p AS (
        |  SELECT $typeCol,
        |         CAST(nullif(regexp_extract($propsCol,
-       |           '"k"\\s*:\\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
+       |           '"k"\\s*:\\s*(-?[0-9]+)\\s*[,}]', 1), '') AS BIGINT) AS k
        |  FROM $rel)
        |SELECT $typeCol AS event_type, count(*) AS n_events,
        |       count(k) AS n_with_k,

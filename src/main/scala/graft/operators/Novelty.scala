@@ -14,10 +14,23 @@ import graft.functions.TextAnalysis
   * mining ([[Dedup.minhashLshPairs]]) only catches when whole documents
   * align.
   *
-  * Scale shape: one explode over distinct per-doc shingles, one
-  * vocabulary-sized hash aggregate for shingle document frequencies,
-  * one join back, one per-doc aggregate. No window, no sort, no driver
-  * data; integral counts until the single output division.
+  * Scale shape — SKEW-FREE BY CONSTRUCTION. The naive plan joins the
+  * exploded corpus-shingle stream back against the shingle-df table on
+  * the shingle key, and stop-shingles ("of the …") are massive hot keys
+  * at corpus scale. This implementation never joins on the shingle key:
+  *
+  *   n_dup(doc) = n_shingles(doc) − n_unique(doc)
+  *
+  * where a UNIQUE shingle (df = 1) occurs in exactly one document — so
+  * `min(doc_id)` inside the df aggregate IS its owner, and per-doc
+  * unique counts come from a doc-key aggregate over the df=1 slice. The
+  * only shingle-keyed operation left is the hash AGGREGATE, whose
+  * map-side partial combine absorbs hot keys by design; the remaining
+  * exchanges and the final join are all on the uniformly-distributed
+  * doc id. One explode, two hash aggregates, one doc-key join. No
+  * window, no sort, no driver data; integral counts until the single
+  * output division. (Plan-gated: PlanAuditSpec asserts no shingle-keyed
+  * join.)
   */
 object Novelty {
 
@@ -28,17 +41,27 @@ object Novelty {
   def crossDocDupFraction(docs: DataFrame, textCol: String, idCol: String,
                           n: Int): DataFrame = {
     // shingles() emits DISTINCT n-grams per doc, so df below counts
-    // documents containing the shingle, not occurrences.
-    val sh = Dedup.rebalance(docs)
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("sh"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("sh"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
-      .select(col(idCol), col("n_shingles"), col("n_dup"),
-        round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 6)
-          .as("dup_frac"))
+    // documents containing the shingle, not occurrences — and the
+    // per-doc denominator is just the array size (narrow, no explode).
+    val base = Dedup.rebalance(docs)
+      .select(col(idCol), Dedup.shingles(col(textCol), n).as("_sh"))
+      .withColumn("_n", size(col("_sh")).cast("long"))
+      .filter(col("_n") > 0)
+    val perDoc = base.select(col(idCol), col("_n"))
+    // df=1 shingles have exactly one (id, sh) row, so min(id) is the
+    // owning document; hot shingles die in the partial aggregate.
+    val uniq = base
+      .select(col(idCol), explode(col("_sh")).as("sh"))
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("_owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("_owner").as(idCol))
+      .agg(count(lit(1)).as("_nu"))
+    perDoc.join(uniq, Seq(idCol), "left")
+      .select(col(idCol), col("_n").as("n_shingles"),
+        (col("_n") - coalesce(col("_nu"), lit(0L))).as("n_dup"),
+        round((col("_n") - coalesce(col("_nu"), lit(0L))).cast("double")
+          / col("_n").cast("double"), 6).as("dup_frac"))
   }
 
   /** DuckDB oracle twin of [[crossDocDupFraction]]. */

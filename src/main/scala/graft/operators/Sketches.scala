@@ -164,12 +164,14 @@ object Sketches {
     * never a full per-source sort); everything after operates on
     * k·|sources| rows. The sketches are trivially mergeable (bottom-k
     * of a union of bottom-k's), i.e. shippable as a per-shard artifact.
-    * The exact intersection audit (`inter_exact`, `j_exact`) is oracle
-    * scaffolding — a self-join on the distinct-shingle table, quadratic
-    * in overlap — and is what the sketch REPLACES at 100 TB.
+    * SKETCH-ONLY: the exact-intersection audit lives in
+    * [[exactSourceOverlap]] (a shingle-hash self-join, quadratic in
+    * overlap) so a caller of the production estimator never pays it —
+    * the estimator and the audit are separate queries, like
+    * q_dedup_minhash_lsh vs q_dedup_ngram_jaccard.
     *
-    * Output: (src_a, src_b, n_a, n_b, inter_exact, j_exact, inter_kmv,
-    * j_kmv) for every unordered source pair.
+    * Output: (src_a, src_b, n_a, n_b, inter_kmv, j_kmv) for every
+    * unordered source pair.
     */
   def kmvSourceJaccard(docs: DataFrame, textCol: String, srcCol: String,
                        n: Int = 3, k: Int = KmvK): DataFrame = {
@@ -182,14 +184,23 @@ object Sketches {
       .withColumn("_rk", row_number().over(Window.partitionBy("src").orderBy("h")))
       .filter(col("_rk") <= k).drop("_rk")
     val cnt = st.groupBy("src").agg(count(lit(1)).as("n"))
-    val pr = cnt.select(col("src").as("sa"))
-      .join(cnt.select(col("src").as("sb")), col("sa") < col("sb"))
+    // Pin: the pair frame must REFERENCE the count column, else column
+    // pruning rewrites its subtree to a cheaper distinct(src)-only scan
+    // that can no longer reuse cnt's stage — the CPU-heavy shingle
+    // explode then runs twice (the Dedup.withSigGroups lesson).
+    val prPin = cnt.filter(col("n") >= 0L)
+    val pr = prPin.select(col("src").as("sa"))
+      .join(prPin.select(col("src").as("sb")), col("sa") < col("sb"))
     // Tag each sketch hash with which side(s) of the pair hold it, then
     // rank the merged hash set: rows 1..k are the pair's union sample.
-    val tagged = pr.join(sk.select(col("src").as("sa"), col("h")), Seq("sa"))
+    // Everything downstream of the sketches is |sources|²- or
+    // k·|pairs|-sized — broadcast hints are declared explicitly so the
+    // static planner can never fall back to a shuffle join here
+    // (PlanAuditSpec gates it).
+    val tagged = sk.select(col("src").as("sa"), col("h")).join(broadcast(pr), Seq("sa"))
         .select(col("sa"), col("sb"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
       .unionByName(
-        pr.join(sk.select(col("src").as("sb"), col("h")), Seq("sb"))
+        sk.select(col("src").as("sb"), col("h")).join(broadcast(pr), Seq("sb"))
           .select(col("sa"), col("sb"), col("h"), lit(0).as("ina"), lit(1).as("inb")))
     val est = tagged
       .groupBy("sa", "sb", "h")
@@ -199,33 +210,62 @@ object Sketches {
       .filter(col("_rk") <= k)
       .groupBy("sa", "sb")
       .agg(count(lit(1)).as("nm"), sum(col("ina") * col("inb")).as("inter_kmv"))
-    val ie = st.as("a")
-      .join(st.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
-      .groupBy(col("a.src").as("sa"), col("b.src").as("sb"))
-      .agg(count(lit(1)).as("inter_exact"))
-    pr.join(cnt.select(col("src").as("sa"), col("n").as("n_a")), Seq("sa"))
-      .join(cnt.select(col("src").as("sb"), col("n").as("n_b")), Seq("sb"))
-      .join(ie, Seq("sa", "sb"), "left")
-      .join(est, Seq("sa", "sb"))
-      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+    // est already carries every valid pair (both sources contribute ≥ 1
+    // sketch row), so only the per-source counts need joining back.
+    est
+      .join(broadcast(cnt.select(col("src").as("sa"), col("n").as("n_a"))), Seq("sa"))
+      .join(broadcast(cnt.select(col("src").as("sb"), col("n").as("n_b"))), Seq("sb"))
       .select(col("sa").as("src_a"), col("sb").as("src_b"),
-        col("n_a"), col("n_b"), col("inter_exact"),
-        round(col("inter_exact").cast("double")
-          / (col("n_a") + col("n_b") - col("inter_exact")).cast("double"), 6)
-          .as("j_exact"),
+        col("n_a"), col("n_b"),
         col("inter_kmv"),
         round(col("inter_kmv").cast("double") / col("nm").cast("double"), 6)
           .as("j_kmv"))
   }
 
-  /** DuckDB oracle twin of [[kmvSourceJaccard]]. */
-  def duckKmvSourceJaccard(tbl: String, textCol: String, srcCol: String,
-                           n: Int = 3, k: Int = KmvK): String =
-    s"""WITH sh0 AS (SELECT src, unnest(${Dedup.duckShingles(textCol, n)}) AS sh
+  /** Exact cross-source shingle overlap — the GROUND-TRUTH twin of
+    * [[kmvSourceJaccard]]'s estimate. A self-join of the distinct
+    * (source, shingle-hash) stream on the hash: quadratic in overlap,
+    * so callers bound the input (the q_dedup_ngram_jaccard pattern);
+    * the sketch is what replaces this at 100 TB.
+    * Output: (src_a, src_b, n_a, n_b, inter_exact, j_exact).
+    */
+  def exactSourceOverlap(docs: DataFrame, textCol: String,
+                         srcCol: String, n: Int = 3): DataFrame = {
+    val st = Dedup.rebalance(docs)
+      .select(col(srcCol).as("src"),
+        explode(Dedup.shingles(col(textCol), n)).as("sh"))
+      .select(col("src"), TextAnalysis.fingerprint(col("sh")).as("h"))
+      .distinct()
+    val cnt = st.groupBy("src").agg(count(lit(1)).as("n"))
+    val pr = cnt.select(col("src").as("sa"), col("n").as("n_a"))
+      .join(cnt.select(col("src").as("sb"), col("n").as("n_b")),
+        col("sa") < col("sb"))
+    val ie = st.as("a")
+      .join(st.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("sa"), col("b.src").as("sb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    pr.join(ie, Seq("sa", "sb"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("n_a"), col("n_b"), col("inter_exact"),
+        round(col("inter_exact").cast("double")
+          / (col("n_a") + col("n_b") - col("inter_exact")).cast("double"), 6)
+          .as("j_exact"))
+  }
+
+  /** Shared sketch CTE prologue for the KMV duck twins. */
+  private def duckKmvCtes(tbl: String, textCol: String, srcCol: String,
+                          n: Int): String =
+    s"""sh0 AS (SELECT src, unnest(${Dedup.duckShingles(textCol, n)}) AS sh
        |             FROM (SELECT *, $srcCol AS src,
        |                          ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl)),
        |st AS (SELECT DISTINCT src, (${TextAnalysis.duckFingerprint("sh")}) AS h FROM sh0),
-       |cnt AS (SELECT src, count(*) AS n FROM st GROUP BY 1),
+       |cnt AS (SELECT src, count(*) AS n FROM st GROUP BY 1)""".stripMargin
+
+  /** DuckDB oracle twin of [[kmvSourceJaccard]] — sketch-only. */
+  def duckKmvSourceJaccard(tbl: String, textCol: String, srcCol: String,
+                           n: Int = 3, k: Int = KmvK): String =
+    s"""WITH ${duckKmvCtes(tbl, textCol, srcCol, n)},
        |sk AS (SELECT src, h FROM (SELECT src, h,
        |                                  row_number() OVER (PARTITION BY src ORDER BY h) AS rk
        |                           FROM st) WHERE rk <= $k),
@@ -239,20 +279,29 @@ object Sketches {
        |r2 AS (SELECT sa, sb, ina, inb,
        |              row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk FROM m),
        |est AS (SELECT sa, sb, count(*) AS nm, CAST(sum(ina * inb) AS BIGINT) AS inter_kmv
-       |        FROM r2 WHERE rk <= $k GROUP BY 1, 2),
-       |ie AS (SELECT a.src AS sa, b.src AS sb, count(*) AS inter_exact
-       |       FROM st a JOIN st b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+       |        FROM r2 WHERE rk <= $k GROUP BY 1, 2)
        |SELECT pr.sa AS src_a, pr.sb AS src_b, ca.n AS n_a, cb.n AS n_b,
-       |       coalesce(ie.inter_exact, 0) AS inter_exact,
-       |       round(CAST(coalesce(ie.inter_exact, 0) AS DOUBLE)
-       |             / CAST(ca.n + cb.n - coalesce(ie.inter_exact, 0) AS DOUBLE), 6) AS j_exact,
        |       est.inter_kmv,
        |       round(CAST(est.inter_kmv AS DOUBLE) / CAST(est.nm AS DOUBLE), 6) AS j_kmv
        |FROM pr
        |JOIN cnt ca ON ca.src = pr.sa
        |JOIN cnt cb ON cb.src = pr.sb
-       |LEFT JOIN ie ON ie.sa = pr.sa AND ie.sb = pr.sb
        |JOIN est ON est.sa = pr.sa AND est.sb = pr.sb""".stripMargin
+
+  /** DuckDB oracle twin of [[exactSourceOverlap]]. */
+  def duckExactSourceOverlap(tbl: String, textCol: String, srcCol: String,
+                             n: Int = 3): String =
+    s"""WITH ${duckKmvCtes(tbl, textCol, srcCol, n)},
+       |pr AS (SELECT a.src AS sa, a.n AS n_a, b.src AS sb, b.n AS n_b
+       |       FROM cnt a JOIN cnt b ON a.src < b.src),
+       |ie AS (SELECT a.src AS sa, b.src AS sb, count(*) AS inter_exact
+       |       FROM st a JOIN st b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+       |SELECT pr.sa AS src_a, pr.sb AS src_b, pr.n_a, pr.n_b,
+       |       coalesce(ie.inter_exact, 0) AS inter_exact,
+       |       round(CAST(coalesce(ie.inter_exact, 0) AS DOUBLE)
+       |             / CAST(pr.n_a + pr.n_b - coalesce(ie.inter_exact, 0) AS DOUBLE), 6) AS j_exact
+       |FROM pr
+       |LEFT JOIN ie ON ie.sa = pr.sa AND ie.sb = pr.sb""".stripMargin
 
   /** DuckDB oracle twin of [[cmsHeavyHitters]]. */
   def duckCmsHeavyHitters(tbl: String, textCol: String, k: Int): String = {

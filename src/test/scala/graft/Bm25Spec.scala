@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bm25
+
+/** BM25 scoring semantics: exact formula parity against a hand-computed
+  * expectation, case folding, and term-presence ordering. Oracle
+  * hash-parity is gated by tools/check_oracle.py (q_bm25).
+  */
+class Bm25Spec extends AnyFunSuite with SparkTestBase {
+
+  private def bm25(tf: Double, dl: Double, n: Double, df: Double,
+                   avgdl: Double): Double = {
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    idf * (tf * (Bm25.K1 + 1.0)) /
+      (tf + Bm25.K1 * (1.0 - Bm25.B + Bm25.B * dl / avgdl))
+  }
+
+  test("score matches the closed-form expectation on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark hash"),
+      (2L, "hash table scan"),
+      (3L, "window sort")).toDF("doc_id", "text")
+    val out = Bm25.score(docs, "text", "doc_id", Seq("spark", "hash"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val avgdl = 8.0 / 3.0
+    // Per-term scores sum in declaration order; round(_, 6) at the end.
+    def exp(tfs: Double, tfh: Double, dl: Double) =
+      BigDecimal(bm25(tfs, dl, 3, 1, avgdl) + bm25(tfh, dl, 3, 2, avgdl))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, exp(2, 1, 3))))
+    assert(out(2L) == ((3L, exp(0, 1, 3))))
+    assert(out(3L) == ((2L, exp(0, 0, 2))))
+    // No query term at all -> score exactly 0.
+    assert(out(3L)._2 == 0.0)
+  }
+
+  test("matching is case-insensitive (documents lowercased)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spark SPARK spark"),
+      (2L, "spark spark spark")).toDF("doc_id", "text")
+    val out = Bm25.score(docs, "text", "doc_id", Seq("spark"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) == out(2L) && out(1L) > 0.0)
+  }
+
+  test("rejects non-lowercase, duplicate, or empty term sets") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Bm25.score(docs, "text", "doc_id", Seq("Spark")))
+    intercept[IllegalArgumentException](Bm25.score(docs, "text", "doc_id", Seq("a", "a")))
+    intercept[IllegalArgumentException](Bm25.score(docs, "text", "doc_id", Nil))
+  }
+
+  test("rarer term contributes more than a common one at equal tf") {
+    import spark.implicits._
+    // 'rare' in 1/10 docs, 'common' in 9/10; doc 1 has both once at the
+    // same dl -> the rare term's contribution must dominate.
+    val docs = ((2L to 9L).map(i => (i, "common filler words here")) ++ Seq(
+      (1L, "rare common pad padd"),
+      (10L, "none of these terms"))).toDF("doc_id", "text")
+    val rare = Bm25.score(docs, "text", "doc_id", Seq("rare"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val common = Bm25.score(docs, "text", "doc_id", Seq("common"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(rare(1L) > common(1L))
+  }
+}

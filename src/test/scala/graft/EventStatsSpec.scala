@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventStats
+
+/** Event-stream profiling semantics: pivot cell/zero-fill/listed-total
+  * behavior, trailing-window z-scores (current day excluded, partial
+  * windows dropped), and schema'd JSON property extraction including the
+  * malformed/float/missing-key NULL postures the DuckDB oracle regex must
+  * mirror. Oracle hash-parity is gated by tools/check_oracle.py.
+  */
+class EventStatsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(day: Int, h: Int = 1) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("pivotDaily: zero-fills empty cells; total counts listed types only") {
+    import spark.implicits._
+    val rows = Seq(
+      ("click", ts(1)), ("click", ts(1)), ("view", ts(1)),
+      ("error", ts(1)),                    // unlisted -> excluded everywhere
+      ("view", ts(2)))
+    val out = EventStats.pivotDaily(rows.toDF("event_type", "ts"), "ts",
+        "event_type", Seq("click", "view"))
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+    assert(out("2024-01-01") == ((2L, 1L, 3L)))  // error not in total
+    assert(out("2024-01-02") == ((0L, 1L, 1L)))  // click cell zero-filled
+  }
+
+  test("anomalyZscores: full-window days only, today excluded from baseline") {
+    import spark.implicits._
+    // Baseline days 1..7 alternate 1,2 events; day 8 spikes to 10.
+    val counts = Seq(1, 2, 1, 2, 1, 2, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(k => ("a", ts(i + 1, k)))
+    } ++ (1 to 10).map(k => ("a", ts(8, k)))
+    val out = EventStats.anomalyZscores(rows.toDF("event_type", "ts"), "ts",
+        "event_type", win = 7)
+      .as[(String, java.sql.Date, Long, Double)].collect()
+    // Days 1..7 lack a full trailing window; only day 8 scores.
+    assert(out.map(_._2.toString).toSeq == Seq("2024-01-08"))
+    val s1 = counts.sum.toDouble; val s2 = counts.map(c => c * c).sum.toDouble
+    val mean = s1 / 7; val variance = (s2 - s1 * s1 / 7) / 6
+    val expected = BigDecimal((10.0 - mean) / math.sqrt(variance))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._4 == expected)
+  }
+
+  test("anomalyZscores: zero-variance baselines are dropped, not div-by-zero") {
+    import spark.implicits._
+    val rows = (1 to 8).map(d => ("a", ts(d)))  // constant 1/day
+    val out = EventStats.anomalyZscores(rows.toDF("event_type", "ts"), "ts",
+      "event_type", win = 7).collect()
+    assert(out.isEmpty)
+  }
+
+  test("jsonPropStats: ints parse; floats, missing keys, malformed -> NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", """{"k": 5}"""),
+      ("a", """{"k": -3}"""),
+      ("a", """{"k": 5.5}"""),     // float under BIGINT schema -> NULL
+      ("a", """{"j": 1}"""),       // missing key -> NULL
+      ("b", """not json"""),       // malformed -> NULL
+      ("b", """{"k": 7}"""))
+    val out = EventStats.jsonPropStats(rows.toDF("event_type", "props"),
+        "props", "event_type")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 4L, 2L, Some(2L), Some(-3L), Some(5L), Some(1.0))))
+    assert(out("b") == (("b", 2L, 1L, Some(7L), Some(7L), Some(7L), Some(7.0))))
+  }
+
+  test("oracle fixture constraint holds: every props payload is flat {\"k\": int}") {
+    // The DuckDB oracle extracts k by regex, which matches the schema'd
+    // parse ONLY for flat single-key integer payloads — assert the real
+    // events fixture satisfies that, so q_event_props parity is sound.
+    val bad = Tables.load(spark, sf, "events")
+      .filter(!org.apache.spark.sql.functions.col("props")
+        .rlike("""^\{"k":\s*-?[0-9]+\}$"""))
+      .count()
+    assert(bad == 0L)
+  }
+}

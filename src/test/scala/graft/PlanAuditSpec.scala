@@ -125,6 +125,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"per-source bottom-k lost its WindowGroupLimit rewrite:\n$kmv")
   }
 
+  test("kmv estimator is sketch-only: no shingle-hash self-join in its plan") {
+    // The exact-intersection audit (st JOIN st ON a.h = b.h) would show
+    // up as a shuffle join keyed on the corpus-sized hash stream; the
+    // production estimator must only join sketch/count tables (all
+    // broadcastable at k·|sources| rows).
+    val plan = SparkEntry.queries("q_kmv_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-sized shuffle join crept back into the kmv estimator:\n$plan")
+  }
+
+  test("ngram novelty never joins on the shingle key (stop-shingle skew)") {
+    // Hot stop-shingles may only ever meet a hash AGGREGATE (partial
+    // combine absorbs them); any join keyed on `sh` reintroduces the
+    // hot-key shuffle. The one real join must be on the doc id.
+    val plan = SparkEntry.queries("q_ngram_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val shingleKeyedJoin =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[sh#""".r
+    assert(shingleKeyedJoin.findFirstIn(plan).isEmpty,
+      s"shingle-keyed join crept back into q_ngram_novelty:\n$plan")
+    assert(plan.contains("Join"), s"expected the doc-id join to remain:\n$plan")
+  }
+
   test("cube stats expand once and shuffle once") {
     val plan = SparkEntry.queries("q_cube_stats")(spark, sf)
       .queryExecution.executedPlan.toString()

@@ -98,17 +98,20 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     val small = ((1 to 10).map(i => (text(i), "A")) ++
       (6 to 15).map(i => (text(i), "B"))).toDF("text", "source")
     val s1 = Sketches.kmvSourceJaccard(small, "text", "source")
-      .select("j_exact", "j_kmv").as[(Double, Double)].head()
-    assert(s1 == ((0.333333, 0.333333)))
+      .select("j_kmv").as[Double].head()
+    assert(s1 == 0.333333)
+    // The exact audit twin agrees with the analytic ground truth.
+    val e1 = Sketches.exactSourceOverlap(small, "text", "source")
+      .select("inter_exact", "j_exact").as[(Long, Double)].head()
+    assert(e1 == ((15L, 0.333333)))
     // 900 shingles/source >> k: genuinely approximate; 3σ for J=1/3 at
     // k=128 is ~0.125.
     val big = ((1 to 300).map(i => (text(i), "A")) ++
       (151 to 450).map(i => (text(i), "B"))).toDF("text", "source")
     val s2 = Sketches.kmvSourceJaccard(big, "text", "source")
-      .select("j_exact", "j_kmv").as[(Double, Double)].head()
-    assert(s2._1 == 0.333333)
-    assert(math.abs(s2._2 - s2._1) < 0.15,
-      s"kmv estimate ${s2._2} too far from exact ${s2._1}")
+      .select("j_kmv").as[Double].head()
+    assert(math.abs(s2 - 1.0 / 3.0) < 0.15,
+      s"kmv estimate $s2 too far from exact 1/3")
   }
 
   test("pmi: exclusive pair outranks a chance pair of promiscuous words") {
@@ -126,6 +129,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.keySet == Set(("new", "york"), ("a", "b"), ("a", "c"), ("d", "b")))
     assert(out(("new", "york")) > out(("a", "b")))
     assert(math.abs((out(("new", "york")) - out(("a", "b"))) - math.log(4.0)) < 1e-6)
+  }
+
+  test("pmi log-space scoring survives counts where c12·Nt² overflows BIGINT") {
+    import spark.implicits._
+    // Web-scale counts: c12·Nt² ≈ 9.6e27 >> 2^63 ≈ 9.2e18 — the naive
+    // BIGINT product silently wraps; the log-space expression must not.
+    val c12 = 1000000000L; val c1 = 2000000000L; val c2 = 1500000000L
+    val nt = 3100000000L; val nb = 3099999999L
+    assert(BigDecimal(c12) * BigDecimal(nt) * BigDecimal(nt) >
+      BigDecimal(Long.MaxValue))
+    val got = Seq((c12, c1, c2, nt, nb)).toDF("c12", "c1", "c2", "nt", "nb")
+      .select(graft.operators.Collocations.pmiExpr(
+        col("c12"), col("c1"), col("c2"), col("nt"), col("nb")).as("pmi"))
+      .as[Double].head()
+    // Independent overflow-free path: ln((c12/nb)·(nt/c1)·(nt/c2)) with
+    // the ratios taken in double BEFORE multiplying.
+    val expected = math.log(
+      (c12.toDouble / nb.toDouble) * (nt.toDouble / c1.toDouble) *
+        (nt.toDouble / c2.toDouble))
+    assert(math.abs(got - expected) < 1e-9,
+      s"log-space pmi $got diverged from reference $expected")
   }
 
   test("perplexity: repeated fluent bigrams score lower nll than rare ones") {
