@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
 import graft.sources.SqlSource
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
@@ -901,7 +901,30 @@ object Queries {
     Entry("q_event_props",
       (s, d) => EventStats.jsonPropStats(t(s, d, "events"), "props",
         "event_type"),
-      Some(EventStats.duckJsonPropStats(EvOracle, "props", "event_type")))
+      Some(EventStats.duckJsonPropStats(EvOracle, "props", "event_type"))),
+
+    // DSIR-style hashed-n-gram importance weights against the English
+    // slice as the target distribution: fixed-size (4096-bucket) count
+    // tables, broadcast weight join, one doc-keyed exchange.
+    Entry("q_dsir_weights",
+      (s, d) => Dsir.importanceWeights(t(s, d, "documents"), "text",
+        "doc_id", targetPred = "lang = 'en'"),
+      Some(Dsir.duckImportanceWeights("documents", "text", "doc_id",
+        targetPred = "lang = 'en'"))),
+
+    // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
+    // connected-component resolve, min-id representative kept. Output
+    // drops the embedding array (oracle compare is scalar-only).
+    // Threshold 0.5 = the strict-duplicate regime the paper dedups in
+    // (and keeps the CC edge set small — at 0.35 this fixture's edge
+    // chains dominate the bench with pure CC-round overhead; that
+    // looser regime is exercised by DsirSemDedupSpec instead).
+    Entry("q_semdedup",
+      (s, d) => SemDedup.dedup(t(s, d, "embeddings"), "embedding",
+          "vec_id", k = 8, iters = 2, threshold = 0.5)
+        .select(col("vec_id"), col("label")),
+      Some(SemDedup.duckDedup("embeddings", "embedding", "vec_id",
+        k = 8, iters = 2, dim = 64, threshold = 0.5, keepCols = Seq("label"))))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

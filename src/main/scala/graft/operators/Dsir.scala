@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** DSIR-style data selection via hashed n-gram importance weights
+  * (Xie et al., "Data Selection for Language Models via Importance
+  * Resampling", 2023): score every raw document by how much more likely
+  * its hashed n-gram features are under a TARGET slice of the corpus
+  * (the high-quality distribution you want more of) than under the raw
+  * corpus itself,
+  *
+  *   logw(d) = Σ_{f ∈ feats(d)} [ ln p_target(f) − ln p_raw(f) ]
+  *   p(f)    = (c(f) + 1) / (N + B)          (add-one over B buckets)
+  *
+  * with feats(d) = unigram + adjacent-bigram occurrences hashed into B
+  * fixed buckets. High-logw documents look like the target; resampling
+  * by logw is the DSIR recipe for building a quality-targeted corpus.
+  * The reference engine exports tables verbatim; this is a scale
+  * extension over the same `documents` fixture.
+  *
+  * Scale shape — THE point of feature hashing: both count tables are
+  * FIXED SIZE (B rows) no matter the corpus size, built by one
+  * map-side-combined aggregate each, and the per-document scoring join
+  * is feature-stream ⋈ BROADCAST(B-row weight table) — hot buckets
+  * ("the", stop-bigrams) only ever hit the probe side of a broadcast
+  * hash join and the partial-combining count aggregates, never a
+  * shuffle-by-feature. One doc-keyed exchange (the per-doc sum) is the
+  * only corpus-sized shuffle.
+  *
+  * Engine parity: counts are integral; each bucket's log-ratio is one
+  * fixed expression over exactly-representable integer-valued doubles;
+  * the per-doc sum is a SORTED left fold (by bucket, then weight), so
+  * partial-agg order cannot perturb low bits; one `round(…, 6)`.
+  */
+object Dsir {
+
+  /** Default bucket count — 2^12 keeps the weight table broadcast-tiny
+    * while leaving hashed-feature collisions rare at fixture vocabulary
+    * sizes (DSIR itself uses 10^4-ish buckets).
+    */
+  val DefaultBuckets = 4096
+
+  private def bucketOf(c: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(TextAnalysis.fingerprint(c), lit(buckets.toLong))
+
+  /** (idCol, bucket) feature-occurrence stream: unigrams + adjacent
+    * bigrams (joined by one space) hashed into `buckets`.
+    */
+  private def features(docs: DataFrame, textCol: String, idCol: String,
+                       buckets: Int): DataFrame = {
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_w"))
+    val uni = base.select(col(idCol), explode(col("_w")).as("_f"))
+    // Docs with <2 tokens contribute no bigrams (descending `sequence`
+    // guard — the Perplexity.docScores lesson).
+    val bi = base.filter(size(col("_w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_w) - 1), i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"))
+        .as("_f"))
+    uni.unionByName(bi).select(col(idCol), bucketOf(col("_f"), buckets).as("bucket"))
+  }
+
+  /** Per-document DSIR log-importance-weights against the target slice
+    * `targetPred` (a SQL predicate over the document columns, e.g.
+    * `"lang = 'en'"` — passed as text so the DuckDB twin stays
+    * literally identical).
+    * Output: (idCol, n_feats, logw).
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+                        targetPred: String,
+                        buckets: Int = DefaultBuckets): DataFrame = {
+    val d = Dedup.rebalance(docs)
+    val raw = features(d, textCol, idCol, buckets)
+    val tgt = features(d.filter(expr(targetPred)), textCol, idCol, buckets)
+    val rawCnt = raw.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgtCnt = tgt.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rawTot = raw.select(count(lit(1)).as("nr"))
+    val tgtTot = tgt.select(count(lit(1)).as("nt"))
+    // Every bucket a document can produce exists in `raw` by definition,
+    // so a left join from rawCnt is total; absent target counts are 0.
+    // Every join in this operator is broadcast (plan-gated): the count
+    // tables are ≤ B rows and the totals are 1 row each.
+    val weights = rawCnt
+      .join(broadcast(tgtCnt), Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("nt") + buckets).cast("double"))
+          - log((col("cr") + 1).cast("double")
+            / (col("nr") + buckets).cast("double"))).as("_lnw"))
+    raw
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sort_array(collect_list(struct(col("bucket"), col("_lnw")))).as("_t"))
+      .select(col(idCol), col("n_feats"),
+        round(aggregate(col("_t"), lit(0.0), (acc, t) => acc + t.getField("_lnw")), 6)
+          .as("logw"))
+  }
+
+  /** DuckDB oracle twin of [[importanceWeights]] — identical hashing,
+    * smoothing, and sorted fold.
+    */
+  def duckImportanceWeights(tbl: String, textCol: String, idCol: String,
+                            targetPred: String,
+                            buckets: Int = DefaultBuckets): String = {
+    def featCte(name: String, rel: String): String =
+      s"""${name}0 AS (SELECT $idCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $rel),
+         |$name AS (
+         |  SELECT $idCol, ((${TextAnalysis.duckFingerprint("f")}) % $buckets + $buckets) % $buckets AS bucket
+         |  FROM (
+         |    SELECT $idCol, unnest(w) AS f FROM ${name}0
+         |    UNION ALL
+         |    SELECT $idCol, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS f
+         |    FROM ${name}0, LATERAL (SELECT unnest(range(1, len(w))) AS i)))""".stripMargin
+    s"""WITH ${featCte("raw", tbl)},
+       |${featCte("tgt", s"(SELECT * FROM $tbl WHERE $targetPred)")},
+       |rc AS (SELECT bucket, count(*) AS cr FROM raw GROUP BY 1),
+       |tc AS (SELECT bucket, count(*) AS ct FROM tgt GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM raw) AS nr,
+       |               (SELECT count(*) FROM tgt) AS nt),
+       |wt AS (SELECT rc.bucket,
+       |              ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+       |                 / CAST(nt + $buckets AS DOUBLE))
+       |              - ln(CAST(rc.cr + 1 AS DOUBLE)
+       |                   / CAST(nr + $buckets AS DOUBLE)) AS lnw
+       |       FROM rc LEFT JOIN tc USING (bucket), tot)
+       |SELECT raw.$idCol, count(*) AS n_feats,
+       |       round(list_reduce(list_prepend(0.0, list(lnw ORDER BY bucket, lnw)),
+       |                         (acc, x) -> acc + x), 6) AS logw
+       |FROM raw JOIN wt USING (bucket)
+       |GROUP BY raw.$idCol""".stripMargin
+  }
+}

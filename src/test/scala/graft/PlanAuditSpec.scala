@@ -149,6 +149,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Join"), s"expected the doc-id join to remain:\n$plan")
   }
 
+  test("dsir scoring joins are broadcast-only (fixed-size weight table)") {
+    // The whole point of feature HASHING is that the weight table is B
+    // rows: if any join here falls back to a shuffle join, a hot bucket
+    // ("the") becomes a hot shuffle key and the design premise is gone.
+    val plan = SparkEntry.queries("q_dsir_weights")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shuffle join crept into the dsir plan:\n$plan")
+  }
+
   test("cube stats expand once and shuffle once") {
     val plan = SparkEntry.queries("q_cube_stats")(spark, sf)
       .queryExecution.executedPlan.toString()
