@@ -912,6 +912,15 @@ object Queries {
       Some(Dsir.duckImportanceWeights("documents", "text", "doc_id",
         targetPred = "lang = 'en'"))),
 
+    // Gumbel-top-k importance resampling (DSIR's selection step):
+    // deterministic weighted sample ∝ exp(logw), planned as a
+    // distributed TakeOrdered — no normalization pass, no global sort.
+    Entry("q_dsir_sample",
+      (s, d) => Dsir.gumbelResample(t(s, d, "documents"), "text",
+        "doc_id", targetPred = "lang = 'en'", k = 100),
+      Some(Dsir.duckGumbelResample("documents", "text", "doc_id",
+        targetPred = "lang = 'en'", k = 100))),
+
     // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
     // connected-component resolve, min-id representative kept. Output
     // drops the embedding array (oracle compare is scalar-only).

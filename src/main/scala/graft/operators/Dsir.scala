@@ -100,6 +100,48 @@ object Dsir {
           .as("logw"))
   }
 
+  /** Gumbel-top-k importance RESAMPLING — the second half of the DSIR
+    * recipe: draw `k` documents with probability ∝ exp(logw) WITHOUT a
+    * normalization pass, by perturbing each weight with deterministic
+    * Gumbel noise and keeping the top k (Kool et al., "Stochastic Beams
+    * and Where to Find Them", 2019: argtop-k(logw + Gumbel) is an exact
+    * weighted sample without replacement). The noise is a pure function
+    * of the document id (fingerprint-derived uniform), so the sample is
+    * reproducible and oracle-checkable.
+    *
+    * Scale shape: [[importanceWeights]]'s passes plus ONE distributed
+    * top-k — `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). Ties on the rounded score
+    * are broken by id, so a last-ulp `ln` divergence cannot reorder the
+    * output.
+    * Output: (idCol, n_feats, logw, score), the k sampled rows.
+    */
+  def gumbelResample(docs: DataFrame, textCol: String, idCol: String,
+                     targetPred: String, k: Int,
+                     buckets: Int = DefaultBuckets): DataFrame = {
+    val w = importanceWeights(docs, textCol, idCol, targetPred, buckets)
+    // u ∈ (0,1) strictly: (h % 10^6 + 1) / (10^6 + 1) — both bounds
+    // excluded, so the double ln(-ln(u)) is always finite.
+    val u = (pmod(TextAnalysis.fingerprint(
+        concat(col(idCol).cast("string"), lit("|gumbel"))), lit(1000000L)) + 1)
+      .cast("double") / lit(1000001.0)
+    w.withColumn("score", round(col("logw") - log(-log(u)), 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle twin of [[gumbelResample]]. */
+  def duckGumbelResample(tbl: String, textCol: String, idCol: String,
+                         targetPred: String, k: Int,
+                         buckets: Int = DefaultBuckets): String = {
+    val fp = TextAnalysis.duckFingerprint(s"CAST($idCol AS VARCHAR) || '|gumbel'")
+    s"""SELECT $idCol, n_feats, logw,
+       |       round(logw - ln(-ln(
+       |         CAST(($fp) % 1000000 + 1 AS DOUBLE) / 1000001.0)), 6) AS score
+       |FROM (${duckImportanceWeights(tbl, textCol, idCol, targetPred, buckets)}) iw
+       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[importanceWeights]] — identical hashing,
     * smoothing, and sorted fold.
     */

@@ -43,6 +43,23 @@ class DsirSemDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) == 3L && out(4L) == 1L)
   }
 
+  test("gumbel resample: sample is k rows, biased hard toward the target") {
+    import spark.implicits._
+    // Target speaks 'alpha'; logw gap vs 'beta' docs is ~28 nats, far
+    // beyond Gumbel tail mass — all 50 picks must be alpha docs, and
+    // determinism means rerunning yields the identical id set.
+    val docs = ((1L to 100L).map(i => (i, "alpha alpha alpha", "en")) ++
+      (101L to 200L).map(i => (i, "beta beta beta", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val pick = Dsir.gumbelResample(docs, "text", "doc_id", "lang = 'en'", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pick.size == 50)
+    assert(pick.forall(_ <= 100L), s"off-target docs sampled: ${pick.filter(_ > 100L)}")
+    val again = Dsir.gumbelResample(docs, "text", "doc_id", "lang = 'en'", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pick == again)
+  }
+
   test("semdedup: within-cell exact duplicates collapse to the min id") {
     import spark.implicits._
     // Two well-separated directions; ids 0 and 1 seed the two k-means
