@@ -1,35 +1,81 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.mutable
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
   * Protocol: two full iterations, report the per-query MINIMUM across
-  * them — the cold pass is dominated by ~10 s of janino codegen + JIT
-  * noise (BASELINE.md measured ±3 s/query cold), and this host shows
-  * minutes-long external-contention windows that can inflate any single
-  * pass 3–5× uniformly (BASELINE.md round 6: the same suite measured
-  * 58.6 s and 314 s within half an hour, idle load both times). The
-  * min across passes is the standard noise-robust wall-clock estimator;
-  * `cold_total` (first-pass sum) is kept for warmup visibility. The
-  * JSON line goes to stdout AND `target/bench.json` so the driver need
-  * not scrape sbt logs.
+  * the passes where the query SUCCEEDED — the cold pass is dominated by
+  * ~10 s of janino codegen + JIT noise (BASELINE.md measured ±3 s/query
+  * cold), and this host shows minutes-long external-contention windows
+  * that can inflate any single pass 3–5× uniformly (BASELINE.md round 6:
+  * the same suite measured 58.6 s and 314 s within half an hour, idle
+  * load both times). A query that failed in a pass contributes neither a
+  * time nor a silence: if it succeeded in ANY pass its best successful
+  * time is reported, and only if it failed in EVERY pass does it report
+  * the failing pass's elapsed time plus an `"errors"` entry (exception
+  * class + message). `cold_total` (first-pass sum) is kept for warmup
+  * visibility.
   *
-  * A query that throws is NOT silently timed as ~0 s: its elapsed time
-  * is still recorded and its error surfaces in the `"errors"` JSON map
-  * (name → exception class + message), so a broken query is visible in
-  * the bench artifact, not just in the correctness gate.
+  * Artifact robustness (the round-6 rc=124 lesson): `target/bench.json`
+  * is DELETED at startup (no stale-file trap) and REWRITTEN after every
+  * single query, and the running JSON line is printed to stdout each
+  * time — so a driver timeout at any point still leaves a parsable
+  * artifact covering everything finished so far (`"complete":false`
+  * marks a partial run; the final line flips it to true). Queries run
+  * cheapest-first (static cost hints from the round-6 71-query run), so
+  * a truncated run covers the most queries per second spent.
   *
   * `SPARK_GRAFT_BENCH_ONLY=q_a,q_b` restricts the run to the named
   * queries (iteration tool; the driver never sets it).
   */
 object Bench {
+
+  /** Per-query seconds from the last full 71-query local run (round 6,
+    * commit e42a901 protocol, judge re-run artifact) — ORDERING HINTS
+    * only, never reported. Unknown (new) queries default to 3.0 s: after
+    * the known-cheap majority, before the known-heavy tail.
+    */
+  private val CostHint: Map[String, Double] = Map(
+    "q_commit_history" -> 0.17, "q_seq_pack" -> 0.19, "q_mm_frames" -> 0.20,
+    "q_mm_phash" -> 0.21, "q_full" -> 0.23, "q_mixture_weights" -> 0.29,
+    "q_time_based_events" -> 0.29, "q_scd_latest_maxby" -> 0.30,
+    "q_topk_orders" -> 0.30, "q_stratified_sample" -> 0.31,
+    "q_quality_gopher" -> 0.31, "q_group_sample" -> 0.33,
+    "q_time_based" -> 0.35, "q_fingerprint" -> 0.36, "q_ngram_novelty" -> 0.36,
+    "q_cdc_incremental" -> 0.36, "q_lang_id" -> 0.36, "q_emb_quantize" -> 0.37,
+    "q_pii_redact" -> 0.41, "q_scd_latest_events" -> 0.42, "q_event_pivot" -> 0.43,
+    "q_incr_dedup" -> 0.43, "q_dedup_exact" -> 0.46, "q_split_assign" -> 0.47,
+    "q_hll_distinct" -> 0.48, "q_text_stats" -> 0.48, "q_asof_join" -> 0.51,
+    "q_rowcount" -> 0.60, "q_event_props" -> 0.67, "q_mm_decode" -> 0.74,
+    "q_join_revenue" -> 0.82, "q_custom_sql" -> 0.87, "q_len_quantiles" -> 0.89,
+    "q_agg_pricing" -> 0.93, "q_kmv_exact" -> 0.94, "q_scd_latest" -> 1.02,
+    "q_chunk_dedup" -> 1.03, "q_rolling_daily" -> 1.04, "q_cube_stats" -> 1.06,
+    "q_range_join" -> 1.13, "q_sessionize" -> 1.28, "q_bm25" -> 1.30,
+    "q_cdc_first_sync" -> 1.33, "q_ann_bruteforce" -> 1.35, "q_ann_ivf" -> 1.41,
+    "q_dedup_embedding" -> 1.46, "q_funnel" -> 1.59, "q_retention" -> 1.68,
+    "q_event_anomaly" -> 1.73, "q_dedup_ngram_jaccard" -> 1.87,
+    "q_skew_join" -> 2.07, "q_term_freq" -> 2.14, "q_dedup_minhash_lsh" -> 2.53,
+    "q_kmv_jaccard" -> 2.81, "q_tfidf_pairs" -> 3.03, "q_bloom_prune" -> 3.11,
+    "q_dedup_embedding_lsh" -> 3.23, "q_pmi_colloc" -> 3.57, "q_idf_score" -> 3.81,
+    "q_pipeline_curate" -> 3.93, "q_dedup_simhash" -> 4.23,
+    "q_decontaminate" -> 5.10, "q_dsir_sample" -> 5.14, "q_perplexity" -> 5.33,
+    "q_ann_ivf_kmeans" -> 5.40, "q_dsir_weights" -> 5.62,
+    "q_dedup_resolve_lsh" -> 5.73, "q_pipeline_prep" -> 7.36,
+    "q_cms_topk" -> 7.59, "q_semdedup" -> 9.81, "q_dedup_resolve" -> 12.10,
+    // round-7 additions (estimates until the first recorded run):
+    "q_stream_sessions" -> 4.0, "q_sink_roundtrip" -> 6.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val outPath = Paths.get("target/bench.json")
+    Files.createDirectories(outPath.getParent)
+    Files.deleteIfExists(outPath) // stale-file trap: a timeout must never leave last round's numbers
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,47 +83,71 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name))
-    }
+
+    val selected = SparkEntry.queries.keys.toSeq
+      .filter(name => only.forall(_.contains(name)))
+      .sortBy(name => (CostHint.getOrElse(name, 3.0), name))
+
     def jsonStr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
-    def runAll(): (Map[String, Double], Map[String, String]) = {
-      val errors = Map.newBuilder[String, String]
-      val times = selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // Execution-order trace on stderr (driver parses stdout only):
-        // accumulation bugs show as monotonically inflating times here.
-        System.err.println(f"[bench] $name%-28s $sec%8.2f s")
-        name -> sec
+
+    // okBest: min elapsed over passes that succeeded.
+    // failLast: elapsed + error from the latest failing pass (reported
+    // only while no pass has succeeded).
+    val okBest = mutable.Map[String, Double]()
+    val failLast = mutable.Map[String, (Double, String)]()
+    val coldTimes = mutable.Map[String, Double]()
+    var passesDone = 0
+
+    def emit(complete: Boolean): Unit = {
+      val names = (okBest.keySet ++ failLast.keySet).toSeq.sorted
+      val results = names.map { n =>
+        n -> okBest.getOrElse(n, failLast(n)._1)
       }
-      (times, errors.result())
+      val errors = names.filter(n => !okBest.contains(n))
+        .map(n => n -> failLast(n)._2)
+      val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val errs = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val coldTotal = coldTimes.values.sum
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete}"""
+      println(json)
+      // Atomic replace: a reader (or a kill) mid-write still sees a
+      // complete previous JSON, never a torn file.
+      val tmp = Paths.get("target/bench.json.tmp")
+      Files.writeString(tmp, json + "\n")
+      Files.move(tmp, outPath, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     }
-    val runs = (1 to math.max(1, iters)).map(_ => runAll())
-    // Per-query min across passes (noise-robust); errors from the last
-    // pass (a query that recovered on retry still shows its best time,
-    // one that keeps failing keeps its error).
-    val results = runs.map(_._1).reduce((a, b) =>
-      a.map { case (k, v) => k -> math.min(v, b.getOrElse(k, v)) })
-    val errors = runs.last._2
-    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = runs.head._1.values.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${runs.length},"cold_total":$coldTotal}"""
-    println(json)
-    Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json + "\n")
+
+    for (pass <- 1 to iters) {
+      for (name <- selected) {
+        val t0 = System.nanoTime()
+        val err =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+          catch {
+            case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (pass == 1) coldTimes(name) = sec
+        err match {
+          case None => okBest(name) = math.min(sec, okBest.getOrElse(name, sec))
+          case Some(msg) => failLast(name) = (sec, msg)
+        }
+        // Execution-order trace on stderr (stdout carries only JSON):
+        // accumulation bugs show as monotonically inflating times here.
+        System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s${err.fold("")(" ERROR " + _)}")
+        emit(complete = false)
+      }
+      passesDone = pass
+    }
+    emit(complete = true)
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    if (failLast.keys.exists(n => !okBest.contains(n))) sys.exit(1)
   }
 }
