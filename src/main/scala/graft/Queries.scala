@@ -7,7 +7,9 @@ import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
 import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
+import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
+import graft.streaming.StreamSync
 
 /** Named query registry — one entry per implemented operator (SURVEY §2),
   * each paired (when SQL-expressible) with a DuckDB oracle over the same
@@ -93,8 +95,9 @@ object Queries {
                 FROM orders) RankedRows
               WHERE row_num = 1""")),
 
-    // SURVEY §4.3 — scale rewrite of scd-latest: partial+final hash agg
-    // (max_by over a struct) instead of Exchange+Sort+Window. Same rows.
+    // SURVEY §4.3 — scale rewrite of scd-latest: max_by over a struct
+    // (partial+final SortAggregate with map-side collapse) instead of
+    // Sort+WindowGroupLimit+Exchange+Window. Same rows.
     Entry("q_scd_latest_maxby",
       (s, d) => Sync.latestByGroup(t(s, d, "orders"), "o_custkey",
         struct(col("o_orderdate"), col("o_orderkey"))),
@@ -921,8 +924,47 @@ object Queries {
       Some(Dsir.duckGumbelResample("documents", "text", "doc_id",
         targetPred = "lang = 'en'", k = 100))),
 
+    // K1+K3 driver gate — sink ROUNDTRIP: q_full's frame written through
+    // the reference sink surface (gzip JSON lines, overwrite,
+    // maxRecordsPerFile → several files even at sf0.01) and read back
+    // with the written schema. The oracle is q_full's SELECT, so the
+    // whole write→read cycle must be lossless on every column type
+    // (doubles, ms-timestamps, strings) for the hash to match.
+    Entry("q_sink_roundtrip",
+      (s, d) => {
+        val out = Sync.plan(t(s, d, "lineitem"), SyncMode.Full, Seq("l_returnflag"))
+        val uri = "file:" +
+          java.nio.file.Paths.get("target/sink-roundtrip").toAbsolutePath
+        FileSink.write(out, SinkSpec("json", uri, maxRecordsPerFile = Some(20000L)))
+        s.read.schema(out.schema).json(uri)
+      },
+      Some("SELECT * FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag != ''")),
+
+    // Structured Streaming driver gate — gap sessionization through a
+    // REAL streaming query (session_window + watermark, Append mode,
+    // bounded replay harness; see StreamSync.replaySessions). Oracle is
+    // the batch lag-break session rollup: the streaming and batch
+    // formulations must agree row-for-row on the fixture.
+    Entry("q_stream_sessions",
+      (s, d) => StreamSync.replaySessions(
+        t(s, d, "events").select(col("user_id"), col("ts")),
+        "user_id", "ts", gap = "30 minutes"),
+      Some(s"""SELECT user_id, min(ts) AS session_start,
+                      max(ts) + INTERVAL 30 MINUTE AS session_end,
+                      count(*) AS n_events
+               FROM (SELECT user_id, ts,
+                            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                     FROM (SELECT user_id, ts,
+                                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                                       WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1
+                                       ELSE 0 END AS brk
+                           FROM $EvOracle e) b) g
+               GROUP BY user_id, sess""")),
+
     // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
-    // connected-component resolve, min-id representative kept. Output
+    // greedy smaller-id drop (the paper's keep-one policy — NOT a
+    // transitive closure; see SemDedup scaladoc). Output
     // drops the embedding array (oracle compare is scalar-only).
     // Threshold 0.5 = the strict-duplicate regime the paper dedups in
     // (and keeps the CC edge set small — at 0.35 this fixture's edge

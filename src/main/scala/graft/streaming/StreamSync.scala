@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
@@ -127,6 +128,56 @@ object StreamSync {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  private val ReplaySeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Key value reserved for the watermark-advancing sentinel rows of
+    * [[replaySessions]]; input keys must differ from it.
+    */
+  val SentinelKey: Long = Long.MinValue
+
+  /** Drive [[streamingSessions]] over a BOUNDED (key, ts) set and return
+    * the completed sessions as a batch DataFrame — the harness that lets
+    * a batch oracle prove the streaming operator (q_stream_sessions).
+    *
+    * Replay protocol: all real rows arrive as micro-batch 1 (watermark
+    * is still epoch-0, so nothing is late-dropped); two far-future
+    * sentinel rows then arrive as batches 2 and 3, each advancing the
+    * event-time watermark computed from the PREVIOUS batch — by batch 3
+    * the watermark (year 2100) is past every real session end, so Append
+    * mode has deterministically closed and emitted every real session
+    * before `processAllAvailable` returns (no reliance on no-data
+    * micro-batch scheduling). Sentinel sessions are filtered back out.
+    *
+    * The driver-side `collect`/`addData` is the bounded-replay harness,
+    * not a scale path: production ingest uses `readChangeLog` +
+    * [[streamingSessions]] directly, whose state stays bounded by open
+    * sessions per key.
+    */
+  def replaySessions(events: DataFrame, keyCol: String, tsCol: String,
+                     gap: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col(keyCol).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    require(rows.forall(_._1 != SentinelKey), s"key $SentinelKey is reserved")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"graft_replay_sessions_${ReplaySeq.incrementAndGet()}"
+    val q = streamingSessions(input.toDF().toDF(keyCol, tsCol), tsCol, keyCol,
+        watermarkDelay = "0 seconds", gap = gap)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData((SentinelKey, java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+      q.processAllAvailable()
+      input.addData((SentinelKey, java.sql.Timestamp.valueOf("2101-01-01 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col(keyCol) =!= SentinelKey)
+  }
 
   /** Stream-stream interval join: enrich a fact stream with ALL
     * dim-stream rows whose event time falls within `joinWindowSeconds`
