@@ -87,13 +87,31 @@ object Engine {
 
   /** Local-mode session with the layout this engine assumes: UTC, AQE on,
     * shuffle parallelism sized to the cores (not the 200 default).
+    *
+    * A checkpoint dir is always wired (SPARK_GRAFT_CHECKPOINT_DIR, else a
+    * scratch dir) so iterative operators ([[graft.operators.Dedup
+    * .connectedComponents]]) take the RELIABLE `checkpoint()` branch:
+    * `localCheckpoint` stores iteration state only in executor block
+    * managers, so on a real cluster one lost executor kills the job with
+    * an unrecoverable missing-block error mid-loop — at 100 TB the
+    * checkpoint dir must be durable storage (HDFS/object store), which is
+    * exactly what this env var is for. `cleanCheckpoints=true` lets the
+    * ContextCleaner delete superseded round files instead of leaking one
+    * directory per CC round for the life of the session.
     */
-  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession =
-    SparkSession.builder()
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
+          java.nio.file.Files.createTempDirectory("graft-checkpoint").toString))
+    spark
+  }
 }

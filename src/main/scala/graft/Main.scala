@@ -127,8 +127,14 @@ object Main {
       FileSink.validateRowCount(
         Tables.load(spark, a.str("catalog"), a.str("table")), a.lng("validate_row_count"))
     val built = build(spark, a)
+    // Separator: comma (primary — matching the sibling list args, e.g.
+    // cdc_key_columns) OR whitespace (compat with the reference's
+    // `.split()`, export.py:26 — SURVEY §2.3 documents that separator
+    // asymmetry as a probable reference bug). Membership is exact-name:
+    // the reference's substring-`in` bug (ignoring `id` when `pid` is
+    // listed) is deliberately NOT reproduced.
     val hashed = RowHash.withHashColumn(built.df, a.str("computed_hash_column"),
-      a.str("computed_hash_ignore_columns").split("\\s+").toSet.filter(_.nonEmpty))
+      a.str("computed_hash_ignore_columns").split("[,\\s]+").toSet.filter(_.nonEmpty))
     if (a.str("bucket").nonEmpty) {
       val auth =
         if (a.str("gcp_project").nonEmpty)

@@ -40,7 +40,10 @@ object Bm25 {
             terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct,
       "query terms must be non-empty and distinct")
-    require(terms == terms.map(_.toLowerCase),
+    // Locale.ROOT: the engines fold documents with SQL lower() (locale-
+    // insensitive); a default-locale toLowerCase here (e.g. Turkish
+    // dotted-I) could reject terms the engines would fold fine.
+    require(terms == terms.map(_.toLowerCase(java.util.Locale.ROOT)),
       "query terms must be lowercase (documents are lowercased before matching)")
     val base = Dedup.rebalance(docs)
       .withColumn("_w", TextAnalysis.tokens(lower(col(textCol))))

@@ -92,10 +92,14 @@ object Sync {
   }
 
   /** Scale-oriented alternative to [[SyncMode.ScdLatest]] (SURVEY §4.3):
-    * `groupBy(g).agg(max_by(struct(*), t))` replaces the Window's full
-    * Exchange+Sort with a partial+final hash aggregate — same rows (when
-    * the order key is unique per group), no per-group sort, map-side
-    * combine shrinks the shuffle to one row per group per mapper.
+    * `groupBy(g).agg(max_by(struct(*), t))` — same rows (when the order
+    * key is unique per group). It plans as a partial+final SortAggregate
+    * (struct buffers aren't hash-aggregable — measured, PlanAuditSpec
+    * "wide-table scd-latest"), so its advantage over the Window path is
+    * NOT sort elimination: it's the map-side partial collapse to one
+    * buffer per (group, partition) before the exchange, no rank column
+    * on the wire, and no final Window pass — never more shuffle volume
+    * than WindowGroupLimit, and measurably faster end-to-end.
     * `orderExpr` may be a struct for tie-broken ordering.
     */
   def latestByGroup(df: DataFrame, groupIdCol: String, orderExpr: Column): DataFrame = {

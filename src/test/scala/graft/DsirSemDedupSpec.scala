@@ -83,6 +83,21 @@ class DsirSemDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(loose == Set(0L, 1L))
   }
 
+  test("semdedup fixture guard: largest k-means cell stays well under the cap") {
+    // duckDedup mirrors the MaxCellSize cap as a no-op, so oracle parity
+    // would diverge silently if a fixture cell ever approached the cap.
+    // Pin both gate scales (sf0.01 correctness, sf0.1 bench) to < cap/2.
+    import org.apache.spark.sql.functions.max
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val maxCell = operators.Similarity
+        .kmeansCells(emb, "embedding", "vec_id", k = 8, iters = 2)
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+      assert(maxCell <= SemDedup.MaxCellSize / 2,
+        s"$dir largest cell $maxCell approaches cap ${SemDedup.MaxCellSize}")
+    }
+  }
+
   test("semdedup: pair search stays inside cells and honors the cap") {
     import spark.implicits._
     val a = Seq(1.0f, 0.0f); val b = Seq(0.0f, 1.0f)

@@ -55,6 +55,31 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(json.contains("unix_timestamp(o_orderdate)*1000 <= 1009756800000"))
   }
 
+  test("hash-ignore list splits on comma AND whitespace; membership is exact-name") {
+    def hashes(ignore: String): Map[Long, String] = {
+      val out = tmp()
+      runMain(
+        "--sync_type", "full", "--catalog", sf, "--schema_name", "s",
+        "--table", "nation",
+        "--export_format", "json", "--bucket", s"file:$out", "--prefix", "exp",
+        "--computed_hash_column", "computed_hash",
+        "--computed_hash_ignore_columns", ignore)
+      spark.read.json(s"file:$out/exp")
+        .selectExpr("n_nationkey", "computed_hash")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val comma = hashes("n_name,n_comment")
+    val ws = hashes("n_name n_comment")
+    assert(comma == ws, "comma and whitespace separators must be equivalent")
+    // Exact-name membership: listing the SUBSTRING "comment" ignores
+    // nothing — the reference's substring-`in` bug (which would drop
+    // n_comment, like ignoring `id` when `pid` is listed) is not
+    // reproduced (SURVEY §2.3).
+    val substr = hashes("comment")
+    assert(substr == hashes(""), "substring of a column name must ignore nothing")
+    assert(substr != comma)
+  }
+
   test("row-count guard fails the job before export") {
     val e = intercept[RuntimeException] {
       runMain("--sync_type", "full", "--catalog", sf, "--schema_name", "s",
@@ -88,6 +113,28 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
       "--now_ms", nowMs.toString)
     assert(second.contains(s""""change_capture_sync_last_commit_ms": $nowMs"""))
     assert(second.contains("table_changes"))
+  }
+
+  test("Engine.session wires reliable checkpoints for the CC loop (100 TB posture)") {
+    import spark.implicits._
+    // Engine.session (the Main path's session factory) must leave the
+    // context with a checkpoint dir, so connectedComponents takes the
+    // reliable-checkpoint branch — localCheckpoint state dies with any
+    // executor on a real cluster. (getOrCreate returns the shared test
+    // session; the posture is applied to it, which is exactly the
+    // assertable surface.)
+    val s = Engine.session()
+    assert(s.sparkContext.getCheckpointDir.isDefined)
+    val labels = operators.Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    val rdd = labels.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.get
+    // Reliable (file-backed) checkpoint, not a block-manager-local one.
+    assert(rdd.isCheckpointed && rdd.getCheckpointFile.isDefined,
+      s"labels RDD not reliably checkpointed: ${rdd.toDebugString}")
+    assert(labels.as[(Long, Long)].collect().toSet ==
+      Set((2L, 1L), (3L, 1L), (1L, 1L), (11L, 10L), (10L, 10L)))
   }
 
   test("cdc incremental exports exactly the post-watermark changes") {

@@ -170,6 +170,68 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"cube rollup should need exactly one exchange:\n$plan")
   }
 
+  test("wide-table scd-latest: max_by rewrite prunes map-side and shuffles no more than the window path") {
+    // SURVEY §4.3's claim, measured honestly: `max_by(struct(*))` does
+    // NOT plan as a hash aggregate — struct buffers aren't mutable
+    // primitive types, so Spark falls back to SortAggregate (this test
+    // discovered that; §4.3 is corrected accordingly). What makes it
+    // the at-scale rewrite is what THIS gate pins: (a) a map-side
+    // partial_max_by collapses each partition to one buffer per group
+    // BEFORE the exchange, and (b) it puts no more rows — and no more
+    // than marginally more bytes — on the wire than the Window path,
+    // whose own map-side prune is WindowGroupLimit. If either prune
+    // ever stopped firing, the records gap collapses and this gate
+    // names the regression.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.operators.{Sync, SyncMode}
+
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case other => other.children.toSeq.flatMap(allNodes)
+    })
+    def shuffleMetrics(df: DataFrame): (Long, Long) = {
+      df.collect()
+      val ex = allNodes(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+      (ex.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum,
+        ex.flatMap(_.metrics.get("dataSize").map(_.value)).sum)
+    }
+
+    // 6 natural + 30 md5 pad columns: the wide-export shape; per-row
+    // hashes keep the pads incompressible so the byte counts are honest.
+    val orders = Tables.load(spark, sf, "orders")
+    val wide = (0 until 30).foldLeft(orders) { (df, i) =>
+      df.withColumn(s"o_pad_$i",
+        md5(concat(col("o_orderkey").cast("string"), lit(i))))
+    }
+    val viaWindow = Sync.plan(wide, SyncMode.ScdLatest("o_custkey", "o_orderdate",
+      keepRank = false, tieBreakers = Seq("o_orderkey")))
+    val viaMaxBy = Sync.latestByGroup(wide, "o_custkey",
+      struct(col("o_orderdate"), col("o_orderkey")))
+
+    val (winRecs, winBytes) = shuffleMetrics(viaWindow)
+    val (aggRecs, aggBytes) = shuffleMetrics(viaMaxBy)
+    val winPlan = viaWindow.queryExecution.executedPlan.toString()
+    val aggPlan = viaMaxBy.queryExecution.executedPlan.toString()
+
+    assert(winPlan.contains("WindowGroupLimit"),
+      s"window path lost its map-side WindowGroupLimit prune:\n$winPlan")
+    assert(aggPlan.contains("partial_max_by"),
+      s"max_by path lost its map-side partial aggregation:\n$aggPlan")
+    assert(!aggPlan.contains("Window"), aggPlan)
+    assert(aggRecs <= winRecs,
+      s"max_by shuffled MORE rows than the window path: $aggRecs vs $winRecs")
+    // The max_by buffer duplicates the ordering key next to the row
+    // (~1% of a wide row) — allow that margin, nothing more.
+    assert(aggBytes <= (winBytes * 1.1).toLong,
+      s"max_by shuffled more bytes than the window path: $aggBytes vs $winBytes")
+    assert(viaMaxBy.count() == viaWindow.count())
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
