@@ -27,6 +27,12 @@ import scala.collection.mutable
   * cheapest-first (static cost hints from the round-6 71-query run), so
   * a truncated run covers the most queries per second spent.
   *
+  * A fixed-work contention canary is probed every 10 queries and
+  * reported as `"canary"` (series) + `"canary_wave_ratio"` (steady-state
+  * max/median): near 1 certifies a clean run; ≳3 says a host-contention
+  * wave hit, and the series localizes which stretch of the suite to
+  * distrust — all inside the artifact, no re-run needed.
+  *
   * `SPARK_GRAFT_BENCH_ONLY=q_a,q_b` restricts the run to the named
   * queries (iteration tool; the driver never sets it).
   */
@@ -64,8 +70,9 @@ object Bench {
     "q_ann_ivf_kmeans" -> 5.40, "q_dsir_weights" -> 5.62,
     "q_dedup_resolve_lsh" -> 5.73, "q_pipeline_prep" -> 7.36,
     "q_cms_topk" -> 7.59, "q_semdedup" -> 9.81, "q_dedup_resolve" -> 12.10,
-    // round-7 additions (estimates until the first recorded run):
-    "q_stream_sessions" -> 4.0, "q_sink_roundtrip" -> 6.0)
+    // round-7 additions (measured locally):
+    "q_stream_sessions" -> 7.3, "q_sink_roundtrip" -> 4.6,
+    "q_stream_dedup" -> 3.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,6 +107,22 @@ object Bench {
     val coldTimes = mutable.Map[String, Double]()
     var passesDone = 0
 
+    // Contention canary: a fixed-work probe (no IO, no shuffle, constant
+    // input) timed every few queries. On this host, external-contention
+    // waves inflate EVERYTHING 3–5× for minutes (BASELINE.md round 6);
+    // the canary series makes a wave visible inside the artifact itself
+    // — `canary_wave_ratio` near 1 certifies a clean run, >>1 says which
+    // stretch of the suite to distrust without a re-run.
+    val canaries = mutable.ArrayBuffer[Double]()
+    def probeCanary(): Unit = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode throws on long-sum overflow. Sized
+      // so one probe is a few hundred ms — long enough that scheduler
+      // jitter amortizes, short enough to cost ~2% of the suite.
+      spark.range(256L * 1000 * 1000).selectExpr("bit_xor(xxhash64(id))").head()
+      canaries += (System.nanoTime() - t0) / 1e9
+    }
+
     def emit(complete: Boolean): Unit = {
       val names = (okBest.keySet ++ failLast.keySet).toSeq.sorted
       val results = names.map { n =>
@@ -113,8 +136,20 @@ object Bench {
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val coldTotal = coldTimes.values.sum
+      // First canary carries codegen+JIT warmup; exclude it from the
+      // ratio (but keep it in the series for completeness). Ratio is
+      // max/MEDIAN: a contention wave lifts a probe 3–5× over the
+      // run's typical value, while max/min would amplify one lucky
+      // fast probe into a false alarm.
+      val steady = canaries.drop(1)
+      val waveRatio =
+        if (steady.size >= 3) {
+          val sorted = steady.sorted
+          sorted.last / math.max(sorted(sorted.size / 2), 1e-9)
+        } else 1.0
+      val canaryArr = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"canary":$canaryArr,"canary_wave_ratio":${f"$waveRatio%.2f"}}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -125,7 +160,8 @@ object Bench {
     }
 
     for (pass <- 1 to iters) {
-      for (name <- selected) {
+      for ((name, idx) <- selected.zipWithIndex) {
+        if (idx % 10 == 0) probeCanary()
         val t0 = System.nanoTime()
         val err =
           try { SparkEntry.queries(name)(spark, sfDir).count(); None }

@@ -962,6 +962,17 @@ object Queries {
                            FROM $EvOracle e) b) g
                GROUP BY user_id, sess""")),
 
+    // Streaming exact-dedup driver gate: every fixture row injected
+    // TWICE through dropDuplicatesWithinWatermark in one micro-batch
+    // (see StreamSync.replayDedup) — the output must be exactly the
+    // distinct (event_id, ts) set, so a regression in in-watermark
+    // dropping doubles the row count and turns the gate red.
+    Entry("q_stream_dedup",
+      (s, d) => StreamSync.replayDedup(
+        t(s, d, "events").select(col("event_id"), col("ts")),
+        "event_id", "ts", watermarkDelay = "1 hour"),
+      Some("SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events")),
+
     // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
     // greedy smaller-id drop (the paper's keep-one policy — NOT a
     // transitive closure; see SemDedup scaladoc). Output

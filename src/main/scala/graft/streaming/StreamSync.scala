@@ -156,12 +156,23 @@ object StreamSync {
     */
   def replaySessions(events: DataFrame, keyCol: String, tsCol: String,
                      gap: String): DataFrame = {
-    val spark = events.sparkSession
+    val rows = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.select(col(keyCol).cast("long"), col(tsCol))
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+    }
+    require(rows.forall(_._1 != SentinelKey), s"key $SentinelKey is reserved")
+    // Dedicated session: stateful streaming cost scales with the state
+    // store's partition count (one store instance committed per shuffle
+    // partition per micro-batch), and a 3-micro-batch bounded replay
+    // over one in-memory batch has nothing to gain from 32 of them.
+    // newSession shares the SparkContext but isolates the conf, so the
+    // caller's shuffle parallelism is untouched.
+    val spark = events.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col(keyCol).cast("long"), col(tsCol))
-      .as[(Long, java.sql.Timestamp)].collect().toSeq
-    require(rows.forall(_._1 != SentinelKey), s"key $SentinelKey is reserved")
     val input = MemoryStream[(Long, java.sql.Timestamp)]
     val name = s"graft_replay_sessions_${ReplaySeq.incrementAndGet()}"
     val q = streamingSessions(input.toDF().toDF(keyCol, tsCol), tsCol, keyCol,
@@ -177,6 +188,40 @@ object StreamSync {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(name).filter(col(keyCol) =!= SentinelKey)
+  }
+
+  /** Drive [[streamingDedup]] over a BOUNDED (id, ts) set with every row
+    * injected TWICE into one micro-batch, returning the kept rows as a
+    * batch DataFrame (the q_stream_dedup driver gate). If in-watermark
+    * duplicate dropping ever regressed, the output row count would
+    * double and the gate turns red; the kept row is deterministic
+    * because the two copies are identical.
+    * `dropDuplicatesWithinWatermark` emits kept rows in their arrival
+    * batch, so no sentinel watermark advancement is needed.
+    */
+  def replayDedup(events: DataFrame, idCol: String, tsCol: String,
+                  watermarkDelay: String): DataFrame = {
+    val rows = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.select(col(idCol).cast("long"), col(tsCol))
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+    }
+    val spark = events.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"graft_replay_dedup_${ReplaySeq.incrementAndGet()}"
+    val q = streamingDedup(input.toDF().toDF(idCol, "_commit_timestamp"),
+        Seq(idCol), watermarkDelay)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows ++ rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).withColumnRenamed("_commit_timestamp", tsCol)
   }
 
   /** Stream-stream interval join: enrich a fact stream with ALL
