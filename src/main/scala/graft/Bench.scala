@@ -43,7 +43,7 @@ object Bench {
     * only, never reported. Unknown (new) queries default to 3.0 s: after
     * the known-cheap majority, before the known-heavy tail.
     */
-  private val CostHint: Map[String, Double] = Map(
+  private[graft] val CostHint: Map[String, Double] = Map(
     "q_commit_history" -> 0.17, "q_seq_pack" -> 0.19, "q_mm_frames" -> 0.20,
     "q_mm_phash" -> 0.21, "q_full" -> 0.23, "q_mixture_weights" -> 0.29,
     "q_time_based_events" -> 0.29, "q_scd_latest_maxby" -> 0.30,
