@@ -95,9 +95,22 @@ object Bench {
       .filter(name => only.forall(_.contains(name)))
       .sortBy(name => (CostHint.getOrElse(name, 3.0), name))
 
-    def jsonStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // Full JSON string escape (matches Verify's): every control char
+    // < 0x20 goes to \u%04x — an exception message carrying raw bytes
+    // must never make the artifact unparsable.
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // Locale-independent decimal rendering (a comma-decimal default
+    // locale would corrupt the JSON).
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
     // okBest: min elapsed over passes that succeeded.
     // failLast: elapsed + error from the latest failing pass (reported
@@ -147,9 +160,9 @@ object Bench {
           val sorted = steady.sorted
           sorted.last / math.max(sorted(sorted.size / 2), 1e-9)
         } else 1.0
-      val canaryArr = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+      val canaryArr = canaries.map(num(_, 3)).mkString("[", ",", "]")
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"canary":$canaryArr,"canary_wave_ratio":${f"$waveRatio%.2f"}}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)}}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -159,12 +172,13 @@ object Bench {
         StandardCopyOption.ATOMIC_MOVE)
     }
 
+    val registry = SparkEntry.queries // `queries` is a def: build the map once
     for (pass <- 1 to iters) {
       for ((name, idx) <- selected.zipWithIndex) {
         if (idx % 10 == 0) probeCanary()
         val t0 = System.nanoTime()
         val err =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+          try { registry(name)(spark, sfDir).count(); None }
           catch {
             case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")

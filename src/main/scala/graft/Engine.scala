@@ -110,8 +110,21 @@ object Engine {
       .getOrCreate()
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
-        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
-          java.nio.file.Files.createTempDirectory("graft-checkpoint").toString))
+        sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").getOrElse {
+          // Scratch fallback: best-effort delete at JVM exit so repeated
+          // local runs don't accumulate checkpoint trees in /tmp. (The
+          // cleanCheckpoints conf above handles in-session cleanup, but
+          // only when THIS builder created the context — builder configs
+          // are no-ops on an already-running SparkContext.)
+          val dir = java.nio.file.Files.createTempDirectory("graft-checkpoint")
+          sys.addShutdownHook {
+            import java.nio.file.{Files, Path}
+            import scala.util.Try
+            Try(Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(p => Try(Files.deleteIfExists(p))))
+          }
+          dir.toString
+        })
     spark
   }
 }

@@ -959,7 +959,8 @@ object Queries {
                                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
                                        WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1
                                        ELSE 0 END AS brk
-                           FROM $EvOracle e) b) g
+                           FROM $EvOracle e
+                           WHERE user_id IS NOT NULL AND ts IS NOT NULL) b) g
                GROUP BY user_id, sess""")),
 
     // Streaming exact-dedup driver gate: every fixture row injected
@@ -971,7 +972,8 @@ object Queries {
       (s, d) => StreamSync.replayDedup(
         t(s, d, "events").select(col("event_id"), col("ts")),
         "event_id", "ts", watermarkDelay = "1 hour"),
-      Some("SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events")),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+              WHERE event_id IS NOT NULL AND ts IS NOT NULL""")),
 
     // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
     // greedy smaller-id drop (the paper's keep-one policy — NOT a

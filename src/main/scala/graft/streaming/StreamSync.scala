@@ -159,7 +159,10 @@ object StreamSync {
     val rows = {
       val spark = events.sparkSession
       import spark.implicits._
-      events.select(col(keyCol).cast("long"), col(tsCol))
+      // Null keys/timestamps are excluded (the primitive encoder would
+      // throw on them); gate oracles must filter the same way.
+      events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(keyCol).cast("long"), col(tsCol))
         .as[(Long, java.sql.Timestamp)].collect().toSeq
     }
     require(rows.forall(_._1 != SentinelKey), s"key $SentinelKey is reserved")
@@ -204,7 +207,9 @@ object StreamSync {
     val rows = {
       val spark = events.sparkSession
       import spark.implicits._
-      events.select(col(idCol).cast("long"), col(tsCol))
+      // Null ids/timestamps excluded, mirroring replaySessions.
+      events.filter(col(idCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(idCol).cast("long"), col(tsCol))
         .as[(Long, java.sql.Timestamp)].collect().toSeq
     }
     val spark = events.sparkSession.newSession()
