@@ -940,6 +940,21 @@ object Queries {
       },
       Some("SELECT * FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag != ''")),
 
+    // K2 driver gate — CSV sink ROUNDTRIP on the reference's contract
+    // (coalesce(1), header, gzip): orders full-sync written and re-read
+    // with the written schema. Orders (not lineitem) keeps the
+    // single-task serialized write — the contract being gated —
+    // reasonably sized at bench scale.
+    Entry("q_sink_roundtrip_csv",
+      (s, d) => {
+        val out = Sync.plan(t(s, d, "orders"), SyncMode.Full, Seq("o_orderstatus"))
+        val uri = "file:" +
+          java.nio.file.Paths.get("target/sink-roundtrip-csv").toAbsolutePath
+        FileSink.write(out, SinkSpec("csv", uri))
+        s.read.schema(out.schema).option("header", "true").csv(uri)
+      },
+      Some("SELECT * FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus != ''")),
+
     // Structured Streaming driver gate — gap sessionization through a
     // REAL streaming query (session_window + watermark, Append mode,
     // bounded replay harness; see StreamSync.replaySessions). Oracle is
