@@ -173,7 +173,7 @@ object StreamSync {
     // newSession shares the SparkContext but isolates the conf, so the
     // caller's shuffle parallelism is untouched.
     val spark = events.sparkSession.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
@@ -213,7 +213,7 @@ object StreamSync {
         .as[(Long, java.sql.Timestamp)].collect().toSeq
     }
     val spark = events.sparkSession.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
