@@ -619,6 +619,16 @@ object Queries {
       Some(ChunkDedup.duckStats("documents", "text", "doc_id",
         chunkTokens = 8))),
 
+    // Boilerplate REMOVAL (C4's "line occurs 3+ times in corpus" rule
+    // over 5-word chunks): the rewrite twin of q_chunk_dedup's stats —
+    // frequency-thresholded drop set broadcast back as one array row,
+    // narrow HOF rewrite, no per-doc re-exchange.
+    Entry("q_boilerplate_strip",
+      (s, d) => ChunkDedup.stripBoilerplate(t(s, d, "documents"),
+        "text", "doc_id", chunkTokens = 5, minDocs = 3),
+      Some(ChunkDedup.duckStripBoilerplate("documents", "text", "doc_id",
+        chunkTokens = 5, minDocs = 3))),
+
     // PII scrub: inject deterministic fake email+phone per row, then
     // count and mask them; the redacted text is fingerprinted so the
     // oracle checks the full transform, not just the counts.

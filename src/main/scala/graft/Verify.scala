@@ -37,7 +37,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dev aid: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump (the
+    // driver never sets it). oracle_sql.json stays complete either way.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (Bench.CostHint.getOrElse(name, 3.0), name) }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -22,6 +22,17 @@ import graft.functions.TextAnalysis
   */
 object ChunkDedup {
 
+  /** Fixed-size token chunks of the pre-split `_w` column, in position
+    * order. Guard: `sequence(0, -1)` on an empty doc would generate a
+    * DESCENDING range — empty docs short-circuit to zero chunks.
+    */
+  private[operators] def chunkArray(sz: Int) = {
+    val nChunks = ceil(size(col("_w")).cast("double") / sz).cast("int")
+    when(size(col("_w")) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("_w"), i * sz + 1, lit(sz)))))
+  }
+
   /** Per-document chunk-dedup stats: total chunks, kept chunks (first
     * global occurrence by min doc id — duplicate chunks WITHIN the
     * keeper doc are all "kept": they tie on the min), and the ratio.
@@ -30,17 +41,9 @@ object ChunkDedup {
     */
   def stats(docs: DataFrame, textCol: String, idCol: String,
             chunkTokens: Int): DataFrame = {
-    val sz = chunkTokens
-    val w = TextAnalysis.tokens(col(textCol))
-    val nChunks = ceil(size(col("_w")).cast("double") / sz).cast("int")
-    // Guard: sequence(0, -1) on an empty doc would generate a
-    // DESCENDING range — empty docs short-circuit to zero chunks.
-    val chunks = when(size(col("_w")) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(col("_w"), i * sz + 1, lit(sz)))))
     val exploded = Dedup.rebalance(docs)
-      .withColumn("_w", w)
-      .select(col(idCol), posexplode(chunks).as(Seq("_pos", "_chunk")))
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), posexplode(chunkArray(chunkTokens)).as(Seq("_pos", "_chunk")))
     val byChunk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_chunk"))
     exploded
@@ -70,5 +73,67 @@ object ChunkDedup {
        |       round(CAST(sum(CASE WHEN $idCol = keeper THEN 1 ELSE 0 END) AS DOUBLE)
        |             / CAST(count(*) AS DOUBLE), 6) AS kept_ratio
        |FROM k GROUP BY $idCol""".stripMargin
+  }
+
+  /** C4-style boilerplate REMOVAL (the rewrite, where [[stats]] only
+    * reports): a chunk whose exact text occurs in ≥ `minDocs` DISTINCT
+    * documents is corpus boilerplate (C4 dropped any line occurring 3+
+    * times; RefinedWeb likewise strips repeated lines); each document is
+    * rewritten to its non-boilerplate chunks joined in position order.
+    *
+    * Scale shape: the frequency pass is one chunk-key hash exchange
+    * whose OUTPUT is threshold-pruned to ≤ total-chunks/minDocs rows;
+    * that pruned set is collapsed to a single array row and broadcast,
+    * so the rewrite itself is a NARROW projection (HOF filter inside the
+    * row — no explode, no per-doc re-aggregation exchange, document
+    * order untouched). If a corpus ever yields a boiler set too big to
+    * broadcast, the fallback is the [[stats]] shape: explode, broadcast
+    * hash ANTI-join on the chunk key, and one doc-keyed exchange to
+    * reassemble — same semantics, one more shuffle.
+    *
+    * Output: (idCol, clean_text, n_chunks, n_dropped).
+    */
+  def stripBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+                       chunkTokens: Int, minDocs: Int): DataFrame = {
+    val withChunks = Dedup.rebalance(docs)
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_chunks", chunkArray(chunkTokens))
+    val boiler = withChunks
+      .select(col(idCol), explode(col("_chunks")).as("_chunk"))
+      .groupBy(col("_chunk"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .agg(collect_set(col("_chunk")).as("_bset"))
+    val kept = filter(col("_chunks"), c => !array_contains(col("_bset"), c))
+    withChunks.crossJoin(broadcast(boiler))
+      .select(
+        col(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        size(col("_chunks")).cast("long").as("n_chunks"),
+        (size(col("_chunks")) - size(kept)).cast("long").as("n_dropped"))
+  }
+
+  /** DuckDB oracle for [[stripBoilerplate]] — same chunking, same
+    * distinct-doc threshold, same in-order reassembly.
+    */
+  def duckStripBoilerplate(tbl: String, textCol: String, idCol: String,
+                           chunkTokens: Int, minDocs: Int): String = {
+    val sz = chunkTokens
+    s"""WITH d AS (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+       |c AS (SELECT $idCol,
+       |             CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+       |                  ELSE list_transform(range(0, CAST(ceil(len(w)/CAST($sz AS DOUBLE)) AS INT)),
+       |                                      i -> array_to_string(w[(i*$sz+1):(i*$sz+$sz)], ' ')) END AS chunks
+       |      FROM d),
+       |e AS (SELECT $idCol, unnest(chunks) AS chunk FROM c),
+       |b AS (SELECT coalesce(list(chunk), CAST([] AS VARCHAR[])) AS bs
+       |      FROM (SELECT chunk FROM e GROUP BY chunk
+       |            HAVING count(DISTINCT $idCol) >= $minDocs)),
+       |f AS (SELECT $idCol, chunks, list_filter(chunks, ch -> NOT list_contains(bs, ch)) AS kept
+       |      FROM c CROSS JOIN b)
+       |SELECT $idCol, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       |       CAST(len(chunks) AS BIGINT) AS n_chunks,
+       |       CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped
+       |FROM f""".stripMargin
   }
 }

@@ -74,6 +74,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(2L -> 2L)) // empty doc has no chunk rows at all
   }
 
+  test("boilerplate strip: chunks in >= minDocs distinct docs are removed, order kept") {
+    // 2-token chunks; "a b" occurs in 3 distinct docs -> boilerplate;
+    // "c d" in 2 docs -> kept at minDocs=3. Doc 4 repeats "a b" twice —
+    // distinct-doc counting must not let within-doc repeats reach τ.
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "x y a b"),   // "a b" is doc 3's SECOND chunk: position survives
+      (4L, "c d g g a b a b"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = ChunkDedup.stripBoilerplate(df, "text", "doc_id",
+        chunkTokens = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("c d", 2L, 1L)),
+      2L -> (("e f", 2L, 1L)),
+      3L -> (("x y", 2L, 1L)),
+      4L -> (("c d g g", 4L, 2L)),
+      5L -> (("", 0L, 0L))))
+  }
+
+  test("boilerplate strip: empty boiler set leaves every document unchanged") {
+    val df = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = ChunkDedup.stripBoilerplate(df, "text", "doc_id",
+        chunkTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a b", 2L -> "c d"))
+  }
+
   test("redaction: masks every email and phone, counts match") {
     val df = Seq((7L, "hi")).toDF("doc_id", "text")
       .withColumn("t", Redaction.withSyntheticPii(col("text"), col("doc_id")))
