@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim, Winnow}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -628,6 +628,15 @@ object Queries {
         "text", "doc_id", chunkTokens = 5, minDocs = 3),
       Some(ChunkDedup.duckStripBoilerplate("documents", "text", "doc_id",
         chunkTokens = 5, minDocs = 3))),
+
+    // Winnowing (MOSS) shared-passage pairs: window-min k-gram hash
+    // selection (density 2/(w+1)) → df-capped fingerprint equi-join.
+    // Finds the planted near-dup pairs without banding or O(n²).
+    Entry("q_winnow_overlap",
+      (s, d) => Winnow.overlapPairs(t(s, d, "documents"), "text", "doc_id",
+        k = 4, w = 4, maxDocFreq = 50, minCommon = 3),
+      Some(Winnow.duckOverlapPairs("documents", "text", "doc_id",
+        k = 4, w = 4, maxDocFreq = 50, minCommon = 3))),
 
     // PII scrub: inject deterministic fake email+phone per row, then
     // count and mask them; the redacted text is fingerprinted so the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{ChunkDedup, Decontaminate, Idf, Packing, Splits}
+import graft.operators.{ChunkDedup, Decontaminate, Idf, Packing, Splits, Winnow}
 
 /** Unit gates for the round-3 corpus-curation operators (quality
   * filters, decontamination, chunk dedup, redaction, splits, packing).
@@ -102,6 +102,46 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
         chunkTokens = 2, minDocs = 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a b", 2L -> "c d"))
+  }
+
+  test("winnowing: a shared run of w+k-1 words guarantees a common fingerprint") {
+    // k=3, w=4: the paper's guarantee threshold is w+k-1 = 6 words.
+    // Docs 1/2 share exactly the 6-word run "p q r s t u" inside
+    // otherwise-disjoint vocabularies; doc 3 is fully disjoint.
+    val df = Seq(
+      (1L, "a1 a2 a3 p q r s t u a4 a5 a6"),
+      (2L, "b1 b2 p q r s t u b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    ).toDF("doc_id", "text")
+    val pairs = Winnow.overlapPairs(df, "text", "doc_id",
+        k = 3, w = 4, maxDocFreq = 10, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowing boundaries: sub-k docs select nothing, sub-w docs one window") {
+    val df = Seq(
+      (1L, "a b"),        // < k=3 words: no grams, no fingerprints
+      (2L, "a b c"),      // exactly one gram: one whole-doc window
+      (3L, "")            // empty
+    ).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(df, "text", "doc_id", k = 3, w = 4)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L))
+  }
+
+  test("winnowing df-cap: corpus-wide fingerprints are excluded from pairing") {
+    // The same text in 3 docs; cap=2 drops every shared fingerprint
+    // before the join, so no pair survives.
+    val df = Seq(
+      (1L, "x y z x y z x y z"),
+      (2L, "x y z x y z x y z"),
+      (3L, "x y z x y z x y z")
+    ).toDF("doc_id", "text")
+    val pairs = Winnow.overlapPairs(df, "text", "doc_id",
+      k = 3, w = 2, maxDocFreq = 2, minCommon = 1)
+    assert(pairs.count() == 0L)
   }
 
   test("redaction: masks every email and phone, counts match") {
