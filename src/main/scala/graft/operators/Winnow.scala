@@ -63,20 +63,44 @@ object Winnow {
   /** Shared-passage pairs: documents with ≥ `minCommon` common winnowed
     * fingerprints, after dropping fingerprints present in more than
     * `maxDocFreq` documents (corpus boilerplate — they would both
-    * drown the signal and fan the join out quadratically).
+    * drown the signal and fan the pairing out quadratically).
+    *
+    * No self-join: ONE exchange on the fingerprint key builds the
+    * per-fingerprint doc set (`collect_set` both deduplicates the
+    * per-doc selection AND counts document frequency), the ≤ cap²/2
+    * pair expansion is a narrow HOF over the sorted set, and the only
+    * other exchange is the final pair-count aggregate. A self-join
+    * formulation would shuffle the fingerprint relation twice more and
+    * rely on exchange reuse to claw one back.
     *
     * Output: (id_a, id_b, n_common), id_a < id_b.
     */
   def overlapPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, w: Int, maxDocFreq: Int, minCommon: Int): DataFrame = {
-    val fp = fingerprints(docs, textCol, idCol, k, w)
-    val byF = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
-    val kept = fp.withColumn("_df", count(lit(1)).over(byF))
-      .filter(col("_df") <= maxDocFreq)
-      .drop("_df")
-    kept.as("a").join(kept.as("b"), "f")
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val wordHashes = transform(TextAnalysis.tokens(col(textCol)),
+      word => TextAnalysis.fingerprint(word))
+    val gramHashes = when(size(col("_wh")) < k, emptyLongs)
+      .otherwise(transform(sequence(lit(1), size(col("_wh")) - (k - 1)),
+        i => rkFold(slice(col("_wh"), i, lit(k)))))
+    val selected = when(size(col("_gh")) === 0, emptyLongs)
+      .when(size(col("_gh")) <= w, array(array_min(col("_gh"))))
+      .otherwise(transform(sequence(lit(1), size(col("_gh")) - (w - 1)),
+        i => array_min(slice(col("_gh"), i, lit(w)))))
+    val byFingerprint = Dedup.rebalance(docs)
+      .withColumn("_wh", wordHashes)
+      .withColumn("_gh", gramHashes)
+      .select(col(idCol), explode(selected).as("f"))
+      .groupBy(col("f"))
+      .agg(sort_array(collect_set(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxDocFreq))
+    val n = size(col("_ids"))
+    val pairs = flatten(transform(sequence(lit(0), n - 2), a =>
+      transform(sequence(a + 1, n - 1), b =>
+        struct(element_at(col("_ids"), a + 1).as("id_a"),
+               element_at(col("_ids"), b + 1).as("id_b")))))
+    byFingerprint
+      .select(explode(pairs).as("_p"))
+      .groupBy(col("_p.id_a"), col("_p.id_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
   }
