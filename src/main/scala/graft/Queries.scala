@@ -562,6 +562,16 @@ object Queries {
       (s, d) => Embeddings.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id"),
       Some(Embeddings.duckQuantizeInt8("embeddings", "embedding", "vec_id"))),
 
+    // Johnson–Lindenstrauss ±1 projection 64 → 16 (4× shrink before
+    // ANN): plan-time literal sign matrix, one narrow codegen'd
+    // projection, bitwise-identical left-fold sums both engines.
+    // 1/√16 = 0.25 exactly, so the scale literal is lossless.
+    Entry("q_rand_proj",
+      (s, d) => Embeddings.randProject(t(s, d, "embeddings"), "embedding", "vec_id",
+        srcDim = 64, outDim = 16),
+      Some(Embeddings.duckRandProject("embeddings", "embedding", "vec_id",
+        srcDim = 64, outDim = 16, scaleSql = "0.25"))),
+
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).
     Entry("q_mm_decode",

@@ -80,4 +80,60 @@ object Embeddings {
        |                for i in range(1, len(e) + 1)]),
        |             (acc, x) -> acc + x) / CAST(len(e) AS DOUBLE) END, 9) AS mse
        |FROM q""".stripMargin
+
+  // ------------------------------------- Johnson–Lindenstrauss projection
+
+  /** Deterministic ±1 entry (i, j) of the JL projection matrix (Achlioptas
+    * 2001: ±1 entries satisfy the JL lemma — no Gaussians needed):
+    * squared-LCG parity, `((i·A + j·B + C)² mod P) even → +1`. The square
+    * breaks the linear parity pattern a plain `(i·A+j·B) mod 2` would
+    * have; everything stays below 2⁶³ (s₀ < P ≈ 10⁹, s₀² < 10¹⁸).
+    */
+  def jlSign(i: Int, j: Int): Double = {
+    val s0 = (i.toLong * 2654435761L + j.toLong * 40503L + 12345L) % DigestMod
+    if (((s0 * s0) % DigestMod) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** JL random projection `srcDim → outDim`: yⱼ = (Σᵢ ±vᵢ) / √outDim,
+    * emitted as `outDim` columns `p00..` rounded to 6 dp.
+    *
+    * The sign matrix is resolved AT PLAN TIME ([[jlSign]] is pure
+    * Scala), so each output is a literal-sign fused add chain — one
+    * narrow whole-stage-codegen projection, no per-row hashing, no
+    * shuffle, no UDF. Term order is the reduceLeft chain i = 0,1,…;
+    * the DuckDB twin renders the same left-associated chain, so the
+    * IEEE double results match bitwise before the final round.
+    */
+  def randProject(df: DataFrame, vecCol: String, idCol: String,
+                  srcDim: Int, outDim: Int): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val projected = (0 until outDim).map { j =>
+      val sum = (0 until srcDim).map { i =>
+        val x = element_at(col("_e"), i + 1)
+        if (jlSign(i, j) > 0) x else -x
+      }.reduceLeft(_ + _)
+      round(sum * scale, 6).as(f"p$j%02d")
+    }
+    df.select(col(idCol), asDouble(col(vecCol)).as("_e"))
+      .select(col(idCol) +: projected: _*)
+  }
+
+  /** DuckDB oracle for [[randProject]] — same literal signs, same
+    * left-associated summation, same scale and rounding. `scaleSql`
+    * must be the exact decimal of 1/√outDim (0.25 for outDim 16).
+    */
+  def duckRandProject(tbl: String, vecCol: String, idCol: String,
+                      srcDim: Int, outDim: Int, scaleSql: String): String = {
+    val colSql = (0 until outDim).map { j =>
+      val chain = (0 until srcDim).map { i =>
+        val sgn = if (jlSign(i, j) > 0) "+" else "-"
+        s"$sgn e[${i + 1}]"
+      }.mkString(" ")
+      f"round(($chain) * $scaleSql, 6) AS p$j%02d"
+    }.mkString(",\n       ")
+    s"""WITH v AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS e FROM $tbl)
+       |SELECT $idCol,
+       |       $colSql
+       |FROM v""".stripMargin
+  }
 }

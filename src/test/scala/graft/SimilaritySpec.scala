@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.Embeddings
 import graft.operators.{Multimodal, Similarity}
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
@@ -105,5 +106,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val rows = Multimodal.frameSample(Multimodal.attachBinary(df, "text"), "doc_id", step = 2)
       .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
     assert(rows == Set((0, 120L * 64), (2, 120L * 64)))
+  }
+
+  test("JL sign matrix is non-degenerate: mixed columns, all pairwise distinct") {
+    val cols = (0 until 16).map(j => (0 until 64).map(i => Embeddings.jlSign(i, j)))
+    cols.zipWithIndex.foreach { case (c, j) =>
+      val plus = c.count(_ > 0)
+      // A ±1 column that is nearly constant would make dim j a scaled
+      // coordinate mean, not a projection — require genuine mixing.
+      assert(plus >= 16 && plus <= 48, s"column $j has $plus positive signs")
+    }
+    assert(cols.distinct.size == 16, "two projection columns identical")
+  }
+
+  test("JL projection approximately preserves squared norms (the lemma, r=16)") {
+    import spark.implicits._
+    // Deterministic pseudo-random unit vectors from an explicit LCG —
+    // no Math.random (repeatability), no fixture dependency.
+    var seed = 987654321L
+    def nextUnit(): Seq[Float] = {
+      val raw = Seq.fill(64) {
+        seed = (seed * 6364136223846793005L + 1442695040888963407L)
+        ((seed >>> 40).toInt / 8388608.0 - 1.0) // ~U(-1, 1)
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val vecs = (0L until 40L).map(id => (id, nextUnit()))
+    val df = vecs.toDF("vec_id", "embedding")
+    val ratios = Embeddings.randProject(df, "embedding", "vec_id", 64, 16)
+      .collect().map { r =>
+        (1 to 16).map(c => { val y = r.getDouble(c); y * y }).sum // ‖v‖² = 1
+      }
+    // r=16 ⇒ E[ratio]=1, sd≈√(2/r)≈0.35. Deterministic inputs: these
+    // bounds are pinned, not probabilistic.
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distortion $mean")
+    assert(ratios.forall(r => r > 0.3 && r < 2.2),
+      s"worst-case distortion outside [0.3, 2.2]: ${ratios.min} / ${ratios.max}")
   }
 }
