@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Splits, Sync, SyncMode, TfidfSim, Winnow}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -571,6 +571,17 @@ object Queries {
         srcDim = 64, outDim = 16),
       Some(Embeddings.duckRandProject("embeddings", "embedding", "vec_id",
         srcDim = 64, outDim = 16, scaleSql = "0.25"))),
+
+    // Distributed PCA: ONE-pass quantized-BIGINT Gram sums (exact,
+    // order-independent), driver power iteration on 32 KB of metadata,
+    // broadcast-literal projection. Oracle unrolls the identical
+    // 8-step iteration from the same integer sums — bitwise to the
+    // final round(6).
+    Entry("q_pca_power",
+      (s, d) => Pca.scores(t(s, d, "embeddings"), "embedding", "vec_id",
+        d = 64, iters = 8),
+      Some(Pca.duckScores("embeddings", "embedding", "vec_id",
+        d = 64, iters = 8))),
 
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).

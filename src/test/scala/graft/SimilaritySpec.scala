@@ -108,6 +108,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((0, 120L * 64), (2, 120L * 64)))
   }
 
+  test("PCA power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // Vectors = alpha * u + small deterministic noise; the top component
+    // of the second-moment matrix must align with u.
+    val d = 8
+    val u = {
+      val raw = (1 to d).map(i => math.sin(i * 1.7))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    var seed = 42L
+    def next(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 40).toInt / 8388608.0 - 1.0
+    }
+    val rows = (0L until 60L).map { id =>
+      val alpha = 1.0 + 0.5 * next()
+      val vec = u.map(c => (alpha * c + 0.05 * next()).toFloat)
+      (id, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val x = graft.operators.Pca.topComponent(df, "embedding", d, iters = 8)
+    val cos = math.abs(x.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"|cos(top component, planted u)| = $cos")
+    val norm = math.sqrt(x.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-12, s"component not unit: $norm")
+  }
+
+  test("PCA scores are the rounded projection onto the component") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // Dominant direction is exactly e1; sign convention keeps x_0 > 0.
+    val got = graft.operators.Pca.scores(df, "embedding", "vec_id", d = 2, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> -1.0))
+  }
+
   test("JL sign matrix is non-degenerate: mixed columns, all pairwise distinct") {
     val cols = (0 until 16).map(j => (0 until 64).map(i => Embeddings.jlSign(i, j)))
     cols.zipWithIndex.foreach { case (c, j) =>
