@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -582,6 +582,15 @@ object Queries {
         d = 64, iters = 8),
       Some(Pca.duckScores("embeddings", "embedding", "vec_id",
         d = 64, iters = 8))),
+
+    // Per-source unigram KL drift vs the corpus blend (mixture
+    // monitoring): vocabulary-sized aggregates, token-keyed count
+    // join, exact-integer KL sum (order-independent, oracle-exact).
+    Entry("q_source_drift",
+      (s, d) => Drift.sourceKl(t(s, d, "documents"), "text", "source",
+        minCount = 5),
+      Some(Drift.duckSourceKl("documents", "text", "source",
+        minCount = 5))),
 
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).

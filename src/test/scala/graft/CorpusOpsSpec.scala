@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{ChunkDedup, Decontaminate, Idf, Packing, Splits, Winnow}
+import graft.operators.{ChunkDedup, Decontaminate, Drift, Idf, Packing, Splits, Winnow}
 
 /** Unit gates for the round-3 corpus-curation operators (quality
   * filters, decontamination, chunk dedup, redaction, splits, packing).
@@ -142,6 +142,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     val pairs = Winnow.overlapPairs(df, "text", "doc_id",
       k = 3, w = 2, maxDocFreq = 2, minCommon = 1)
     assert(pairs.count() == 0L)
+  }
+
+  test("source KL drift matches the hand-computed divergence") {
+    // Corpus: x:4 y:4 → q = (1/2, 1/2). Source A p=(3/4, 1/4), B mirrored.
+    // KL = 0.75·ln 1.5 + 0.25·ln 0.5 = 0.130812 (6 dp) for both.
+    val df = Seq(
+      (1L, "x x x y", "A"),
+      (2L, "x y y y", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = Drift.sourceKl(df, "text", "source", minCount = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map("A" -> ((2L, 4L, 0.130812)), "B" -> ((2L, 4L, 0.130812))))
+  }
+
+  test("source KL drift: identical distribution gives zero divergence") {
+    val df = Seq(
+      (1L, "x y", "A"),
+      (2L, "x y", "B")
+    ).toDF("doc_id", "text", "source")
+    val kl = Drift.sourceKl(df, "text", "source", minCount = 1)
+      .collect().map(r => r.getDouble(3))
+    assert(kl.forall(_ == 0.0))
   }
 
   test("redaction: masks every email and phone, counts match") {
