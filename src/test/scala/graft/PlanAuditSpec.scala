@@ -232,6 +232,59 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(viaMaxBy.count() == viaWindow.count())
   }
 
+  test("winnow pair search is join-free: two keyed exchanges, nothing else") {
+    val plan = SparkEntry.queries("q_winnow_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"),
+      s"winnowing regressed to a self-join formulation:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+    assert(exchanges - rebalances == 2,
+      s"expected exactly 2 keyed exchanges (fingerprint group + pair count), got ${exchanges - rebalances}:\n$plan")
+  }
+
+  test("boilerplate strip rewrites above ONE broadcast array row — no doc-side re-exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case other => other.children.toSeq.flatMap(allNodes)
+    })
+    val df = SparkEntry.queries("q_boilerplate_strip")(spark, sf)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.size == 1,
+      s"expected the single broadcast cross join carrying the boiler array:\n${df.queryExecution.executedPlan}")
+    // Every exchange must live under the join (the boiler-set branch or
+    // the scan rebalances); the rewrite above it is a narrow projection.
+    val allEx = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    val underJoin = joins.head.children.flatMap(allNodes)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    assert(allEx == underJoin,
+      s"an exchange sits above the boiler cross join — the rewrite is no longer narrow:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("rand_proj and pca scoring are pure narrow projections: zero exchanges") {
+    for (q <- Seq("q_rand_proj", "q_pca_power")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"$q's scoring projection grew a shuffle:\n$plan")
+    }
+  }
+
+  test("source drift joins its totals by broadcast, never shuffle") {
+    val plan = SparkEntry.queries("q_source_drift")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // The hinted M_s equi-join and the 1-row N cross join.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"a totals join fell back to sort-merge:\n$plan")
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
