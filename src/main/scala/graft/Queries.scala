@@ -632,6 +632,23 @@ object Queries {
                FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                      FROM documents) d""")),
 
+    // Linear quality classifier (fastText/DCLM shape): plan-time
+    // literal weights over the 6dp-rounded Gopher features + capped
+    // length, sigmoid score, 0.5 keep threshold. Narrow codegen
+    // projection — swap in trained weights without a plan change.
+    Entry("q_quality_classifier",
+      (s, d) => Dedup.rebalance(t(s, d, "documents"))
+        .withColumn("_w", TextAnalysis.tokens(col("text"))) // bind the split once
+        .select(
+          col("doc_id"),
+          QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+          (QualityFilters.classifierScoreOf(col("_w")) >= 0.5).cast("long").as("q_keep")),
+      Some(s"""SELECT doc_id,
+                      ${QualityFilters.duckClassifierScore} AS q_score,
+                      CAST(${QualityFilters.duckClassifierScore} >= 0.5 AS BIGINT) AS q_keep
+               FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                     FROM documents) d""")),
+
     // Benchmark decontamination: training docs sharing word 3-grams with
     // the held-out eval split (doc_id % 97 = 0). Eval grams broadcast;
     // the corpus side stays narrow until the per-doc count agg.

@@ -113,4 +113,39 @@ object QualityFilters {
       s"AND $duckUniqWordRatio >= $MinUniqRatio " +
       s"AND $duckTopWordRatio <= $MaxTopWordRatio " +
       s"AND $duckDup2gramRatio <= $MaxDup2gramRatio) AS BIGINT)"
+
+  // ------------------------------------------- linear quality classifier
+
+  /** Stand-in weights for a trained fastText/DCLM-style quality model —
+    * the PLUMBING (plan-time literal weights, codegen'd linear score,
+    * engine-exact features) is the deliverable; swap these for trained
+    * coefficients without touching the plan shape. Order:
+    * (bias, meanWordLen, uniqRatio, topRatio, dup2gramRatio, lenCap).
+    */
+  val ClassifierWeights: Seq[Double] = Seq(-2.0, 0.25, 2.5, -3.0, -8.0, 1.5)
+
+  /** Linear quality score σ(w·x) ∈ (0,1) over the Gopher features plus
+    * a capped length feature min(n_tokens/100, 1). Every feature is
+    * 6 dp-rounded first (engine-identical inputs), the weighted sum is
+    * a left-associated literal chain, and only the final sigmoid leans
+    * on cross-engine exp() (guarded by the 6 dp output round).
+    */
+  def classifierScoreOf(w: Column): Column = {
+    val Seq(b, wMw, wUniq, wTop, wDup, wLen) = ClassifierWeights
+    val lenCap = least(size(w).cast("double") / 100.0, lit(1.0))
+    val z = lit(b) + lit(wMw) * meanWordLenOf(w) + lit(wUniq) * uniqWordRatioOf(w) +
+      lit(wTop) * topWordRatioOf(w) + lit(wDup) * dup2gramRatioOf(w) +
+      lit(wLen) * lenCap
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** DuckDB twin of [[classifierScoreOf]]. */
+  def duckClassifierScore: String = {
+    val Seq(b, wMw, wUniq, wTop, wDup, wLen) = ClassifierWeights
+    val lenCap = "least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)"
+    val z = s"$b + $wMw * $duckMeanWordLen + $wUniq * $duckUniqWordRatio" +
+      s" + $wTop * $duckTopWordRatio + $wDup * $duckDup2gramRatio" +
+      s" + $wLen * $lenCap"
+    s"round(1.0 / (1.0 + exp(-($z))), 6)"
+  }
 }

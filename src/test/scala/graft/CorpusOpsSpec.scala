@@ -144,6 +144,19 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.count() == 0L)
   }
 
+  test("quality classifier: repetitive text scores below diverse text, both in (0,1)") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with many distinct informative words here")
+    ).toDF("doc_id", "text")
+      .withColumn("_w", graft.functions.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        graft.functions.QualityFilters.classifierScoreOf(col("_w")).as("s"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < got(2L), s"repetition outranked diversity: $got")
+    assert(got.values.forall(s => s > 0.0 && s < 1.0), got.toString)
+  }
+
   test("source KL drift matches the hand-computed divergence") {
     // Corpus: x:4 y:4 → q = (1/2, 1/2). Source A p=(3/4, 1/4), B mirrored.
     // KL = 0.75·ln 1.5 + 0.25·ln 0.5 = 0.130812 (6 dp) for both.
