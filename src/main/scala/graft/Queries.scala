@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -684,6 +684,13 @@ object Queries {
         k = 4, w = 4, maxDocFreq = 50, minCommon = 3),
       Some(Winnow.duckOverlapPairs("documents", "text", "doc_id",
         k = 4, w = 4, maxDocFreq = 50, minCommon = 3))),
+
+    // ExactSubstr signal (Lee et al. 2022): per-doc duplicated-span
+    // coverage via runs of cross-doc-shared 5-grams — join-free
+    // (min≠max over the gram window) + gaps-and-islands run lengths.
+    Entry("q_dup_span",
+      (s, d) => DupSpan.stats(t(s, d, "documents"), "text", "doc_id", k = 5),
+      Some(DupSpan.duckStats("documents", "text", "doc_id", k = 5))),
 
     // PII scrub: inject deterministic fake email+phone per row, then
     // count and mask them; the redacted text is fingerprinted so the

@@ -31,10 +31,38 @@ object Winnow {
   /** Rabin–Karp left fold over a BIGINT array: ((0·B+x₁)·B+x₂…) mod P.
     * acc < P and B = 31 keep `acc·B + x` < 2³⁵ — no ANSI overflow.
     */
-  private def rkFold(arr: Column): Column =
+  private[operators] def rkFold(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => (acc * FpBase + x) % FpMod)
 
-  private def emptyLongs: Column = array().cast("array<bigint>")
+  private[operators] def emptyLongs: Column = array().cast("array<bigint>")
+
+  /** Per-word RK hashes of `textCol`'s token stream. */
+  private[operators] def wordHashes(textCol: String): Column =
+    transform(TextAnalysis.tokens(col(textCol)),
+      word => TextAnalysis.fingerprint(word))
+
+  /** Word k-gram hashes over the pre-bound `_wh` word-hash array. */
+  private[operators] def gramHashes(k: Int): Column =
+    when(size(col("_wh")) < k, emptyLongs)
+      .otherwise(transform(sequence(lit(1), size(col("_wh")) - (k - 1)),
+        i => rkFold(slice(col("_wh"), i, lit(k)))))
+
+  /** DuckDB CTEs binding `w` (tokens), `wh` (word hashes), `gh` (k-gram
+    * hashes) for `tbl` — the SQL twin of [[wordHashes]]/[[gramHashes]],
+    * shared by every gram-hash-based oracle.
+    */
+  private[operators] def duckGramCtes(tbl: String, textCol: String,
+                                      idCol: String, k: Int): String =
+    s"""d AS (SELECT $idCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+       |wh AS (SELECT $idCol, list_transform(w, word ->
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(list_filter(string_split(word, ''), c -> c <> ''),
+       |                          c -> CAST(ascii(c) AS BIGINT))),
+       |           (acc, ch) -> (acc * $FpBase + ch) % $FpMod)) AS wh FROM d),
+       |gh AS (SELECT $idCol, CASE WHEN len(wh) < $k THEN CAST([] AS BIGINT[]) ELSE
+       |         list_transform(range(1, len(wh)-$k+2), i ->
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+$k-1]),
+       |             (acc, x) -> (acc * $FpBase + x) % $FpMod)) END AS gh FROM wh)""".stripMargin
 
   /** Winnowed fingerprint rows: (idCol, f), distinct per document.
     *
@@ -44,18 +72,13 @@ object Winnow {
     */
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, w: Int): DataFrame = {
-    val wordHashes = transform(TextAnalysis.tokens(col(textCol)),
-      word => TextAnalysis.fingerprint(word))
-    val gramHashes = when(size(col("_wh")) < k, emptyLongs)
-      .otherwise(transform(sequence(lit(1), size(col("_wh")) - (k - 1)),
-        i => rkFold(slice(col("_wh"), i, lit(k)))))
     val selected = when(size(col("_gh")) === 0, emptyLongs)
       .when(size(col("_gh")) <= w, array(array_min(col("_gh"))))
       .otherwise(transform(sequence(lit(1), size(col("_gh")) - (w - 1)),
         i => array_min(slice(col("_gh"), i, lit(w)))))
     Dedup.rebalance(docs)
-      .withColumn("_wh", wordHashes)
-      .withColumn("_gh", gramHashes)
+      .withColumn("_wh", wordHashes(textCol))
+      .withColumn("_gh", gramHashes(k))
       .select(col(idCol), explode(selected).as("f"))
       .distinct()
   }
@@ -77,18 +100,13 @@ object Winnow {
     */
   def overlapPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, w: Int, maxDocFreq: Int, minCommon: Int): DataFrame = {
-    val wordHashes = transform(TextAnalysis.tokens(col(textCol)),
-      word => TextAnalysis.fingerprint(word))
-    val gramHashes = when(size(col("_wh")) < k, emptyLongs)
-      .otherwise(transform(sequence(lit(1), size(col("_wh")) - (k - 1)),
-        i => rkFold(slice(col("_wh"), i, lit(k)))))
     val selected = when(size(col("_gh")) === 0, emptyLongs)
       .when(size(col("_gh")) <= w, array(array_min(col("_gh"))))
       .otherwise(transform(sequence(lit(1), size(col("_gh")) - (w - 1)),
         i => array_min(slice(col("_gh"), i, lit(w)))))
     val byFingerprint = Dedup.rebalance(docs)
-      .withColumn("_wh", wordHashes)
-      .withColumn("_gh", gramHashes)
+      .withColumn("_wh", wordHashes(textCol))
+      .withColumn("_gh", gramHashes(k))
       .select(col(idCol), explode(selected).as("f"))
       .groupBy(col("f"))
       .agg(sort_array(collect_set(col(idCol))).as("_ids"))
@@ -113,16 +131,7 @@ object Winnow {
     */
   def duckOverlapPairs(tbl: String, textCol: String, idCol: String,
                        k: Int, w: Int, maxDocFreq: Int, minCommon: Int): String =
-    s"""WITH d AS (SELECT $idCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
-       |wh AS (SELECT $idCol, list_transform(w, word ->
-       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |           list_transform(list_filter(string_split(word, ''), c -> c <> ''),
-       |                          c -> CAST(ascii(c) AS BIGINT))),
-       |           (acc, ch) -> (acc * $FpBase + ch) % $FpMod)) AS wh FROM d),
-       |gh AS (SELECT $idCol, CASE WHEN len(wh) < $k THEN CAST([] AS BIGINT[]) ELSE
-       |         list_transform(range(1, len(wh)-$k+2), i ->
-       |           list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+$k-1]),
-       |             (acc, x) -> (acc * $FpBase + x) % $FpMod)) END AS gh FROM wh),
+    s"""WITH ${duckGramCtes(tbl, textCol, idCol, k)},
        |fp AS (SELECT DISTINCT $idCol, unnest(
        |         CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
        |              WHEN len(gh) <= $w THEN [list_min(gh)]

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{ChunkDedup, Decontaminate, Drift, Idf, Packing, Splits, Winnow}
+import graft.operators.{ChunkDedup, Decontaminate, Drift, DupSpan, Idf, Packing, Splits, Winnow}
 
 /** Unit gates for the round-3 corpus-curation operators (quality
   * filters, decontamination, chunk dedup, redaction, splits, packing).
@@ -142,6 +142,37 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     val pairs = Winnow.overlapPairs(df, "text", "doc_id",
       k = 3, w = 2, maxDocFreq = 2, minCommon = 1)
     assert(pairs.count() == 0L)
+  }
+
+  test("dup-span: a shared s-token span is a run of s-k+1 grams; within-doc repeats don't count") {
+    // A and B share the 7-word run "p q r s t u v" → 5 shared 3-grams,
+    // max_span = 5 + 3 - 1 = 7. C repeats a gram only within itself →
+    // not cross-doc-shared → absent from the output.
+    val df = Seq(
+      (1L, "p q r s t u v a b"),
+      (2L, "x y p q r s t u v"),
+      (3L, "m m m m m m")
+    ).toDF("doc_id", "text")
+    val got = DupSpan.stats(df, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((7L, 5L, 5L, 7L)),
+      2L -> ((7L, 5L, 5L, 7L))))
+  }
+
+  test("dup-span: disjoint shared runs report total coverage and the longest run") {
+    // A shares "a b c" (1 gram) and "x y z" (1 gram) with B, separated
+    // by unshared filler → two islands of length 1 in A.
+    val df = Seq(
+      (1L, "a b c f1 f2 x y z"),
+      (2L, "a b c g1 g2 x y z")
+    ).toDF("doc_id", "text")
+    val got = DupSpan.stats(df, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))))
   }
 
   test("quality classifier: repetitive text scores below diverse text, both in (0,1)") {
