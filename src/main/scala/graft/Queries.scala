@@ -692,6 +692,14 @@ object Queries {
       (s, d) => DupSpan.stats(t(s, d, "documents"), "text", "doc_id", k = 5),
       Some(DupSpan.duckStats("documents", "text", "doc_id", k = 5))),
 
+    // The ExactSubstr REWRITE: cut spans covered by >= 4 consecutive
+    // shared 5-grams (>= 8 verbatim tokens), reassemble the rest.
+    Entry("q_dup_span_strip",
+      (s, d) => DupSpan.strip(t(s, d, "documents"), "text", "doc_id",
+        k = 5, minRun = 4),
+      Some(DupSpan.duckStrip("documents", "text", "doc_id",
+        k = 5, minRun = 4))),
+
     // PII scrub: inject deterministic fake email+phone per row, then
     // count and mask them; the redacted text is fingerprinted so the
     // oracle checks the full transform, not just the counts.

@@ -51,6 +51,85 @@ object DupSpan {
       .withColumn("max_span_tokens", col("max_run") + (k - 1))
   }
 
+  /** The rewrite ExactSubstr actually performs: cut every token span
+    * covered by a run of ≥ `minRun` cross-doc-shared k-grams (span
+    * length ≥ minRun + k − 1 tokens) and reassemble the remainder in
+    * order. Token intervals from nearby islands may overlap (islands
+    * are gram-disjoint, tokens are not when the gap is < k); the
+    * membership test over the interval list handles the union
+    * implicitly.
+    *
+    * One doc-keyed exchange collects each document's cut intervals;
+    * they rejoin the corpus scan by id (docs with none pass through the
+    * left join uncut) and the rewrite is a narrow HOF filter over token
+    * positions. Output: (idCol, clean_text, n_tokens, n_cut).
+    */
+  def strip(docs: DataFrame, textCol: String, idCol: String,
+            k: Int, minRun: Int): DataFrame = {
+    val positioned = Dedup.rebalance(docs)
+      .withColumn("_wh", Winnow.wordHashes(textCol))
+      .withColumn("_gh", Winnow.gramHashes(k))
+      .select(col(idCol), posexplode(col("_gh")).as(Seq("_pos", "_h")))
+    val byGram = Window.partitionBy(col("_h"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val intervals = positioned
+      .withColumn("_shared",
+        min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
+      .filter(col("_shared"))
+      .withColumn("_grp", col("_pos") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_pos")).cast("long").as("_s"), count(lit(1)).as("_run"))
+      .filter(col("_run") >= minRun)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_s"),
+        (col("_s") + col("_run") + (k - 2)).as("_e"))).as("_iv"))
+    val w = graft.functions.TextAnalysis.tokens(col(textCol))
+    val cut = coalesce(col("_iv"),
+      array().cast("array<struct<_s:bigint,_e:bigint>>"))
+    // Empty docs: sequence(0, -1) would generate a DESCENDING range.
+    val positions = when(size(col("_w")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(col("_w")) - 1))
+    val keptIdx = filter(positions, i =>
+      !exists(cut, iv => i.cast("long").between(iv.getField("_s"), iv.getField("_e"))))
+    docs.select(col(idCol), col(textCol)).withColumn("_w", w)
+      .join(intervals, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          transform(keptIdx, i => element_at(col("_w"), i + 1))).as("clean_text"),
+        size(col("_w")).cast("long").as("n_tokens"),
+        (size(col("_w")) - size(keptIdx)).cast("long").as("n_cut"))
+  }
+
+  /** DuckDB oracle for [[strip]] — identical islands, intervals, and
+    * position-membership rewrite.
+    */
+  def duckStrip(tbl: String, textCol: String, idCol: String,
+                k: Int, minRun: Int): String =
+    s"""WITH ${Winnow.duckGramCtes(tbl, textCol, idCol, k)},
+       |e AS (SELECT $idCol, i - 1 AS pos, gh[i] AS h
+       |      FROM gh, unnest(range(1, len(gh) + 1)) AS t(i)),
+       |f AS (SELECT *, min($idCol) OVER (PARTITION BY h)
+       |                <> max($idCol) OVER (PARTITION BY h) AS shared FROM e),
+       |g AS (SELECT *, pos - row_number() OVER (PARTITION BY $idCol ORDER BY pos) AS grp
+       |      FROM f WHERE shared),
+       |r AS (SELECT $idCol, grp, min(pos) AS s, count(*) AS run
+       |      FROM g GROUP BY $idCol, grp HAVING count(*) >= $minRun),
+       |iv AS (SELECT $idCol, list({'s': s, 'e': s + run + ${k - 2}}) AS ivs
+       |       FROM r GROUP BY $idCol)
+       |SELECT d.$idCol,
+       |       coalesce(array_to_string(
+       |         list_transform(
+       |           list_filter(range(0, len(w)),
+       |             i -> len(list_filter(coalesce(ivs, []),
+       |                        x -> i BETWEEN x.s AND x.e)) = 0),
+       |           i -> w[i + 1]), ' '), '') AS clean_text,
+       |       CAST(len(w) AS BIGINT) AS n_tokens,
+       |       CAST(len(w) - len(list_filter(range(0, len(w)),
+       |             i -> len(list_filter(coalesce(ivs, []),
+       |                        x -> i BETWEEN x.s AND x.e)) = 0)) AS BIGINT) AS n_cut
+       |FROM d LEFT JOIN iv ON d.$idCol = iv.$idCol""".stripMargin
+
   /** DuckDB oracle for [[stats]] — identical gram hashes, window
     * sharing test, and islands arithmetic.
     */

@@ -175,6 +175,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))))
   }
 
+  test("dup-span strip: cuts the exact token extent of qualifying runs, keeps the rest") {
+    // Shared 7-token span "p q r s t u v" = 5 shared 3-grams >= minRun 3.
+    // A cuts tokens 0..6 keeping "a b"; B cuts 2..8 keeping "x y".
+    val df = Seq(
+      (1L, "p q r s t u v a b"),
+      (2L, "x y p q r s t u v")
+    ).toDF("doc_id", "text")
+    val got = DupSpan.strip(df, "text", "doc_id", k = 3, minRun = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("a b", 9L, 7L)),
+      2L -> (("x y", 9L, 7L))))
+  }
+
+  test("dup-span strip: below-threshold runs and unshared docs pass through uncut") {
+    val df = Seq(
+      (1L, "a b c f1 f2"),   // shares only 1 gram with doc 2 (< minRun)
+      (2L, "a b c g1 g2"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val got = DupSpan.strip(df, "text", "doc_id", k = 3, minRun = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("quality classifier: repetitive text scores below diverse text, both in (0,1)") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
