@@ -27,17 +27,31 @@ import org.apache.spark.sql.functions._
   */
 object DupSpan {
 
-  def stats(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val positioned = Dedup.rebalance(docs)
+  /** (idCol, n_grams, _pos, _h) gram-position rows. posexplode_OUTER is
+    * deliberate: plain posexplode makes Catalyst synthesize a
+    * `size(gh) > 0` filter and push it below the projections, inlining
+    * the whole gram-hash chain into the predicate with the word-hash
+    * transform re-expanded INSIDE each per-gram lambda — O(grams ×
+    * chars) per row, measured 100× slower at sf0.1. The outer variant
+    * generates no such filter; empty docs surface one null-hash row
+    * dropped right after the Generate, where the predicate only
+    * references Generate output and cannot be pushed down.
+    */
+  private def positioned(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int): DataFrame =
+    Dedup.rebalance(docs)
       .withColumn("_wh", Winnow.wordHashes(textCol))
       .withColumn("_gh", Winnow.gramHashes(k))
       // n_grams rides along as a narrow per-row constant — joining it
       // back later would cost a doc-keyed join against the corpus.
       .select(col(idCol), size(col("_gh")).cast("long").as("n_grams"),
-        posexplode(col("_gh")).as(Seq("_pos", "_h")))
+        posexplode_outer(col("_gh")).as(Seq("_pos", "_h")))
+      .filter(col("_h").isNotNull)
+
+  def stats(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val byGram = Window.partitionBy(col("_h"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    positioned
+    positioned(docs, textCol, idCol, k)
       .withColumn("_shared",
         min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
       .filter(col("_shared"))
@@ -66,13 +80,9 @@ object DupSpan {
     */
   def strip(docs: DataFrame, textCol: String, idCol: String,
             k: Int, minRun: Int): DataFrame = {
-    val positioned = Dedup.rebalance(docs)
-      .withColumn("_wh", Winnow.wordHashes(textCol))
-      .withColumn("_gh", Winnow.gramHashes(k))
-      .select(col(idCol), posexplode(col("_gh")).as(Seq("_pos", "_h")))
     val byGram = Window.partitionBy(col("_h"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val intervals = positioned
+    val intervals = positioned(docs, textCol, idCol, k)
       .withColumn("_shared",
         min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
       .filter(col("_shared"))

@@ -285,6 +285,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"a totals join fell back to sort-merge:\n$plan")
   }
 
+  test("dup-span gram hashing is evaluated exactly twice, never inlined into a pushed filter") {
+    // A plain posexplode makes Catalyst push a size(gh) > 0 filter
+    // below the projections with the word-hash transform re-expanded
+    // inside each per-gram lambda — O(grams × chars) per row, measured
+    // 31× slower. The RK modulus is the chain's fingerprint: one
+    // occurrence each for the _wh and _gh projections is the budget.
+    for (q <- Seq("q_dup_span", "q_dup_span_strip")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
+      val folds = "1000000007".r.findAllIn(plan).size
+      assert(folds <= 2,
+        s"$q evaluates the gram-hash chain $folds times — pushdown inlining is back:\n$plan")
+    }
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
