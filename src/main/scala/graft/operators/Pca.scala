@@ -53,8 +53,8 @@ object Pca {
     * contract the DuckDB renderer mirrors token-for-token — change one
     * and the oracle diverges in the last ulp.
     */
-  private[operators] def powerIterate(c: Array[Array[Double]], d: Int,
-                                      iters: Int): Array[Double] = {
+  private[graft] def powerIterate(c: Array[Array[Double]], d: Int,
+                                  iters: Int): Array[Double] = {
     var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     for (_ <- 0 until iters) {
       val y = Array.tabulate(d) { i =>
