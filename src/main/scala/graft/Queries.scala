@@ -1071,6 +1071,22 @@ object Queries {
       Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
               WHERE event_id IS NOT NULL AND ts IS NOT NULL""")),
 
+    // Streaming scd-latest driver gate: the flatMapGroupsWithState
+    // latest-per-key operator replayed over the bounded fixture and
+    // json-decoded back — proved by the SAME oracle shape as the batch
+    // ScdLatest gates ((user_id, ts) is unique in the fixture, so no
+    // tie-break is exercised; the operator's own tie-break is
+    // spec-gated in StreamSyncSpec).
+    Entry("q_stream_latest",
+      (s, d) => StreamSync.replayLatest(
+        t(s, d, "events"), "user_id", "ts", "event_type", "value"),
+      Some(s"""SELECT user_id, ts, event_type, value FROM (
+                 SELECT user_id, ts, event_type, value, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC) AS rn
+                 FROM $EvOracle e
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL) x
+               WHERE rn = 1""")),
+
     // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
     // greedy smaller-id drop (the paper's keep-one policy — NOT a
     // transitive closure; see SemDedup scaladoc). Output

@@ -229,6 +229,56 @@ object StreamSync {
     spark.table(name).withColumnRenamed("_commit_timestamp", tsCol)
   }
 
+  /** Drive [[streamingLatestByKey]] over a BOUNDED event set and return
+    * the final latest-per-key rows as a batch DataFrame, json-decoded
+    * back to typed columns (the q_stream_latest driver gate — the
+    * streaming face of batch ScdLatest proved by the same oracle
+    * shape). All rows arrive as ONE micro-batch, so Update mode emits
+    * each touched key exactly once and the memory sink holds the final
+    * answer; `stateTtl = None` because pending processing-time timers
+    * never let `processAllAvailable` settle. The round trip exercises
+    * the full state machinery: projection → to_json state → maxBy
+    * fold → emission → from_json decode.
+    */
+  def replayLatest(events: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, valueCol: String): DataFrame = {
+    val rows = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(keyCol).cast("long"), col(tsCol),
+          col(typeCol).cast("string"), col(valueCol).cast("double"))
+        .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
+    }
+    val spark = events.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val name = s"graft_replay_latest_${ReplaySeq.incrementAndGet()}"
+    val log = input.toDF().toDF(keyCol, "_commit_timestamp", typeCol, valueCol)
+    val q = streamingLatestByKey(log, keyCol, stateTtl = None)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    // ts comes from the state's µs-exact commitUs — to_json renders
+    // timestamps at ms precision, so decoding it from the json would
+    // silently truncate the microseconds the CDC contract preserves.
+    val schema = new StructType()
+      .add(keyCol, "long").add("_commit_timestamp", "timestamp")
+      .add(typeCol, "string").add(valueCol, "double")
+    spark.table(name)
+      .select(col("key"), col("commitUs"),
+        from_json(col("json"), schema).as("_r"))
+      .select(col("key").as(keyCol),
+        timestamp_micros(col("commitUs")).as(tsCol),
+        col(s"_r.$typeCol").as(typeCol),
+        col(s"_r.$valueCol").as(valueCol))
+  }
+
   /** Stream-stream interval join: enrich a fact stream with ALL
     * dim-stream rows whose event time falls within `joinWindowSeconds`
     * BEFORE the fact (inclusive) — the canonical watermarked
