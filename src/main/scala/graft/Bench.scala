@@ -76,7 +76,8 @@ object Bench {
     "q_boilerplate_strip" -> 1.1, "q_winnow_overlap" -> 1.5,
     "q_rand_proj" -> 0.8, "q_pca_power" -> 1.6, "q_source_drift" -> 1.2,
     "q_quality_classifier" -> 0.5, "q_dup_span" -> 1.3,
-    "q_dup_span_strip" -> 1.8, "q_stream_latest" -> 2.5)
+    "q_dup_span_strip" -> 1.8, "q_stream_latest" -> 2.5,
+    "q_pipeline_spans" -> 2.2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -685,6 +685,15 @@ object Queries {
       Some(Winnow.duckOverlapPairs("documents", "text", "doc_id",
         k = 4, w = 4, maxDocFreq = 50, minCommon = 3))),
 
+    // The span-family cleaning pass composed end-to-end: boilerplate
+    // chunk removal → dup-span cutting on the cleaned text → model
+    // quality floor. Stage mirrors nested verbatim in the oracle.
+    Entry("q_pipeline_spans",
+      (s, d) => Pipeline.curateSpans(t(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 5, minDocs = 3, k = 5, minRun = 4, minScore = 0.5),
+      Some(Pipeline.duckCurateSpans("documents", "text", "doc_id",
+        chunkTokens = 5, minDocs = 3, k = 5, minRun = 4, minScore = 0.5))),
+
     // ExactSubstr signal (Lee et al. 2022): per-doc duplicated-span
     // coverage via runs of cross-doc-shared 5-grams — join-free
     // (min≠max over the gram window) + gaps-and-islands run lengths.

@@ -174,4 +174,56 @@ object Pipeline {
        |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
        |SELECT $idCol, lang_pred, quality, n_tokens FROM ded
        |WHERE $idCol NOT IN (SELECT id FROM cc WHERE id <> lbl)""".stripMargin
+
+  /** The span-level curation pipeline — the round-7 rewrite family
+    * composed end-to-end the way a cleaning pass would actually run:
+    *
+    *   1. corpus-boilerplate chunk removal
+    *      ([[ChunkDedup.stripBoilerplate]], C4's repeated-line rule);
+    *   2. verbatim duplicated-span cutting on the CLEANED text
+    *      ([[DupSpan.strip]], the ExactSubstr rewrite — stage order
+    *      matters: boilerplate is removed corpus-wide first so it
+    *      cannot masquerade as a document-pair shared span);
+    *   3. model-based quality floor on the final text
+    *      ([[graft.functions.QualityFilters.classifierScoreOf]]).
+    *
+    * Output: (idCol, n_tokens, n_cut_spans, q_score) for surviving
+    * documents. Each stage is oracle-gated alone; this gate re-proves
+    * them composed, with the DuckDB twin nesting the same three
+    * mirrors.
+    */
+  def curateSpans(docs: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int, minDocs: Int,
+                  k: Int, minRun: Int, minScore: Double): DataFrame = {
+    val s1 = ChunkDedup.stripBoilerplate(docs, textCol, idCol, chunkTokens, minDocs)
+      .select(col(idCol), col("clean_text").as(textCol))
+    val s2 = DupSpan.strip(s1, textCol, idCol, k, minRun)
+    s2.withColumn("_w", TextAnalysis.tokens(col("clean_text")))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_tokens"),
+        col("n_cut").as("n_cut_spans"),
+        QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+      .filter(col("q_score") >= minScore)
+  }
+
+  /** DuckDB oracle for [[curateSpans]] — the three stage mirrors nested
+    * verbatim (each keeps its own WITH scope inside a subquery).
+    */
+  def duckCurateSpans(tbl: String, textCol: String, idCol: String,
+                      chunkTokens: Int, minDocs: Int,
+                      k: Int, minRun: Int, minScore: Double): String = {
+    val s1 = s"(SELECT $idCol, clean_text AS $textCol FROM (" +
+      ChunkDedup.duckStripBoilerplate(tbl, textCol, idCol, chunkTokens, minDocs) +
+      ") s1_out)"
+    val s2 = "(" + DupSpan.duckStrip(s1, textCol, idCol, k, minRun) + ")"
+    s"""WITH b AS (SELECT $idCol, n_cut,
+       |                  ${TextAnalysis.duckTokensBind("clean_text")} AS w
+       |           FROM $s2 s2_out)
+       |SELECT $idCol,
+       |       CAST(len(w) AS BIGINT) AS n_tokens,
+       |       n_cut AS n_cut_spans,
+       |       ${QualityFilters.duckClassifierScore} AS q_score
+       |FROM b
+       |WHERE ${QualityFilters.duckClassifierScore} >= $minScore""".stripMargin
+  }
 }

@@ -11,6 +11,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   private val enText =
     "the quick brown fox jumps over the lazy dog and then the fox runs away to the forest with a friend"
 
+  test("curateSpans: boilerplate chunks and shared spans both removed before scoring") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter now" // 5-word chunk in 3 docs
+    val span = "p1 p2 p3 p4 p5 p6 p7 p8"          // 8-token span shared by docs 1/2
+    val docs = Seq(
+      (1L, s"$boiler $span alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler unique2 words2 here2 too2 $span more2 text2 appears2"),
+      (3L, s"$boiler totally different content in this third document entirely")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.curateSpans(docs, "text", "doc_id",
+        chunkTokens = 5, minDocs = 3, k = 5, minRun = 4, minScore = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Doc 1: 21 tokens − 5 boiler − 8 span = 8 left, 8 cut as spans.
+    // Doc 2: 20 − 5 boiler − 8 span = 7 left. Doc 3: 13 − 5 = 8 left,
+    // 0 span cuts.
+    assert(got == Map(
+      1L -> ((8L, 8L)),
+      2L -> ((7L, 8L)),
+      3L -> ((8L, 0L))))
+  }
+
   test("prepCorpus filters, exact-dedups and near-dup-dedups into a manifest") {
     import spark.implicits._
     val docs = Seq(
