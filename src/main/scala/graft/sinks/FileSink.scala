@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The reference's sink surface (export.py:216–232): gzip-compressed JSON
   * lines or CSV, `mode("overwrite")`, optional `maxRecordsPerFile`, plus
@@ -113,4 +114,50 @@ object FileSink {
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Z-order (Morton-curve) clustered write over TWO numeric columns —
+    * the multi-dimensional generalization of [[writeRangeSorted]] (the
+    * Delta `OPTIMIZE ZORDER BY` technique): each column is min/max
+    * normalized to 16 bits, the bits are interleaved into one 32-bit
+    * Morton key, and files are range-partitioned + sorted by that key.
+    * Every file's parquet footer then carries a TIGHT min/max box on
+    * BOTH columns, so a selective predicate on EITHER prunes ~√N of N
+    * files — where a single-column sort prunes only its own column and
+    * a hash layout prunes nothing.
+    *
+    * The min/max probe is a 4-value aggregate (metadata-scale collect,
+    * [[graft.operators.Similarity]] centroid posture); the interleave
+    * is one codegen'd fold per row; the only data movement is the same
+    * range exchange [[writeRangeSorted]] pays. Zero-width columns
+    * (min = max) normalize to 0 and degrade gracefully to the other
+    * dimension's ordering.
+    */
+  def writeZOrdered(df: DataFrame, uri: String, colA: String, colB: String,
+                    numFiles: Int, format: String = "parquet"): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi > lo)
+        least(greatest(
+          ((col(c).cast("double") - lo) / (hi - lo) * 65535.0), lit(0.0)),
+          lit(65535.0)).cast("long")
+      else lit(0L)
+    val a = norm(colA, bounds.getDouble(0), bounds.getDouble(1))
+    val b = norm(colB, bounds.getDouble(2), bounds.getDouble(3))
+    // Static 16-step interleave: bit i of A lands at 2i, of B at 2i+1.
+    // Unrolled at plan time — one codegen'd bitwise chain per row.
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(col("_za"), i).bitwiseAND(1L), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(col("_zb"), i).bitwiseAND(1L), 2 * i + 1))
+    }
+    val arranged = df
+      .withColumn("_za", a).withColumn("_zb", b)
+      .withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_za", "_zb", "_z")
+    arranged.write.format(format).mode("overwrite").save(uri)
+  }
 }

@@ -72,6 +72,41 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("writeZOrdered: a narrow slice on EITHER column prunes most files") {
+    import spark.implicits._
+    // 64×64 grid, shuffled: a row-major or single-column layout keeps
+    // tight file ranges only on its leading column.
+    val df = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      .repartition(8)
+    val out = tmpDir("graft-zorder")
+    FileSink.writeZOrdered(df, out, "x", "y", numFiles = 16)
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(boxes.length == 16)
+    // A width-8 slice (1/8 of the domain) on each dimension: the Morton
+    // layout tiles the plane, so it must intersect at most half of the
+    // file boxes — a single-column sort leaves the OTHER dimension's
+    // ranges full-width (all 16 files intersect).
+    val xTouched = boxes.count(b => b._2 <= 7 && b._3 >= 0)
+    val yTouched = boxes.count(b => b._4 <= 7 && b._5 >= 0)
+    assert(xTouched <= 8, s"x-slice touches $xTouched/16 files")
+    assert(yTouched <= 8, s"y-slice touches $yTouched/16 files")
+    assert(spark.read.parquet(out).count() == 4096)
+    // Sanity: the same slice against a writeRangeSorted(x) layout
+    // cannot prune on y at all.
+    val outX = tmpDir("graft-zorder-xsort")
+    FileSink.writeRangeSorted(df, outX, Seq("x"), numFiles = 16)
+    val yFullWidth = spark.read.parquet(outX)
+      .groupBy(input_file_name()).agg(min("y").as("ylo"), max("y").as("yhi"))
+      .as[(String, Long, Long)].collect()
+      .count(b => b._2 <= 7 && b._3 >= 0)
+    assert(yFullWidth == 16, s"x-sorted layout unexpectedly pruned y: $yFullWidth")
+  }
+
   test("writeBucketed: same-bucketing join plans with no shuffle exchange") {
     import spark.implicits._
     val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
