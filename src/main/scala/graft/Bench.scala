@@ -70,14 +70,14 @@ object Bench {
     "q_ann_ivf_kmeans" -> 5.40, "q_dsir_weights" -> 5.62,
     "q_dedup_resolve_lsh" -> 5.73, "q_pipeline_prep" -> 7.36,
     "q_cms_topk" -> 7.59, "q_semdedup" -> 9.81, "q_dedup_resolve" -> 12.10,
-    // round-7 additions (measured locally):
-    "q_stream_sessions" -> 7.3, "q_sink_roundtrip" -> 4.6,
-    "q_stream_dedup" -> 3.5, "q_sink_roundtrip_csv" -> 1.4,
-    "q_boilerplate_strip" -> 1.1, "q_winnow_overlap" -> 1.5,
-    "q_rand_proj" -> 0.8, "q_pca_power" -> 1.6, "q_source_drift" -> 1.2,
-    "q_quality_classifier" -> 0.5, "q_dup_span" -> 1.3,
-    "q_dup_span_strip" -> 1.8, "q_stream_latest" -> 2.5,
-    "q_pipeline_spans" -> 2.2)
+    // round-7 additions (measured, 85-query full run at sf0.1):
+    "q_stream_sessions" -> 2.1, "q_sink_roundtrip" -> 3.2,
+    "q_stream_dedup" -> 1.2, "q_sink_roundtrip_csv" -> 0.7,
+    "q_boilerplate_strip" -> 2.0, "q_winnow_overlap" -> 0.8,
+    "q_rand_proj" -> 0.13, "q_pca_power" -> 7.2, "q_source_drift" -> 1.5,
+    "q_quality_classifier" -> 0.11, "q_dup_span" -> 0.8,
+    "q_dup_span_strip" -> 0.11, "q_stream_latest" -> 1.1,
+    "q_pipeline_spans" -> 6.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
