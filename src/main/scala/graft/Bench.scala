@@ -77,7 +77,7 @@ object Bench {
     "q_rand_proj" -> 0.13, "q_pca_power" -> 7.2, "q_source_drift" -> 1.5,
     "q_quality_classifier" -> 0.11, "q_dup_span" -> 0.8,
     "q_dup_span_strip" -> 0.11, "q_stream_latest" -> 1.1,
-    "q_pipeline_spans" -> 6.4)
+    "q_pipeline_spans" -> 6.4, "q_ann_jl" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

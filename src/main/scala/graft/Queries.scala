@@ -572,6 +572,34 @@ object Queries {
       Some(Embeddings.duckRandProject("embeddings", "embedding", "vec_id",
         srcDim = 64, outDim = 16, scaleSql = "0.25"))),
 
+    // The compression path FEEDING search: brute-force dot top-k in
+    // the 16-dim JL space — both engines compute the identical
+    // projected ranking (bitwise floats). Honest caveat: this fixture
+    // has no strong neighbors (max cosine ≈ 0.5, everything near-tied),
+    // so JL distortion reshuffles the top-5 heavily (~10% overlap with
+    // the exact 64-dim ranking); the production use is wide candidate
+    // generation (k ≫ final) + exact rerank, where JL's inner-product
+    // preservation bites on genuinely similar pairs.
+    Entry("q_ann_jl",
+      (s, d) => {
+        val proj = Embeddings.randProjectVec(t(s, d, "embeddings"),
+          "embedding", "vec_id", srcDim = 64, outDim = 16, as = "proj")
+        Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 10),
+          "proj", "vec_id", k = 5)
+      },
+      Some(s"""WITH pv AS (SELECT vec_id, ${Embeddings.duckRandProjectVec(64, 16, "0.25")} AS proj
+               |           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v),
+               |q AS (SELECT vec_id AS query_id, CAST(proj AS DOUBLE[]) AS qv
+               |      FROM pv WHERE vec_id < 10),
+               |s AS (SELECT q.query_id, c.vec_id,
+               |             list_dot_product(q.qv, CAST(c.proj AS DOUBLE[])) AS score,
+               |             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               |               ORDER BY list_dot_product(q.qv, CAST(c.proj AS DOUBLE[])) DESC,
+               |                        c.vec_id ASC) AS rank
+               |      FROM q, pv c WHERE c.vec_id <> q.query_id)
+               |SELECT query_id, vec_id, rank, round(score, 6) AS score
+               |FROM s WHERE rank <= 5""".stripMargin)),
+
     // Distributed PCA: ONE-pass quantized-BIGINT Gram sums (exact,
     // order-independent), driver power iteration on 32 KB of metadata,
     // broadcast-literal projection. Oracle unrolls the identical

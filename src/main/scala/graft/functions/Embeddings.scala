@@ -104,36 +104,64 @@ object Embeddings {
     * the DuckDB twin renders the same left-associated chain, so the
     * IEEE double results match bitwise before the final round.
     */
+  /** The signed sum Σᵢ ±vᵢ for output dim `j` over the bound `_e`. */
+  private def jlSum(j: Int, srcDim: Int): Column =
+    (0 until srcDim).map { i =>
+      val x = element_at(col("_e"), i + 1)
+      if (jlSign(i, j) > 0) x else -x
+    }.reduceLeft(_ + _)
+
   def randProject(df: DataFrame, vecCol: String, idCol: String,
                   srcDim: Int, outDim: Int): DataFrame = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val projected = (0 until outDim).map { j =>
-      val sum = (0 until srcDim).map { i =>
-        val x = element_at(col("_e"), i + 1)
-        if (jlSign(i, j) > 0) x else -x
-      }.reduceLeft(_ + _)
-      round(sum * scale, 6).as(f"p$j%02d")
+      round(jlSum(j, srcDim) * scale, 6).as(f"p$j%02d")
     }
     df.select(col(idCol), asDouble(col(vecCol)).as("_e"))
       .select(col(idCol) +: projected: _*)
+  }
+
+  /** [[randProject]] packed as an `array<float>` column (unrounded —
+    * a float cast of bitwise-equal doubles is bitwise-equal), the shape
+    * the similarity operators consume: project once, search in 16 dims.
+    */
+  def randProjectVec(df: DataFrame, vecCol: String, idCol: String,
+                     srcDim: Int, outDim: Int, as: String): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val proj = array((0 until outDim).map(j =>
+      (jlSum(j, srcDim) * scale).cast("float")): _*)
+    df.select(col(idCol), asDouble(col(vecCol)).as("_e"))
+      .select(col(idCol), proj.as(as))
   }
 
   /** DuckDB oracle for [[randProject]] — same literal signs, same
     * left-associated summation, same scale and rounding. `scaleSql`
     * must be the exact decimal of 1/√outDim (0.25 for outDim 16).
     */
+  /** SQL twin of [[jlSum]]: the left-associated signed chain over a
+    * bound `e`.
+    */
+  private def jlChainSql(j: Int, srcDim: Int): String =
+    (0 until srcDim).map { i =>
+      val sgn = if (jlSign(i, j) > 0) "+" else "-"
+      s"$sgn e[${i + 1}]"
+    }.mkString(" ")
+
   def duckRandProject(tbl: String, vecCol: String, idCol: String,
                       srcDim: Int, outDim: Int, scaleSql: String): String = {
     val colSql = (0 until outDim).map { j =>
-      val chain = (0 until srcDim).map { i =>
-        val sgn = if (jlSign(i, j) > 0) "+" else "-"
-        s"$sgn e[${i + 1}]"
-      }.mkString(" ")
-      f"round(($chain) * $scaleSql, 6) AS p$j%02d"
+      f"round((${jlChainSql(j, srcDim)}) * $scaleSql, 6) AS p$j%02d"
     }.mkString(",\n       ")
     s"""WITH v AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS e FROM $tbl)
        |SELECT $idCol,
        |       $colSql
        |FROM v""".stripMargin
   }
+
+  /** SQL twin of [[randProjectVec]]'s array (bound `e`): REAL[] of the
+    * unrounded scaled chains.
+    */
+  def duckRandProjectVec(srcDim: Int, outDim: Int, scaleSql: String): String =
+    "CAST([" + (0 until outDim).map(j =>
+      s"(${jlChainSql(j, srcDim)}) * $scaleSql").mkString(", ") + "] AS REAL[])"
 }
