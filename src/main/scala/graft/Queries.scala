@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -183,6 +183,33 @@ object Queries {
     Entry("q_rowcount",
       (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("row_count")),
       Some("SELECT count(*) AS row_count FROM lineitem")),
+
+    // P4 + P5 driver gate — the computed hash column (export.py:204–214):
+    // md5(to_json(struct(<name-sorted non-ignored cols>))). DuckDB has no
+    // Spark-compatible to_json, so the oracle renders the SAME canonical
+    // JSON by string concat: name-sorted keys, no whitespace, and the
+    // ms-precision zone-suffix-free timestamp render of Spark's UTC
+    // session (Engine.session sets spark.sql.session.timeZone=UTC;
+    // Spark 4's JSON writer emits `yyyy-MM-dd'T'HH:mm:ss.SSS`). For
+    // the long/string/timestamp columns used here the two renders are
+    // byte-identical, so the md5 values gate the real to_json path — any
+    // formatting drift flips every hash. o_totalprice (double) goes
+    // through the P5 ignore set: float-to-text differs across engines,
+    // and ignore-columns is exactly the reference's mechanism for
+    // excluding volatile columns (orders has no nulls, so to_json's
+    // null-field omission — spec-gated in RowHashSpec — never fires).
+    Entry("q_row_hash",
+      (s, d) => RowHash.withHashColumn(t(s, d, "orders"), "row_hash",
+          ignoreColumns = Set("o_totalprice"))
+        .select("o_orderkey", "row_hash"),
+      Some("""SELECT o_orderkey,
+             |  md5('{"o_custkey":' || o_custkey ||
+             |      ',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') ||
+             |      '","o_orderkey":' || o_orderkey ||
+             |      ',"o_orderpriority":"' || o_orderpriority ||
+             |      '","o_orderstatus":"' || o_orderstatus ||
+             |      '"}') AS row_hash
+             |FROM orders""".stripMargin)),
 
     // S6 + S7 — file-loaded custom SQL with Spark 4 named parameters
     // (export.py:70–100, 203): write the recurring_query.sql under the
