@@ -195,8 +195,17 @@ object Pipeline {
   def curateSpans(docs: DataFrame, textCol: String, idCol: String,
                   chunkTokens: Int, minDocs: Int,
                   k: Int, minRun: Int, minScore: Double): DataFrame = {
+    // Materialize the cleaned corpus ONCE before the span pass:
+    // DupSpan.strip scans its input twice (the interval subtree and the
+    // join-back side), and stage 1 is a corpus-wide chunk-key exchange —
+    // without the barrier the boilerplate strip re-executes per consumer
+    // (measured ~2 s of the composed query's 5.7 s at sf0.1; at 100 TB
+    // it is a full extra pass over the corpus). At cluster scale this is
+    // the persist()/checkpoint() of the cleaned corpus before span
+    // cutting (the reliable checkpoint dir is wired in Engine.session).
     val s1 = ChunkDedup.stripBoilerplate(docs, textCol, idCol, chunkTokens, minDocs)
       .select(col(idCol), col("clean_text").as(textCol))
+      .localCheckpoint()
     val s2 = DupSpan.strip(s1, textCol, idCol, k, minRun)
     s2.withColumn("_w", TextAnalysis.tokens(col("clean_text")))
       .select(col(idCol),

@@ -299,6 +299,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curateSpans computes the boilerplate strip ONCE (barrier before the span pass)") {
+    // DupSpan.strip scans its input twice (interval subtree + join-back
+    // side). Stage 1 is a corpus-wide chunk-key exchange, so without the
+    // checkpoint barrier in Pipeline.curateSpans the boilerplate strip
+    // re-executes per consumer. The composed plan must therefore contain
+    // NO trace of the chunk-frequency aggregate (its collect_set boiler
+    // fold) — both consumers read the materialized barrier instead.
+    val df = SparkEntry.queries("q_pipeline_spans")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("collect_set"),
+      s"stage-1 boilerplate subtree leaked into the composed plan — the barrier is gone:\n$plan")
+    val rddScans = "ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans >= 2,
+      s"expected both DupSpan.strip consumers to read the checkpointed stage-1 RDD, found $rddScans scans:\n$plan")
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
