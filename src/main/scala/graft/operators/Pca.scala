@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * shaped for one pass at 100 TB:
   *
   *   1. ONE scan accumulates the d(d+1)/2 upper-triangle entries of the
-  *      second-moment (Gram) matrix Σ vvᵀ as a single wide hash
-  *      aggregate — no per-iteration rescan, no d²-fold row explosion.
+  *      second-moment (Gram) matrix Σ vvᵀ — each row renders its upper
+  *      triangle as one array (nested HOF lambdas, O(1) plan size in d)
+  *      and a position-keyed partial-agg sum folds them; no
+  *      per-iteration rescan.
   *   2. The driver power-iterates on the collected d×d matrix — 32 KB
   *      of metadata, same posture as the k-means centroid collect
   *      (Similarity.kmeansCells).
@@ -37,15 +39,37 @@ object Pca {
 
   private def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  /** The quantized upper-triangle Gram sums as one wide aggregate row. */
+  /** The quantized upper-triangle Gram sums, planning-cost O(1) in d.
+    *
+    * The first cut spelled this as d(d+1)/2 NAMED aggregate columns —
+    * constant in data size but quadratic in dimension at PLANNING time
+    * (d=64 → 2080 aggregate expressions ≈ 7 s of pure Catalyst work;
+    * d=256 would be ~33k and wall). Instead each row renders its
+    * upper triangle as ONE array via nested codegen'd HOF lambdas
+    * (i-major, matching the c_{i}_{j} order), posexplodes it, and sums
+    * per position — a fixed-width plan whatever d is. The exchange
+    * carries ≤ d(d+1)/2 rows per map partition (map-side combine), and
+    * the integer quanta keep the sums order-independent, so the DuckDB
+    * oracle's wide-aggregate spelling produces bitwise-identical longs.
+    *
+    * posexplode_OUTER + isNotNull, not plain posexplode: the plain form
+    * makes Catalyst synthesize a size(...)>0 filter below the projection
+    * with the whole product-array chain inlined into the predicate
+    * (the [[DupSpan.positioned]] regression), doubling the per-row work.
+    */
   private def gramSums(df: DataFrame, vecCol: String, d: Int): Array[Long] = {
     val e = col("_e")
-    val aggs = for (i <- 0 until d; j <- i until d) yield
-      sum(floor(element_at(e, i + 1) * element_at(e, j + 1) * Quantum + 0.5)
-        .cast("long")).as(s"c_${i}_$j")
-    val row = df.select(asDouble(col(vecCol)).as("_e"))
-      .agg(aggs.head, aggs.tail: _*).head()
-    Array.tabulate(aggs.size)(row.getLong)
+    val tri = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+      transform(sequence(i, lit(d - 1)), j =>
+        floor(get(e, i) * get(e, j) * Quantum + 0.5).cast("long"))))
+    val rows = df.select(asDouble(col(vecCol)).as("_e"))
+      .select(posexplode_outer(tri).as(Seq("_i", "_q")))
+      .filter(col("_q").isNotNull)
+      .groupBy(col("_i")).agg(sum(col("_q")).as("_s"))
+      .collect()
+    val out = new Array[Long](d * (d + 1) / 2)
+    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
   }
 
   /** Power iteration in driver doubles. The fold shapes (reduceLeft for
