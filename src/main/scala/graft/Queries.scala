@@ -600,21 +600,23 @@ object Queries {
         srcDim = 64, outDim = 16, scaleSql = "0.25"))),
 
     // The compression path FEEDING search: brute-force dot top-k in
-    // the 16-dim JL space — both engines compute the identical
-    // projected ranking (bitwise floats). Honest caveat: this fixture
-    // has no strong neighbors (max cosine ≈ 0.5, everything near-tied),
-    // so JL distortion reshuffles the top-5 heavily (~10% overlap with
-    // the exact 64-dim ranking); the production use is wide candidate
-    // generation (k ≫ final) + exact rerank, where JL's inner-product
-    // preservation bites on genuinely similar pairs.
+    // the 24-dim JL space — both engines compute the identical
+    // projected ranking (bitwise floats; the scale literal is the
+    // shortest round-trip decimal of 1/√24, which DuckDB parses to the
+    // same double). 24 dims, not 16: on a separable clustered corpus
+    // r=16 measured mean recall@10 ≈ 0.78 vs ≈ 0.86 at r=24 — the
+    // SimilaritySpec recall gate pins ≥ 0.8. This fixture itself has no
+    // strong neighbors (max cosine ≈ 0.5, near-tied), so the oracle
+    // checks bitwise ranking parity; the usefulness claim lives in the
+    // recall gate's clustered fixture.
     Entry("q_ann_jl",
       (s, d) => {
         val proj = Embeddings.randProjectVec(t(s, d, "embeddings"),
-          "embedding", "vec_id", srcDim = 64, outDim = 16, as = "proj")
+          "embedding", "vec_id", srcDim = 64, outDim = 24, as = "proj")
         Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 10),
           "proj", "vec_id", k = 5)
       },
-      Some(s"""WITH pv AS (SELECT vec_id, ${Embeddings.duckRandProjectVec(64, 16, "0.25")} AS proj
+      Some(s"""WITH pv AS (SELECT vec_id, ${Embeddings.duckRandProjectVec(64, 24, (1.0 / math.sqrt(24.0)).toString)} AS proj
                |           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v),
                |q AS (SELECT vec_id AS query_id, CAST(proj AS DOUBLE[]) AS qv
                |      FROM pv WHERE vec_id < 10),

@@ -158,6 +158,62 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cols.distinct.size == 16, "two projection columns identical")
   }
 
+  test("JL-space ANN candidate-gen reaches recall@10 ≥ 0.8 on a separable corpus (r=24)") {
+    import spark.implicits._
+    // The oracle gate on q_ann_jl proves bitwise ranking parity of the
+    // MECHANISM; this gate proves USEFULNESS: on a corpus with real
+    // cluster structure, searching in the 24-d projected space must
+    // retrieve (almost) the same neighbor SET as exact 64-d search.
+    // Fixture: 12 well-separated clusters of 11 members each — random
+    // unit centers in 64-d are near-orthogonal (pairwise dot ~N(0,1/8)),
+    // members are small perturbations (intra-cluster dot ≈ 0.98), so
+    // each query's true top-10 is exactly its 10 cluster-mates and
+    // recall@10 measures set retrieval, not noise-dominated intra-
+    // cluster order (the honest failure mode of the sf fixture).
+    var seed = 246813579L
+    def nextRaw(n: Int): Seq[Double] = Seq.fill(n) {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 40).toInt / 8388608.0 - 1.0)
+    }
+    def normalize(v: Seq[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Seq.fill(12)(normalize(nextRaw(64)))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      m <- 0 until 11
+    } yield {
+      val noise = nextRaw(64)
+      val v = normalize(c.zip(noise).map { case (x, g) => x + 0.15 * g })
+      ((ci * 11 + m).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val isQuery = col("vec_id") % 11 === 0 // one query per cluster
+    val truth = Similarity.bruteForceTopK(df, df.filter(isQuery),
+        "embedding", "vec_id", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val proj = Embeddings.randProjectVec(df, "embedding", "vec_id",
+      srcDim = 64, outDim = 24, as = "proj")
+    val approx = Similarity.bruteForceTopK(proj, proj.filter(isQuery),
+        "proj", "vec_id", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(truth.keySet == approx.keySet && truth.size == 12)
+    // Sanity on the fixture itself: exact search finds the cluster.
+    truth.foreach { case (q, ns) =>
+      assert(ns == ((q / 11) * 11 until (q / 11) * 11 + 11).toSet - q,
+        s"fixture not separable at query $q: $ns")
+    }
+    val recalls = truth.map { case (q, ns) =>
+      approx(q).intersect(ns).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean recall@10 at r=24: $mean")
+    assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $recalls")
+  }
+
   test("JL projection approximately preserves squared norms (the lemma, r=16)") {
     import spark.implicits._
     // Deterministic pseudo-random unit vectors from an explicit LCG —
