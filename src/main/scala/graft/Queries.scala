@@ -1153,6 +1153,35 @@ object Queries {
                  WHERE user_id IS NOT NULL AND ts IS NOT NULL) x
                WHERE rn = 1""")),
 
+    // Stream-stream interval join driver gate: purchases enriched with
+    // every same-user click in the 2 h before them, replayed through
+    // the watermarked streaming join (one micro-batch per side — inner
+    // joins emit on match; the watermark's role at scale is state
+    // eviction). DuckDB twin is the plain inequality join.
+    Entry("q_stream_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        StreamSync.replayIntervalJoin(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", "event_id",
+          watermarkDelay = "0 seconds", joinWindowSeconds = 7200L)
+      },
+      Some(s"""SELECT f.user_id,
+                      f.ts AS fact_ts, f.event_id AS fact_id,
+                      d.ts AS dim_ts, d.event_id AS dim_id
+               FROM $EvOracle f JOIN $EvOracle d
+                 ON d.user_id = f.user_id
+                AND d.ts >= f.ts - INTERVAL 7200 SECOND
+                AND d.ts <= f.ts
+               WHERE f.event_type = 'purchase' AND d.event_type = 'click'
+                 AND f.user_id IS NOT NULL AND f.ts IS NOT NULL
+                 AND f.event_id IS NOT NULL
+                 AND d.user_id IS NOT NULL AND d.ts IS NOT NULL
+                 AND d.event_id IS NOT NULL""")),
+
     // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
     // greedy smaller-id drop (the paper's keep-one policy — NOT a
     // transitive closure; see SemDedup scaladoc). Output

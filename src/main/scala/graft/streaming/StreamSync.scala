@@ -311,6 +311,57 @@ object StreamSync {
         col(s"dim_$dimTsCol") <= col(factTsCol))
   }
 
+  /** Drive [[streamingIntervalJoin]] over BOUNDED fact/dim sets and
+    * return the joined rows as a batch DataFrame (the q_stream_join
+    * driver gate; DuckDB twin = a plain inequality join). Both sides
+    * arrive as one micro-batch each — stream-stream INNER joins emit a
+    * match in the trigger where both sides are present (the watermark
+    * only drives state eviction and outer-side emission), so no
+    * sentinel watermark advancement is needed, mirroring
+    * [[replayDedup]]'s arrival-batch emission.
+    *
+    * Both inputs must carry (`keyCol`, `tsCol`, `idCol`); `idCol` rides
+    * along so the gate's output rows are individually identifiable
+    * (fact_id, dim_id) rather than hash-colliding on repeated
+    * (key, ts) pairs.
+    */
+  def replayIntervalJoin(facts: DataFrame, dims: DataFrame, keyCol: String,
+                         tsCol: String, idCol: String, watermarkDelay: String,
+                         joinWindowSeconds: Long): DataFrame = {
+    def rowsOf(df: DataFrame): Seq[(Long, java.sql.Timestamp, Long)] = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      // Null keys/timestamps/ids excluded, mirroring replaySessions.
+      df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(idCol).isNotNull)
+        .select(col(keyCol).cast("long"), col(tsCol), col(idCol).cast("long"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    }
+    val fRows = rowsOf(facts)
+    val dRows = rowsOf(dims)
+    val spark = facts.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val dIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val name = s"graft_replay_ijoin_${ReplaySeq.incrementAndGet()}"
+    val q = streamingIntervalJoin(
+        fIn.toDF().toDF(keyCol, tsCol, idCol), tsCol,
+        dIn.toDF().toDF(keyCol, tsCol, idCol), tsCol,
+        keyCol, watermarkDelay, joinWindowSeconds)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      fIn.addData(fRows)
+      dIn.addData(dRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).select(
+      col(keyCol),
+      col(tsCol).as("fact_ts"), col(idCol).as("fact_id"),
+      col(s"dim_$tsCol").as("dim_ts"), col(s"dim_$idCol").as("dim_id"))
+  }
+
   /** Continuous-ingestion dedup: every micro-batch of incoming documents
     * is screened with [[graft.operators.Dedup.indexDedup]] against the
     * static corpus PLUS everything this stream already ingested, and
