@@ -1080,8 +1080,10 @@ object Queries {
     Entry("q_sink_roundtrip",
       (s, d) => {
         val out = Sync.plan(t(s, d, "lineitem"), SyncMode.Full, Seq("l_returnflag"))
+        // Per-run unique dir: a fixed path lets two concurrent runs
+        // (Bench alongside Verify) clobber each other mid-read.
         val uri = "file:" +
-          java.nio.file.Paths.get("target/sink-roundtrip").toAbsolutePath
+          Files.createTempDirectory("graft-sink-roundtrip").toAbsolutePath
         FileSink.write(out, SinkSpec("json", uri, maxRecordsPerFile = Some(20000L)))
         s.read.schema(out.schema).json(uri)
       },
@@ -1096,7 +1098,7 @@ object Queries {
       (s, d) => {
         val out = Sync.plan(t(s, d, "orders"), SyncMode.Full, Seq("o_orderstatus"))
         val uri = "file:" +
-          java.nio.file.Paths.get("target/sink-roundtrip-csv").toAbsolutePath
+          Files.createTempDirectory("graft-sink-roundtrip-csv").toAbsolutePath
         FileSink.write(out, SinkSpec("csv", uri))
         s.read.schema(out.schema).option("header", "true").csv(uri)
       },

@@ -34,6 +34,14 @@ object Drift {
     */
   val Quantum = 1.0e12
 
+  /** The restricted-vocabulary size the [[Quantum]] overflow envelope is
+    * derived for — ENFORCED at runtime (not just documented): beyond it
+    * the BIGINT term sum may overflow (an opaque ANSI error on the Spark
+    * side, a silent wrap in a non-ANSI oracle). A larger vocabulary
+    * needs a larger `minCount` or a smaller quantum.
+    */
+  val MaxVocabPerSource = 100000L
+
   def sourceKl(docs: DataFrame, textCol: String, srcCol: String,
                minCount: Int): DataFrame = {
     val tok = Dedup.rebalance(docs)
@@ -58,6 +66,18 @@ object Drift {
         count(lit(1)).as("n_vocab"),
         max(col("_mTot")).as("m_tokens"),
         round(sum(term) / Quantum, 6).as("kl"))
+      // Runtime guard on the documented overflow envelope: assert_true
+      // rides inside the n_vocab projection (null on success, throws
+      // with the actionable message otherwise) so it cannot be pruned
+      // and costs nothing beyond the per-source comparison.
+      .select(col(srcCol),
+        when(assert_true(col("n_vocab") <= MaxVocabPerSource,
+            concat(lit("Drift.sourceKl: restricted vocabulary "),
+              col("n_vocab"),
+              lit(s" exceeds the 1e-12-quantum Long-overflow bound " +
+                s"$MaxVocabPerSource; raise minCount or shrink Quantum")))
+          .isNull, col("n_vocab")).as("n_vocab"),
+        col("m_tokens"), col("kl"))
   }
 
   /** DuckDB oracle for [[sourceKl]] — identical vocabulary restriction,

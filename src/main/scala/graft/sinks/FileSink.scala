@@ -89,11 +89,15 @@ object FileSink {
     */
   def writeRangeSorted(df: DataFrame, uri: String, sortCols: Seq[String],
                        numFiles: Int, format: String = "parquet",
-                       hivePartitionCols: Seq[String] = Nil): Unit = {
+                       hivePartitionCols: Seq[String] = Nil,
+                       maxRecordsPerFile: Option[Long] = None,
+                       compression: Option[String] = None): Unit = {
     val keys = sortCols.map(df(_))
     val arranged = df.repartitionByRange(numFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
     var w = arranged.write.format(format)
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    compression.foreach(c => w = w.option("compression", c))
     if (hivePartitionCols.nonEmpty) w = w.partitionBy(hivePartitionCols: _*)
     w.mode("overwrite").save(uri)
   }
@@ -107,13 +111,17 @@ object FileSink {
     * metadata lives in the catalog, not the files).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int): Unit =
-    df.write
+                    nBuckets: Int,
+                    maxRecordsPerFile: Option[Long] = None,
+                    compression: Option[String] = None): Unit = {
+    var w = df.write
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .mode("overwrite")
-      .saveAsTable(table)
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    compression.foreach(c => w = w.option("compression", c))
+    w.mode("overwrite").saveAsTable(table)
+  }
 
   /** Z-order (Morton-curve) clustered write over TWO numeric columns —
     * the multi-dimensional generalization of [[writeRangeSorted]] (the
@@ -130,13 +138,30 @@ object FileSink {
     * is one codegen'd fold per row; the only data movement is the same
     * range exchange [[writeRangeSorted]] pays. Zero-width columns
     * (min = max) normalize to 0 and degrade gracefully to the other
-    * dimension's ordering.
+    * dimension's ordering; empty or all-NULL inputs (no bounds at all)
+    * degrade to a plain unclustered write.
     */
   def writeZOrdered(df: DataFrame, uri: String, colA: String, colB: String,
-                    numFiles: Int, format: String = "parquet"): Unit = {
+                    numFiles: Int, format: String = "parquet",
+                    maxRecordsPerFile: Option[Long] = None,
+                    compression: Option[String] = None): Unit = {
+    def applyOpts(w0: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+      var w = w0
+      maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+      compression.foreach(c => w = w.option("compression", c))
+      w
+    }
     val bounds = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if ((0 to 3).exists(bounds.isNullAt)) {
+      // Empty input, or a cluster column that is entirely NULL: there is
+      // no Morton box to normalize into. Degrade to a plain (unclustered)
+      // write instead of NPE-ing on the null bound — the data still
+      // lands, it just carries no multi-column pruning layout.
+      applyOpts(df.write.format(format)).mode("overwrite").save(uri)
+      return
+    }
     def norm(c: String, lo: Double, hi: Double) =
       if (hi > lo)
         least(greatest(
@@ -158,6 +183,6 @@ object FileSink {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_za", "_zb", "_z")
-    arranged.write.format(format).mode("overwrite").save(uri)
+    applyOpts(arranged.write.format(format)).mode("overwrite").save(uri)
   }
 }

@@ -212,6 +212,15 @@ object StreamSync {
         .select(col(idCol).cast("long"), col(tsCol))
         .as[(Long, java.sql.Timestamp)].collect().toSeq
     }
+    // The gate's oracle keeps every non-null (id, ts) row, while the
+    // stream dedups on idCol alone — equivalent ONLY when ids are
+    // unique in the fixture (the kept row among same-id-different-ts
+    // rows would be arrival-order nondeterministic). Enforce that
+    // precondition loudly so a fixture change turns the gate red here,
+    // not flakily downstream.
+    require(rows.map(_._1).distinct.size == rows.size,
+      s"replayDedup fixture must have unique $idCol values: dedup on " +
+        s"$idCol alone is only oracle-equivalent for unique ids")
     val spark = events.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     import spark.implicits._

@@ -107,6 +107,60 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(yFullWidth == 16, s"x-sorted layout unexpectedly pruned y: $yFullWidth")
   }
 
+  test("scale writers honor maxRecordsPerFile and compression (K3 parity)") {
+    import spark.implicits._
+    val df = spark.range(0, 100).select(col("id").as("k"), (col("id") * 3).as("v"))
+    // Range-sorted: 2 range partitions × (50 rows / 30 per file) → 4 files.
+    val outR = tmpDir("graft-range-k3")
+    FileSink.writeRangeSorted(df, outR, Seq("k"), numFiles = 2,
+      maxRecordsPerFile = Some(30L), compression = Some("gzip"))
+    val partsR = Files.list(Paths.get(outR)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    assert(partsR.length == 4, s"2 ranges × ceil(50/30) → 4 parts, got ${partsR.length}")
+    assert(partsR.forall(_.endsWith(".gz.parquet")),
+      s"expected gzip parquet parts, got ${partsR.mkString(", ")}")
+    assert(spark.read.parquet(outR).count() == 100)
+    // Z-ordered: same option plumbing through the Morton path.
+    val outZ = tmpDir("graft-zorder-k3")
+    FileSink.writeZOrdered(df, outZ, "k", "v", numFiles = 2,
+      maxRecordsPerFile = Some(30L), compression = Some("gzip"))
+    val partsZ = Files.list(Paths.get(outZ)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    assert(partsZ.length == 4 && partsZ.forall(_.endsWith(".gz.parquet")),
+      s"zordered parts: ${partsZ.mkString(", ")}")
+    // Bucketed: files split within buckets, codec in the part names.
+    FileSink.writeBucketed(df, "bkt_k3", "k", nBuckets = 4,
+      maxRecordsPerFile = Some(10L), compression = Some("gzip"))
+    try {
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED bkt_k3")
+        .filter(col("col_name") === "Location").select("data_type").as[String].head()
+      val partsB = Files.list(Paths.get(new java.net.URI(loc))).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(partsB.length >= 12, // 4 buckets × ceil(25/10) files
+        s"expected >= 12 bucket files at 10 records/file, got ${partsB.length}")
+      assert(partsB.forall(_.endsWith(".gz.parquet")),
+        s"bucket parts: ${partsB.mkString(", ")}")
+      assert(spark.table("bkt_k3").count() == 100)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_k3")
+  }
+
+  test("writeZOrdered degrades to a plain write on empty or all-NULL cluster columns") {
+    import spark.implicits._
+    // Empty input: no bounds row values → must still write (and read
+    // back empty), not NPE on the null min/max.
+    val empty = spark.range(0, 0).select(col("id").as("x"), col("id").as("y"))
+    val outE = tmpDir("graft-zorder-empty")
+    FileSink.writeZOrdered(empty, outE, "x", "y", numFiles = 4)
+    assert(spark.read.schema(empty.schema).parquet(outE).count() == 0)
+    // All-NULL cluster columns: same degrade, rows preserved.
+    val nulls = spark.range(0, 3)
+      .select(lit(null).cast("long").as("x"), lit(null).cast("long").as("y"),
+        col("id").as("v"))
+    val outN = tmpDir("graft-zorder-null")
+    FileSink.writeZOrdered(nulls, outN, "x", "y", numFiles = 4)
+    assert(spark.read.parquet(outN).select("v").as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
   test("writeBucketed: same-bucketing join plans with no shuffle exchange") {
     import spark.implicits._
     val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
