@@ -74,10 +74,12 @@ object Bench {
     "q_stream_sessions" -> 2.1, "q_sink_roundtrip" -> 3.2,
     "q_stream_dedup" -> 1.2, "q_sink_roundtrip_csv" -> 0.7,
     "q_boilerplate_strip" -> 2.0, "q_winnow_overlap" -> 0.8,
-    "q_rand_proj" -> 0.13, "q_pca_power" -> 7.2, "q_source_drift" -> 1.5,
+    "q_rand_proj" -> 0.13, "q_pca_power" -> 1.2, "q_source_drift" -> 1.5,
     "q_quality_classifier" -> 0.11, "q_dup_span" -> 0.8,
     "q_dup_span_strip" -> 0.11, "q_stream_latest" -> 1.1,
-    "q_pipeline_spans" -> 6.4, "q_ann_jl" -> 1.4)
+    "q_pipeline_spans" -> 3.7, "q_ann_jl" -> 1.4,
+    // round-8 additions (solo-measured at sf0.1):
+    "q_row_hash" -> 0.4, "q_stream_join" -> 1.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,6 +204,13 @@ object Bench {
       passesDone = pass
     }
     emit(complete = true)
+    // Tail-parse insurance: a driver that scrapes stdout can trip on
+    // sbt's trailing "[success] ..." line (round 7 recorded
+    // `parsed:null` exactly that way). Mirror the final artifact to a
+    // stable repo-root path too, so ANY reader has a clean, complete
+    // JSON file regardless of how the process output was captured.
+    Files.copy(outPath, Paths.get("BENCH_LATEST.json"),
+      StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
     if (failLast.keys.exists(n => !okBest.contains(n))) sys.exit(1)
   }
