@@ -211,6 +211,41 @@ object Queries {
              |      '"}') AS row_hash
              |FROM orders""".stripMargin)),
 
+    // The FLAGSHIP composition (SparkEntry.entry), driver-gated: scan →
+    // scd-latest window (keepRank) → non-null filter → computed hash —
+    // the reference's full composed slice, previously smoke-checked
+    // rows>0 only. Same deterministic-JSON oracle technique as
+    // q_row_hash; events.ts has sub-ms components, which BOTH renders
+    // truncate to ms identically (Spark's SSS formatter, DuckDB's %g),
+    // and the props JSON-in-a-string column exercises to_json's quote
+    // escaping. Unlike orders' NTZ o_orderdate (parquet ms timestamp
+    // without isAdjustedToUTC → no zone suffix), events.ts loads as an
+    // instant (LTZ) and Spark renders it WITH the 'Z' suffix at the UTC
+    // session — the oracle appends it. `value` (double) rides through
+    // the P5 ignore set —
+    // float text rendering differs across engines (the flagship proper
+    // hashes it; this gate proves every other moving part).
+    Entry("q_entry_flagship",
+      (s, d) => {
+        val latest = Sync.plan(t(s, d, "events"),
+          SyncMode.ScdLatest("user_id", "ts", keepRank = true,
+            tieBreakers = Seq("event_id")))
+        RowHash.withHashColumn(latest.filter(col("user_id").isNotNull),
+          hashCol = "computed_hash", ignoreColumns = Set("value"))
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type, value, props,
+             |       CAST(row_num AS INTEGER) AS row_num,
+             |       md5('{"event_id":' || event_id ||
+             |           ',"event_type":"' || event_type ||
+             |           '","props":"' || replace(props, '"', '\\"') ||
+             |           '","row_num":' || row_num ||
+             |           ',"ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') ||
+             |           'Z","user_id":' || user_id || '}') AS computed_hash
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+             |      FROM $EvOracle e WHERE user_id IS NOT NULL) x
+             |WHERE row_num = 1""".stripMargin)),
+
     // S6 + S7 — file-loaded custom SQL with Spark 4 named parameters
     // (export.py:70–100, 203): write the recurring_query.sql under the
     // workspace-style path, load it, run with :start/:end_timestamp.
