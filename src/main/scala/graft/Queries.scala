@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -435,6 +435,31 @@ object Queries {
       Some(Dedup.duckResolveNgramPairs("documents", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 500))),
 
+    // Cluster resolution with the KEEP-BEST policy: within each near-dup
+    // cluster survive the member with the highest model quality score
+    // (id tie-break) instead of the lowest id — the policy cleaning
+    // pipelines actually want. One cluster-keyed max_by after the same
+    // CC loop; oracle = recursive closure + ROW_NUMBER argmax.
+    Entry("q_dedup_keepbest",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("doc_id") < 500)
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), col("text"),
+            QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+        val pairs = Dedup.ngramJaccardPairs(scored, "text", "doc_id",
+          n = 3, threshold = 0.5, maxDocId = 500)
+        Dedup.resolvePairsKeepBest(scored, pairs, "doc_id", "q_score")
+          .select(col("doc_id"), col("q_score"))
+      },
+      Some {
+        val rel = "(SELECT doc_id, text, " +
+          s"${QualityFilters.duckClassifierScore} AS q_score " +
+          s"FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w " +
+          "FROM documents WHERE doc_id < 500) dd)"
+        Dedup.duckResolveKeepBestNgram(rel, "text", "doc_id", "q_score",
+          n = 3, threshold = 0.5, maxDocId = 500)
+      }),
+
     // The PRODUCTION dedup route end-to-end: MinHash+LSH pair finding →
     // connected components → representative-only corpus. Oracle is the
     // recursive-CTE closure over the exact pair set (equal to the LSH
@@ -464,6 +489,21 @@ object Queries {
         n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5),
       Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 1000))),
+
+    // Edit-distance-verified fuzzy dedup: LSH candidates (loose Jaccard
+    // floor) re-verified with the normalized Levenshtein ratio — the
+    // character-level near-dup criterion. HARD oracle: exact pairwise
+    // ground truth at the same floor + the same edit filter, so the
+    // gate re-proves full candidate recall THROUGH the edit
+    // verification, and the ratio column pins both engines' Levenshtein
+    // to the classic definition.
+    Entry("q_dedup_edit",
+      (s, d) => Dedup.editVerifiedPairs(
+        t(s, d, "documents").filter(col("doc_id") < 1000), "text", "doc_id",
+        n = 3, bands = 42, rowsPerBand = 3,
+        candJaccard = 0.5, maxEditRatio = 0.3),
+      Some(Dedup.duckEditVerifiedPairs("documents", "text", "doc_id",
+        n = 3, candJaccard = 0.5, maxEditRatio = 0.3, maxDocId = 1000))),
 
     // SimHash near-dup detection: 64-bit signatures, pigeonhole chunk
     // buckets (maxHamming+1 chunks → exact candidate recall), signature
@@ -740,6 +780,16 @@ object Queries {
                       CAST(${QualityFilters.duckClassifierScore} >= 0.5 AS BIGINT) AS q_keep
                FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                      FROM documents) d""")),
+
+    // Curriculum quality binning: per-language equal-depth NTILE deciles
+    // of the classifier score (score DESC, id ASC — deterministic bin
+    // membership). One narrow scoring projection + one language-keyed
+    // window exchange.
+    Entry("q_quality_bins",
+      (s, d) => Curriculum.qualityBins(t(s, d, "documents"),
+        "text", "doc_id", "lang", nBins = 10),
+      Some(Curriculum.duckQualityBins("documents", "text", "doc_id",
+        "lang", nBins = 10))),
 
     // Benchmark decontamination: training docs sharing word 3-grams with
     // the held-out eval split (doc_id % 97 = 0). Eval grams broadcast;

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{QualityFilters, TextAnalysis}
+
+/** Curriculum / data-selection binning: rank every document by the
+  * model-based quality score WITHIN its language and cut the ranking
+  * into `nBins` equal-depth bins — the standard quality-curriculum
+  * machinery (train on high bins first, anneal in lower bins, or weight
+  * sampling by bin) and the quality-pruning audit ("what fraction of
+  * each language sits in the bottom decile").
+  *
+  * Determinism: the ntile order is (score DESC, id ASC) — the explicit
+  * id tie-break makes bin membership a pure function of the corpus, so
+  * the same doc lands in the same bin on every engine and every run
+  * (the convention all ranking gates in this repo follow).
+  *
+  * Scale shape: one narrow scoring projection (the classifier features
+  * are codegen'd HOFs over a single token-split binding), then ONE
+  * language-keyed exchange for the ntile window — no join, no second
+  * pass. Language cardinality is small, so the window's per-partition
+  * sort is the only real work; at 100 TB with few languages, salt the
+  * window key by a hash bucket and ntile within (lang, salt) instead —
+  * equal-depth within salt buckets composes to equal-depth overall.
+  */
+object Curriculum {
+
+  /** Per-language equal-depth quality bins. Output: (idCol, langCol,
+    * q_score, bin) with bin ∈ [1, nBins].
+    */
+  def qualityBins(docs: DataFrame, textCol: String, idCol: String,
+                  langCol: String, nBins: Int): DataFrame = {
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("q_score").desc, col(idCol).asc)
+    docs
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), col(langCol),
+        QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+      .withColumn("bin", ntile(nBins).over(w))
+  }
+
+  /** DuckDB oracle for [[qualityBins]] — same score, same tie-broken
+    * NTILE.
+    */
+  def duckQualityBins(tbl: String, textCol: String, idCol: String,
+                      langCol: String, nBins: Int): String =
+    s"""WITH d AS (SELECT $idCol, $langCol,
+       |                  ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl)
+       |SELECT $idCol, $langCol,
+       |       ${QualityFilters.duckClassifierScore} AS q_score,
+       |       CAST(NTILE($nBins) OVER (PARTITION BY $langCol
+       |         ORDER BY ${QualityFilters.duckClassifierScore} DESC, $idCol ASC) AS INTEGER) AS bin
+       |FROM d""".stripMargin
+}

@@ -312,6 +312,58 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance-verified fuzzy dedup: LSH candidate generation (the
+    * [[minhashLshPairs]] machinery at a LOOSE `candJaccard` floor), then
+    * each candidate pair verified with the normalized Levenshtein ratio
+    * `lev(a,b) / max(len(a), len(b)) ≤ maxEditRatio` — the character-
+    * level near-dup criterion (template pages, small in-place edits,
+    * OCR noise) that token-shingle Jaccard under- or over-counts when
+    * edits fall inside tokens.
+    *
+    * Scale shape: Levenshtein is O(|a|·|b|) per PAIR, so it must never
+    * run all-pairs — it runs only on hash-colliding candidates, the
+    * same bounded set the Jaccard verifier touches, joined against the
+    * two narrow text relations. Output: (id_a, id_b, edit_ratio).
+    */
+  def editVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int,
+                        candJaccard: Double, maxEditRatio: Double,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cand = minhashLshPairs(df, textCol, idCol, n, bands, rowsPerBand,
+      candJaccard, maxBucketSize)
+    val txt = rebalance(df).select(col(idCol).as("id"), col(textCol).as("_t"))
+    cand
+      .join(txt.select(col("id").as("id_a"), col("_t").as("_ta")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("_t").as("_tb")), "id_b")
+      // greatest(len, 1): two empty texts are identical (ratio 0), not
+      // a division by zero.
+      .withColumn("edit_ratio",
+        round(levenshtein(col("_ta"), col("_tb")).cast("double") /
+          greatest(greatest(length(col("_ta")), length(col("_tb"))), lit(1))
+            .cast("double"), 6))
+      .filter(col("edit_ratio") <= maxEditRatio)
+      .select(col("id_a"), col("id_b"), col("edit_ratio"))
+  }
+
+  /** DuckDB oracle for [[editVerifiedPairs]] with docs bounded to
+    * `idCol < maxDocId`: the exact pairwise ground truth (every pair at
+    * `candJaccard`, no LSH) filtered by the same normalized Levenshtein
+    * ratio — so a green gate re-proves full candidate recall THROUGH
+    * the edit verification.
+    */
+  def duckEditVerifiedPairs(tbl: String, textCol: String, idCol: String,
+                            n: Int, candJaccard: Double, maxEditRatio: Double,
+                            maxDocId: Long): String =
+    s"""WITH ${duckPairCtes(tbl, textCol, idCol, n, s"$idCol < $maxDocId")},
+       |txt AS (SELECT $idCol AS id, $textCol AS t FROM $tbl WHERE $idCol < $maxDocId),
+       |v AS (SELECT p.id_a, p.id_b,
+       |             round(CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+       |                   CAST(greatest(greatest(len(a.t), len(b.t)), 1) AS DOUBLE), 6)
+       |               AS edit_ratio
+       |      FROM p JOIN txt a ON p.id_a = a.id JOIN txt b ON p.id_b = b.id
+       |      WHERE p.jaccard >= $candJaccard)
+       |SELECT id_a, id_b, edit_ratio FROM v WHERE edit_ratio <= $maxEditRatio""".stripMargin
+
   /** Incremental (index) dedup: screen a NEW batch of documents against
     * an EXISTING corpus — the continuous-ingestion shape ("dedup the
     * daily crawl against the training set") where the corpus side is a
@@ -644,6 +696,62 @@ object Dedup {
        |SELECT d.* FROM $tbl d
        |WHERE d.$idCol NOT IN (SELECT id FROM cc WHERE id <> lbl)""".stripMargin
   }
+
+  /** QUALITY-AWARE cluster resolution — [[resolvePairs]] with the
+    * keep-BEST policy instead of keep-min-id: within every near-dup
+    * cluster the survivor is the member with the highest `scoreCol`
+    * (id ASC tie-break), the policy real cleaning pipelines want (drop
+    * the low-quality copies, keep the best-written one), where min-id
+    * keeps whichever copy happened to be crawled first.
+    *
+    * Scale shape: the same O(log n) alternating-star clustering, then
+    * ONE cluster-keyed `max_by` aggregate (map-side partial collapse,
+    * no rank column, no window pass — the [[Sync.latestByGroup]]
+    * argument) and a semi-join of the corpus against the winner ids.
+    * Unpaired docs never enter the label table: the left join labels
+    * them as their own singleton cluster, and their row is its own
+    * winner.
+    */
+  def resolvePairsKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+                           scoreCol: String, maxIters: Int = 50): DataFrame = {
+    val labels = connectedComponents(pairs, maxIters)
+    val slim = df.select(col(idCol).as("_kid"), col(scoreCol).as("_ksc"))
+    val labeled = slim.join(labels, col("_kid") === col("id"), "left")
+      .withColumn("_lbl", coalesce(col("lbl"), col("_kid")))
+    // max_by over (score, -id): lexicographic max = highest score, then
+    // lowest id on ties.
+    val winners = labeled.groupBy(col("_lbl"))
+      .agg(max_by(col("_kid"), struct(col("_ksc"), (-col("_kid")).as("_negid")))
+        .as("_win"))
+      .select(col("_win"))
+    df.join(winners, df(idCol) === winners("_win"), "left_semi")
+  }
+
+  /** DuckDB oracle for [[resolvePairsKeepBest]] over
+    * [[ngramJaccardPairs]] candidates on a scored relation `rel` (must
+    * expose `idCol`, `textCol`, and `scoreCol`): the same recursive-CTE
+    * closure, winners by ROW_NUMBER(score DESC, id ASC).
+    */
+  def duckResolveKeepBestNgram(rel: String, textCol: String, idCol: String,
+                               scoreCol: String, n: Int, threshold: Double,
+                               maxDocId: Long): String =
+    s"""WITH ${duckPairCtes(rel, textCol, idCol, n, s"$idCol < $maxDocId")},
+       |np AS (SELECT id_a, id_b FROM p WHERE jaccard >= $threshold),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM np
+       |      UNION SELECT id_b, id_a FROM np),
+       |cc AS (
+       |  WITH RECURSIVE reach(id, lbl) AS (
+       |    SELECT src, src FROM e
+       |    UNION
+       |    SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.id)
+       |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |lab AS (SELECT d.$idCol, d.$scoreCol, coalesce(cc.lbl, d.$idCol) AS lbl
+       |        FROM $rel d LEFT JOIN cc ON d.$idCol = cc.id),
+       |win AS (SELECT $idCol FROM (
+       |          SELECT $idCol, ROW_NUMBER() OVER (PARTITION BY lbl
+       |            ORDER BY $scoreCol DESC, $idCol ASC) AS rn FROM lab) x
+       |        WHERE rn = 1)
+       |SELECT d.$idCol, d.$scoreCol FROM $rel d JOIN win USING ($idCol)""".stripMargin
 
   /** DuckDB oracle for [[embeddingNearDupPairs]] over table `tbl`. */
   def duckEmbeddingNearDupPairs(tbl: String, vecCol: String, idCol: String,
