@@ -80,7 +80,8 @@ object Bench {
     "q_pipeline_spans" -> 3.7, "q_ann_jl" -> 1.4,
     // round-8 additions (solo-measured at sf0.1):
     "q_row_hash" -> 0.4, "q_stream_join" -> 1.5, "q_entry_flagship" -> 0.4,
-    "q_quality_bins" -> 0.4, "q_dedup_edit" -> 2.6, "q_dedup_keepbest" -> 12.0)
+    "q_quality_bins" -> 0.4, "q_dedup_edit" -> 2.6, "q_dedup_keepbest" -> 12.0,
+    "q_passage_chunk" -> 0.4, "q_epoch_shuffle" -> 0.3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

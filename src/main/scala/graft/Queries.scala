@@ -893,6 +893,25 @@ object Queries {
       Some(Packing.duckAssign("documents", "text", "doc_id",
         groupCol = "source", ctxLen = 512))),
 
+    // Overlapping passage chunking (RAG/embedding prep): 32-token
+    // windows every 24 tokens, last window clamped, one-window docs
+    // yield one passage. Pure narrow Generate + slice — no shuffle.
+    Entry("q_passage_chunk",
+      (s, d) => Packing.passages(t(s, d, "documents"), "text", "doc_id",
+        windowTokens = 32, stride = 24),
+      Some(Packing.duckPassages("documents", "text", "doc_id",
+        windowTokens = 32, stride = 24))),
+
+    // Deterministic per-epoch shuffle: epoch-salted fingerprint order
+    // within (epoch, shard) — reproducible loader order, shard-local
+    // sorts only (never a global per-epoch sort).
+    Entry("q_epoch_shuffle",
+      (s, d) => Splits.epochShuffle(
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
+        epochs = 3, nShards = 4),
+      Some(Splits.duckEpochShuffle("(SELECT * FROM documents WHERE doc_id < 200)",
+        "doc_id", epochs = 3, nShards = 4))),
+
     // Corpus mean-IDF (rare-word) score per document: one term-key
     // exchange for document frequencies, term join back, per-doc
     // SORTED left fold so the double sum is order-deterministic.

@@ -67,4 +67,65 @@ object Packing {
        |       CAST(floor((s + greatest(n_tokens, 1) - 1) / CAST($ctxLen AS DOUBLE)) AS BIGINT)
        |         - CAST(floor(s / CAST($ctxLen AS DOUBLE)) AS BIGINT) + 1 AS n_spans
        |FROM c""".stripMargin
+
+  /** Overlapping passage chunking — the retrieval/embedding preparation
+    * operator (RAG indexing, long-document embedding): each document is
+    * cut into `windowTokens`-token passages starting every `stride`
+    * tokens (stride < window ⇒ overlap), the last passage clamped at
+    * the document end. A document shorter than one window yields one
+    * passage; an empty document yields none.
+    *
+    * Scale shape: pure narrow work — one token-split binding, one
+    * Generate (posexplode_OUTER + null filter, the [[DupSpan]] lesson:
+    * plain posexplode re-inlines the split into a pushed size() filter),
+    * and per-passage slicing of the already-bound array. No shuffle at
+    * any size; passage count scales with token volume / stride.
+    *
+    * Output: (idCol, passage_id, start_token, n_tokens, passage).
+    */
+  def passages(docs: DataFrame, textCol: String, idCol: String,
+               windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens > 0 && stride > 0,
+      s"windowTokens and stride must be positive, got $windowTokens/$stride")
+    val nTok = size(col("_w"))
+    // ceil((nTok - window) / stride) + 1 passages; sequence(0, -1) would
+    // generate DESCENDING, so the empty case short-circuits to [].
+    val nPass = when(nTok === 0, lit(0)).otherwise(
+      ceil(greatest(nTok - windowTokens, lit(0)).cast("double") / stride)
+        .cast("int") + 1)
+    val idx = when(nPass === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nPass - 1))
+    val slice0 = slice(col("_w"), col("_p") * stride + 1, lit(windowTokens))
+    Dedup.rebalance(docs)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_w"))
+      .select(col(idCol), col("_w"), posexplode_outer(idx).as(Seq("_pi", "_p")))
+      .filter(col("_p").isNotNull)
+      .select(col(idCol),
+        col("_p").cast("long").as("passage_id"),
+        (col("_p") * stride).cast("long").as("start_token"),
+        size(slice0).cast("long").as("n_tokens"),
+        concat_ws(" ", slice0).as("passage"))
+  }
+
+  /** DuckDB oracle for [[passages]] — same passage count, same 1-based
+    * inclusive clamped list slices.
+    */
+  def duckPassages(tbl: String, textCol: String, idCol: String,
+                   windowTokens: Int, stride: Int): String = {
+    val wT = windowTokens
+    val s = stride
+    s"""WITH d AS (SELECT $idCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+       |n AS (SELECT $idCol, w,
+       |             CASE WHEN len(w) = 0 THEN 0
+       |                  ELSE CAST(ceil(greatest(len(w) - $wT, 0) / CAST($s AS DOUBLE)) AS INT) + 1
+       |             END AS np
+       |      FROM d),
+       |e AS (SELECT $idCol, w, i AS p FROM n, unnest(range(0, np)) t(i))
+       |SELECT $idCol,
+       |       CAST(p AS BIGINT) AS passage_id,
+       |       CAST(p * $s AS BIGINT) AS start_token,
+       |       CAST(len(w[(p*$s+1):(p*$s+$wT)]) AS BIGINT) AS n_tokens,
+       |       array_to_string(w[(p*$s+1):(p*$s+$wT)], ' ') AS passage
+       |FROM e""".stripMargin
+  }
 }

@@ -136,4 +136,51 @@ object Splits {
     s"""SELECT $stratumCol, count(*) AS n_total,
        |       CAST(sum(CAST(${duckSampledPred(idCol, stratumCol, rates)} AS BIGINT)) AS BIGINT) AS n_sampled
        |FROM $tbl GROUP BY 1""".stripMargin
+
+  /** Deterministic EPOCH SHUFFLE: a fresh pseudo-random but fully
+    * reproducible visit order per training epoch — the loader-side
+    * "shuffle each epoch with a seeded RNG", engine-side. The order key
+    * is the Rabin–Karp fingerprint of `epoch:id` (epoch-salted, so
+    * orders decorrelate across epochs), and positions are assigned
+    * WITHIN (epoch, shard): shard-local ordering means each of the
+    * `nShards` streams sorts independently — the 100 TB shape, since a
+    * global per-epoch sort of the corpus is exactly what a training
+    * loader never needs (it reads shards in parallel anyway).
+    *
+    * Scale shape: explode over `epochs` (small constant), one
+    * (epoch, shard)-keyed window; no join, integer-only arithmetic so
+    * the oracle is exact.
+    *
+    * Output: (idCol, epoch, shard, pos) — pos is 1-based within the
+    * (epoch, shard) stream.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String,
+                   epochs: Int, nShards: Int): DataFrame = {
+    val key = TextAnalysis.fingerprint(
+      concat(col("epoch").cast("string"), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(key.asc, col(idCol).asc)
+    docs
+      .select(col(idCol), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("shard", bucketOf(col(idCol), nShards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** DuckDB oracle for [[epochShuffle]] — same salted fingerprint key,
+    * same tie-break.
+    */
+  def duckEpochShuffle(tbl: String, idCol: String,
+                       epochs: Int, nShards: Int): String = {
+    val key = TextAnalysis.duckFingerprint(
+      s"(CAST(epoch AS VARCHAR) || ':' || CAST($idCol AS VARCHAR))")
+    s"""WITH e AS (SELECT $idCol, i AS epoch
+       |           FROM $tbl, unnest(range(0, $epochs)) t(i))
+       |SELECT $idCol, CAST(epoch AS INTEGER) AS epoch,
+       |       ${duckBucket(idCol, nShards)} AS shard,
+       |       CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY epoch, ${duckBucket(idCol, nShards)}
+       |         ORDER BY ($key) ASC, $idCol ASC) AS BIGINT) AS pos
+       |FROM e""".stripMargin
+  }
 }

@@ -48,7 +48,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("narrow corpus filters stay narrow: no exchange beyond the small-input rebalance") {
-    for (q <- Seq("q_quality_gopher", "q_pii_redact")) {
+    for (q <- Seq("q_quality_gopher", "q_pii_redact", "q_passage_chunk")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
       val exchanges = "Exchange".r.findAllIn(plan).size
       val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
