@@ -79,9 +79,10 @@ object Bench {
     "q_dup_span_strip" -> 0.11, "q_stream_latest" -> 1.1,
     "q_pipeline_spans" -> 3.7, "q_ann_jl" -> 1.4,
     // round-8 additions (solo-measured at sf0.1):
-    "q_row_hash" -> 0.4, "q_stream_join" -> 1.5, "q_entry_flagship" -> 0.4,
-    "q_quality_bins" -> 0.4, "q_dedup_edit" -> 2.6, "q_dedup_keepbest" -> 12.0,
-    "q_passage_chunk" -> 0.4, "q_epoch_shuffle" -> 0.3)
+    "q_row_hash" -> 0.1, "q_stream_join" -> 1.8, "q_entry_flagship" -> 0.35,
+    "q_quality_bins" -> 0.16, "q_dedup_edit" -> 1.6, "q_dedup_keepbest" -> 2.3,
+    "q_passage_chunk" -> 0.3, "q_epoch_shuffle" -> 0.2,
+    "q_stream_counts" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

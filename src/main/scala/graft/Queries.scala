@@ -1259,6 +1259,26 @@ object Queries {
                  WHERE user_id IS NOT NULL AND ts IS NOT NULL) x
                WHERE rn = 1""")),
 
+    // Streaming windowed change counts driver gate: the synthesized
+    // change log through a REAL tumbling-window watermark aggregation
+    // (Append mode, sentinel-flushed — see replayChangeCounts). Oracle
+    // is the epoch-aligned batch rollup with the same synthesized
+    // change-type mapping.
+    Entry("q_stream_counts",
+      (s, d) => StreamSync.replayChangeCounts(
+        ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .select(col("_commit_timestamp"), col("_change_type")),
+        windowLength = "1 hour"),
+      Some(s"""SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                        * 3600000000) AS window_start,
+                      CASE WHEN event_id % 10 < 6 THEN 'insert'
+                           WHEN event_id % 10 < 8 THEN 'update_postimage'
+                           WHEN event_id % 10 < 9 THEN 'update_preimage'
+                           ELSE 'delete' END AS _change_type,
+                      count(*) AS n_changes
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY 1, 2""")),
+
     // Stream-stream interval join driver gate: purchases enriched with
     // every same-user click in the 2 h before them, replayed through
     // the watermarked streaming join (one micro-batch per side — inner

@@ -320,6 +320,53 @@ object StreamSync {
         col(s"dim_$dimTsCol") <= col(factTsCol))
   }
 
+  /** Change-type value reserved for [[replayChangeCounts]]' sentinel
+    * rows; input change types must differ from it.
+    */
+  val SentinelChangeType: String = "__graft_sentinel__"
+
+  /** Drive [[windowedChangeCounts]] over a BOUNDED change log and
+    * return the closed windows as a batch DataFrame (the
+    * q_stream_counts driver gate; DuckDB twin = the epoch-aligned
+    * tumbling-window GROUP BY). Same replay protocol as
+    * [[replaySessions]]: real rows in micro-batch 1 (watermark still
+    * epoch-0, nothing late-dropped), then two far-future sentinel rows
+    * advance the watermark past every real window end so Append mode
+    * deterministically emits them all; sentinel windows are filtered
+    * back out by their reserved change type.
+    */
+  def replayChangeCounts(log: DataFrame, windowLength: String): DataFrame = {
+    val rows = {
+      val spark = log.sparkSession
+      import spark.implicits._
+      log.filter(col("_commit_timestamp").isNotNull)
+        .select(col("_commit_timestamp"), col("_change_type"))
+        .as[(java.sql.Timestamp, String)].collect().toSeq
+    }
+    require(rows.forall(_._2 != SentinelChangeType),
+      s"change type $SentinelChangeType is reserved")
+    val spark = log.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val name = s"graft_replay_counts_${ReplaySeq.incrementAndGet()}"
+    val q = windowedChangeCounts(
+        input.toDF().toDF("_commit_timestamp", "_change_type"),
+        watermarkDelay = "0 seconds", windowLength = windowLength)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), SentinelChangeType))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("_change_type") =!= SentinelChangeType)
+  }
+
   /** Drive [[streamingIntervalJoin]] over BOUNDED fact/dim sets and
     * return the joined rows as a batch DataFrame (the q_stream_join
     * driver gate; DuckDB twin = a plain inequality join). Both sides
