@@ -563,6 +563,20 @@ object Queries {
       Some(Similarity.duckBruteForceTopK("embeddings", "embedding", "vec_id",
         k = 5, maxQueryId = 10))),
 
+    // The SAME search through the bounded-heap typed aggregate
+    // (functions.TopK): identical rows to q_ann_bruteforce — one oracle
+    // proves both physical shapes — but the aggregate partial-collapses
+    // map-side, so the exchange is k·queries·partitions rows instead of
+    // the whole scored corpus. Plan-gated in PlanAuditSpec.
+    Entry("q_ann_topk_agg",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", k = 5)
+      },
+      Some(Similarity.duckBruteForceTopK("embeddings", "embedding", "vec_id",
+        k = 5, maxQueryId = 10))),
+
     // ANN scale path: IVF over label cells (centroid probe, nProbe=3).
     // HARD oracle: DuckDB mirrors the IVF computation itself (centroids
     // → probes → in-cell exact search), so probe selection AND the

@@ -76,6 +76,35 @@ object Similarity {
        |SELECT query_id, vec_id, rank, round(score, 6) AS score
        |FROM s WHERE rank <= $k""".stripMargin
 
+  /** [[bruteForceTopK]] through the BOUNDED-HEAP aggregate instead of a
+    * window (SURVEY §7.5's per-partition priority queue,
+    * [[graft.functions.TopK]]): identical output, different physical
+    * shape — the window form must shuffle every scored (query,
+    * candidate) pair to rank them, while the typed aggregate
+    * partial-collapses map-side so the exchange carries at most
+    * k·queries·partitions rows, independent of corpus size. That is the
+    * difference between shipping the scored corpus and shipping
+    * kilobytes at 100 TB; plan-gated (ObjectHashAggregate with a
+    * partial pass, no Window, no global Sort).
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val scored = Dedup.rebalance(corpus)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("_qv"), col("_cv")).as("_score"))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("_score")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("query_id"), col("_e.id").as("vec_id"),
+        (col("_r") + 1).cast("long").as("rank"),
+        round(col("_e.score"), 6).as("score"))
+  }
+
   /** Per-cell mean centroids of an assigned corpus: mean per component
     * via posexplode + hash agg (one shuffle over (cell, component) —
     * scales linearly, no collect). Output: (cell, centroid).

@@ -315,6 +315,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"expected both DupSpan.strip consumers to read the checkpointed stage-1 RDD, found $rddScans scans:\n$plan")
   }
 
+  test("bounded-heap top-k plans as a partial ObjectHashAggregate, never a window rank") {
+    // The whole point of functions.TopK: the window form shuffles every
+    // scored (query, candidate) pair; the typed aggregate must partial-
+    // collapse map-side so the exchange carries ≤ k rows per (query,
+    // partition). A Window or a pre-exchange global Sort in this plan
+    // means the physical shape regressed to pair-shipping.
+    val plan = SparkEntry.queries("q_ann_topk_agg")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k agg must plan as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_topk") || "ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected a partial (map-side) top-k pass before the exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window rank crept back into the aggregate top-k path:\n$plan")
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
