@@ -21,7 +21,10 @@ object Plans {
       "q_kmv_jaccard", "q_pmi_colloc", "q_cube_stats", "q_group_sample",
       "q_incr_dedup", "q_ngram_novelty",
       "q_boilerplate_strip", "q_winnow_overlap", "q_rand_proj", "q_pca_power",
-      "q_source_drift", "q_quality_classifier", "q_dup_span")
+      "q_source_drift", "q_quality_classifier", "q_dup_span",
+      "q_row_hash", "q_entry_flagship", "q_quality_bins", "q_dedup_edit",
+      "q_dedup_keepbest", "q_passage_chunk", "q_epoch_shuffle",
+      "q_ann_topk_agg", "q_pipeline_spans")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")
