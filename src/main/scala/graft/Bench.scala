@@ -77,7 +77,7 @@ object Bench {
     "q_rand_proj" -> 0.13, "q_pca_power" -> 1.2, "q_source_drift" -> 1.5,
     "q_quality_classifier" -> 0.11, "q_dup_span" -> 0.8,
     "q_dup_span_strip" -> 0.11, "q_stream_latest" -> 1.1,
-    "q_pipeline_spans" -> 3.7, "q_ann_jl" -> 1.4,
+    "q_pipeline_spans" -> 3.7, "q_ann_jl" -> 1.2,
     // round-8 additions (solo-measured at sf0.1):
     "q_row_hash" -> 0.1, "q_stream_join" -> 1.8, "q_entry_flagship" -> 0.35,
     "q_quality_bins" -> 0.16, "q_dedup_edit" -> 1.6, "q_dedup_keepbest" -> 2.3,

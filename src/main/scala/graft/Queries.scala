@@ -700,8 +700,15 @@ object Queries {
     // recall gate's clustered fixture.
     Entry("q_ann_jl",
       (s, d) => {
+        // "Project ONCE, search in 24-d": the projection feeds both the
+        // corpus side and the broadcast query side, so without a
+        // barrier the 24×(128-term) chain re-evaluates per consumer —
+        // measured 1.34 s vs 0.46 s warm at sf0.1. At scale this is
+        // exactly "materialize the compressed vectors, then search
+        // them" — the point of compressing at all.
         val proj = Embeddings.randProjectVec(t(s, d, "embeddings"),
           "embedding", "vec_id", srcDim = 64, outDim = 24, as = "proj")
+          .localCheckpoint()
         Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 10),
           "proj", "vec_id", k = 5)
       },
