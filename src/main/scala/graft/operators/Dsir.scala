@@ -74,10 +74,19 @@ object Dsir {
     val d = Dedup.rebalance(docs)
     val raw = features(d, textCol, idCol, buckets)
     val tgt = features(d.filter(expr(targetPred)), textCol, idCol, buckets)
-    val rawCnt = raw.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tgtCnt = tgt.groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val rawTot = raw.select(count(lit(1)).as("nr"))
-    val tgtTot = tgt.select(count(lit(1)).as("nt"))
+    // Materialize the two bucket-count tables ONCE (≤ B rows each — the
+    // barrier costs kilobytes) and DERIVE the feature totals from them:
+    // nr = Σ cr by definition. Without this, the corpus-wide feature
+    // explode re-executed for every consumer (counts, totals, and the
+    // per-doc rollup = 3 full passes; measured ~0.8 s of q_dsir_* at
+    // sf0.1, a full extra corpus pass at 100 TB). The per-doc rollup
+    // below still re-scans features once — that second pass is the
+    // deliberate alternative to materializing the exploded relation,
+    // which is ~10× the corpus on disk.
+    val rawCnt = raw.groupBy("bucket").agg(count(lit(1)).as("cr")).localCheckpoint()
+    val tgtCnt = tgt.groupBy("bucket").agg(count(lit(1)).as("ct")).localCheckpoint()
+    val rawTot = rawCnt.select(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    val tgtTot = tgtCnt.select(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     // Every bucket a document can produce exists in `raw` by definition,
     // so a left join from rawCnt is total; absent target counts are 0.
     // Every join in this operator is broadcast (plan-gated): the count
