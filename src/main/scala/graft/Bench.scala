@@ -82,7 +82,8 @@ object Bench {
     "q_row_hash" -> 0.1, "q_stream_join" -> 1.8, "q_entry_flagship" -> 0.35,
     "q_quality_bins" -> 0.16, "q_dedup_edit" -> 1.6, "q_dedup_keepbest" -> 2.3,
     "q_passage_chunk" -> 0.3, "q_epoch_shuffle" -> 0.2,
-    "q_stream_counts" -> 2.0, "q_ann_topk_agg" -> 0.6)
+    "q_stream_counts" -> 2.0, "q_ann_topk_agg" -> 0.6,
+    "q_zipf_fit" -> 0.3, "q_dedup_keepbest_lsh" -> 2.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -458,6 +458,31 @@ object Queries {
           "FROM documents WHERE doc_id < 500) dd)"
         Dedup.duckResolveKeepBestNgram(rel, "text", "doc_id", "q_score",
           n = 3, threshold = 0.5, maxDocId = 500)
+      }),
+
+    // Keep-best through the PRODUCTION pair route: LSH candidates
+    // instead of the O(n²) search, same keep-best policy. The oracle is
+    // the exact-pair closure (recall equivalence on the bounded scope
+    // is gated by q_dedup_minhash_lsh), so this row proves the policy
+    // composes with the scale path end-to-end.
+    Entry("q_dedup_keepbest_lsh",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("doc_id") < 1000)
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), col("text"),
+            QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+        val pairs = Dedup.minhashLshPairs(scored, "text", "doc_id",
+          n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+        Dedup.resolvePairsKeepBest(scored, pairs, "doc_id", "q_score")
+          .select(col("doc_id"), col("q_score"))
+      },
+      Some {
+        val rel = "(SELECT doc_id, text, " +
+          s"${QualityFilters.duckClassifierScore} AS q_score " +
+          s"FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w " +
+          "FROM documents WHERE doc_id < 1000) dd)"
+        Dedup.duckResolveKeepBestNgram(rel, "text", "doc_id", "q_score",
+          n = 3, threshold = 0.5, maxDocId = 1000)
       }),
 
     // The PRODUCTION dedup route end-to-end: MinHash+LSH pair finding →
@@ -932,6 +957,13 @@ object Queries {
         epochs = 3, nShards = 4),
       Some(Splits.duckEpochShuffle("(SELECT * FROM documents WHERE doc_id < 200)",
         "doc_id", epochs = 3, nShards = 4))),
+
+    // Zipf-law fit of the term distribution (corpus-health profiling):
+    // OLS of ln(freq) on ln(rank) over the top terms, every fp sum a
+    // rank-sorted left fold so both engines add in identical order.
+    Entry("q_zipf_fit",
+      (s, d) => Zipf.fit(t(s, d, "documents"), "text", topN = 30),
+      Some(Zipf.duckFit("documents", "text", topN = 30))),
 
     // Corpus mean-IDF (rare-word) score per document: one term-key
     // exchange for document frequencies, term join back, per-doc
