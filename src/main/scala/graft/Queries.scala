@@ -411,6 +411,13 @@ object Queries {
       Some("""SELECT * FROM documents
               WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""")),
 
+    // SoftDeDup: keep every duplicate but split each exact-dup cluster's
+    // sampling mass across its members (1/n and the tempered 1/√n) —
+    // one partition-only count window on md5(text), no join-back.
+    Entry("q_dedup_soft",
+      (s, d) => Dedup.softWeights(t(s, d, "documents"), "text", "doc_id"),
+      Some(Dedup.duckSoftWeights("documents", "text", "doc_id"))),
+
     // Ground-truth near-dup pairs: exact word-3-gram Jaccard ≥ 0.5,
     // bounded to doc_id < 1000 (the O(n²) oracle twin of the LSH path).
     Entry("q_dedup_ngram_jaccard",
@@ -837,6 +844,16 @@ object Queries {
       Some(Curriculum.duckQualityBins("documents", "text", "doc_id",
         "lang", nBins = 10))),
 
+    // Per-domain quality quota: keep the best `cap` docs per source by
+    // classifier score (score DESC, id ASC) — the crawl-curation rule
+    // that stops one mega-domain from dominating. Same single-exchange
+    // ranking window as q_quality_bins, keyed by domain.
+    Entry("q_domain_cap",
+      (s, d) => Curriculum.domainCap(t(s, d, "documents"),
+        "text", "doc_id", "source", cap = 12),
+      Some(Curriculum.duckDomainCap("documents", "text", "doc_id",
+        "source", cap = 12))),
+
     // Benchmark decontamination: training docs sharing word 3-grams with
     // the held-out eval split (doc_id % 97 = 0). Eval grams broadcast;
     // the corpus side stays narrow until the per-doc count agg.
@@ -1063,6 +1080,16 @@ object Queries {
     Entry("q_mixture_weights",
       (s, d) => Splits.mixtureWeights(t(s, d, "documents"), "text", "source"),
       Some(Splits.duckMixtureWeights("documents", "text", "source"))),
+
+    // Temperature-scaled mixture RESAMPLING: τ=0.5 target shares applied
+    // as deterministic per-source Bernoulli keeps (integer basis points
+    // vs the id's Rabin–Karp bucket) under a 60%-of-tokens budget. The
+    // rate table broadcasts back; the corpus is never shuffled.
+    Entry("q_mixture_sample",
+      (s, d) => Splits.temperatureSample(t(s, d, "documents"),
+        "text", "source", "doc_id", targetFrac = 0.6),
+      Some(Splits.duckTemperatureSample("documents", "text", "source",
+        "doc_id", targetFrac = 0.6))),
 
     // EXACT per-language length quantiles (linear interpolation — the
     // corpus-profiling stat sheet). Exact `percentile` sorts within

@@ -55,4 +55,51 @@ object Curriculum {
        |       CAST(NTILE($nBins) OVER (PARTITION BY $langCol
        |         ORDER BY ${QualityFilters.duckClassifierScore} DESC, $idCol ASC) AS INTEGER) AS bin
        |FROM d""".stripMargin
+
+  /** Per-domain quality quota: keep at most `cap` documents per domain
+    * (source/host), choosing the best by the model-based quality score
+    * with the usual (score DESC, id ASC) deterministic tie-break — the
+    * web-crawl curation rule that stops a single giant domain from
+    * dominating the corpus while keeping its best pages (per-host caps
+    * as used by the large crawl-curation pipelines).
+    *
+    * Scale shape: same single-exchange ranking window as
+    * [[qualityBins]], keyed by domain instead of language — scoring is
+    * a narrow codegen projection, then ONE domain-keyed exchange and a
+    * rank filter; no join. Domain cardinality is huge on a real crawl
+    * (good — the window key is high-cardinality, so no salting needed);
+    * a pathological mega-domain's partition is bounded by that domain's
+    * own row count, and the rank filter discards all but `cap` of it in
+    * the same pass.
+    *
+    * Output: (idCol, domainCol, q_score, d_rank) for kept rows,
+    * d_rank ∈ [1, cap].
+    */
+  def domainCap(docs: DataFrame, textCol: String, idCol: String,
+                domainCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("q_score").desc, col(idCol).asc)
+    docs
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), col(domainCol),
+        QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+      .withColumn("d_rank", row_number().over(w).cast("long"))
+      .filter(col("d_rank") <= cap)
+  }
+
+  /** DuckDB oracle for [[domainCap]] — same score, same tie-broken rank
+    * and cap.
+    */
+  def duckDomainCap(tbl: String, textCol: String, idCol: String,
+                    domainCol: String, cap: Int): String =
+    s"""WITH d AS (SELECT $idCol, $domainCol,
+       |                  ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl)
+       |SELECT * FROM (
+       |  SELECT $idCol, $domainCol,
+       |         ${QualityFilters.duckClassifierScore} AS q_score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY $domainCol
+       |           ORDER BY ${QualityFilters.duckClassifierScore} DESC, $idCol ASC) AS BIGINT) AS d_rank
+       |  FROM d) r
+       |WHERE d_rank <= $cap""".stripMargin
 }

@@ -84,6 +84,49 @@ object Dedup {
       .select(df.columns.map(c => col(s"_row.$c")).toSeq: _*)
   }
 
+  /** SoftDeDup: DOWN-WEIGHT exact duplicates instead of dropping them —
+    * every row survives, carrying its duplicate-cluster size and the two
+    * standard reweighting schemes: `w_prop` splits each cluster's unit
+    * sampling mass evenly across its members (1/n — cluster-frequency
+    * inverse), `w_sqrt` tempers the penalty (1/√n) so common documents
+    * are demoted but not erased. Loss- or sampling-weight dedup of this
+    * shape is the soft alternative to [[exact]] when duplicate counts
+    * are themselves signal (popularity) or when hard dropping would
+    * starve small sources.
+    *
+    * Both weights are IEEE-exact engine-independent arithmetic (one
+    * double division; `sqrt` is correctly rounded per IEEE 754), so the
+    * oracle matches bitwise before the cosmetic round(…, 6).
+    *
+    * Scale shape: ONE hash exchange on md5(text) for a partition-only
+    * count window — no join back, no second pass over the corpus, and
+    * the window frame is the whole partition so there is no running-
+    * frame state. (A groupBy + join-back would shuffle the corpus
+    * twice.) 100 TB-safe: cluster size is bounded by duplicate
+    * multiplicity, not corpus size.
+    *
+    * Output: (idCol, n_dup, w_prop, w_sqrt).
+    */
+  def softWeights(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+    df.select(col(idCol), count(lit(1)).over(w).as("n_dup"))
+      .withColumn("w_prop", round(lit(1.0) / col("n_dup"), 6))
+      .withColumn("w_sqrt",
+        round(lit(1.0) / sqrt(col("n_dup").cast("double")), 6))
+  }
+
+  /** DuckDB oracle twin of [[softWeights]] (partitions by the raw text —
+    * md5 is collision-free at gate scale, so the clusters coincide).
+    */
+  def duckSoftWeights(tbl: String, textCol: String, idCol: String): String =
+    s"""SELECT $idCol, n_dup,
+       |       round(CAST(1 AS DOUBLE) / CAST(n_dup AS DOUBLE), 6) AS w_prop,
+       |       round(CAST(1 AS DOUBLE) / sqrt(CAST(n_dup AS DOUBLE)), 6) AS w_sqrt
+       |FROM (SELECT $idCol,
+       |             CAST(count(*) OVER (PARTITION BY $textCol) AS BIGINT) AS n_dup
+       |      FROM $tbl) s""".stripMargin
+
   /** Exact pairwise n-gram-Jaccard near-dup pairs — the ground-truth
     * O(n²) variant, bounded to `idCol < maxDocId`. Output: one row per
     * unordered pair with jaccard ≥ threshold.

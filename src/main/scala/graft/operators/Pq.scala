@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest-neighbor search —
+  * the memory-side scale path that complements the IVF cell pruning in
+  * [[Similarity]]: each `dim`-vector is cut into `m` subvectors, each
+  * subspace is k-means-quantized to `ksub` centroids, and a vector is
+  * stored as `m` small codes (m bytes at ksub ≤ 256) instead of `dim`
+  * floats. Search scores a candidate WITHOUT touching its floats via
+  * asymmetric distance computation (ADC): the query's per-subspace dot
+  * products against the `m × ksub` codebook are the only float math,
+  * and every candidate's score is a sum of `m` table lookups. At 100 TB
+  * this is the difference between scanning the corpus's raw embeddings
+  * (dim × 4 bytes/row) and scanning its codes (m bytes/row) — a 32×
+  * scan-volume cut at the standard dim=64, m=8 shape — with the
+  * codebook a broadcast-sized driver literal (m·ksub·subLen doubles).
+  *
+  * Training runs the same deterministic Lloyd recipe as
+  * [[Similarity.kmeansCells]] (smallest-id init, fixed iterations,
+  * (distance, cell)-tie-broken argmin, per-cell component means) but
+  * JOINTLY for all m subspaces in ONE exploded frame: the per-iteration
+  * cost is a single (sub, cell, component) aggregate exchange for every
+  * codebook at once, not m sequential kmeans jobs — the assignment step
+  * stays a narrow codegen projection (a CASE over `sub`, each branch an
+  * argmin over that subspace's `ksub` literal centroids). Subspace
+  * assignment minimizes squared L2 (the PQ objective); ADC scores the
+  * reconstruction's INNER PRODUCT with the query (the MIPS convention
+  * all ANN gates in this repo rank by).
+  *
+  * Determinism contract (oracle-parity): squared distances and ADC sums
+  * are explicit left folds with seed 0.0, centroid means are plain
+  * per-group avgs (the [[Similarity.kmeansCells]] convention its oracle
+  * already pins), and every ranking tie-break is (score, id).
+  */
+object Pq {
+
+  /** Squared L2 distance — explicit left fold (seed 0.0, ascending
+    * component order) so the oracle can reproduce it bit-for-bit.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exploded subvector frame: one row per (vector, subspace) with the
+    * double-cast slice. Narrow (Generate + slice), no shuffle.
+    */
+  private def subvectors(df: DataFrame, vecCol: String, idCol: String,
+                         m: Int, subLen: Int): DataFrame =
+    Dedup.rebalance(df)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col(vecCol).as("_v"))
+      .select(col("id"), col("sub"),
+        transform(slice(col("_v"), col("sub") * subLen + 1, lit(subLen)),
+          x => x.cast("double")).as("subvec"))
+
+  /** Codebook type: (subspace, cell, centroid). */
+  type Codebook = Array[(Int, Long, Seq[Double])]
+
+  private def bySub(cents: Codebook): Map[Int, Array[(Long, Seq[Double])]] =
+    cents.groupBy(_._1).map { case (j, a) =>
+      j -> a.map(t => (t._2, t._3)).sortBy(_._1)
+    }
+
+  /** Assignment: per (vector, subspace) row, the squared-L2 argmin over
+    * that subspace's literal centroids — a CASE over `sub` keeps each
+    * row's work at `ksub` distance folds (an outer array-of-arrays
+    * literal would evaluate all m·ksub branches per row: CreateArray is
+    * eager, CASE is lazy). Ties break to the LOWEST cell, mirroring the
+    * oracle's ORDER BY dist ASC, cell ASC.
+    */
+  private def assign(subvecs: DataFrame, cents: Codebook, m: Int): DataFrame = {
+    val cb = bySub(cents)
+    def best(j: Int): Column = {
+      val scored = cb(j).map { case (cell, cvec) =>
+        struct((-sqDist(col("subvec"), typedlit(cvec))).as("negd"),
+          lit(-cell).as("negcell"))
+      }
+      -array_max(array(scored.toIndexedSeq: _*)).getField("negcell")
+    }
+    val cellExpr = (0 until m).foldRight(lit(-1L): Column)((j, els) =>
+      when(col("sub") === j, best(j)).otherwise(els))
+    subvecs.withColumn("cell", cellExpr)
+  }
+
+  /** Per-(sub, cell) component means — ONE aggregate exchange updates
+    * every subspace's codebook simultaneously.
+    */
+  private def centroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cell"), posexplode(col("subvec")).as(Seq("pos", "v")))
+      .groupBy("sub", "cell", "pos").agg(avg("v").as("m"))
+      .groupBy("sub", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  private def collectCents(df: DataFrame): Codebook =
+    df.collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+
+  /** Train the joint codebooks and encode the corpus.
+    * Returns (codes frame (`idCol`, codes array — codes(j) is subspace
+    * j's cell id), final codebook). Driver state is the m·ksub·subLen
+    * codebook — metadata, same as every PQ index's coordinator state.
+    */
+  def pqModel(df: DataFrame, vecCol: String, idCol: String,
+              dim: Int, m: Int, ksub: Int, iters: Int): (DataFrame, Codebook) = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subLen = dim / m
+    val sv = subvectors(df, vecCol, idCol, m, subLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = collectCents(
+      sv.filter(col("id") < ksub)
+        .select(col("sub"), col("id").as("cell"), col("subvec").as("centroid")))
+    var cents = init
+    var assigned = assign(sv, cents, m)
+    for (_ <- 1 until iters) {
+      cents = collectCents(centroids(assigned))
+      assigned = assign(sv, cents, m)
+    }
+    val codes = assigned.groupBy(col("id").as(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+    sv.unpersist(blocking = false)
+    (codes, cents)
+  }
+
+  /** ADC top-k: for each query (a row of `queries`), the k candidates
+    * with the highest code-reconstructed inner product. The corpus side
+    * touches ONLY the codes; per (query, candidate) the score is an
+    * explicit ascending-subspace left fold of codebook lookups (each a
+    * lazy CASE over that subspace's cells). Self-matches excluded,
+    * (score DESC, id ASC) rank, `score_adc` rounded to 6 for output.
+    *
+    * Scale shape: queries broadcast against the code table (narrow),
+    * one query-keyed exchange for the rank window. Combine with the
+    * IVF cell filter for the bucketed candidate-gen at full scale.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, dim: Int, m: Int, ksub: Int, iters: Int,
+             k: Int): DataFrame = {
+    val subLen = dim / m
+    val (codes, cents) = pqModel(corpus, vecCol, idCol, dim, m, ksub, iters)
+    val cb = bySub(cents)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_qv"))
+    def dp(j: Int): Column = {
+      val qsub = slice(col("_qv"), j * subLen + 1, subLen)
+      cb(j).foldRight(lit(0.0): Column) { case ((cell, cvec), els) =>
+        when(element_at(col("codes"), j + 1) === cell,
+          Similarity.dot(qsub, typedlit(cvec))).otherwise(els)
+      }
+    }
+    val score = (0 until m).foldLeft(lit(0.0): Column)((acc, j) => acc + dp(j))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_s").desc, col(idCol).asc)
+    codes.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("_s", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("vec_id"), col("rank"),
+        round(col("_s"), 6).as("score_adc"))
+  }
+
+  // --------------------------------------------------- DuckDB oracle SQL
+
+  /** DuckDB oracle twin of [[pqTopK]] with queries = `idCol <
+    * maxQueryId`: the same subvector slicing, the same unrolled Lloyd
+    * CTEs ((dist, cell)-tie-broken argmin, per-(sub, cell, pos) avg
+    * update), and the same sorted-fold ADC sum.
+    */
+  def duckPqTopK(tbl: String, vecCol: String, idCol: String,
+                 dim: Int, m: Int, ksub: Int, iters: Int,
+                 k: Int, maxQueryId: Long): String = {
+    val subLen = dim / m
+    // squared L2 as the same left fold (seed 0.0, ascending components)
+    def sqd(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, " +
+        s"[($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, $subLen + 1)]), " +
+        s"(acc, x) -> acc + x)"
+    def assignCte(name: String, centRel: String): String =
+      s"""$name AS (
+         |  SELECT vid, sub, subvec, cell FROM (
+         |    SELECT s.vid, s.sub, s.subvec, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vid, s.sub
+         |             ORDER BY ${sqd("s.subvec", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM sv s JOIN $centRel c ON s.sub = c.sub) x WHERE rn = 1)""".stripMargin
+    def centCte(name: String, assignRel: String): String =
+      s"""$name AS (
+         |  SELECT sub, cell, list(m ORDER BY pos) AS centroid FROM (
+         |    SELECT sub, cell, pos, avg(subvec[pos]) AS m
+         |    FROM $assignRel, range(1, ${subLen + 1}) t(pos)
+         |    GROUP BY sub, cell, pos) y
+         |  GROUP BY sub, cell)""".stripMargin
+    val iterCtes = (2 to iters).flatMap { i =>
+      Seq(centCte(s"c${i - 1}", s"a${i - 1}"), assignCte(s"a$i", s"c${i - 1}"))
+    }
+    val finalA = s"a$iters"
+    val finalC = s"c${iters - 1}"
+    val ctes = Seq(
+      s"v AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS emb FROM $tbl)",
+      s"""sv AS (SELECT vid, CAST(j AS INTEGER) AS sub,
+         |          emb[j * $subLen + 1 : j * $subLen + $subLen] AS subvec
+         |        FROM v, range(0, $m) t(j))""".stripMargin,
+      s"c0 AS (SELECT sub, vid AS cell, subvec AS centroid FROM sv WHERE vid < $ksub)",
+      assignCte("a1", "c0")) ++ iterCtes ++ Seq(
+      s"qs AS (SELECT vid AS qid, sub, subvec FROM sv WHERE vid < $maxQueryId)",
+      s"""dp AS (SELECT q.qid, d.vid, q.sub,
+         |          list_dot_product(q.subvec, c.centroid) AS dp
+         |        FROM qs q
+         |        JOIN $finalA d ON d.sub = q.sub AND d.vid != q.qid
+         |        JOIN $finalC c ON c.sub = d.sub AND c.cell = d.cell)""".stripMargin,
+      s"""sc AS (SELECT qid, vid, list_reduce(
+         |          list_prepend(0.0, list(dp ORDER BY sub)),
+         |          (acc, x) -> acc + x) AS s
+         |        FROM dp GROUP BY qid, vid)""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT query_id, vec_id, rank, round(s, 6) AS score_adc FROM (
+       |  SELECT qid AS query_id, vid AS vec_id, s,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY s DESC, vid ASC) AS BIGINT) AS rank
+       |  FROM sc) r
+       |WHERE rank <= $k""".stripMargin
+  }
+}

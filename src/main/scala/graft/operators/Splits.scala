@@ -93,6 +93,74 @@ object Splits {
         round(sqrt(col("n_tokens").cast("double")) / col("_denom"), 6).as("weight"))
   }
 
+  /** Temperature-scaled mixture RESAMPLING — the step that applies
+    * [[mixtureWeights]]-style τ=0.5 target shares to the corpus. Each
+    * source's target token share is q_s ∝ √n_s (the multilingual-
+    * training temperature rule: big sources demoted, small sources
+    * boosted), the global budget is `targetFrac` of all tokens, and
+    * each document is kept by a deterministic per-source Bernoulli:
+    * rate_s = min(1, targetFrac·T·q_s / n_s), quantized to basis
+    * points, tested against the id's Rabin–Karp bucket ([[bucketOf]]).
+    * Deterministic end-to-end: the only non-integer inputs are √ and
+    * one fixed-order multiply/divide chain (√ is correctly rounded per
+    * IEEE 754, and the fold order over sources is pinned by the same
+    * sorted fold as [[mixtureWeights]]), so both engines compute the
+    * same basis points and the same kept set.
+    *
+    * Scale shape: one source-keyed partial-agg shuffle for token
+    * counts (source cardinality is tiny), a one-row denominator fold,
+    * and a BROADCAST join of the rate table back to the corpus — the
+    * corpus itself is never shuffled; keep/drop is a narrow filter.
+    *
+    * Output: kept rows as (idCol, srcCol, rate_bps).
+    */
+  def temperatureSample(docs: DataFrame, textCol: String, srcCol: String,
+                        idCol: String, targetFrac: Double): DataFrame = {
+    val perSrc = docs.groupBy(col(srcCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+    // One metadata row: exact-integer token total (order-free) + the
+    // √-denominator as a SORTED fold (fp order pinned, engine-exact).
+    val denom = perSrc
+      .agg(sort_array(collect_list(struct(col(srcCol), col("n_tokens")))).as("_t"))
+      .select(
+        aggregate(col("_t"), lit(0.0),
+          (acc, t) => acc + sqrt(t.getField("n_tokens").cast("double"))).as("_denom"),
+        aggregate(col("_t"), lit(0L),
+          (acc, t) => acc + t.getField("n_tokens")).as("_total"))
+    val rRaw = (lit(targetFrac) * col("_total").cast("double")) *
+      (sqrt(col("n_tokens").cast("double")) / col("_denom")) /
+      col("n_tokens").cast("double")
+    val rates = perSrc.crossJoin(broadcast(denom))
+      .select(col(srcCol),
+        round(least(lit(1.0), rRaw) * 10000).cast("long").as("rate_bps"))
+    docs.select(col(idCol), col(srcCol))
+      .join(broadcast(rates), srcCol)
+      .filter(bucketOf(col(idCol), 10000) < col("rate_bps"))
+      .select(col(idCol), col(srcCol), col("rate_bps"))
+  }
+
+  /** DuckDB oracle twin of [[temperatureSample]] — same sorted fold,
+    * same fixed-order rate arithmetic, same Rabin–Karp bucket test.
+    */
+  def duckTemperatureSample(tbl: String, textCol: String, srcCol: String,
+                            idCol: String, targetFrac: Double): String =
+    s"""WITH d AS (SELECT $srcCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+       |per AS (SELECT $srcCol, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+       |        FROM d GROUP BY 1),
+       |dn AS (SELECT list_reduce(
+       |         list_prepend(0.0, list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY $srcCol, n_tokens)),
+       |         (acc, x) -> acc + x) AS denom,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+       |rates AS (SELECT $srcCol,
+       |            CAST(round(least(CAST(1 AS DOUBLE),
+       |              (CAST($targetFrac AS DOUBLE) * CAST(total AS DOUBLE))
+       |                * (sqrt(CAST(n_tokens AS DOUBLE)) / denom)
+       |                / CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT) AS rate_bps
+       |          FROM per, dn)
+       |SELECT t.$idCol, t.$srcCol, r.rate_bps
+       |FROM $tbl t JOIN rates r ON t.$srcCol = r.$srcCol
+       |WHERE ${duckBucket(s"t.$idCol", 10000)} < r.rate_bps""".stripMargin
+
   /** DuckDB oracle twin of [[mixtureWeights]] — same sorted fold. */
   def duckMixtureWeights(tbl: String, textCol: String, srcCol: String): String =
     s"""WITH d AS (SELECT $srcCol, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),

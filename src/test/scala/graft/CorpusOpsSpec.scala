@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{ChunkDedup, Decontaminate, Drift, DupSpan, Idf, Packing, Splits, Winnow}
+import graft.operators.{ChunkDedup, Curriculum, Decontaminate, Dedup, Drift, DupSpan, Idf, Packing, Splits, Winnow}
 
 /** Unit gates for the round-3 corpus-curation operators (quality
   * filters, decontamination, chunk dedup, redaction, splits, packing).
@@ -307,5 +307,59 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((1L, 0L, 1L))) // empty doc at pack boundary, spans 1
     assert(got(3L) == ((1L, 0L, 1L))) // starts where the empty doc sat
     assert(got(4L) == ((0L, 0L, 1L))) // fresh group restarts at 0
+  }
+
+  test("softWeights: every row kept, cluster mass splits to exactly 1") {
+    val df = Seq(
+      (1L, "dup text"), (2L, "dup text"), (3L, "dup text"), (4L, "dup text"),
+      (5L, "unique one"), (6L, "other")
+    ).toDF("doc_id", "text")
+    val got = Dedup.softWeights(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == 6)                       // nothing dropped
+    assert(got(1L) == ((4L, 0.25, 0.5)))        // 1/4, 1/√4
+    assert(got(5L) == ((1L, 1.0, 1.0)))
+    // each cluster's w_prop mass sums to 1 (up to the round(6))
+    val mass = got.values.groupBy(_._1).map { case (n, g) => n -> g.map(_._2).sum }
+    assert(mass.forall { case (_, m) => math.abs(m - (m).round.toDouble) < 1e-4 })
+  }
+
+  test("domainCap: keeps at most cap per domain, best scores first") {
+    val docs = (1L to 30L).map { i =>
+      val dom = if (i <= 20) "big" else "small"
+      // longer docs score differently; id tie-break keeps it deterministic
+      (i, dom, ("w" + i.toString + " the and of common words here") * (1 + (i % 3).toInt))
+    }.toDF("doc_id", "source", "text")
+    val kept = Curriculum.domainCap(docs, "text", "doc_id", "source", cap = 5)
+      .collect()
+    val byDom = kept.groupBy(_.getString(1))
+    assert(byDom("big").length == 5 && byDom("small").length == 5)
+    assert(kept.forall(_.getLong(3) <= 5L))
+    // within a domain the kept set is the argmax-by-(score, -id) prefix:
+    // ranks are dense 1..5
+    assert(byDom("big").map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+  }
+
+  test("temperatureSample: rates capped at 1, small sources boosted above " +
+       "their proportional share, kept set matches the bucket rule") {
+    val docs = ((1L to 80L).map(i => (i, "big", "alpha beta gamma delta")) ++
+      (81L to 90L).map(i => (i, "small", "alpha beta gamma delta")))
+      .toDF("doc_id", "source", "text")
+    val out = Splits.temperatureSample(docs, "text", "source", "doc_id",
+      targetFrac = 0.5)
+    val rates = out.select("source", "rate_bps").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.values.forall(_ <= 10000L))
+    // √-temperature: the small source's keep rate must exceed the big one's
+    assert(rates("small") > rates("big"))
+    // and exceed the flat targetFrac (boost), while the big source is trimmed
+    assert(rates("small") > 5000L && rates("big") < 5000L)
+    // kept rows are exactly the bucket-rule rows (spot-check via recompute)
+    val kept = out.collect().map(_.getLong(0)).toSet
+    val check = docs.select(col("doc_id"), col("source"),
+        Splits.bucketOf(col("doc_id"), 10000).as("b")).collect()
+      .filter(r => r.getLong(2) < rates(r.getString(1))).map(_.getLong(0)).toSet
+    assert(kept == check)
   }
 }
