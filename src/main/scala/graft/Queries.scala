@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -639,6 +639,21 @@ object Queries {
       Some(Similarity.duckIvfTopK(
         Similarity.duckKmeansRel("embeddings", "embedding", "vec_id", k = 8, iters = 2, dim = 64),
         "embedding", "vec_id", "cell", dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
+
+    // Product-quantization ANN: 8 subspaces × 16 centroids trained as ONE
+    // joint deterministic Lloyd pass (single exchange updates all eight
+    // codebooks), corpus stored as 8 codes/vector, candidates scored by
+    // asymmetric-distance codebook lookups only — the 32× scan-volume cut
+    // for embedding search at scale. Oracle unrolls the joint k-means and
+    // the sorted-fold ADC sum.
+    Entry("q_ann_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+          dim = 64, m = 8, ksub = 16, iters = 2, k = 5)
+      },
+      Some(Pq.duckPqTopK("embeddings", "embedding", "vec_id",
+        dim = 64, m = 8, ksub = 16, iters = 2, k = 5, maxQueryId = 10))),
 
     // As-of join (point-in-time lookup): every view event matched to the
     // user's most recent purchase at-or-before it. Spark has no built-in

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Embeddings
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Multimodal, Pq, Similarity}
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
@@ -239,5 +239,71 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(mean - 1.0) < 0.15, s"mean distortion $mean")
     assert(ratios.forall(r => r > 0.3 && r < 2.2),
       s"worst-case distortion outside [0.3, 2.2]: ${ratios.min} / ${ratios.max}")
+  }
+
+  test("PQ ADC search reaches recall@10 ≥ 0.8 on a separable corpus (m=8, ksub=16)") {
+    import spark.implicits._
+    // Same separable 12-cluster fixture as the JL recall gate: the
+    // oracle on q_ann_pq proves the mechanism bitwise; this proves the
+    // 8-codes-per-vector representation still retrieves the true
+    // neighbor set when real cluster structure exists.
+    var seed = 246813579L
+    def nextRaw(n: Int): Seq[Double] = Seq.fill(n) {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 40).toInt / 8388608.0 - 1.0)
+    }
+    def normalize(v: Seq[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Seq.fill(12)(normalize(nextRaw(64)))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      m <- 0 until 11
+    } yield {
+      val noise = nextRaw(64)
+      val v = normalize(c.zip(noise).map { case (x, g) => x + 0.15 * g })
+      ((ci * 11 + m).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val isQuery = col("vec_id") % 11 === 0
+    val truth = Similarity.bruteForceTopK(df, df.filter(isQuery),
+        "embedding", "vec_id", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Pq.pqTopK(df, df.filter(isQuery), "embedding", "vec_id",
+        dim = 64, m = 8, ksub = 16, iters = 2, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(truth.keySet == approx.keySet && truth.size == 12)
+    val recalls = truth.map { case (q, ns) => approx(q).intersect(ns).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    info(s"PQ mean recall@10 (m=8, ksub=16): $mean")
+    assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $recalls")
+  }
+
+  test("PQ codes: m codes per vector, every code a live codebook cell") {
+    import spark.implicits._
+    var seed = 1357911L
+    def vec(): Seq[Float] = {
+      val raw = Seq.fill(32) {
+        seed = (seed * 6364136223846793005L + 1442695040888963407L)
+        ((seed >>> 40).toInt / 8388608.0 - 1.0)
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val df = (0L until 40L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val (codes, cents) = Pq.pqModel(df, "embedding", "vec_id",
+      dim = 32, m = 4, ksub = 8, iters = 2)
+    val got = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.size == 40 && got.values.forall(_.length == 4))
+    val live = cents.map(c => (c._1, c._2)).toSet
+    assert(got.values.flatten.toSet.subsetOf(live.map(_._2)))
+    got.values.foreach { cs =>
+      cs.zipWithIndex.foreach { case (c, j) => assert(live.contains((j, c))) }
+    }
+    // codebook geometry: every centroid has subLen components
+    assert(cents.forall(_._3.length == 8))
   }
 }
