@@ -655,6 +655,29 @@ object Queries {
       Some(Pq.duckPqTopK("embeddings", "embedding", "vec_id",
         dim = 64, m = 8, ksub = 16, iters = 2, k = 5, maxQueryId = 10))),
 
+    // IVF-PQ — the production ANN composition: learned coarse cells
+    // prune candidates (3-of-8 probed), PQ codes make scoring the
+    // survivors an m-lookup ADC sum. At scale: cell = partition key,
+    // codes inline, raw floats never scanned at query time.
+    Entry("q_ann_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cells = Similarity.kmeansCells(emb, "embedding", "vec_id", k = 8, iters = 2)
+        // Materialize (vector, cell) ONCE: three consumers (codebook
+        // training, coarse centroids, candidate coding) would otherwise
+        // each recompute the kmeans assignment — the q_ann_jl barrier
+        // pattern; at scale this is "write the cell-partitioned index,
+        // then query it".
+        val corpus = emb.join(cells, "vec_id").localCheckpoint()
+        Pq.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 10),
+          "embedding", "vec_id", "cell",
+          dim = 64, m = 8, ksub = 16, iters = 2, k = 5, nProbe = 3)
+      },
+      Some(Pq.duckIvfPqTopK(
+        Similarity.duckKmeansRel("embeddings", "embedding", "vec_id", k = 8, iters = 2, dim = 64),
+        "embedding", "vec_id", "cell",
+        dim = 64, m = 8, ksub = 16, iters = 2, k = 5, nProbe = 3, maxQueryId = 10))),
+
     // As-of join (point-in-time lookup): every view event matched to the
     // user's most recent purchase at-or-before it. Spark has no built-in
     // as-of operator — AsofJoin is the union-and-carry sort-merge

@@ -139,14 +139,13 @@ object Pq {
     * one query-keyed exchange for the rank window. Combine with the
     * IVF cell filter for the bucketed candidate-gen at full scale.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-             idCol: String, dim: Int, m: Int, ksub: Int, iters: Int,
-             k: Int): DataFrame = {
-    val subLen = dim / m
-    val (codes, cents) = pqModel(corpus, vecCol, idCol, dim, m, ksub, iters)
-    val cb = bySub(cents)
-    val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("_qv"))
+  /** ADC score column: ascending-subspace left fold (seed 0.0) of
+    * codebook lookups — each subspace's lookup a lazy CASE over its
+    * cells, each body one `subLen`-wide dot against a literal centroid.
+    * References `_qv` (double query vector) and `codes`.
+    */
+  private def adcScore(cb: Map[Int, Array[(Long, Seq[Double])]],
+                       m: Int, subLen: Int): Column = {
     def dp(j: Int): Column = {
       val qsub = slice(col("_qv"), j * subLen + 1, subLen)
       cb(j).foldRight(lit(0.0): Column) { case ((cell, cvec), els) =>
@@ -154,28 +153,76 @@ object Pq {
           Similarity.dot(qsub, typedlit(cvec))).otherwise(els)
       }
     }
-    val score = (0 until m).foldLeft(lit(0.0): Column)((acc, j) => acc + dp(j))
+    (0 until m).foldLeft(lit(0.0): Column)((acc, j) => acc + dp(j))
+  }
+
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_s").desc, col(idCol).asc)
-    codes.join(broadcast(q), col(idCol) =!= col("query_id"))
-      .withColumn("_s", score)
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("vec_id"), col("rank"),
         round(col("_s"), 6).as("score_adc"))
   }
 
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, dim: Int, m: Int, ksub: Int, iters: Int,
+             k: Int): DataFrame = {
+    val subLen = dim / m
+    val (codes, cents) = pqModel(corpus, vecCol, idCol, dim, m, ksub, iters)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_qv"))
+    rankTopK(
+      codes.join(broadcast(q), col(idCol) =!= col("query_id"))
+        .withColumn("_s", adcScore(bySub(cents), m, subLen)),
+      idCol, k)
+  }
+
+  /** IVF-PQ — the production ANN composition (coarse cells prune the
+    * candidate set, PQ codes make scoring the survivors cheap): probe
+    * the `nProbe` nearest coarse cells per query ([[Similarity.ivfTopK]]
+    * semantics over `cellCol`), then ADC-rank ONLY the candidates in
+    * probed cells. At 100 TB the corpus is stored partitioned by cell
+    * with its codes inline, so the probe is partition pruning and the
+    * scan touches m bytes per candidate — neither the raw floats nor
+    * the unprobed cells are ever read.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, cellCol: String, dim: Int, m: Int, ksub: Int,
+                iters: Int, k: Int, nProbe: Int): DataFrame = {
+    val subLen = dim / m
+    val (codes, cents) = pqModel(corpus, vecCol, idCol, dim, m, ksub, iters)
+    val centroids = Similarity.centroidsOf(corpus, vecCol, cellCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cscore").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids), expr("true"))
+      .withColumn("_cscore", Similarity.dot(col("_qv"), col("centroid")))
+      .withColumn("_crank", row_number().over(probeW))
+      .filter(col("_crank") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("cell"))
+    val coded = corpus.select(col(idCol), col(cellCol).as("cell"))
+      .join(codes, idCol)
+    rankTopK(
+      coded.join(broadcast(probes), Seq("cell"))
+        .filter(col(idCol) =!= col("query_id"))
+        .withColumn("_s", adcScore(bySub(cents), m, subLen)),
+      idCol, k)
+  }
+
   // --------------------------------------------------- DuckDB oracle SQL
 
-  /** DuckDB oracle twin of [[pqTopK]] with queries = `idCol <
-    * maxQueryId`: the same subvector slicing, the same unrolled Lloyd
-    * CTEs ((dist, cell)-tie-broken argmin, per-(sub, cell, pos) avg
-    * update), and the same sorted-fold ADC sum.
+  /** Shared PQ oracle CTE chain: `v` (double vectors, plus any extra
+    * columns), `sv` (subvector explode), the unrolled joint-Lloyd
+    * `c0/a1/…` CTEs, and `qs` (query subvectors). Returns (CTE list,
+    * final-assignment rel, final-codebook rel).
     */
-  def duckPqTopK(tbl: String, vecCol: String, idCol: String,
-                 dim: Int, m: Int, ksub: Int, iters: Int,
-                 k: Int, maxQueryId: Long): String = {
-    val subLen = dim / m
+  private def duckPqCtes(tbl: String, vecCol: String, idCol: String,
+                         m: Int, subLen: Int, ksub: Int, iters: Int,
+                         maxQueryId: Long,
+                         extraVCols: String = ""): (Seq[String], String, String) = {
     // squared L2 as the same left fold (seed 0.0, ascending components)
     def sqd(a: String, b: String): String =
       s"list_reduce(list_prepend(0.0, " +
@@ -198,31 +245,86 @@ object Pq {
     val iterCtes = (2 to iters).flatMap { i =>
       Seq(centCte(s"c${i - 1}", s"a${i - 1}"), assignCte(s"a$i", s"c${i - 1}"))
     }
-    val finalA = s"a$iters"
-    val finalC = s"c${iters - 1}"
     val ctes = Seq(
-      s"v AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS emb FROM $tbl)",
+      s"v AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS emb$extraVCols FROM $tbl)",
       s"""sv AS (SELECT vid, CAST(j AS INTEGER) AS sub,
          |          emb[j * $subLen + 1 : j * $subLen + $subLen] AS subvec
          |        FROM v, range(0, $m) t(j))""".stripMargin,
       s"c0 AS (SELECT sub, vid AS cell, subvec AS centroid FROM sv WHERE vid < $ksub)",
       assignCte("a1", "c0")) ++ iterCtes ++ Seq(
-      s"qs AS (SELECT vid AS qid, sub, subvec FROM sv WHERE vid < $maxQueryId)",
-      s"""dp AS (SELECT q.qid, d.vid, q.sub,
-         |          list_dot_product(q.subvec, c.centroid) AS dp
-         |        FROM qs q
-         |        JOIN $finalA d ON d.sub = q.sub AND d.vid != q.qid
-         |        JOIN $finalC c ON c.sub = d.sub AND c.cell = d.cell)""".stripMargin,
-      s"""sc AS (SELECT qid, vid, list_reduce(
-         |          list_prepend(0.0, list(dp ORDER BY sub)),
-         |          (acc, x) -> acc + x) AS s
-         |        FROM dp GROUP BY qid, vid)""".stripMargin)
-    s"""WITH ${ctes.mkString(",\n")}
+      s"qs AS (SELECT vid AS qid, sub, subvec FROM sv WHERE vid < $maxQueryId)")
+    (ctes, s"a$iters", s"c${iters - 1}")
+  }
+
+  /** The shared ADC tail: per-(query, candidate, sub) codebook dots,
+    * the sorted-fold sum, and the tie-broken rank filter. `candJoin`
+    * restricts which (qid, vid) pairs are scored.
+    */
+  private def duckAdcTail(finalA: String, finalC: String, k: Int,
+                          candJoin: String): String =
+    s"""dp AS (SELECT q.qid, d.vid, q.sub,
+       |          list_dot_product(q.subvec, c.centroid) AS dp
+       |        FROM qs q
+       |        $candJoin
+       |        JOIN $finalC c ON c.sub = d.sub AND c.cell = d.cell),
+       |sc AS (SELECT qid, vid, list_reduce(
+       |          list_prepend(0.0, list(dp ORDER BY sub)),
+       |          (acc, x) -> acc + x) AS s
+       |        FROM dp GROUP BY qid, vid)
        |SELECT query_id, vec_id, rank, round(s, 6) AS score_adc FROM (
        |  SELECT qid AS query_id, vid AS vec_id, s,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
        |           ORDER BY s DESC, vid ASC) AS BIGINT) AS rank
        |  FROM sc) r
        |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle twin of [[pqTopK]] with queries = `idCol <
+    * maxQueryId`: the same subvector slicing, the same unrolled Lloyd
+    * CTEs ((dist, cell)-tie-broken argmin, per-(sub, cell, pos) avg
+    * update), and the same sorted-fold ADC sum.
+    */
+  def duckPqTopK(tbl: String, vecCol: String, idCol: String,
+                 dim: Int, m: Int, ksub: Int, iters: Int,
+                 k: Int, maxQueryId: Long): String = {
+    val (ctes, finalA, finalC) =
+      duckPqCtes(tbl, vecCol, idCol, m, dim / m, ksub, iters, maxQueryId)
+    s"""WITH ${ctes.mkString(",\n")},
+       |${duckAdcTail(finalA, finalC, k,
+          s"JOIN $finalA d ON d.sub = q.sub AND d.vid != q.qid")}""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[ivfPqTopK]]: `tbl` must already carry
+    * `cellCol` (pass [[Similarity.duckKmeansRel]] for learned cells).
+    * Probe CTEs mirror [[Similarity.duckIvfTopK]]; the ADC tail scores
+    * only candidates inside probed cells.
+    */
+  def duckIvfPqTopK(tbl: String, vecCol: String, idCol: String,
+                    cellCol: String, dim: Int, m: Int, ksub: Int,
+                    iters: Int, k: Int, nProbe: Int,
+                    maxQueryId: Long): String = {
+    val (ctes, finalA, finalC) =
+      duckPqCtes(tbl, vecCol, idCol, m, dim / m, ksub, iters, maxQueryId,
+        extraVCols = s", $cellCol AS ccell")
+    val probeCtes = Seq(
+      s"""cent AS (
+         |  SELECT ccell AS cell, list(m ORDER BY i) AS centroid FROM (
+         |    SELECT ccell, i, avg(emb[i]) AS m
+         |    FROM v, range(1, ${dim + 1}) t(i)
+         |    GROUP BY ccell, i) y
+         |  GROUP BY ccell)""".stripMargin,
+      s"""probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vid AS qid, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vid
+         |             ORDER BY list_dot_product(q.emb, c.centroid) DESC, c.cell ASC) AS crank
+         |    FROM (SELECT vid, emb FROM v WHERE vid < $maxQueryId) q, cent c) x
+         |  WHERE crank <= $nProbe)""".stripMargin,
+      s"""cand AS (SELECT p.qid, v2.vid FROM probes p
+         |         JOIN v v2 ON v2.ccell = p.cell
+         |         WHERE v2.vid != p.qid)""".stripMargin)
+    s"""WITH ${(ctes ++ probeCtes).mkString(",\n")},
+       |${duckAdcTail(finalA, finalC, k,
+          s"JOIN cand cd ON cd.qid = q.qid " +
+          s"JOIN $finalA d ON d.sub = q.sub AND d.vid = cd.vid")}""".stripMargin
   }
 }

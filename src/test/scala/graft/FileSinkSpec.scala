@@ -161,6 +161,29 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(outN).select("v").as[Long].collect().toSet == Set(0L, 1L, 2L))
   }
 
+  test("hive-partitioned writeRangeSorted: selective reads prune to matching directories") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = tmpDir("graft-hivepart")
+    FileSink.writeRangeSorted(docs, out, sortCols = Seq("doc_id"), numFiles = 2,
+      hivePartitionCols = Seq("lang"),
+      maxRecordsPerFile = Some(10000L), compression = Some("snappy"))
+    val back = spark.read.parquet(out)
+    val langs = docs.select("lang").distinct().count()
+    assert(langs > 1, "fixture must have several languages for pruning to mean anything")
+    val en = back.filter(col("lang") === "en")
+    // The partition predicate must reach the scan as a PartitionFilter
+    // (directory pruning), not a post-scan Filter.
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter did not become a partition filter:\n$plan")
+    // And the files actually touched are only the lang=en directory's.
+    val files = en.select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      s"read outside lang=en: ${files.filterNot(_.contains("lang=en")).take(3).mkString(", ")}")
+    assert(en.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("writeBucketed: same-bucketing join plans with no shuffle exchange") {
     import spark.implicits._
     val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
