@@ -215,8 +215,11 @@ object Bench {
     // `parsed:null` exactly that way). Mirror the final artifact to a
     // stable repo-root path too, so ANY reader has a clean, complete
     // JSON file regardless of how the process output was captured.
-    Files.copy(outPath, Paths.get("BENCH_LATEST.json"),
-      StandardCopyOption.REPLACE_EXISTING)
+    // FULL runs only: a BENCH_ONLY dev run must not clobber the
+    // full-suite artifact with a one-query subset.
+    if (only.isEmpty)
+      Files.copy(outPath, Paths.get("BENCH_LATEST.json"),
+        StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
     if (failLast.keys.exists(n => !okBest.contains(n))) sys.exit(1)
   }
