@@ -125,6 +125,52 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"per-source bottom-k lost its WindowGroupLimit rewrite:\n$kmv")
   }
 
+  test("softWeights shuffles once (the count window), joins nothing") {
+    val plan = SparkEntry.queries("q_dedup_soft")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one md5-key exchange:\n$plan")
+    assert(!plan.contains("Join"),
+      s"softWeights grew a join-back — the window formulation is the point:\n$plan")
+  }
+
+  test("domainCap ranks behind WindowGroupLimit on one domain-keyed exchange") {
+    val plan = SparkEntry.queries("q_domain_cap")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap filter no longer rewrites to WindowGroupLimit (full per-domain sort):\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+    assert(exchanges - rebalances == 1,
+      s"expected exactly one domain-keyed exchange beyond rebalance:\n$plan")
+  }
+
+  test("temperatureSample broadcasts the rate table; the corpus is never shuffle-joined") {
+    val plan = SparkEntry.queries("q_mixture_sample")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table stopped broadcasting:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept into temperatureSample:\n$plan")
+  }
+
+  test("PQ ADC scoring touches codes only: broadcast query join, no shuffle join") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = graft.operators.Pq.pqTopK(emb, emb.filter(col("vec_id") < 4),
+      "embedding", "vec_id", dim = 64, m = 4, ksub = 8, iters = 2, k = 3)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side is no longer broadcast into the code table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a shuffle join crept into the ADC path:\n$plan")
+    // codes groupBy + rank window: exactly two non-rebalance SHUFFLE
+    // exchanges (BroadcastExchange is the query side doing its job)
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+    assert(exchanges - rebalances == 2,
+      s"expected code-agg + rank-window exchanges only:\n$plan")
+  }
+
   test("kmv estimator is sketch-only: no shingle-hash self-join in its plan") {
     // The exact-intersection audit (st JOIN st ON a.h = b.h) would show
     // up as a shuffle join keyed on the corpus-sized hash stream; the
