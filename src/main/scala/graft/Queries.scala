@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1042,6 +1042,32 @@ object Queries {
     Entry("q_hll_distinct",
       (s, d) => Sketches.hllDistinct(t(s, d, "events"), "user_id", "event_type"),
       Some(Sketches.duckHllDistinct(EvOracle, "user_id", "event_type"))),
+
+    // Single-pass column profiler (deequ-style): every metric for every
+    // profiled column from ONE aggregate (multi-distinct plans as a
+    // single Expand pass), report rows via stack over the 1-row result.
+    Entry("q_profile",
+      (s, d) => Profile.profile(t(s, d, "documents"),
+        numCols = Seq("doc_id", "n_chars"), strCols = Seq("text", "lang", "source")),
+      Some(Profile.duckProfile("documents",
+        numCols = Seq("doc_id", "n_chars"), strCols = Seq("text", "lang", "source")))),
+
+    // Expectation checks — the pre-commit corpus quality gate: min row
+    // count, key uniqueness, per-column null-fraction ceilings; same
+    // one-aggregate shape.
+    Entry("q_expectations",
+      (s, d) => Profile.expectations(t(s, d, "documents"), keyCol = "doc_id",
+        nullBoundedCols = Seq("text", "lang"), minRows = 100L, maxNullFraction = 0.01),
+      Some(Profile.duckExpectations("documents", keyCol = "doc_id",
+        nullBoundedCols = Seq("text", "lang"), minRows = 100L, maxNullFraction = 0.01))),
+
+    // Streaming per-group quantiles via the GK sketch (percentile_approx):
+    // bounded mergeable state vs q_len_quantiles' exact sort. Below the
+    // accuracy bound the rank is exact, so the oracle compares the same
+    // discrete order statistics bitwise (quantile_disc).
+    Entry("q_quantile_sketch",
+      (s, d) => Sketches.quantileSketch(t(s, d, "events"), "value", "event_type"),
+      Some(Sketches.duckQuantileSketch(EvOracle, "value", "event_type"))),
 
     // Count-min heavy hitters over document tokens: 3×256-cell sketch
     // built in one map-side-combined agg; top-20 exact tokens get their

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass data profiling and expectation checking — the quality gate
+  * a training-data pipeline runs before committing a corpus snapshot
+  * ("row count sane? key unique? null fractions in bounds? value ranges
+  * unchanged?"), in the spirit of Deequ/Great-Expectations but as plain
+  * Catalyst aggregates.
+  *
+  * Scale shape: ONE aggregate pass computes every metric for every
+  * profiled column (Spark plans the multi-column exact distincts as a
+  * single Expand + two-stage aggregate — one scan of the data, rows
+  * multiplied by #distinct-columns+1 map-side, all partials combinable).
+  * The per-column report rows come from `stack` over the single result
+  * row — driver-side state is one row regardless of input size. No
+  * per-column scans, no collect of data-scale rows.
+  *
+  * Engine parity: counts are exact BIGINTs (null counts via
+  * `count(*) - count(col)`, never SUM(CASE) — DuckDB's integer SUM
+  * returns HUGEINT and would break schema parity); min/max/mean are cast
+  * to DOUBLE with the one mean division rounded to 6 decimals (long sums
+  * are exact, so partial-agg order cannot perturb the quotient).
+  */
+object Profile {
+
+  /** Per-column profile: numeric columns report value stats, string
+    * columns report length stats. Output (one row per column):
+    * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val).
+    */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    def statsOf(c: String, v: Column): Seq[Column] = Seq(
+      (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(v).cast("double").as(s"${c}__min"),
+      max(v).cast("double").as(s"${c}__max"),
+      round(avg(v), 6).as(s"${c}__mean"))
+
+    val aggs = numCols.flatMap(c => statsOf(c, col(c))) ++
+      strCols.flatMap(c => statsOf(c, length(col(c))))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+
+    val stackArgs = (numCols ++ strCols).map { c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__mean"
+    }.mkString(", ")
+    val n = numCols.size + strCols.size
+    one.select(
+      expr(s"stack($n, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val, mean_val)"),
+      col("n_rows"))
+  }
+
+  /** DuckDB oracle twin of [[profile]]: one UNION ALL branch per column
+    * (the readable spelling — the Spark side exists precisely because N
+    * scans is the wrong plan at scale).
+    */
+  def duckProfile(tbl: String, numCols: Seq[String], strCols: Seq[String]): String = {
+    def branch(c: String, v: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($v) AS DOUBLE) AS min_val,
+         |       CAST(max($v) AS DOUBLE) AS max_val,
+         |       round(CAST(avg($v) AS DOUBLE), 6) AS mean_val
+         |FROM $tbl""".stripMargin
+    (numCols.map(c => branch(c, c)) ++
+      strCols.map(c => branch(c, s"length($c)"))).mkString("\nUNION ALL\n")
+  }
+
+  /** Expectation checks: fixed contract of the three audits every corpus
+    * snapshot needs — minimum row count, primary-key uniqueness, and a
+    * per-column null-fraction ceiling. Output (one row per check):
+    * (check_name, actual, bound, passed ∈ {0,1}).
+    *
+    * Same single-aggregate shape as [[profile]]; `passed` is an INT so
+    * both engines agree on the parquet type.
+    */
+  def expectations(df: DataFrame, keyCol: String, nullBoundedCols: Seq[String],
+                   minRows: Long, maxNullFraction: Double): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("__n"),
+      countDistinct(col(keyCol)).as("__nk")) ++
+      nullBoundedCols.map(c => (count(lit(1)) - count(col(c))).as(s"__nulls_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    val rowsChecks = Seq(
+      s"'row_count_min', CAST(__n AS DOUBLE), CAST(${minRows}L AS DOUBLE), " +
+        s"CAST(CASE WHEN __n >= ${minRows}L THEN 1 ELSE 0 END AS INT)",
+      s"'pk_unique:$keyCol', CAST(__nk AS DOUBLE), CAST(__n AS DOUBLE), " +
+        s"CAST(CASE WHEN __nk = __n THEN 1 ELSE 0 END AS INT)") ++
+      nullBoundedCols.map { c =>
+        s"'null_fraction_max:$c', round(CAST(__nulls_$c AS DOUBLE) / CAST(__n AS DOUBLE), 6), " +
+          s"CAST($maxNullFraction AS DOUBLE), " +
+          s"CAST(CASE WHEN CAST(__nulls_$c AS DOUBLE) / CAST(__n AS DOUBLE) <= $maxNullFraction THEN 1 ELSE 0 END AS INT)"
+      }
+    val n = rowsChecks.size
+    one.select(expr(
+      s"stack($n, ${rowsChecks.mkString(", ")}) AS (check_name, actual, bound, passed)"))
+  }
+
+  /** DuckDB oracle twin of [[expectations]]. */
+  def duckExpectations(tbl: String, keyCol: String, nullBoundedCols: Seq[String],
+                       minRows: Long, maxNullFraction: Double): String = {
+    val nullBranches = nullBoundedCols.map { c =>
+      s"""SELECT 'null_fraction_max:$c' AS check_name,
+         |       round(CAST(count(*) - count($c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS actual,
+         |       CAST($maxNullFraction AS DOUBLE) AS bound,
+         |       CAST(CASE WHEN CAST(count(*) - count($c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |                      <= $maxNullFraction THEN 1 ELSE 0 END AS INT) AS passed
+         |FROM $tbl""".stripMargin
+    }
+    (Seq(
+      s"""SELECT 'row_count_min' AS check_name, CAST(count(*) AS DOUBLE) AS actual,
+         |       CAST($minRows AS DOUBLE) AS bound,
+         |       CAST(CASE WHEN count(*) >= $minRows THEN 1 ELSE 0 END AS INT) AS passed
+         |FROM $tbl""".stripMargin,
+      s"""SELECT 'pk_unique:$keyCol' AS check_name,
+         |       CAST(count(DISTINCT $keyCol) AS DOUBLE) AS actual,
+         |       CAST(count(*) AS DOUBLE) AS bound,
+         |       CAST(CASE WHEN count(DISTINCT $keyCol) = count(*) THEN 1 ELSE 0 END AS INT) AS passed
+         |FROM $tbl""".stripMargin) ++ nullBranches).mkString("\nUNION ALL\n")
+  }
+}

@@ -303,6 +303,47 @@ object Sketches {
        |FROM pr
        |LEFT JOIN ie ON ie.sa = pr.sa AND ie.sb = pr.sb""".stripMargin
 
+  /** Quantile-sketch accuracy: Greenwald–Khanna rank error is bounded by
+    * n/accuracy, so any group smaller than this is answered EXACTLY while
+    * the sketch state stays O(accuracy · log n) — bounded and mergeable —
+    * regardless of group size. The oracle gate runs at SFs where every
+    * group is far below the bound (rank error < 1 ⇒ the sketch returns
+    * the true order statistic); at 100 TB the same plan degrades
+    * gracefully to ±0.01% rank error instead of an unbounded sort.
+    */
+  val QuantileAccuracy = 10000
+
+  /** Per-group streaming quantiles via Spark's GK sketch
+    * (`percentile_approx`) — the bounded-memory twin of the exact
+    * `percentile` profile (q_len_quantiles). One ObjectHashAggregate with
+    * map-side partials; no full sort, no per-group value materialization.
+    *
+    * Both engines return the DISCRETE order statistic (an element of the
+    * input, not an interpolation), and below the accuracy bound the rank
+    * is exact, so values compare bitwise against DuckDB's
+    * `quantile_disc` with no rounding step.
+    */
+  def quantileSketch(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"percentile_approx($valueCol, array(0.25D, 0.5D, 0.9D, 0.99D), $QuantileAccuracy)")
+          .as("qs"))
+      .select(col(groupCol), col("n"),
+        col("qs").getItem(0).as("p25"),
+        col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p90"),
+        col("qs").getItem(3).as("p99"))
+
+  /** DuckDB oracle twin of [[quantileSketch]]: exact discrete quantiles. */
+  def duckQuantileSketch(tbl: String, valueCol: String, groupCol: String): String =
+    s"""SELECT $groupCol, count(*) AS n,
+       |       quantile_disc($valueCol, 0.25) AS p25,
+       |       quantile_disc($valueCol, 0.5)  AS p50,
+       |       quantile_disc($valueCol, 0.9)  AS p90,
+       |       quantile_disc($valueCol, 0.99) AS p99
+       |FROM $tbl GROUP BY $groupCol""".stripMargin
+
   /** DuckDB oracle twin of [[cmsHeavyHitters]]. */
   def duckCmsHeavyHitters(tbl: String, textCol: String, k: Int): String = {
     def bucket(i: Int, termExpr: String): String =

@@ -377,6 +377,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"window rank crept back into the aggregate top-k path:\n$plan")
   }
 
+  test("quantile sketch partial-aggregates map-side, no sort or window") {
+    // The GK sketch's value: per-group quantiles from one mergeable
+    // aggregate. A Sort or Window in this plan means the physical shape
+    // regressed to the exact-percentile path (full per-group value
+    // materialization) the sketch exists to avoid.
+    val plan = SparkEntry.queries("q_quantile_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"),
+      s"percentile_approx must plan as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_percentile_approx"),
+      s"expected a map-side partial sketch pass before the exchange:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"sort/window crept into the sketch path:\n$plan")
+  }
+
+  test("profiler computes all column metrics in one scan") {
+    // The profiler's contract: N columns × 5 metrics from ONE pass —
+    // Spark folds the multi-column exact distincts into a single Expand.
+    // A second scan means the plan regressed to per-column profiling.
+    val plan = SparkEntry.queries("q_profile")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profiler must read the table once, found $scans scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct should plan as a single Expand pass:\n$plan")
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
