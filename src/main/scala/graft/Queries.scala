@@ -426,6 +426,19 @@ object Queries {
       Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 1000))),
 
+    // Prefix-filtering exact similarity join (PPJoin/AllPairs family):
+    // the EXACT near-dup route with no quadratic stage — rarest-first
+    // prefix postings + size filter + verify. Lossless by construction,
+    // so the oracle is the same ground-truth pair set the O(n²) scan
+    // gate uses: equality, not a recall bound. (The gate bound exists
+    // for the ORACLE's quadratic CTE, not the operator.)
+    Entry("q_dedup_prefix",
+      (s, d) => Dedup.prefixJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 2000), "text", "doc_id",
+        n = 3, threshold = 0.5),
+      Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 2000))),
+
     // Pair resolution: near-dup pairs → connected components → keep the
     // min-id representative per cluster (the actual dedup). Oracle is a
     // recursive-CTE transitive closure over the same exact pairs.

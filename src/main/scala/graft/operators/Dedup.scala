@@ -178,6 +178,62 @@ object Dedup {
     s"""WITH ${duckPairCtes(tbl, textCol, idCol, n, s"$idCol < $maxDocId")}
        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold""".stripMargin
 
+  /** Exact Jaccard-threshold self-join via PREFIX FILTERING (the
+    * PPJoin/AllPairs family, Xiao et al. 2008 / Bayardo et al. 2007) —
+    * the third algorithmic route to near-dup pairs next to the O(n²)
+    * scan ([[ngramJaccardPairs]]) and the probabilistic LSH band join
+    * ([[minhashLshPairs]]): EXACT results (provably no missed pair, so
+    * the gate is equality vs the ground truth, not a recall bound)
+    * without all-pairs cost.
+    *
+    * Why it prunes: order the shingle universe by ascending document
+    * frequency (rarest first; shingle text tie-break). If
+    * J(A,B) ≥ τ then A and B must share a token inside their first
+    * |X| − ⌈τ·|X|⌉ + 1 ordered tokens — so only docs meeting in a
+    * PREFIX posting ever pair, and prefixes are made of the rarest
+    * shingles (hot boilerplate grams sort last and never enter a
+    * posting list). A size filter (τ·|A| ≤ |B| ∧ τ·|B| ≤ |A|, integer-
+    * safe via ceil) cuts survivors before verification.
+    *
+    * Scale shape: one shingle-key exchange for document frequencies
+    * (partial-agg combinable), one prefix-posting equi-join whose lists
+    * hold only rare tokens, distinct pair set, then an id-keyed verify
+    * join — no quadratic stage, no bucket cap compromising exactness.
+    *
+    * Output: (id_a, id_b, jaccard ≥ threshold) — identical rows to
+    * [[ngramJaccardPairs]] at the same (n, threshold).
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val docs = rebalance(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
+    val ex = docs.select(col("id"), explode(col("_sh")).as("_s"))
+    val dfreq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
+    // Global rarest-first total order: per doc, sort shingles by
+    // (df ASC, shingle ASC) and keep the τ-prefix.
+    val prefixes = ex.join(dfreq, "_s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("_s")))).as("_osh"))
+      .withColumn("_len", size(col("_osh")))
+      .withColumn("_plen", col("_len") - ceil(lit(threshold) * col("_len")) + 1)
+      .select(col("id"), col("_len"),
+        explode(slice(transform(col("_osh"), s => s.getField("_s")),
+          lit(1), col("_plen"))).as("_ps"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a._ps") === col("b._ps") && col("a.id") < col("b.id"))
+      // J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|); ceil is safe on integers.
+      .filter(col("b._len") >= ceil(lit(threshold) * col("a._len")) &&
+              col("a._len") >= ceil(lit(threshold) * col("b._len")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("_sha"), col("_shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature: k permutations approximated by one `xxhash64`
     * per shingle STRING followed by k cheap re-hashes of that 8-byte
     * long (`xxhash64(seed, h)`), folded to the k-wide minimum — the

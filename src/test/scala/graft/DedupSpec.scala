@@ -31,6 +31,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Set((1L, "dup"), (2L, "uniq")))
   }
 
+  test("prefix-filter join equals the exact O(n²) pair scan on edge-case docs") {
+    import spark.implicits._
+    // Identical docs (J=1, prefix length 1), a strong near-pair, a
+    // containment pair that must FAIL the size filter honestly (not be
+    // pruned incorrectly — its true J is below τ), short docs below the
+    // shingle width (whole-text fallback), and an empty doc.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "the quick brown fox"),
+      (5L, "tiny doc"),
+      (6L, "tiny doc"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val exact = rows(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = tau, maxDocId = Long.MaxValue))
+      val prefix = rows(Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = tau))
+      assert(prefix == exact, s"τ=$tau: prefix join must be lossless")
+      assert(exact.map(p => (p._1, p._2)).contains((1L, 2L)))
+    }
+  }
+
   test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -392,6 +392,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"sort/window crept into the sketch path:\n$plan")
   }
 
+  test("prefix similarity join never plans a quadratic stage") {
+    // PPJoin's contract: exact pairs WITHOUT all-pairs. A nested-loop or
+    // cartesian anywhere in this plan means the prefix postings degraded
+    // to the O(n²) scan the operator exists to replace.
+    val plan = SparkEntry.queries("q_dedup_prefix")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"quadratic join stage in the prefix-filter plan:\n$plan")
+  }
+
   test("profiler computes all column metrics in one scan") {
     // The profiler's contract: N columns × 5 metrics from ONE pass —
     // Spark folds the multi-column exact distincts into a single Expand.
