@@ -56,7 +56,7 @@ object Bench {
     "q_pii_redact" -> 0.41, "q_scd_latest_events" -> 0.42, "q_event_pivot" -> 0.43,
     "q_incr_dedup" -> 0.43, "q_dedup_exact" -> 0.46, "q_split_assign" -> 0.47,
     "q_quantile_sketch" -> 0.40, "q_profile" -> 0.45, "q_expectations" -> 0.35,
-    "q_dedup_prefix" -> 1.2,
+    "q_dedup_prefix" -> 1.2, "q_scd2_history" -> 0.35,
     "q_hll_distinct" -> 0.48, "q_text_stats" -> 0.48, "q_asof_join" -> 0.51,
     "q_rowcount" -> 0.60, "q_event_props" -> 0.67, "q_mm_decode" -> 0.74,
     "q_join_revenue" -> 0.82, "q_custom_sql" -> 0.87, "q_len_quantiles" -> 0.89,

@@ -170,6 +170,34 @@ object Queries {
     // S4 + O1 — DESCRIBE HISTORY LIMIT 1 → latest commit ms
     // (export.py:49–60). Millisecond precision (Delta commit timestamps
     // are ms; see ChangeLog.commitMs).
+    // SCD Type-2 history: fold the change log into per-key version
+    // intervals (valid_to NULL = current; deletes close without opening).
+    // Keyed on user_id so version chains are real (many events per user).
+    Entry("q_scd2_history",
+      (s, d) => {
+        val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+        ChangeLog.scd2History(log, Seq("user_id"), "event_id", Seq("event_type"))
+      },
+      Some(s"""WITH st AS (
+                 SELECT user_id, event_id, event_type,
+                        CASE WHEN event_id % 10 < 6 THEN 'insert'
+                             WHEN event_id % 10 < 8 THEN 'update_postimage'
+                             WHEN event_id % 10 < 9 THEN 'update_preimage'
+                             ELSE 'delete' END AS ct,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS valid_from_ms
+                 FROM $EvOracle e),
+               s2 AS (SELECT * FROM st WHERE ct <> 'update_preimage'),
+               v AS (SELECT user_id, event_id, event_type, ct, valid_from_ms,
+                            lead(valid_from_ms) OVER w AS valid_to_ms,
+                            row_number() OVER w AS version
+                     FROM s2
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY valid_from_ms, event_id))
+               SELECT user_id, event_id, event_type, valid_from_ms,
+                      valid_to_ms, version,
+                      CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS is_current
+               FROM v WHERE ct <> 'delete'""")),
+
     Entry("q_commit_history",
       (s, d) => {
         val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")

@@ -93,6 +93,41 @@ object ChangeLog {
     latest.select(lit("INSERT").as(MpChangeType) +: dataCols.map(c => col(s"__s.$c").as(c)): _*)
   }
 
+  /** SCD Type-2 history build: fold a change log into per-key VERSION
+    * INTERVALS — (valid_from_ms, valid_to_ms] with `valid_to_ms` NULL on
+    * the open (current) version — the warehouse-dimension shape one step
+    * past the reference's SCD-latest (W1+F5 keeps only the newest row;
+    * this keeps the full lineage queryable by as-of predicates).
+    *
+    * Semantics: preimage rows are descriptive, not state-bearing — drop
+    * them first. Every remaining change (insert / update_postimage /
+    * delete) CLOSES the previous version's interval at its commit ts;
+    * delete rows close an interval without opening one, so a deleted key
+    * has no current row until a later insert reopens it.
+    *
+    * Scale shape: ONE exchange on the key for the lead/row_number window
+    * (version chains need every version, so the `max_by` collapse of
+    * [[snapshotAsOf]] does not apply — the window IS the minimal plan).
+    * `tieBreakCol` makes same-ms commits deterministic.
+    */
+  def scd2History(log: DataFrame, keyCols: Seq[String], tieBreakCol: String,
+                  dataCols: Seq[String]): DataFrame = {
+    // Ordering by the ms projection (not the raw ts) is safe: unix ms is
+    // a monotone transform, and it lets the window run after the narrow
+    // select below has already dropped the raw commit column.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from_ms").asc, col(tieBreakCol).asc)
+    log.filter(col(ChangeType) =!= "update_preimage")
+      .select((keyCols ++ Seq(tieBreakCol) ++ dataCols).distinct.map(col)
+        :+ col(ChangeType) :+ commitMs.as("valid_from_ms"): _*)
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .filter(col(ChangeType) =!= "delete")
+      .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
+      .drop(ChangeType)
+  }
+
   /** Synthesize a change log from any table for tests/demo pipelines: a
     * deterministic `_change_type` derived from a key column and a
     * `_commit_timestamp` taken from an existing timestamp column. Mirrors

@@ -26,6 +26,34 @@ class ChangeLogSpec extends AnyFunSuite with SparkTestBase {
       .drop("v")
   }
 
+  test("scd2: deletes close intervals without opening; re-insert reopens; preimages inert") {
+    import spark.implicits._
+    val l = Seq(
+      // key 1: insert → update (preimage+postimage) → delete → re-insert
+      (1L, 10L, ts("2024-01-01 00:00:01.000"), "insert"),
+      (1L, 11L, ts("2024-01-01 00:00:02.000"), "update_preimage"),
+      (1L, 12L, ts("2024-01-01 00:00:02.000"), "update_postimage"),
+      (1L, 13L, ts("2024-01-01 00:00:03.000"), "delete"),
+      (1L, 14L, ts("2024-01-01 00:00:04.000"), "insert"),
+      // key 2: single insert, stays current
+      (2L, 20L, ts("2024-01-01 00:00:01.000"), "insert"),
+      // key 3: insert then delete — no current row
+      (3L, 30L, ts("2024-01-01 00:00:01.000"), "insert"),
+      (3L, 31L, ts("2024-01-01 00:00:02.000"), "delete"))
+      .toDF("k", "seq", ChangeLog.CommitTs, ChangeLog.ChangeType)
+    val out = ChangeLog.scd2History(l, Seq("k"), "seq", Seq.empty)
+      .select("k", "seq", "valid_to_ms", "version", "is_current")
+      .as[(Long, Long, Option[Long], Long, Int)].collect().toSet
+    def ms(s: String) = ts(s).getTime
+    assert(out == Set(
+      (1L, 10L, Some(ms("2024-01-01 00:00:02.000")), 1L, 0),
+      (1L, 12L, Some(ms("2024-01-01 00:00:03.000")), 2L, 0), // closed by the DELETE
+      (1L, 14L, None, 4L, 1),                                // reopened; v3 was the delete
+      (2L, 20L, None, 1L, 1),
+      (3L, 30L, Some(ms("2024-01-01 00:00:02.000")), 1L, 0)  // deleted key: no current
+    ))
+  }
+
   test("latestCommitMs is millisecond-precise (not floor-to-second)") {
     assert(ChangeLog.latestCommitMs(log()) == ts("2024-01-01 00:00:01.250").getTime)
   }
