@@ -195,10 +195,25 @@ object Dedup {
     * posting list). A size filter (τ·|A| ≤ |B| ∧ τ·|B| ≤ |A|, integer-
     * safe via ceil) cuts survivors before verification.
     *
+    * A POSITIONAL filter (the "PP" in PPJoin) prunes further: if the
+    * shared token sits at ordered position i in A and j in B, the pair's
+    * overlap after-and-including it is ≤ 1 + min(|A|−i, |B|−j); for the
+    * FIRST shared token nothing shared precedes it, so a qualifying pair
+    * always passes at that occurrence — keeping any-occurrence-passes
+    * pairs stays lossless while late-prefix-only matches die.
+    *
     * Scale shape: one shingle-key exchange for document frequencies
-    * (partial-agg combinable), one prefix-posting equi-join whose lists
-    * hold only rare tokens, distinct pair set, then an id-keyed verify
-    * join — no quadratic stage, no bucket cap compromising exactness.
+    * (partial-agg combinable), one prefix-posting equi-join, distinct
+    * pair set, then an id-keyed verify join — no quadratic STAGE, and no
+    * bucket cap compromising exactness. HONEST BOUNDARY: candidate count
+    * is Σ_t df_prefix(t)², so the pruning power rides the corpus's
+    * token-frequency skew. Under natural Zipf/Heaps vocabulary growth,
+    * prefix tokens stay rare and the join is near-linear; on a CLOSED
+    * vocabulary (the scale fixture's 31 words — shingle space saturates)
+    * posting lists grow with the corpus and exact joins are inherently
+    * quadratic — no exact algorithm beats that; use
+    * [[minhashLshPairs]] (probabilistic, bucket-capped) in that regime.
+    * Measured in BASELINE.md ("prefix-join scale rehearsal").
     *
     * Output: (id_a, id_b, jaccard ≥ threshold) — identical rows to
     * [[ngramJaccardPairs]] at the same (n, threshold).
@@ -217,13 +232,22 @@ object Dedup {
       .withColumn("_len", size(col("_osh")))
       .withColumn("_plen", col("_len") - ceil(lit(threshold) * col("_len")) + 1)
       .select(col("id"), col("_len"),
-        explode(slice(transform(col("_osh"), s => s.getField("_s")),
-          lit(1), col("_plen"))).as("_ps"))
+        posexplode(slice(transform(col("_osh"), s => s.getField("_s")),
+          lit(1), col("_plen"))))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_ps")
+    // J ≥ τ also lower-bounds the intersection:
+    // o ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ (o = J·u, u ≥ (|A|+|B|)/(1+J⁻¹)).
+    val oLow = ceil(lit(threshold / (1 + threshold)) *
+      (col("a._len") + col("b._len")))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a._ps") === col("b._ps") && col("a.id") < col("b.id"))
       // J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|); ceil is safe on integers.
       .filter(col("b._len") >= ceil(lit(threshold) * col("a._len")) &&
               col("a._len") >= ceil(lit(threshold) * col("b._len")))
+      // Positional filter: overlap from this occurrence on (posexplode is
+      // 0-based: remaining = len − pos counts the token itself).
+      .filter(least(col("a._len") - col("a._pos"),
+                    col("b._len") - col("b._pos")) >= oLow)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
