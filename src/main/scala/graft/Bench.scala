@@ -105,6 +105,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture drift is loud, not silent (the round-8 lesson): one stderr
+    // line per contract mismatch, before any query runs.
+    FixtureProbe.report(spark, sfDir)
 
     val selected = SparkEntry.queries.keys.toSeq
       .filter(name => only.forall(_.contains(name)))
@@ -176,8 +179,13 @@ object Bench {
           sorted.last / math.max(sorted(sorted.size / 2), 1e-9)
         } else 1.0
       val canaryArr = canaries.map(num(_, 3)).mkString("[", ",", "]")
+      // `complete` = the query loop finished; `ok` = finished AND zero
+      // errors. Round 8 shipped complete:true with rc=1 and 24 errored
+      // queries — tooling keying on one flag could not tell a red run
+      // from a green one. `ok` is the machine-checkable green bit.
+      val ok = complete && errors.isEmpty
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)}}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)}}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Schema-contract probe over the driver-generated fixture directory.
+  *
+  * Round 8 lost 24 green correctness rows to a silent fixture regen
+  * (`events.ts` TIMESTAMP(NANOS) → timestamp[us]): every failure was
+  * the same analysis exception, diagnosed only at judging time. This
+  * probe runs at the top of Verify and Bench and converts the next
+  * drift into a one-glance stderr diagnosis — "expected X, fixture has
+  * Y" per column — without aborting the run (queries untouched by the
+  * drift should still dump).
+  *
+  * The contract is the column inventory of FIXTURES.md, checked on the
+  * ENGINE-FACING schema (`Tables.load` output, footer metadata only —
+  * no scan): a physical-encoding drift that `Tables.load` adapts to is
+  * not a mismatch, one it cannot adapt to surfaces as either
+  * "unreadable" (load throws, with the first error line) or a type
+  * mismatch on the normalized column.
+  */
+object FixtureProbe {
+  final case class Mismatch(table: String, detail: String) {
+    override def toString = s"[fixture] $table: $detail"
+  }
+
+  /** table → (column → acceptable Spark read types). */
+  val Contract: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int")),
+    "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> Set("timestamp", "timestamp_ntz"),
+      "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> Set("timestamp", "timestamp_ntz")),
+    "events" -> Seq("event_id" -> Set("bigint"),
+      // post-load: Tables.loadEvents normalizes every known physical
+      // encoding (nanos-as-long, µs NTZ, LTZ) to session-TZ timestamp;
+      // anything else here means an encoding the adapter doesn't know.
+      "ts" -> Set("timestamp"),
+      "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("bigint")),
+    "embeddings" -> Seq("vec_id" -> Set("bigint"),
+      "embedding" -> Set("array<float>"), "label" -> Set("int")))
+
+  /** Read every table's parquet footer schema (metadata-only; no scan)
+    * and diff it against the contract.
+    */
+  def check(spark: SparkSession, sfDir: String): Seq[Mismatch] =
+    Contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val path = s"$sfDir/$table.parquet"
+      val readSchema =
+        try Right(Tables.load(spark, sfDir, table).schema)
+        catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
+      readSchema match {
+        case Left(err) =>
+          Seq(Mismatch(table, s"unreadable at $path: ${err.linesIterator.nextOption.getOrElse(err)}"))
+        case Right(schema) =>
+          val byName = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+          cols.flatMap { case (col, accepted) =>
+            byName.get(col) match {
+              case None =>
+                Some(Mismatch(table, s"column `$col` missing (expected ${accepted.mkString("|")}; fixture has ${schema.fieldNames.mkString(", ")})"))
+              case Some(actual) if !accepted.contains(actual) =>
+                Some(Mismatch(table, s"column `$col`: expected ${accepted.mkString("|")}, fixture has $actual"))
+              case _ => None
+            }
+          }
+      }
+    }
+
+  /** Print mismatches to stderr; returns true when the contract holds. */
+  def report(spark: SparkSession, sfDir: String): Boolean = {
+    val ms = check(spark, sfDir)
+    ms.foreach(m => System.err.println(m.toString))
+    if (ms.nonEmpty)
+      System.err.println(s"[fixture] ${ms.size} contract mismatch(es) against $sfDir — downstream failures likely trace here (see FIXTURES.md)")
+    ms.isEmpty
+  }
+}

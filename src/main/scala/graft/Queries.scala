@@ -459,9 +459,12 @@ object Queries {
     // prefix postings + size filter + verify. Lossless by construction,
     // so the oracle is the same ground-truth pair set the O(n²) scan
     // gate uses: equality, not a recall bound. (The gate bound exists
-    // for the ORACLE's quadratic CTE, not the operator.)
+    // for the ORACLE's quadratic CTE, not the operator.) Routed through
+    // the AUTO variant: the gate additionally proves the measured
+    // candidate statistic picks the exact path on a natural vocabulary
+    // (DedupSpec pins the closed-vocabulary → LSH fallback).
     Entry("q_dedup_prefix",
-      (s, d) => Dedup.prefixJaccardPairs(
+      (s, d) => Dedup.prefixJaccardPairsAuto(
         t(s, d, "documents").filter(col("doc_id") < 2000), "text", "doc_id",
         n = 3, threshold = 0.5),
       Some(Dedup.duckNgramJaccardPairs("documents", "text", "doc_id",

@@ -11,9 +11,15 @@ object SparkEntry {
     * per user with non-null user_id and a computed row hash — scan →
     * filter → window top-1 → hash projection, the reference's full
     * composed slice (scd-latest + computed_hash_column).
+    *
+    * The SF dir honors SPARK_GRAFT_SF_DIR when set so the flagship can
+    * exercise the same fixture the driver verifies (oracle twin:
+    * q_entry_flagship, which always runs at the driver's SF); the
+    * contract default stays sf0.001.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val events = Tables.load(spark, sfDir, "events")
     val latest = Sync.plan(events,
       SyncMode.ScdLatest("user_id", "ts", keepRank = true, tieBreakers = Seq("event_id")),
       nonNullableCols = Seq.empty)

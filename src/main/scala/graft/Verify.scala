@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture drift is loud, not silent (the round-8 lesson): one stderr
+    // line per contract mismatch, before any query runs.
+    FixtureProbe.report(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

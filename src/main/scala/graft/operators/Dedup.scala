@@ -220,6 +220,16 @@ object Dedup {
     */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int, threshold: Double): DataFrame = {
+    val (docs, prefixes) = prefixPostings(df, textCol, idCol, n, threshold)
+    prefixExactJoin(docs, prefixes, threshold)
+  }
+
+  /** Shared front half of the prefix-filter join: per-doc shingle sets
+    * plus the τ-prefix posting rows `(id, _len, _pos, _ps)` under the
+    * global rarest-first order (df ASC, shingle ASC).
+    */
+  private def prefixPostings(df: DataFrame, textCol: String, idCol: String,
+                             n: Int, threshold: Double): (DataFrame, DataFrame) = {
     val docs = rebalance(df)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
     val ex = docs.select(col("id"), explode(col("_sh")).as("_s"))
@@ -235,6 +245,14 @@ object Dedup {
         posexplode(slice(transform(col("_osh"), s => s.getField("_s")),
           lit(1), col("_plen"))))
       .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_ps")
+    (docs, prefixes)
+  }
+
+  /** Back half: posting equi-join with size + positional filters, then
+    * exact-Jaccard verification. Lossless (see [[prefixJaccardPairs]]).
+    */
+  private def prefixExactJoin(docs: DataFrame, prefixes: DataFrame,
+                              threshold: Double): DataFrame = {
     // J ≥ τ also lower-bounds the intersection:
     // o ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ (o = J·u, u ≥ (|A|+|B|)/(1+J⁻¹)).
     val oLow = ceil(lit(threshold / (1 + threshold)) *
@@ -256,6 +274,79 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("_sha"), col("_shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Pre-filter candidate volume of the prefix join, measured (not
+    * guessed) from the actual τ-prefix posting lists: the equi-join on
+    * posting token `t` emits Σ_t c_t·(c_t−1)/2 pre-distinct pairs, the
+    * exact quantity that goes quadratic when a closed vocabulary
+    * saturates (BASELINE.md "prefix-join scale rehearsal": 8.1× growth
+    * at 10× rows on the 31-word fixture). One linear, partial-agg
+    * combinable pass over the postings; the sum is carried in DOUBLE
+    * because c_t² overflows long at ~10¹⁰-doc posting sizes (a routing
+    * statistic needs magnitude, not exactness).
+    *
+    * Returns (nDocs, expectedCandidatePairs).
+    */
+  def prefixCandidateStats(df: DataFrame, textCol: String, idCol: String,
+                           n: Int, threshold: Double): (Long, Double) = {
+    val (_, prefixes) = prefixPostings(df, textCol, idCol, n, threshold)
+    statsOf(prefixes)
+  }
+
+  private def statsOf(prefixes: DataFrame): (Long, Double) = {
+    val row = prefixes.groupBy("_ps").agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(col("_c").cast("double") * (col("_c") - 1) / 2), lit(0.0)).as("cand"))
+      .head()
+    (prefixes.select("id").distinct().count(), row.getDouble(0))
+  }
+
+  /** Regime-routed exact similarity join (VERDICT r8 #4): measure the
+    * prefix join's actual candidate volume first, run the lossless
+    * PPJoin when it is linear-ish (≤ `maxCandidatesPerDoc` candidates
+    * per doc), and DEGRADE to the bucket-capped MinHash-LSH join — same
+    * output schema, verified exact Jaccard on every emitted pair, but
+    * probabilistic recall — when the corpus sits in the
+    * closed-vocabulary regime where NO exact algorithm avoids the
+    * Σ df² blowup. The decision is a measured statistic, not a doc
+    * comment; a routed-to-LSH run says so on stderr.
+    *
+    * Plan shape: the postings frame is persisted (MEMORY_AND_DISK) so
+    * the decision pass and the exact join share one computation of the
+    * shingle→df→sort pipeline; the stat itself is one combinable
+    * aggregate (two scalar collects total). On fallback the postings
+    * cache is dropped before the LSH plan is built.
+    */
+  def prefixJaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
+                             n: Int, threshold: Double,
+                             maxCandidatesPerDoc: Double = 64.0,
+                             bands: Int = 16, rowsPerBand: Int = 4,
+                             maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    prefixJaccardPairsRouted(df, textCol, idCol, n, threshold,
+      maxCandidatesPerDoc, bands, rowsPerBand, maxBucketSize)._1
+
+  /** [[prefixJaccardPairsAuto]] with the routing decision exposed for
+    * specs: `_2` is true when the exact prefix path was chosen.
+    */
+  def prefixJaccardPairsRouted(df: DataFrame, textCol: String, idCol: String,
+                               n: Int, threshold: Double,
+                               maxCandidatesPerDoc: Double = 64.0,
+                               bands: Int = 16, rowsPerBand: Int = 4,
+                               maxBucketSize: Int = DefaultMaxBucketSize): (DataFrame, Boolean) = {
+    val (docs, rawPrefixes) = prefixPostings(df, textCol, idCol, n, threshold)
+    val prefixes = rawPrefixes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nDocs, cand) = statsOf(prefixes)
+    if (nDocs == 0 || cand <= maxCandidatesPerDoc * nDocs)
+      (prefixExactJoin(docs, prefixes, threshold), true)
+    else {
+      prefixes.unpersist()
+      System.err.println(
+        f"[dedup] prefixJaccardPairsAuto: measured $cand%.0f candidate pairs for $nDocs docs " +
+        f"(> $maxCandidatesPerDoc%.0f/doc) — closed-vocabulary regime, routing to " +
+        s"MinHash-LSH (bands=$bands, r=$rowsPerBand; probabilistic recall, exact-verified pairs)")
+      (minhashLshPairs(df, textCol, idCol, n, bands, rowsPerBand, threshold,
+        maxBucketSize), false)
+    }
   }
 
   /** MinHash signature: k permutations approximated by one `xxhash64`

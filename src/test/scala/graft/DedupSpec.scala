@@ -58,6 +58,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("auto router: natural vocabulary stays exact; closed vocabulary degrades to LSH with bounded candidates") {
+    import spark.implicits._
+    // Natural regime: mostly-disjoint word universes (prefix tokens stay
+    // rare) plus planted near-dup twins so the ground truth is non-empty.
+    val natural = ((1 to 50).map(i =>
+      (i.toLong, (i * 40 until i * 40 + 30).map(w => s"w$w").mkString(" "))) ++
+      (1 to 5).map(i =>
+        (100L + i, (i * 40 until i * 40 + 30)
+          .map(w => if (w == i * 40 + 15) "CHANGED" else s"w$w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (natOut, natExact) = Dedup.prefixJaccardPairsRouted(
+      natural, "text", "doc_id", n = 3, threshold = 0.5)
+    assert(natExact, "natural vocabulary must route to the exact prefix join")
+    val ground = Dedup.ngramJaccardPairs(natural, "text", "doc_id",
+      n = 3, threshold = 0.5, maxDocId = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(natOut.as[(Long, Long, Double)].collect().toSet == ground)
+
+    // Closed regime (the BASELINE.md scale-rehearsal fixture shape):
+    // every doc drawn from the same tiny vocabulary → shingle space
+    // saturates, Σ df_prefix² goes quadratic.
+    val rnd = new scala.util.Random(7)
+    val closed = (1 to 300).map { i =>
+      (i.toLong, (1 to 40).map(_ => s"v${rnd.nextInt(8)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (nDocs, cand) = Dedup.prefixCandidateStats(closed, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    assert(nDocs == 300L)
+    assert(cand > 64.0 * nDocs,
+      f"closed-vocab fixture must exceed the routing bound (measured $cand%.0f)")
+    val (closedOut, closedExact) = Dedup.prefixJaccardPairsRouted(
+      closed, "text", "doc_id", n = 3, threshold = 0.5)
+    assert(!closedExact, "closed vocabulary must degrade to the LSH path")
+    // The routed plan is the bucket-capped LSH join: candidate volume is
+    // bounded by cap² per band bucket, never Σ df_prefix² — and every
+    // emitted pair is still exact-verified at τ.
+    assert(closedOut.columns.toSeq == Seq("id_a", "id_b", "jaccard"))
+    assert(closedOut.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
   test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
