@@ -87,7 +87,10 @@ object Bench {
     "q_quality_bins" -> 0.16, "q_dedup_edit" -> 1.6, "q_dedup_keepbest" -> 2.3,
     "q_passage_chunk" -> 0.3, "q_epoch_shuffle" -> 0.2,
     "q_stream_counts" -> 2.0, "q_ann_topk_agg" -> 0.6,
-    "q_zipf_fit" -> 0.3, "q_dedup_keepbest_lsh" -> 2.5)
+    "q_zipf_fit" -> 0.3, "q_dedup_keepbest_lsh" -> 2.5,
+    // round-9 additions:
+    "q_stream_enrich" -> 1.5, "q_decontaminate_emb" -> 1.5,
+    "q_ann_pq_saved" -> 5.0, "q_compact_roundtrip" -> 3.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -699,6 +699,25 @@ object Queries {
       Some(Pq.duckPqTopK("embeddings", "embedding", "vec_id",
         dim = 64, m = 8, ksub = 16, iters = 2, k = 5, maxQueryId = 10))),
 
+    // PQ index PERSISTENCE round trip — train, save (codes parquet +
+    // codebook parquet), load, query from the loaded index. Same oracle
+    // as q_ann_pq: the disk round trip must be lossless to the row.
+    // This is the production read path (train once offline, query many
+    // times); per-run temp dir like the sink roundtrips.
+    Entry("q_ann_pq_saved",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val (codes, cents) = Pq.pqModel(emb, "embedding", "vec_id",
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        val dir = Files.createTempDirectory("graft-pq-index").toString
+        Pq.saveIndex(codes, cents, "vec_id", dir)
+        val (codes2, cents2) = Pq.loadIndex(s, dir)
+        Pq.pqTopKFromIndex(codes2, cents2, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", dim = 64, m = 8, k = 5)
+      },
+      Some(Pq.duckPqTopK("embeddings", "embedding", "vec_id",
+        dim = 64, m = 8, ksub = 16, iters = 2, k = 5, maxQueryId = 10))),
+
     // IVF-PQ — the production ANN composition: learned coarse cells
     // prune candidates (3-of-8 probed), PQ codes make scoring the
     // survivors an m-lookup ADC sum. At scale: cell = partition key,
@@ -944,6 +963,17 @@ object Queries {
         evalPred = pmod(col("doc_id"), lit(97L)) === 0L, n = 3),
       Some(Decontaminate.duckOverlap("documents", "text", "doc_id",
         evalPredSql = "doc_id % 97 = 0", n = 3))),
+
+    // SEMANTIC decontamination: cosine-vs-eval-set flagging in embedding
+    // space (paraphrase leakage has no n-gram collision). τ=0.35 is the
+    // fixture's demo near-threshold (FIXTURES.md: max pairwise cosine
+    // ≈ 0.5, no planted near-dups).
+    Entry("q_decontaminate_emb",
+      (s, d) => Decontaminate.embeddingOverlap(t(s, d, "embeddings"),
+        "embedding", "vec_id",
+        evalPred = pmod(col("vec_id"), lit(97L)) === 0L, threshold = 0.35),
+      Some(Decontaminate.duckEmbeddingOverlap("embeddings", "embedding",
+        "vec_id", evalPredSql = "vec_id % 97 = 0", threshold = 0.35))),
 
     // Sub-document exact dedup: 8-token chunks, first-occurrence keeper
     // via ONE chunk-key exchange (C4-style line dedup generalized).
@@ -1381,6 +1411,22 @@ object Queries {
       },
       Some("SELECT * FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag != ''")),
 
+    // Table-maintenance gate — small-file COMPACTION roundtrip: lineitem
+    // written as ~KB-scale files (maxRecordsPerFile=2000 → dozens), then
+    // FileSink.compact rewrites the directory into size-targeted files
+    // with an atomic swap. Oracle = the source table: compaction must be
+    // row-lossless. FileSinkSpec pins the file-count collapse; per-run
+    // temp dir like the sink roundtrips.
+    Entry("q_compact_roundtrip",
+      (s, d) => {
+        val src = t(s, d, "lineitem")
+        val dir = Files.createTempDirectory("graft-compact").toString + "/lineitem"
+        src.write.option("maxRecordsPerFile", "2000").parquet(dir)
+        FileSink.compact(s, dir, targetFileBytes = 64L * 1024 * 1024)
+        s.read.parquet(dir)
+      },
+      Some("SELECT * FROM lineitem")),
+
     // K2 driver gate — CSV sink ROUNDTRIP on the reference's contract
     // (coalesce(1), header, gzip): orders full-sync written and re-read
     // with the written schema. Orders (not lineitem) keeps the
@@ -1495,6 +1541,24 @@ object Queries {
                  AND f.event_id IS NOT NULL
                  AND d.user_id IS NOT NULL AND d.ts IS NOT NULL
                  AND d.event_id IS NOT NULL""")),
+
+    // Stream-STATIC enrichment — the stateless fourth streaming join
+    // shape: each micro-batch equi-joins the broadcast customer dim
+    // (events.user_id ↔ customer.c_custkey). Oracle = the plain batch
+    // join; the replay harness streams only the event side — the dim
+    // staying static IS the semantics under test.
+    Entry("q_stream_enrich",
+      (s, d) => StreamSync.replayEnrich(
+        t(s, d, "events").filter(col("user_id") < 200)
+          .select(col("user_id"), col("ts"), col("event_id")),
+        t(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        "user_id", "ts", "event_id", "c_custkey"),
+      Some(s"""SELECT e.user_id, e.ts, e.event_id,
+                      c.c_name AS dim_c_name,
+                      c.c_mktsegment AS dim_c_mktsegment
+               FROM $EvOracle e JOIN customer c ON e.user_id = c.c_custkey
+               WHERE e.user_id < 200 AND e.user_id IS NOT NULL
+                 AND e.ts IS NOT NULL AND e.event_id IS NOT NULL""")),
 
     // SemDeDup: k-means cells → within-cell cosine near-dup pairs →
     // greedy smaller-id drop (the paper's keep-one policy — NOT a

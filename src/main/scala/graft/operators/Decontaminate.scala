@@ -52,4 +52,46 @@ object Decontaminate {
        |tr AS (SELECT $idCol, unnest(g) AS gram FROM sh WHERE NOT is_eval)
        |SELECT $idCol, count(*) AS n_overlap
        |FROM tr JOIN ev USING (gram) GROUP BY $idCol""".stripMargin
+
+  /** SEMANTIC decontamination: flag training vectors whose cosine
+    * similarity to ANY eval vector reaches `threshold` — the
+    * embedding-space complement of [[overlap]] (paraphrased benchmark
+    * leakage has zero n-gram collision but high cosine; the modern
+    * decontamination playbook runs both).
+    *
+    * Same scale shape as [[overlap]] and the brute-force ANN scan: the
+    * eval set is tiny → broadcast; the training side is one narrow
+    * scan scored per partition (BroadcastNestedLoopJoin over
+    * train × eval with a codegen'd dot), then a doc-keyed partial agg.
+    * Nothing corpus-sized shuffles. Vectors are pre-normalized
+    * (FIXTURES.md) so dot = cosine.
+    *
+    * @return (idCol, n_hits, max_sim) — eval matches at ≥ threshold and
+    *         the max similarity (6 dp), one row per flagged train vector
+    */
+  def embeddingOverlap(vectors: DataFrame, vecCol: String, idCol: String,
+                       evalPred: Column, threshold: Double): DataFrame = {
+    val v = Dedup.rebalance(vectors)
+      .select(col(idCol), evalPred.as("_is_eval"), col(vecCol).as("_v"))
+    val evalSide = v.filter(col("_is_eval"))
+      .select(col("_v").as("_ev"))
+    v.filter(!col("_is_eval"))
+      .crossJoin(broadcast(evalSide))
+      .withColumn("_sim", Similarity.dot(col("_v"), col("_ev")))
+      .filter(col("_sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), round(max(col("_sim")), 6).as("max_sim"))
+  }
+
+  /** DuckDB oracle for [[embeddingOverlap]] (list_dot_product is
+    * bitwise-equal to the engine's dot fold — Similarity scaladoc).
+    */
+  def duckEmbeddingOverlap(tbl: String, vecCol: String, idCol: String,
+                           evalPredSql: String, threshold: Double): String =
+    s"""WITH v AS (SELECT $idCol, ($evalPredSql) AS is_eval,
+       |                  CAST($vecCol AS DOUBLE[]) AS vv FROM $tbl),
+       |s AS (SELECT t.$idCol, list_dot_product(t.vv, e.vv) AS sim
+       |      FROM v t, v e WHERE NOT t.is_eval AND e.is_eval)
+       |SELECT $idCol, count(*) AS n_hits, round(max(sim), 6) AS max_sim
+       |FROM s WHERE sim >= $threshold GROUP BY $idCol""".stripMargin
 }

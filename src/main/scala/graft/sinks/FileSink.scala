@@ -185,4 +185,48 @@ object FileSink {
       .drop("_za", "_zb", "_z")
     applyOpts(arranged.write.format(format)).mode("overwrite").save(uri)
   }
+
+  /** Small-file COMPACTION of a parquet directory — the table-maintenance
+    * operator every long-running ingest needs (Delta `OPTIMIZE` / Iceberg
+    * `rewrite_data_files` semantics, minus the transaction log): size the
+    * output file count from the directory's ACTUAL bytes (footer-level
+    * listing, no data read), rewrite via one round-robin repartition, and
+    * atomically swap directories. Streaming sinks and per-trigger CDC
+    * appends write thousands of KB-scale files; at 100 TB the resulting
+    * per-file open/footer overhead dominates scans long before data cost
+    * does — compaction restores `maxPartitionBytes`-sized splits.
+    *
+    * Returns (filesBefore, filesAfter). The rewrite materializes the
+    * compacted copy COMPLETELY (to `<dir>.__compacting`) before the
+    * original is touched, so a mid-job crash leaves the source intact;
+    * the swap itself is two renames on the same filesystem.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(path)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+    if (dataFiles.isEmpty) return (0, 0) // nothing to compact (and no schema to re-infer)
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".__compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + ".__compacted_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    // Round-robin repartition: even output sizes with no shuffle KEY —
+    // layout-preserving compaction. (Layout-CREATING rewrites are the
+    // sibling writers: writeRangeSorted / writeZOrdered / writeBucketed.)
+    spark.read.parquet(dir).repartition(nOut)
+      .write.parquet(tmp.toString)
+    if (!fs.rename(path, old))
+      throw new RuntimeException(s"compact: could not stage $dir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore — the compacted copy is still at tmp
+      throw new RuntimeException(s"compact: could not swap compacted files into $dir")
+    }
+    fs.delete(old, true)
+    (dataFiles.length, nOut)
+  }
 }

@@ -418,6 +418,66 @@ object StreamSync {
       col(s"dim_$tsCol").as("dim_ts"), col(s"dim_$idCol").as("dim_id"))
   }
 
+  /** Stream-STATIC dimension enrichment — the fourth streaming join
+    * shape next to stream-stream interval join: each micro-batch of the
+    * stream equi-joins a static (batch) dimension table. Stateless by
+    * construction (Spark re-plans the static side per trigger; no
+    * watermark, no join state store), so at 100 TB/day ingest rates the
+    * cost model is simply "one broadcast-hash probe per event": the
+    * dimension is hinted broadcast — the standard small-dim posture —
+    * and nothing accumulates across triggers. Dim columns arrive
+    * prefixed `dim_` (minus the join key, which would duplicate the
+    * stream's), keeping the output schema collision-free like
+    * [[streamingIntervalJoin]].
+    */
+  def streamingEnrich(stream: DataFrame, dim: DataFrame,
+                      streamKey: String, dimKey: String): DataFrame = {
+    val d = dim.select(dim.columns.map(c => col(c).as(s"dim_$c")): _*)
+    stream.join(broadcast(d), col(streamKey) === col(s"dim_$dimKey"))
+      .drop(s"dim_$dimKey")
+  }
+
+  /** Drive [[streamingEnrich]] over a BOUNDED event set against a real
+    * static dimension frame and return the enriched rows as a batch
+    * DataFrame (the q_stream_enrich driver gate; DuckDB twin = a plain
+    * equi-join). One micro-batch, Append mode, no sentinel needed —
+    * stateless joins emit in the arrival trigger. The dim side is NOT
+    * replayed through a MemoryStream: being static is the semantics
+    * under test.
+    */
+  def replayEnrich(events: DataFrame, dim: DataFrame, keyCol: String,
+                   tsCol: String, idCol: String, dimKey: String): DataFrame = {
+    val rows = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      // Null keys/timestamps/ids excluded, mirroring replaySessions.
+      events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(idCol).isNotNull)
+        .select(col(keyCol).cast("long"), col(tsCol), col(idCol).cast("long"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    }
+    val spark = events.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The static side must live in the REPLAY session (a DataFrame is
+    // bound to the SparkSession that resolved it; mixing sessions in one
+    // plan breaks analysis) — rebuild it from collected rows.
+    val dimRows = dim.collect().toSeq
+    val dimLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(dimRows, 1), dim.schema)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val name = s"graft_replay_enrich_${ReplaySeq.incrementAndGet()}"
+    val q = streamingEnrich(input.toDF().toDF(keyCol, tsCol, idCol),
+        dimLocal, keyCol, dimKey)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** Continuous-ingestion dedup: every micro-batch of incoming documents
     * is screened with [[graft.operators.Dedup.indexDedup]] against the
     * static corpus PLUS everything this stream already ingested, and

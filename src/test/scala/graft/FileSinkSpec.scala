@@ -16,6 +16,31 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     p.resolve("out").toString
   }
 
+  test("compact collapses a many-small-file directory losslessly and atomically") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact")
+    val df = spark.range(0, 20000).select(col("id"), (col("id") * 7).as("v"))
+    df.write.option("maxRecordsPerFile", "500").parquet(dir)
+    def parts = Paths.get(dir).toFile.listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parts
+    assert(before >= 10, s"fixture should start fragmented, had $before files")
+    val (nBefore, nAfter) = FileSink.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(nBefore == before && nAfter < before)
+    assert(parts == nAfter)
+    // Lossless: same rows, and no stray staging dirs left behind.
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ==
+      (0L until 20000L).map(i => (i, i * 7)).toSet)
+    val parent = Paths.get(dir).getParent.toFile.listFiles.map(_.getName).toSet
+    assert(!parent.exists(_.contains("__compact")), s"staging left behind: $parent")
+  }
+
+  test("compact on an empty directory is a no-op, not a schema-inference crash") {
+    val dir = tmpDir("graft-compact-empty")
+    Files.createDirectories(Paths.get(dir))
+    assert(FileSink.compact(spark, dir) == (0, 0))
+  }
+
   test("json sink writes gzip part files that read back identically") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "v")

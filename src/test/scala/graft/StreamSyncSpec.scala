@@ -12,6 +12,23 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("stream-static enrich equals the batch join, dim columns prefixed, key not duplicated") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 10L),
+      (2L, ts("2024-01-01 00:00:02"), 11L),
+      (9L, ts("2024-01-01 00:00:03"), 12L), // no dim match → dropped (inner)
+      (1L, ts("2024-01-01 00:00:04"), 13L))
+      .toDF("user_id", "ts", "event_id")
+    val dim = Seq((1L, "alice", "A"), (2L, "bob", "B"), (3L, "carol", "C"))
+      .toDF("c_custkey", "c_name", "c_seg")
+    val out = StreamSync.replayEnrich(events, dim, "user_id", "ts", "event_id", "c_custkey")
+    assert(out.columns.toSeq ==
+      Seq("user_id", "ts", "event_id", "dim_c_name", "dim_c_seg"))
+    val got = out.select("event_id", "dim_c_name").as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "alice"), (11L, "bob"), (13L, "alice")))
+  }
+
   test("windowed change counts aggregate by tumbling window and change type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
