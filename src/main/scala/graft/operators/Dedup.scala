@@ -301,6 +301,18 @@ object Dedup {
     (prefixes.select("id").distinct().count(), row.getDouble(0))
   }
 
+  /** Default routing bound for [[prefixJaccardPairsAuto]], set AT the
+    * measured cost crossover, not at the first sign of sharing
+    * (BASELINE.md round-9 rehearsal): on the closed-vocab scale fixture
+    * the exact join still beats capped LSH at 66 candidates/doc
+    * (1× : 2.7 s vs 9.2 s) while LSH wins asymptotically once candidates
+    * grow quadratically (10× : 832/doc) — exact grows 8.1× per 10×
+    * corpus growth, LSH linearly. 256 keeps the mildly-sharing regime
+    * on the provably-lossless path and degrades before the quadratic
+    * term dominates.
+    */
+  val DefaultMaxPrefixCandidatesPerDoc: Double = 256.0
+
   /** Regime-routed exact similarity join (VERDICT r8 #4): measure the
     * prefix join's actual candidate volume first, run the lossless
     * PPJoin when it is linear-ish (≤ `maxCandidatesPerDoc` candidates
@@ -319,7 +331,7 @@ object Dedup {
     */
   def prefixJaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
                              n: Int, threshold: Double,
-                             maxCandidatesPerDoc: Double = 64.0,
+                             maxCandidatesPerDoc: Double = DefaultMaxPrefixCandidatesPerDoc,
                              bands: Int = 16, rowsPerBand: Int = 4,
                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     prefixJaccardPairsRouted(df, textCol, idCol, n, threshold,
@@ -330,7 +342,7 @@ object Dedup {
     */
   def prefixJaccardPairsRouted(df: DataFrame, textCol: String, idCol: String,
                                n: Int, threshold: Double,
-                               maxCandidatesPerDoc: Double = 64.0,
+                               maxCandidatesPerDoc: Double = DefaultMaxPrefixCandidatesPerDoc,
                                bands: Int = 16, rowsPerBand: Int = 4,
                                maxBucketSize: Int = DefaultMaxBucketSize): (DataFrame, Boolean) = {
     val (docs, rawPrefixes) = prefixPostings(df, textCol, idCol, n, threshold)

@@ -86,10 +86,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val (nDocs, cand) = Dedup.prefixCandidateStats(closed, "text", "doc_id",
       n = 3, threshold = 0.5)
     assert(nDocs == 300L)
+    // The 300-doc spec fixture sits in the early-saturation band: above
+    // the spec's explicit 64/doc bound (proving the routing mechanism)
+    // though below the production default, which is set at the measured
+    // 1×/10× cost crossover (DefaultMaxPrefixCandidatesPerDoc scaladoc).
     assert(cand > 64.0 * nDocs,
       f"closed-vocab fixture must exceed the routing bound (measured $cand%.0f)")
     val (closedOut, closedExact) = Dedup.prefixJaccardPairsRouted(
-      closed, "text", "doc_id", n = 3, threshold = 0.5)
+      closed, "text", "doc_id", n = 3, threshold = 0.5,
+      maxCandidatesPerDoc = 64.0)
     assert(!closedExact, "closed vocabulary must degrade to the LSH path")
     // The routed plan is the bucket-capped LSH join: candidate volume is
     // bounded by cap² per band bucket, never Σ df_prefix² — and every
