@@ -90,7 +90,8 @@ object Bench {
     "q_zipf_fit" -> 0.3, "q_dedup_keepbest_lsh" -> 2.5,
     // round-9 additions:
     "q_stream_enrich" -> 1.5, "q_decontaminate_emb" -> 1.5,
-    "q_ann_pq_saved" -> 5.0, "q_compact_roundtrip" -> 3.0)
+    "q_ann_pq_saved" -> 5.0, "q_compact_roundtrip" -> 3.0,
+    "q_hybrid_rank" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

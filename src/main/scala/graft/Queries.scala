@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1351,6 +1351,19 @@ object Queries {
       (s, d) => Bm25.score(t(s, d, "documents"), "text", "doc_id",
         BmTerms),
       Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
+
+    // Hybrid retrieval: BM25 + embedding-cosine rankings fused by
+    // Reciprocal Rank Fusion (K=60, rank-cutoff variant). Each side's
+    // true global top-100 comes from the bounded-heap aggregate (no
+    // corpus sort); fusion arithmetic is integer-rank reciprocals, so
+    // the gate is float-drift-proof by construction.
+    Entry("q_hybrid_rank",
+      (s, d) => Hybrid.rrfRetrieve(t(s, d, "documents"), t(s, d, "embeddings"),
+        "text", "doc_id", "embedding", "vec_id",
+        terms = BmTerms, queryVecId = 0L, kPerSide = 100, kOut = 50),
+      Some(Hybrid.duckRrfRetrieve("documents", "embeddings",
+        "text", "doc_id", "embedding", "vec_id",
+        terms = BmTerms, queryVecId = 0L, kPerSide = 100, kOut = 50))),
 
     // Daily event-type activity matrix (relational pivot with LITERAL
     // type values — one partial-agg exchange, no distinct-discovery scan).
