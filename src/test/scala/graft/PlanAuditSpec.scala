@@ -66,6 +66,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"corpus-side shuffle or nested-loop join crept into decontaminate:\n$plan")
   }
 
+  test("embedding decontamination scores via broadcast nested-loop, corpus side shuffle-free until the agg") {
+    val plan = SparkEntry.queries("q_decontaminate_emb")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // The eval side is broadcast under a nested-loop (θ-join on the dot
+    // product); the 100 TB training side must NOT sort-merge or
+    // shuffle-hash against it.
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval-side broadcast nested-loop missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join crept into embedding decontamination:\n$plan")
+    // Exactly one SHUFFLE exchange beyond the small-input rebalances:
+    // the partial→final agg on id. (BroadcastExchange is the wanted
+    // eval-side broadcast, not a shuffle.)
+    val shuffles = "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+    val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+    assert(shuffles == rebalances + 1,
+      s"expected only the id-keyed agg exchange beyond the rebalance:\n$plan")
+  }
+
+  test("hybrid RRF ranks both sides with the bounded heap; the only window is over the fused candidates") {
+    val plan = SparkEntry.queries("q_hybrid_rank")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // Two TopK aggregates, each a partial→final ObjectHashAggregate pair:
+    // the corpus is never globally sorted for ranking.
+    val oha = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(oha >= 4, s"expected both sides' bounded-heap partial+final aggregates, found $oha:\n$plan")
+    // The single Window ranks the ≤ 2·kPerSide fused candidates —
+    // metadata scale; a second one would mean a corpus-side rank.
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows == 1, s"expected exactly one (candidate-pool) window, found $windows:\n$plan")
+  }
+
   test("sequence packing shuffles once, on the group key") {
     val plan = SparkEntry.queries("q_seq_pack")(spark, sf)
       .queryExecution.executedPlan.toString()
