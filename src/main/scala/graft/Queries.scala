@@ -198,6 +198,44 @@ object Queries {
                       CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS is_current
                FROM v WHERE ct <> 'delete'""")),
 
+    // INCREMENTAL SCD2 maintenance gate: build the tombstone-bearing
+    // state from the first half of the log (split at the median commit),
+    // splice the second half in with scd2Apply (touched keys only are
+    // rewritten), and present. The oracle is q_scd2_history's FULL
+    // REBUILD SQL — incremental must equal replay bit-for-bit, for any
+    // split (the split point deliberately comes from a quantile probe,
+    // not a constant).
+    Entry("q_scd2_incremental",
+      (s, d) => {
+        val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .withColumn("_ms", expr(s"unix_micros(`${ChangeLog.CommitTs}`) div 1000"))
+        val splitMs = log.stat.approxQuantile("_ms", Array(0.5), 0.01).head.toLong
+        val state = ChangeLog.scd2State(log.filter(col("_ms") <= splitMs),
+          Seq("user_id"), "event_id", Seq("event_type"))
+        val applied = ChangeLog.scd2Apply(state, log.filter(col("_ms") > splitMs),
+          Seq("user_id"), "event_id", Seq("event_type"))
+        ChangeLog.scd2Present(applied)
+      },
+      Some(s"""WITH st AS (
+                 SELECT user_id, event_id, event_type,
+                        CASE WHEN event_id % 10 < 6 THEN 'insert'
+                             WHEN event_id % 10 < 8 THEN 'update_postimage'
+                             WHEN event_id % 10 < 9 THEN 'update_preimage'
+                             ELSE 'delete' END AS ct,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS valid_from_ms
+                 FROM $EvOracle e),
+               s2 AS (SELECT * FROM st WHERE ct <> 'update_preimage'),
+               v AS (SELECT user_id, event_id, event_type, ct, valid_from_ms,
+                            lead(valid_from_ms) OVER w AS valid_to_ms,
+                            row_number() OVER w AS version
+                     FROM s2
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY valid_from_ms, event_id))
+               SELECT user_id, event_id, event_type, valid_from_ms,
+                      valid_to_ms, version,
+                      CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS is_current
+               FROM v WHERE ct <> 'delete'""")),
+
     Entry("q_commit_history",
       (s, d) => {
         val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")

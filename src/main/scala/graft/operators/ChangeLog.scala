@@ -111,21 +111,82 @@ object ChangeLog {
     * `tieBreakCol` makes same-ms commits deterministic.
     */
   def scd2History(log: DataFrame, keyCols: Seq[String], tieBreakCol: String,
-                  dataCols: Seq[String]): DataFrame = {
-    // Ordering by the ms projection (not the raw ts) is safe: unix ms is
-    // a monotone transform, and it lets the window run after the narrow
-    // select below has already dropped the raw commit column.
+                  dataCols: Seq[String]): DataFrame =
+    scd2Present(scd2State(log, keyCols, tieBreakCol, dataCols))
+
+  /** The SCD2 MAINTENANCE STATE: [[scd2History]] with delete TOMBSTONES
+    * retained and the original `_change_type` kept per row — everything
+    * [[scd2Apply]] needs to splice a change batch in without replaying
+    * the full log (deletes consume version slots and close intervals, so
+    * dropping them — as the user-facing view does — would make the
+    * history non-incrementable). This is the standard warehouse posture:
+    * the stored dimension keeps tombstones, readers see
+    * [[scd2Present]].
+    */
+  def scd2State(log: DataFrame, keyCols: Seq[String], tieBreakCol: String,
+                dataCols: Seq[String]): DataFrame =
+    scd2Windowize(
+      // Ordering by the ms projection (not the raw ts) is safe: unix ms
+      // is a monotone transform, and it lets the window run after the
+      // narrow select below has already dropped the raw commit column.
+      log.filter(col(ChangeType) =!= "update_preimage")
+        .select((keyCols ++ Seq(tieBreakCol) ++ dataCols).distinct.map(col)
+          :+ col(ChangeType) :+ commitMs.as("valid_from_ms"): _*),
+      keyCols, tieBreakCol)
+
+  /** The user-facing view of an SCD2 state: tombstones out, change type
+    * dropped — exactly [[scd2History]]'s output.
+    */
+  def scd2Present(state: DataFrame): DataFrame =
+    state.filter(col(ChangeType) =!= "delete").drop(ChangeType)
+
+  /** INCREMENTAL SCD2 maintenance: splice a new change batch into an
+    * existing [[scd2State]] WITHOUT replaying the full log — the
+    * production shape at 100 TB, where the log tail is GBs against a
+    * dimension of TBs. Only keys touched by the batch are rewritten:
+    *
+    *   1. `touched` = distinct keys in the batch (delta-sized);
+    *   2. untouched state rows pass through via one LEFT ANTI join;
+    *   3. touched keys' existing rows are stripped back to their events
+    *      (key, tie-break, data, change type, valid_from_ms — all
+    *      retained in the state), unioned with the batch's events, and
+    *      re-windowed per key.
+    *
+    * Cost scales with (touched history + batch), never with the full
+    * dimension; the anti/semi joins are broadcast-able whenever the
+    * batch's key set is small. Equality contract (spec + oracle gate):
+    * `scd2Apply(scd2State(log ≤ T), changes > T) == scd2State(full log)`
+    * for ANY split — the window recomputation sees the identical per-key
+    * event multiset, so even out-of-order batch boundaries hold.
+    */
+  def scd2Apply(state: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                tieBreakCol: String, dataCols: Seq[String]): DataFrame = {
+    val eventCols = (keyCols ++ Seq(tieBreakCol) ++ dataCols).distinct.map(col) :+
+      col(ChangeType) :+ col("valid_from_ms")
+    val newEvents = changes.filter(col(ChangeType) =!= "update_preimage")
+      .select((keyCols ++ Seq(tieBreakCol) ++ dataCols).distinct.map(col)
+        :+ col(ChangeType) :+ commitMs.as("valid_from_ms"): _*)
+    val touched = newEvents.select(keyCols.map(col): _*).distinct()
+    val untouched = state.join(touched, keyCols, "left_anti")
+    val replayed = state.join(touched, keyCols, "left_semi")
+      .select(eventCols: _*)
+    untouched.unionByName(
+      scd2Windowize(replayed.unionByName(newEvents), keyCols, tieBreakCol))
+  }
+
+  /** Shared interval math over SCD2 event rows
+    * (…, `_change_type`, valid_from_ms): one key-partitioned window
+    * assigns closing bounds, version numbers, and currency.
+    */
+  private def scd2Windowize(events: DataFrame, keyCols: Seq[String],
+                            tieBreakCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("valid_from_ms").asc, col(tieBreakCol).asc)
-    log.filter(col(ChangeType) =!= "update_preimage")
-      .select((keyCols ++ Seq(tieBreakCol) ++ dataCols).distinct.map(col)
-        :+ col(ChangeType) :+ commitMs.as("valid_from_ms"): _*)
+    events
       .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w))
       .withColumn("version", row_number().over(w).cast("long"))
-      .filter(col(ChangeType) =!= "delete")
       .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
-      .drop(ChangeType)
   }
 
   /** Synthesize a change log from any table for tests/demo pipelines: a

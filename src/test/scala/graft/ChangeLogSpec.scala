@@ -54,6 +54,56 @@ class ChangeLogSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("scd2Apply: incremental maintenance equals the full rebuild across any split, including delete/reopen") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:01.000"), "insert"),
+      (1L, 11L, ts("2024-01-01 00:00:02.000"), "update_preimage"),
+      (1L, 12L, ts("2024-01-01 00:00:02.000"), "update_postimage"),
+      (1L, 13L, ts("2024-01-01 00:00:03.000"), "delete"),
+      (1L, 14L, ts("2024-01-01 00:00:04.000"), "insert"),
+      (2L, 20L, ts("2024-01-01 00:00:01.000"), "insert"),
+      (3L, 30L, ts("2024-01-01 00:00:01.000"), "insert"),
+      (3L, 31L, ts("2024-01-01 00:00:02.000"), "delete"))
+      .toDF("k", "seq", ChangeLog.CommitTs, ChangeLog.ChangeType)
+    val full = ChangeLog.scd2History(l, Seq("k"), "seq", Seq.empty)
+      .select("k", "seq", "valid_to_ms", "version", "is_current")
+      .as[(Long, Long, Option[Long], Long, Int)].collect().toSet
+    // Every split point — batch boundaries must never matter. The splits
+    // cut THROUGH the delete/reopen chain and strand key 2 fully in one
+    // side, covering tombstone replay and untouched pass-through.
+    for (splitMs <- Seq("2024-01-01 00:00:01.500", "2024-01-01 00:00:02.500",
+                        "2024-01-01 00:00:03.500")) {
+      val cut = ts(splitMs).getTime
+      def ms(df: org.apache.spark.sql.DataFrame) = df.withColumn("_m",
+        org.apache.spark.sql.functions.expr(
+          s"unix_micros(`${ChangeLog.CommitTs}`) div 1000"))
+      val state = ChangeLog.scd2State(
+        ms(l).filter(org.apache.spark.sql.functions.col("_m") <= cut).drop("_m"),
+        Seq("k"), "seq", Seq.empty)
+      val applied = ChangeLog.scd2Apply(state,
+        ms(l).filter(org.apache.spark.sql.functions.col("_m") > cut).drop("_m"),
+        Seq("k"), "seq", Seq.empty)
+      val inc = ChangeLog.scd2Present(applied)
+        .select("k", "seq", "valid_to_ms", "version", "is_current")
+        .as[(Long, Long, Option[Long], Long, Int)].collect().toSet
+      assert(inc == full, s"split at $splitMs diverged from the full rebuild")
+    }
+    // Chained batches: apply twice (three-way split) — state stays a
+    // fixed point of further maintenance.
+    def msCol = org.apache.spark.sql.functions.expr(
+      s"unix_micros(`${ChangeLog.CommitTs}`) div 1000")
+    val c1 = ts("2024-01-01 00:00:01.500").getTime
+    val c2 = ts("2024-01-01 00:00:03.500").getTime
+    val s0 = ChangeLog.scd2State(l.filter(msCol <= c1), Seq("k"), "seq", Seq.empty)
+    val s1 = ChangeLog.scd2Apply(s0, l.filter(msCol > c1 && msCol <= c2), Seq("k"), "seq", Seq.empty)
+    val s2 = ChangeLog.scd2Apply(s1, l.filter(msCol > c2), Seq("k"), "seq", Seq.empty)
+    val chained = ChangeLog.scd2Present(s2)
+      .select("k", "seq", "valid_to_ms", "version", "is_current")
+      .as[(Long, Long, Option[Long], Long, Int)].collect().toSet
+    assert(chained == full)
+  }
+
   test("latestCommitMs is millisecond-precise (not floor-to-second)") {
     assert(ChangeLog.latestCommitMs(log()) == ts("2024-01-01 00:00:01.250").getTime)
   }
