@@ -60,6 +60,32 @@ object Queries {
     * `total` semantic.
     */
   private val BmTerms = Seq("spark", "hash", "window")
+
+  /** Full-log SCD2 rebuild — the shared oracle for every SCD2 face
+    * (batch build, incremental apply, streaming maintenance): however
+    * the history is produced, it must equal replaying the whole log.
+    */
+  private val Scd2RebuildSql: String =
+    s"""WITH st AS (
+                 SELECT user_id, event_id, event_type,
+                        CASE WHEN event_id % 10 < 6 THEN 'insert'
+                             WHEN event_id % 10 < 8 THEN 'update_postimage'
+                             WHEN event_id % 10 < 9 THEN 'update_preimage'
+                             ELSE 'delete' END AS ct,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS valid_from_ms
+                 FROM ${EvOracle} e),
+               s2 AS (SELECT * FROM st WHERE ct <> 'update_preimage'),
+               v AS (SELECT user_id, event_id, event_type, ct, valid_from_ms,
+                            lead(valid_from_ms) OVER w AS valid_to_ms,
+                            row_number() OVER w AS version
+                     FROM s2
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY valid_from_ms, event_id))
+               SELECT user_id, event_id, event_type, valid_from_ms,
+                      valid_to_ms, version,
+                      CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS is_current
+               FROM v WHERE ct <> 'delete'"""
+
   private val PivotTypes = Seq("click", "view", "purchase", "signup")
 
   val all: Seq[Entry] = Seq(
@@ -178,25 +204,7 @@ object Queries {
         val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
         ChangeLog.scd2History(log, Seq("user_id"), "event_id", Seq("event_type"))
       },
-      Some(s"""WITH st AS (
-                 SELECT user_id, event_id, event_type,
-                        CASE WHEN event_id % 10 < 6 THEN 'insert'
-                             WHEN event_id % 10 < 8 THEN 'update_postimage'
-                             WHEN event_id % 10 < 9 THEN 'update_preimage'
-                             ELSE 'delete' END AS ct,
-                        epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS valid_from_ms
-                 FROM $EvOracle e),
-               s2 AS (SELECT * FROM st WHERE ct <> 'update_preimage'),
-               v AS (SELECT user_id, event_id, event_type, ct, valid_from_ms,
-                            lead(valid_from_ms) OVER w AS valid_to_ms,
-                            row_number() OVER w AS version
-                     FROM s2
-                     WINDOW w AS (PARTITION BY user_id
-                                  ORDER BY valid_from_ms, event_id))
-               SELECT user_id, event_id, event_type, valid_from_ms,
-                      valid_to_ms, version,
-                      CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS is_current
-               FROM v WHERE ct <> 'delete'""")),
+      Some(Scd2RebuildSql)),
 
     // INCREMENTAL SCD2 maintenance gate: build the tombstone-bearing
     // state from the first half of the log (split at the median commit),
@@ -216,25 +224,18 @@ object Queries {
           Seq("user_id"), "event_id", Seq("event_type"))
         ChangeLog.scd2Present(applied)
       },
-      Some(s"""WITH st AS (
-                 SELECT user_id, event_id, event_type,
-                        CASE WHEN event_id % 10 < 6 THEN 'insert'
-                             WHEN event_id % 10 < 8 THEN 'update_postimage'
-                             WHEN event_id % 10 < 9 THEN 'update_preimage'
-                             ELSE 'delete' END AS ct,
-                        epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS valid_from_ms
-                 FROM $EvOracle e),
-               s2 AS (SELECT * FROM st WHERE ct <> 'update_preimage'),
-               v AS (SELECT user_id, event_id, event_type, ct, valid_from_ms,
-                            lead(valid_from_ms) OVER w AS valid_to_ms,
-                            row_number() OVER w AS version
-                     FROM s2
-                     WINDOW w AS (PARTITION BY user_id
-                                  ORDER BY valid_from_ms, event_id))
-               SELECT user_id, event_id, event_type, valid_from_ms,
-                      valid_to_ms, version,
-                      CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS is_current
-               FROM v WHERE ct <> 'delete'""")),
+      Some(Scd2RebuildSql)),
+
+    // STREAMING SCD2 maintenance gate: the same dimension maintained
+    // through a real foreachBatch streaming query — the change log
+    // arrives in three chronological micro-batches, each spliced into
+    // the parquet state with scd2Apply behind a staged swap. Oracle =
+    // the full-log rebuild again: batch boundaries must be invisible.
+    Entry("q_stream_scd2",
+      (s, d) => StreamSync.replayScd2(
+        ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts"),
+        "user_id", "event_id", "event_type", nBatches = 3),
+      Some(Scd2RebuildSql)),
 
     Entry("q_commit_history",
       (s, d) => {

@@ -167,8 +167,13 @@ object ChangeLog {
       .select((keyCols ++ Seq(tieBreakCol) ++ dataCols).distinct.map(col)
         :+ col(ChangeType) :+ commitMs.as("valid_from_ms"): _*)
     val touched = newEvents.select(keyCols.map(col): _*).distinct()
-    val untouched = state.join(touched, keyCols, "left_anti")
-    val replayed = state.join(touched, keyCols, "left_semi")
+    // NULL-SAFE key match (`<=>`): a window's null partition is a real
+    // version chain, and a plain equi-join would neither replay it
+    // (semi misses) nor retire it (anti keeps) when a null-key change
+    // arrives — splitting the chain into two version-1 "current" rows.
+    val matchCond = keyCols.map(k => state(k) <=> touched(k)).reduce(_ && _)
+    val untouched = state.join(touched, matchCond, "left_anti")
+    val replayed = state.join(touched, matchCond, "left_semi")
       .select(eventCols: _*)
     untouched.unionByName(
       scd2Windowize(replayed.unionByName(newEvents), keyCols, tieBreakCol))

@@ -525,6 +525,91 @@ object StreamSync {
       }
       .start()
 
+  /** STREAMING SCD2 dimension maintenance: every micro-batch of change
+    * rows is spliced into the parquet state directory with
+    * [[graft.operators.ChangeLog.scd2Apply]] — only the batch's touched
+    * keys are rewritten, so per-trigger cost scales with the batch, not
+    * the dimension. The state swap is staged (materialize the next state
+    * COMPLETELY beside the current one, then two renames), so a crash
+    * mid-batch leaves the prior state intact. Exactly-once caveat shared
+    * with [[startDedupedIngest]]: foreachBatch may replay a batch on
+    * recovery, and re-applying the same events would duplicate versions —
+    * a production state dir would record the last applied batchId and
+    * skip replays; out of scope for the operator shape.
+    */
+  def startScd2Maintenance(changes: DataFrame, keyCols: Seq[String],
+                           tieBreakCol: String, dataCols: Seq[String],
+                           stateDir: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cur = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+        val hasState = fs.exists(cur)
+        val next =
+          if (hasState)
+            graft.operators.ChangeLog.scd2Apply(
+              spark.read.parquet(stateDir), batch, keyCols, tieBreakCol, dataCols)
+          else
+            graft.operators.ChangeLog.scd2State(batch, keyCols, tieBreakCol, dataCols)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__next")
+        val old = new org.apache.hadoop.fs.Path(stateDir + ".__old")
+        fs.delete(tmp, true); fs.delete(old, true)
+        next.write.parquet(tmp.toString) // materialized before current state moves
+        if (hasState && !fs.rename(cur, old))
+          throw new RuntimeException(s"scd2 maintenance: could not stage $stateDir aside")
+        if (!fs.rename(tmp, cur)) {
+          if (hasState) fs.rename(old, cur) // restore; next state still at tmp
+          throw new RuntimeException(s"scd2 maintenance: could not swap state into $stateDir")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
+  /** Drive [[startScd2Maintenance]] over a BOUNDED change log streamed in
+    * `nBatches` chronological micro-batches and return the PRESENTED
+    * history (the q_stream_scd2 driver gate; DuckDB twin = the full-log
+    * rebuild — batch boundaries must be invisible in the result). Key is
+    * nullable (Option-encoded): null keys form their own version chain,
+    * matching the window's null partition in the batch build.
+    */
+  def replayScd2(log: DataFrame, keyCol: String, tieBreakCol: String,
+                 dataCol: String, nBatches: Int = 2): DataFrame = {
+    val rows = {
+      val spark = log.sparkSession
+      import spark.implicits._
+      log.select(col(keyCol).cast("long"), col(tieBreakCol).cast("long"),
+          col(dataCol).cast("string"), col(graft.operators.ChangeLog.ChangeType),
+          col(graft.operators.ChangeLog.CommitTs))
+        .as[(Option[Long], Long, String, String, java.sql.Timestamp)]
+        .collect().sortBy(r => (r._5.getTime, r._2)).toSeq
+    }
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    val spark = log.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_scd2_state")
+      .resolve("state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
+    val input = MemoryStream[(Option[Long], Long, String, String, java.sql.Timestamp)]
+    val q = startScd2Maintenance(
+      input.toDF().toDF(keyCol, tieBreakCol, dataCol,
+        graft.operators.ChangeLog.ChangeType, graft.operators.ChangeLog.CommitTs),
+      Seq(keyCol), tieBreakCol, Seq(dataCol), stateDir, ckpt)
+    try {
+      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
+      rows.grouped(chunk).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.operators.ChangeLog.scd2Present(spark.read.parquet(stateDir))
+  }
+
   /** Start a parquet sink with a checkpoint — the streaming version of
     * [[graft.sinks.FileSink]]. Returns the running query (stop it or
     * `awaitTermination` on the caller side).

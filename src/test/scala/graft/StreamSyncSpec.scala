@@ -12,6 +12,29 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaming SCD2 maintenance equals the batch rebuild across micro-batch boundaries") {
+    import spark.implicits._
+    import graft.operators.ChangeLog
+    val l = Seq(
+      (Some(1L), 10L, "a", "insert", ts("2024-01-01 00:00:01")),
+      (Some(1L), 12L, "b", "update_postimage", ts("2024-01-01 00:00:02")),
+      (Some(1L), 13L, "b", "delete", ts("2024-01-01 00:00:03")),
+      (Some(1L), 14L, "c", "insert", ts("2024-01-01 00:00:04")),
+      (Some(2L), 20L, "x", "insert", ts("2024-01-01 00:00:01")),
+      (None, 30L, "n", "insert", ts("2024-01-01 00:00:01")),
+      (None, 31L, "n", "update_postimage", ts("2024-01-01 00:00:05")))
+      .toDF("k", "seq", "v", ChangeLog.ChangeType, ChangeLog.CommitTs)
+    val full = ChangeLog.scd2History(l, Seq("k"), "seq", Seq("v"))
+      .select("k", "seq", "v", "valid_to_ms", "version", "is_current")
+      .as[(Option[Long], Long, String, Option[Long], Long, Int)].collect().toSet
+    for (nBatches <- Seq(1, 3, 7)) { // 7 > rows: some batches re-split
+      val streamed = StreamSync.replayScd2(l, "k", "seq", "v", nBatches)
+        .select("k", "seq", "v", "valid_to_ms", "version", "is_current")
+        .as[(Option[Long], Long, String, Option[Long], Long, Int)].collect().toSet
+      assert(streamed == full, s"nBatches=$nBatches diverged from batch rebuild")
+    }
+  }
+
   test("stream-static enrich equals the batch join, dim columns prefixed, key not duplicated") {
     import spark.implicits._
     val events = Seq(
