@@ -237,6 +237,38 @@ object Queries {
         "user_id", "event_id", "event_type", nBatches = 3),
       Some(Scd2RebuildSql)),
 
+    // MERGE INTO maintenance gate: the materialized per-key snapshot
+    // maintained incrementally — tombstone-bearing state from the first
+    // half of the log, cdcMergeApply splices the second half (touched
+    // keys re-folded, untouched pass through), present. Oracle = the
+    // full-log latest-event-per-key fold with the same (ms, event_id)
+    // comparator; deletes remove the key.
+    Entry("q_cdc_merge",
+      (s, d) => {
+        val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .withColumn("_ms", expr(s"unix_micros(`${ChangeLog.CommitTs}`) div 1000"))
+        val splitMs = log.stat.approxQuantile("_ms", Array(0.5), 0.01).head.toLong
+        val state = ChangeLog.cdcMergeState(
+          log.filter(col("_ms") <= splitMs).drop("_ms"), Seq("user_id"), "event_id")
+        val applied = ChangeLog.cdcMergeApply(state,
+          log.filter(col("_ms") > splitMs).drop("_ms"), Seq("user_id"), "event_id")
+        ChangeLog.cdcMergePresent(applied)
+      },
+      Some(s"""WITH b AS (
+                 SELECT e.*,
+                        CASE WHEN event_id % 10 < 6 THEN 'insert'
+                             WHEN event_id % 10 < 8 THEN 'update_postimage'
+                             WHEN event_id % 10 < 9 THEN 'update_preimage'
+                             ELSE 'delete' END AS ct,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+                 FROM $EvOracle e),
+               nb AS (SELECT * FROM b WHERE ct <> 'update_preimage'),
+               r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ms DESC, event_id DESC) AS rn FROM nb)
+               SELECT 'INSERT' AS _mp_change_type, event_id, ts, user_id,
+                      event_type, value, props
+               FROM r WHERE rn = 1 AND ct <> 'delete'""")),
+
     Entry("q_commit_history",
       (s, d) => {
         val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")

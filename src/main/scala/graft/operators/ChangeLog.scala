@@ -93,6 +93,74 @@ object ChangeLog {
     latest.select(lit("INSERT").as(MpChangeType) +: dataCols.map(c => col(s"__s.$c").as(c)): _*)
   }
 
+  /** Materialized-SNAPSHOT maintenance state (the MERGE INTO side of
+    * [[scd2State]]): per key, the single LATEST event — including delete
+    * TOMBSTONES, which must shadow older events arriving in later
+    * batches — with its commit ms retained for the merge comparator.
+    * `tieBreakCol` makes same-ms commits deterministic (the comparator
+    * is lexicographic (commit ms, tie-break), so state and full rebuild
+    * agree for ANY batch split). Schema: keyCols, the remaining data
+    * columns, `_change_type`, `_merge_ms`.
+    */
+  def cdcMergeState(log: DataFrame, keyCols: Seq[String],
+                    tieBreakCol: String): DataFrame =
+    foldMergeEvents(projectMergeEvents(log), keyCols, tieBreakCol)
+
+  /** INCREMENTAL snapshot maintenance — Delta `MERGE INTO` semantics
+    * over the change-log convention: splice a change batch into an
+    * existing [[cdcMergeState]] by re-folding ONLY the touched keys
+    * (null-safe key match, like [[scd2Apply]]); untouched rows pass
+    * through one anti join. Cost scales with the batch, not the
+    * dimension. Equality contract (gate + spec):
+    * `cdcMergeApply(cdcMergeState(log ≤ T), changes > T)` equals
+    * `cdcMergeState(full log)` for any split — the fold is associative
+    * and commutative under the (ms, tie-break) comparator.
+    */
+  def cdcMergeApply(state: DataFrame, changes: DataFrame,
+                    keyCols: Seq[String], tieBreakCol: String): DataFrame = {
+    val newEvents = projectMergeEvents(changes)
+    val touched = newEvents.select(keyCols.map(col): _*).distinct()
+    val matchCond = keyCols.map(k => state(k) <=> touched(k)).reduce(_ && _)
+    val untouched = state.join(touched, matchCond, "left_anti")
+    val replayed = state.join(touched, matchCond, "left_semi")
+    untouched.unionByName(
+      foldMergeEvents(replayed.unionByName(newEvents), keyCols, tieBreakCol))
+  }
+
+  /** User-facing view of a [[cdcMergeState]]: tombstones out, merge
+    * bookkeeping dropped, rows tagged `'INSERT'` — the same shape
+    * [[snapshotAsOf]] presents for a first sync.
+    */
+  def cdcMergePresent(state: DataFrame): DataFrame = {
+    val dataCols = state.columns.filterNot(c => c == ChangeType || c == "_merge_ms")
+    state.filter(col(ChangeType) =!= "delete")
+      .select(lit("INSERT").as(MpChangeType) +: dataCols.map(col): _*)
+  }
+
+  /** Strip a change-log frame to merge events: data columns (original
+    * order), `_change_type`, and the ms commit projection. Preimages are
+    * descriptive, never state-bearing.
+    */
+  private def projectMergeEvents(log: DataFrame): DataFrame = {
+    val dataCols = log.columns.filterNot(c => c == ChangeType || c == CommitTs)
+    log.filter(col(ChangeType) =!= "update_preimage")
+      .select(dataCols.map(col) :+ col(ChangeType) :+ commitMs.as("_merge_ms"): _*)
+  }
+
+  /** One hash-aggregate fold to the per-key (ms, tie-break)-max event —
+    * `max_by` with a struct comparator, partial-aggregated map-side (one
+    * row per key per mapper on the shuffle, the [[snapshotAsOf]] scale
+    * shape).
+    */
+  private def foldMergeEvents(events: DataFrame, keyCols: Seq[String],
+                              tieBreakCol: String): DataFrame = {
+    val others = events.columns.filterNot(keyCols.contains)
+    events.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col("_merge_ms"), col(tieBreakCol))).as("__e"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"__e.`$c`").as(c)): _*)
+  }
+
   /** SCD Type-2 history build: fold a change log into per-key VERSION
     * INTERVALS — (valid_from_ms, valid_to_ms] with `valid_to_ms` NULL on
     * the open (current) version — the warehouse-dimension shape one step

@@ -104,6 +104,36 @@ class ChangeLogSpec extends AnyFunSuite with SparkTestBase {
     assert(chained == full)
   }
 
+  test("cdcMergeApply: incremental merge equals full fold for every split; deletes shadow; null keys merge") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), 10L, "a", ts("2024-01-01 00:00:01.000"), "insert"),
+      (Some(1L), 12L, "b", ts("2024-01-01 00:00:02.000"), "update_postimage"),
+      (Some(1L), 11L, "a", ts("2024-01-01 00:00:02.000"), "update_preimage"), // inert
+      (Some(2L), 20L, "x", ts("2024-01-01 00:00:01.000"), "insert"),
+      (Some(2L), 21L, "x", ts("2024-01-01 00:00:03.000"), "delete"), // key 2 gone
+      (Some(3L), 30L, "t1", ts("2024-01-01 00:00:02.000"), "insert"),
+      (Some(3L), 31L, "t2", ts("2024-01-01 00:00:02.000"), "update_postimage"), // same-ms tie → event_id wins
+      (None, 40L, "n", ts("2024-01-01 00:00:01.000"), "insert"),
+      (None, 41L, "n2", ts("2024-01-01 00:00:04.000"), "update_postimage"))
+      .toDF("k", "seq", "v", ChangeLog.CommitTs, ChangeLog.ChangeType)
+    def present(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "seq", "v").as[(Option[Long], Long, String)].collect().toSet
+    val full = present(ChangeLog.cdcMergePresent(
+      ChangeLog.cdcMergeState(l, Seq("k"), "seq")))
+    assert(full == Set((Some(1L), 12L, "b"), (Some(3L), 31L, "t2"), (None, 41L, "n2")))
+    def msCol = org.apache.spark.sql.functions.expr(
+      s"unix_micros(`${ChangeLog.CommitTs}`) div 1000")
+    for (splitMs <- Seq("2024-01-01 00:00:01.500", "2024-01-01 00:00:02.500",
+                        "2024-01-01 00:00:03.500")) {
+      val cut = ts(splitMs).getTime
+      val state = ChangeLog.cdcMergeState(l.filter(msCol <= cut), Seq("k"), "seq")
+      val inc = present(ChangeLog.cdcMergePresent(
+        ChangeLog.cdcMergeApply(state, l.filter(msCol > cut), Seq("k"), "seq")))
+      assert(inc == full, s"split at $splitMs diverged from the full fold")
+    }
+  }
+
   test("latestCommitMs is millisecond-precise (not floor-to-second)") {
     assert(ChangeLog.latestCommitMs(log()) == ts("2024-01-01 00:00:01.250").getTime)
   }
