@@ -536,6 +536,14 @@ object StreamSync {
     * recovery, and re-applying the same events would duplicate versions —
     * a production state dir would record the last applied batchId and
     * skip replays; out of scope for the operator shape.
+    *
+    * Scale note: the COMPUTE is delta-proportional (scd2Apply rewrites
+    * touched keys only), but this plain-parquet state dir is REWRITTEN
+    * whole each batch. At a TB-scale dimension the state would be
+    * key-partitioned (or a table format with row-level rewrite) so the
+    * swap touches only partitions holding touched keys — the apply plan
+    * already isolates exactly those rows; the sink is the integration
+    * point.
     */
   def startScd2Maintenance(changes: DataFrame, keyCols: Seq[String],
                            tieBreakCol: String, dataCols: Seq[String],
