@@ -119,7 +119,9 @@ object ChangeLog {
   def cdcMergeApply(state: DataFrame, changes: DataFrame,
                     keyCols: Seq[String], tieBreakCol: String): DataFrame = {
     val newEvents = projectMergeEvents(changes)
-    val touched = newEvents.select(keyCols.map(col): _*).distinct()
+    // Broadcast hint: see scd2Apply — the touched set is batch-sized and
+    // the planner would otherwise sort-merge the dimension twice.
+    val touched = broadcast(newEvents.select(keyCols.map(col): _*).distinct())
     val matchCond = keyCols.map(k => state(k) <=> touched(k)).reduce(_ && _)
     val untouched = state.join(touched, matchCond, "left_anti")
     val replayed = state.join(touched, matchCond, "left_semi")
@@ -234,7 +236,13 @@ object ChangeLog {
     val newEvents = changes.filter(col(ChangeType) =!= "update_preimage")
       .select((keyCols ++ Seq(tieBreakCol) ++ dataCols).distinct.map(col)
         :+ col(ChangeType) :+ commitMs.as("valid_from_ms"): _*)
-    val touched = newEvents.select(keyCols.map(col): _*).distinct()
+    // BROADCAST the touched-key set: it is batch-sized by the operator's
+    // own delta contract, but the planner cannot size a distinct() over
+    // an arbitrary plan and falls back to TWO full sort-merge passes
+    // over the dimension (measured 14× slower at a 20 M-row state,
+    // BASELINE.md round-9 CDC rehearsal). With the hint both the anti
+    // and semi probes are map-side hash lookups on the state scan.
+    val touched = broadcast(newEvents.select(keyCols.map(col): _*).distinct())
     // NULL-SAFE key match (`<=>`): a window's null partition is a real
     // version chain, and a plain equi-join would neither replay it
     // (semi misses) nor retire it (anti keeps) when a null-key change

@@ -99,6 +99,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(windows == 1, s"expected exactly one (candidate-pool) window, found $windows:\n$plan")
   }
 
+  test("incremental CDC apply probes the dimension with broadcast joins; no window/fold over untouched rows") {
+    import graft.operators.ChangeLog
+    val log = ChangeLog.synthesize(Tables.load(spark, sf, "events"), "event_id", "ts")
+      .withColumn("_ms", expr(s"unix_micros(`${ChangeLog.CommitTs}`) div 1000"))
+    val cut = 1L // arbitrary: plan shape is split-independent
+    val head = log.filter(col("_ms") <= cut).drop("_ms")
+    val tail = log.filter(col("_ms") > cut).drop("_ms")
+    for ((name, planDf) <- Seq(
+      ("scd2Apply", ChangeLog.scd2Apply(
+        ChangeLog.scd2State(head, Seq("user_id"), "event_id", Seq("event_type")),
+        tail, Seq("user_id"), "event_id", Seq("event_type"))),
+      ("cdcMergeApply", ChangeLog.cdcMergeApply(
+        ChangeLog.cdcMergeState(head, Seq("user_id"), "event_id"),
+        tail, Seq("user_id"), "event_id")))) {
+      val plan = planDf.queryExecution.executedPlan.toString()
+      // The touched-key set must reach both dimension probes as a
+      // broadcast — a SortMergeJoin here means the planner fell back to
+      // sorting the dimension twice (measured 14x slower at 20M rows).
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: dimension-side sort-merge crept into the touched-key probes:\n$plan")
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(bhj >= 2, s"$name: expected the anti+semi probes broadcast, found $bhj:\n$plan")
+    }
+  }
+
   test("sequence packing shuffles once, on the group key") {
     val plan = SparkEntry.queries("q_seq_pack")(spark, sf)
       .queryExecution.executedPlan.toString()
