@@ -229,4 +229,39 @@ object FileSink {
     fs.delete(old, true)
     (dataFiles.length, nOut)
   }
+
+  /** [[compact]] for a HIVE-PARTITIONED directory tree: every leaf
+    * partition directory (`key=value/...`) is compacted independently and
+    * in place, so the partition layout — and therefore partition pruning
+    * — survives untouched, and a crash mid-run leaves every partition
+    * either fully old or fully new (the per-leaf staged swap). This is
+    * the production shape of streaming-sink maintenance: per-trigger
+    * appends fragment exactly these leaves, and per-leaf compaction is
+    * embarrassingly parallel across partitions (sequential here; a
+    * scheduler would fan the leaves out).
+    *
+    * Returns one (relative partition path, filesBefore, filesAfter) row
+    * per leaf visited.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    val raw = new org.apache.hadoop.fs.Path(dir)
+    val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(raw) // listing returns qualified paths; relativize against same
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .filterNot(_.getPath.getName.startsWith("."))
+      val subdirs = entries.filter(_.isDirectory)
+        .filter(_.getPath.getName.contains("=")) // partition dirs only
+      if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(s => leaves(s.getPath))
+    }
+    leaves(root)
+      .filter(p => p != root || fs.listStatus(p).exists(_.isFile)) // skip an all-dir root
+      .map { leaf =>
+        val (before, after) = compact(spark, leaf.toString, targetFileBytes)
+        val rel = leaf.toString.stripPrefix(root.toString).stripPrefix("/")
+        (if (rel.isEmpty) "." else rel, before, after)
+      }
+  }
 }

@@ -35,6 +35,25 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(!parent.exists(_.contains("__compact")), s"staging left behind: $parent")
   }
 
+  test("partitioned compact collapses every leaf in place; pruning layout and rows survive") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact-part")
+    val df = spark.range(0, 9000).select(col("id"),
+      (col("id") % 3).cast("int").as("part"))
+    df.write.option("maxRecordsPerFile", "300").partitionBy("part").parquet(dir)
+    val results = FileSink.compactPartitioned(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(results.size == 3 && results.forall { case (rel, b, a) =>
+      rel.startsWith("part=") && b >= 5 && a < b })
+    // Layout intact: the partition column still reads back from dir names
+    // and prunes; rows are lossless.
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 9000)
+    assert(back.filter(col("part") === 1).select("id").as[Long].collect().toSet ==
+      (0L until 9000L).filter(_ % 3 == 1).toSet)
+    val pruned = back.filter(col("part") === 2).queryExecution.executedPlan.toString()
+    assert(pruned.contains("PartitionFilters: [isnotnull(part"), pruned.take(800))
+  }
+
   test("compact on an empty directory is a no-op, not a schema-inference crash") {
     val dir = tmpDir("graft-compact-empty")
     Files.createDirectories(Paths.get(dir))
