@@ -85,6 +85,41 @@ object Engine {
     SyncResult(out, endMs)
   }
 
+  /** Chunked historical BACKFILL: partition `[startMs, endMs)` into
+    * `chunkMs` ranges and plan one time-based sync per chunk — the
+    * orchestration a first export of a years-deep table needs (one
+    * giant range is one giant task set with no retry granularity; per-
+    * chunk syncs checkpoint progress, bound failure blast radius, and
+    * let the sink roll files per range).
+    *
+    * Exactness: the sync predicate is second-precision
+    * (`unix_timestamp(c)*1000`, F2 parity), so every value is a
+    * multiple of 1000 and the chunk upper bound `<= b − 1000` (via
+    * `delayMs = 1000, nowMs = b`) is EXACTLY `< b` — adjacent chunks
+    * partition the range with no gap and no overlap, which the
+    * q_backfill gate proves by unioning every chunk against the
+    * single-range oracle. Bounds must be second-aligned for that
+    * equivalence; enforced here rather than documented.
+    *
+    * Returns (chunkStartMs, chunkEndMs, plan) per chunk; callers sink
+    * each plan (`FileSink.write`) or union them.
+    */
+  def backfill(df: DataFrame, updatedCol: String, startMs: Long, endMs: Long,
+               chunkMs: Long,
+               nonNullableCols: Seq[String] = Nil): Seq[(Long, Long, DataFrame)] = {
+    require(chunkMs > 0 && chunkMs % 1000 == 0,
+      s"chunkMs must be a positive whole-second multiple, got $chunkMs")
+    require(startMs % 1000 == 0 && endMs % 1000 == 0,
+      s"bounds must be second-aligned (predicate is second-precision), got [$startMs, $endMs)")
+    require(endMs > startMs, s"empty backfill range [$startMs, $endMs)")
+    (startMs until endMs by chunkMs).map { a =>
+      val b = math.min(a + chunkMs, endMs)
+      (a, b, Sync.plan(df,
+        SyncMode.TimeBased(updatedCol, cutoffMs = a, delayMs = 1000L, nowMs = b),
+        nonNullableCols))
+    }
+  }
+
   /** Local-mode session with the layout this engine assumes: UTC, AQE on,
     * shuffle parallelism sized to the cores (not the 200 default).
     *

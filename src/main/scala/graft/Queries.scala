@@ -1511,6 +1511,44 @@ object Queries {
       },
       Some("SELECT * FROM lineitem")),
 
+    // Chunked BACKFILL partition-exactness: the full events range split
+    // into 4 time-based sync chunks (second-aligned bounds; the chunk
+    // upper bound <= b-1000 is exactly < b at second precision), chunks
+    // unioned. Oracle = the single-range scan: no gap, no overlap, no
+    // duplicate — for any range the fixture happens to span.
+    Entry("q_backfill",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val mm = ev.agg(
+          (min(unix_timestamp(col("ts"))) * 1000).as("lo"),
+          (max(unix_timestamp(col("ts"))) * 1000 + 1000).as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val chunkMs = math.max(1000L, (((hi - lo) / 4 + 999) / 1000) * 1000)
+        Engine.backfill(ev, "ts", lo, hi, chunkMs)
+          .map(_._3).reduce(_ unionByName _)
+      },
+      Some(s"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE ts IS NOT NULL")),
+
+    // Partition-aware compaction roundtrip: events written
+    // hive-partitioned by event_type in ~KB files, every leaf compacted
+    // in place, read back through partition discovery. Oracle = the
+    // source table: the rewrite must preserve rows AND the pruning
+    // layout (FileSinkSpec pins the plan side).
+    Entry("q_compact_partitioned",
+      (s, d) => {
+        val src = t(s, d, "events")
+        val dir = Files.createTempDirectory("graft-compact-part").toString + "/events"
+        src.write.option("maxRecordsPerFile", "1000")
+          .partitionBy("event_type").parquet(dir)
+        FileSink.compactPartitioned(s, dir, targetFileBytes = 64L * 1024 * 1024)
+        // Re-select the source column order: partition discovery appends
+        // the partition column last and types it by inference — cast and
+        // reorder back so the oracle compare is purely about the data.
+        s.read.parquet(dir)
+          .select(src.columns.map(c => col(c).cast(src.schema(c).dataType)): _*)
+      },
+      Some(s"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events")),
+
     // K2 driver gate — CSV sink ROUNDTRIP on the reference's contract
     // (coalesce(1), header, gzip): orders full-sync written and re-read
     // with the written schema. Orders (not lineitem) keeps the

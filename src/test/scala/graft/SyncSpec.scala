@@ -7,6 +7,28 @@ import graft.operators.{Sync, SyncMode}
 
 class SyncSpec extends AnyFunSuite with SparkTestBase {
 
+  test("backfill chunks partition the range exactly: boundary rows land in one chunk, none dropped") {
+    import spark.implicits._
+    // Rows AT chunk boundaries (10s, 20s) are the hazard: an inclusive
+    // upper bound would double-count them, an exclusive lower would drop
+    // them. Also a row at the very end of the range.
+    val rows = Seq("00:00:01", "00:00:10", "00:00:15", "00:00:20", "00:00:29")
+      .zipWithIndex.map { case (t, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 $t")) }
+    val df = rows.toDF("id", "ts")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val chunks = Engine.backfill(df, "ts", base, base + 30000, chunkMs = 10000)
+    assert(chunks.map(c => (c._1, c._2)) ==
+      Seq((base, base + 10000), (base + 10000, base + 20000), (base + 20000, base + 30000)))
+    val perChunk = chunks.map(_._3.select("id").as[Long].collect().toSet)
+    assert(perChunk == Seq(Set(0L), Set(1L, 2L), Set(3L, 4L)))
+    // Union == whole range, each row exactly once.
+    assert(perChunk.map(_.size).sum == rows.size)
+    intercept[IllegalArgumentException] {
+      Engine.backfill(df, "ts", base + 1, base + 30000, 10000) // unaligned start
+    }
+  }
+
   test("nonNullableFilter: empty list means no filter") {
     assert(Sync.nonNullableFilter(Nil).isEmpty)
     assert(Sync.nonNullableFilter(Seq("")).isEmpty)
