@@ -93,7 +93,10 @@ object Bench {
     "q_ann_pq_saved" -> 5.0, "q_compact_roundtrip" -> 3.0,
     "q_hybrid_rank" -> 2.0, "q_scd2_incremental" -> 1.0,
     "q_stream_scd2" -> 3.0, "q_cdc_merge" -> 1.0,
-    "q_compact_partitioned" -> 3.0, "q_backfill" -> 1.0)
+    "q_compact_partitioned" -> 3.0, "q_backfill" -> 1.0,
+    "q_text_normalize" -> 0.6, "q_hard_negatives" -> 1.3,
+    "q_mmr_rerank" -> 1.5, "q_retention_expire" -> 2.5,
+    "q_schema_evolve" -> 1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -504,6 +504,42 @@ object Queries {
       Some(s"""SELECT doc_id, ${TextAnalysis.duckFingerprint("text")} AS fingerprint
                FROM documents""")),
 
+    // Text canonicalization + canonical-form dup groups (the CCNet/Dolma
+    // "fuzzy exact" tier): lowercase / punctuation→space / whitespace
+    // collapse, then group by a rolling-hash fingerprint of the
+    // canonical form — min-id keeps. The canonical render is narrow
+    // codegen regex work; the grouping is ONE fingerprint-keyed window
+    // exchange (no join-back), so the operator costs one shuffle of
+    // (id, fp) regardless of corpus size.
+    Entry("q_text_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val canon = Dedup.rebalance(t(s, d, "documents")).select(
+            col("doc_id"),
+            TextAnalysis.canonicalText(col("text")).as("_canon"))
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("_canon")).as("canon_fp"),
+            TextAnalysis.tokenCount(col("_canon")).as("n_canon_tokens"))
+        val w = Window.partitionBy(col("canon_fp"))
+        canon
+          .withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("keep",
+            when(col("doc_id") === min(col("doc_id")).over(w), 1).otherwise(0))
+      },
+      Some {
+        val canon = TextAnalysis.duckCanonicalText("text")
+        s"""WITH c AS (SELECT doc_id, $canon AS canon FROM documents),
+           |f AS (SELECT doc_id,
+           |             ${TextAnalysis.duckFingerprint("canon")} AS canon_fp,
+           |             CAST(len(${TextAnalysis.duckTokensBind("canon")}) AS BIGINT) AS n_canon_tokens
+           |      FROM c)
+           |SELECT doc_id, canon_fp, n_canon_tokens,
+           |       count(*) OVER (PARTITION BY canon_fp) AS group_size,
+           |       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_fp)
+           |            THEN 1 ELSE 0 END AS keep
+           |FROM f""".stripMargin
+      }),
+
     // Exact dedup: one hash partial-agg on md5(text), min-id keeper.
     Entry("q_dedup_exact",
       (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id"),
@@ -723,6 +759,32 @@ object Queries {
       },
       Some(Similarity.duckBruteForceTopK("embeddings", "embedding", "vec_id",
         k = 5, maxQueryId = 10))),
+
+    // Contrastive HARD-NEGATIVE mining: per anchor, the most-similar
+    // vectors BELOW the positive ceiling (near-dups and self are
+    // positives/leakage, not negatives). Same exchange-bounded
+    // bounded-heap shape as q_ann_topk_agg — the ceiling is a narrow
+    // map-side predicate on the scored stream.
+    Entry("q_hard_negatives",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, posCeiling = 0.3)
+      },
+      Some(Similarity.duckHardNegatives("embeddings", "embedding", "vec_id",
+        k = 5, posCeiling = 0.3, maxAnchorId = 5))),
+
+    // MMR diversified rerank (λ=0.5): 20 brute-force candidates for one
+    // query, greedily re-ranked down to 5 trading relevance against
+    // redundancy. Candidate gen is the corpus-sized distributed stage;
+    // the greedy runs on the RESULT-sized candidate set. HARD oracle:
+    // the k greedy steps unrolled as CTEs with identical 6-dp-rounded
+    // similarity inputs and id tie-breaks.
+    Entry("q_mmr_rerank",
+      (s, d) => Mmr.rerank(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 0L, nCand = 20, k = 5),
+      Some(Mmr.duckRerank("embeddings", "embedding", "vec_id",
+        queryId = 0L, nCand = 20, k = 5))),
 
     // ANN scale path: IVF over label cells (centroid probe, nProbe=3).
     // HARD oracle: DuckDB mirrors the IVF computation itself (centroids
@@ -1548,6 +1610,56 @@ object Queries {
           .select(src.columns.map(c => col(c).cast(src.schema(c).dataType)): _*)
       },
       Some(s"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events")),
+
+    // Partition RETENTION EXPIRY (the third table-maintenance face next
+    // to compact and backfill): events written hive-partitioned by day,
+    // days before the retention bound dropped by DIRECTORY DELETE — no
+    // data file opened, the O(1)-per-partition posture that makes
+    // retention affordable at 100 TB. Read back through partition
+    // discovery; oracle = the equivalent row filter on the source.
+    Entry("q_retention_expire",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-retention").toString + "/events"
+        t(s, d, "events")
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.partitionBy("event_date").parquet(dir)
+        FileSink.expirePartitions(s, dir, "event_date", keepFrom = "2024-01-15")
+        // Partition-column type inference reads the day back as DATE —
+        // cast to the written string form so the compare is data-only.
+        s.read.parquet(dir)
+          .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+             |       count(*) AS n
+             |FROM events
+             |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-15'
+             |GROUP BY 1""".stripMargin)),
+
+    // SCHEMA-EVOLUTION read: a table dir that accumulated appends under
+    // two schema versions (early files lack o_totalprice), read back as
+    // ONE declared schema via footer mergeSchema + explicit alignment —
+    // NULL where history predates the column. Oracle renders the same
+    // evolution as a CASE on the source.
+    Entry("q_schema_evolve",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-schema-evolve").toString + "/orders"
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .write.mode("append").parquet(dir)
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("append").parquet(dir)
+        graft.sources.SchemaEvolution.readMerged(s, dir, Seq(
+          "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+          "o_totalprice" -> "double"))
+      },
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             |       CAST(o_custkey AS BIGINT) AS o_custkey,
+             |       CASE WHEN o_orderkey % 2 <> 0
+             |            THEN CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+             |FROM orders""".stripMargin)),
 
     // K2 driver gate — CSV sink ROUNDTRIP on the reference's contract
     // (coalesce(1), header, gzip): orders full-sync written and re-read

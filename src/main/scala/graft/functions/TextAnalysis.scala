@@ -153,6 +153,20 @@ object TextAnalysis {
     }
   }
 
+  /** Canonical text render (the CCNet/Dolma "fuzzy exact" dedup rule):
+    * lowercase → non-alphanumerics become spaces → whitespace runs
+    * collapse to one space → trim. Docs that differ only in case,
+    * punctuation, or spacing canonicalize identically, so an exact
+    * fingerprint over the canonical form catches them — the standard
+    * cheap tier below MinHash in a curation stack. Pure codegen regex
+    * work, no UDF. (ASCII-regime note: Java's `\s` includes `\x0B`
+    * where RE2's does not; the corpus contract is ASCII text, where
+    * the classes agree — see FIXTURES.md.)
+    */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Rolling-hash document fingerprint: left fold of
     * `acc·31 + ascii(char) mod p` over the characters. `split(c, "")`
     * yields zero-width artifacts at the ends in some engines — the
@@ -208,6 +222,9 @@ object TextAnalysis {
     }.mkString(" ")
     s"CASE $chain ELSE 'und' END"
   }
+
+  def duckCanonicalText(col: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($col), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
   def duckFingerprint(col: String): String =
     s"""list_reduce(

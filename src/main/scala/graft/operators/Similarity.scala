@@ -105,6 +105,53 @@ object Similarity {
         round(col("_e.score"), 6).as("score"))
   }
 
+  /** Contrastive hard-negative mining: for each anchor, the `k`
+    * most-similar corpus vectors whose cosine stays BELOW `posCeiling` —
+    * self-matches and near-duplicates above the ceiling are positives
+    * (or leakage), not negatives, so they are excluded BEFORE ranking.
+    * The standard retrieval/embedding-training prep step: anchors keep
+    * their semantically-closest non-duplicates as hard negatives.
+    *
+    * Same exchange-bounded physical shape as [[bruteForceTopKAgg]]: the
+    * ceiling filter is a narrow post-scoring predicate (cuts the scored
+    * stream map-side), and the bounded-heap aggregate partial-collapses
+    * to ≤ k rows per anchor per partition — corpus-sized data never
+    * shuffles. Output: (anchor_id, neg_id, rank, score).
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, vecCol: String,
+                    idCol: String, k: Int, posCeiling: Double): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val q = broadcast(anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("_qv")))
+    val scored = Dedup.rebalance(corpus)
+      .select(col(idCol).as("neg_id"), col(vecCol).as("_cv"))
+      .join(q, col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        dot(col("_qv"), col("_cv")).as("_score"))
+      .filter(col("_score") < posCeiling)
+    scored.groupBy(col("anchor_id"))
+      .agg(topk(col("neg_id"), col("_score")).as("_top"))
+      .select(col("anchor_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("anchor_id"), col("_e.id").as("neg_id"),
+        (col("_r") + 1).cast("long").as("rank"),
+        round(col("_e.score"), 6).as("score"))
+  }
+
+  /** DuckDB oracle for [[hardNegatives]] with anchors = `idCol < maxAnchorId`. */
+  def duckHardNegatives(tbl: String, vecCol: String, idCol: String,
+                        k: Int, posCeiling: Double, maxAnchorId: Long): String =
+    s"""WITH q AS (SELECT $idCol AS anchor_id, CAST($vecCol AS DOUBLE[]) AS qv
+       |           FROM $tbl WHERE $idCol < $maxAnchorId),
+       |s AS (SELECT q.anchor_id, c.$idCol AS neg_id,
+       |             list_dot_product(q.qv, CAST(c.$vecCol AS DOUBLE[])) AS score
+       |      FROM q, $tbl c WHERE c.$idCol <> q.anchor_id),
+       |f AS (SELECT anchor_id, neg_id, score,
+       |             ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |               ORDER BY score DESC, neg_id ASC) AS rank
+       |      FROM s WHERE score < $posCeiling)
+       |SELECT anchor_id, neg_id, rank, round(score, 6) AS score
+       |FROM f WHERE rank <= $k""".stripMargin
+
   /** Per-cell mean centroids of an assigned corpus: mean per component
     * via posexplode + hash agg (one shuffle over (cell, component) —
     * scales linearly, no collect). Output: (cell, centroid).

@@ -230,6 +230,30 @@ object FileSink {
     (dataFiles.length, nOut)
   }
 
+  /** Partition retention expiry (`ALTER TABLE … DROP PARTITION` /
+    * Iceberg `expire_snapshots` territory): delete every top-level hive
+    * partition `partitionCol=value` whose VALUE sorts strictly below
+    * `keepFrom`. ISO `yyyy-MM-dd` values sort lexicographically, so
+    * string compare IS date compare for the standard date layout. A
+    * pure directory-listing operation — no data file is opened, which
+    * is the entire point of retention BY PARTITION at 100 TB: dropping
+    * a day costs O(1) metadata calls instead of a filter+rewrite of the
+    * table. Returns (dropped, kept) partition directory names, sorted.
+    */
+  def expirePartitions(spark: SparkSession, dir: String, partitionCol: String,
+                       keepFrom: String): (Seq[String], Seq[String]) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(path)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(partitionCol + "="))
+    val (drop, keep) = parts.partition(
+      _.getName.stripPrefix(partitionCol + "=") < keepFrom)
+    drop.foreach(p => fs.delete(p, true))
+    (drop.map(_.getName).sorted.toSeq, keep.map(_.getName).sorted.toSeq)
+  }
+
   /** [[compact]] for a HIVE-PARTITIONED directory tree: every leaf
     * partition directory (`key=value/...`) is compacted independently and
     * in place, so the partition layout — and therefore partition pruning

@@ -306,4 +306,51 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(second.newWatermarkMs == futureNow)
     assert(second.df.count() == 0L) // nothing after the watermark
   }
+
+  test("expirePartitions drops days below the bound by directory delete only") {
+    import spark.implicits._
+    val dir = tmpDir("graft-expire")
+    Seq((1L, "2024-01-10"), (2L, "2024-01-14"), (3L, "2024-01-15"),
+        (4L, "2024-01-20"), (5L, "2024-01-20"))
+      .toDF("id", "day").write.partitionBy("day").parquet(dir)
+    val (dropped, kept) = FileSink.expirePartitions(spark, dir, "day", "2024-01-15")
+    assert(dropped == Seq("day=2024-01-10", "day=2024-01-14"))
+    assert(kept == Seq("day=2024-01-15", "day=2024-01-20"))
+    val back = spark.read.parquet(dir).select(col("id")).as[Long].collect().toSet
+    assert(back == Set(3L, 4L, 5L))
+    // survivors' data files are untouched (no rewrite happened):
+    // partition dirs still exist under their original names
+    assert(Paths.get(dir, "day=2024-01-20").toFile.isDirectory)
+    // idempotent: a second expiry with the same bound drops nothing
+    val (again, _) = FileSink.expirePartitions(spark, dir, "day", "2024-01-15")
+    assert(again.isEmpty)
+    // a directory with no matching partitions is a no-op
+    val flat = tmpDir("graft-expire-flat")
+    Seq((1L, "x")).toDF("id", "v").write.parquet(flat)
+    val (d2, k2) = FileSink.expirePartitions(spark, flat, "day", "2024-01-15")
+    assert(d2.isEmpty && k2.isEmpty)
+    assert(spark.read.parquet(flat).count() == 1L)
+  }
+
+  test("schema-evolution read aligns old files to the declared schema with NULLs") {
+    import spark.implicits._
+    val dir = tmpDir("graft-evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30.5), (4L, "d", 40.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val got = graft.sources.SchemaEvolution.readMerged(spark, dir,
+      Seq("id" -> "bigint", "name" -> "string", "score" -> "double"))
+    assert(got.schema.map(f => f.name -> f.dataType.sql).toSeq ==
+      Seq("id" -> "BIGINT", "name" -> "STRING", "score" -> "DOUBLE"))
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30.5)), (4L, "d", Some(40.5))))
+    // a column in the declared schema that NO file carries yet: all-NULL
+    val wide = graft.sources.SchemaEvolution.readMerged(spark, dir,
+      Seq("id" -> "bigint", "added_later" -> "string"))
+    assert(wide.filter(col("added_later").isNotNull).count() == 0L)
+  }
 }

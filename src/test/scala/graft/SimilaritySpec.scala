@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Embeddings
-import graft.operators.{Multimodal, Pq, Similarity}
+import graft.operators.{Mmr, Multimodal, Pq, Similarity}
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
@@ -280,6 +280,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val mean = recalls.sum / recalls.size
     info(s"PQ mean recall@10 (m=8, ksub=16): $mean")
     assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $recalls")
+  }
+
+  test("hard negatives: positives above the ceiling are excluded before ranking") {
+    val corpus = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),              // anchor
+      (1L, Seq(0.8f, 0.6f, 0f, 0f), 0),          // sim 0.8 — positive, excluded
+      (2L, Seq(0.8f, 0.6f, 0f, 0f), 0),          // sim 0.8 — positive, excluded
+      (3L, Seq(0.6f, 0f, 0.8f, 0f), 0),          // sim 0.6 — hardest negative
+      (4L, Seq(0.3f, 0f, 0f, 0.953939f), 0))     // sim 0.3 — next negative
+    val got = Similarity.hardNegatives(corpus,
+        corpus.filter(col("vec_id") < 1), "embedding", "vec_id",
+        k = 2, posCeiling = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 3L, 1L, 0.6), (0L, 4L, 2L, 0.3)))
+  }
+
+  test("MMR rerank trades relevance against redundancy with what is picked") {
+    val corpus = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),           // query
+      (1L, Seq(0.8f, 0.6f, 0f, 0f), 0),       // simq 0.8
+      (2L, Seq(0.8f, 0.6f, 0f, 0f), 0),       // identical twin of 1 — redundant
+      (3L, Seq(0.6f, 0f, 0.8f, 0f), 0))       // simq 0.6, diverse
+    val got = Mmr.rerank(corpus, "embedding", "vec_id",
+        queryId = 0L, nCand = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Plain top-2 would be (1, 2); MMR swaps the redundant twin for the
+    // diverse candidate: pick 1 (highest simq, id tie-break), then 3
+    // (0.5·0.6 − 0.5·0.48 beats 0.5·0.8 − 0.5·1.0).
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L)))
   }
 
   test("PQ codes: m codes per vector, every code a live codebook cell") {

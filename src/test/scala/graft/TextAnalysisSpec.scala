@@ -79,4 +79,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(2L))
   }
+
+  test("canonical text collapses case, punctuation, and spacing variants") {
+    import spark.implicits._
+    val df = Seq(
+      "The Quick, Brown Fox!",
+      "the   quick brown--fox",
+      "  THE QUICK(brown)FOX  ",
+      "a different document").toDF("text")
+      .select(TextAnalysis.canonicalText(col("text")).as("c"))
+    val canon = df.as[String].collect().toSeq
+    assert(canon.take(3).toSet == Set("the quick brown fox"))
+    assert(canon(3) == "a different document")
+    // empty and punctuation-only inputs canonicalize to the empty string
+    val edge = Seq("", "?!...", "  \t ").toDF("text")
+      .select(TextAnalysis.canonicalText(col("text")).as("c"))
+    assert(edge.as[String].collect().forall(_ == ""))
+  }
+
+  test("canonical fingerprint groups fuzzy-exact duplicates, min-id keeps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  world."),
+      (4L, "something else")).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(TextAnalysis.canonicalText(col("text"))).as("fp"))
+    val groups = fp.groupBy("fp").agg(
+        count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSet
+    assert(groups == Set(3L -> 1L, 1L -> 4L))
+  }
 }
