@@ -1011,6 +1011,15 @@ object Queries {
       Some(Drift.duckSourceKl("documents", "text", "source",
         minCount = 5))),
 
+    // EMBEDDING-space drift: per-label centroid cosine against the
+    // corpus centroid (the semantic sibling of q_source_drift — token
+    // KL sees vocabulary shifts, centroid cosine sees meaning shifts).
+    // One posexplode → one (group, component) aggregate; exact-integer
+    // quantized sums make the centroids engine-bitwise.
+    Entry("q_emb_drift",
+      (s, d) => Drift.embeddingDrift(t(s, d, "embeddings"), "embedding", "label"),
+      Some(Drift.duckEmbeddingDrift("embeddings", "embedding", "label", dim = 64))),
+
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).
     Entry("q_mm_decode",
@@ -1184,6 +1193,22 @@ object Queries {
         trainPct = 80, valPct = 10),
       Some(Splits.duckSplitCounts("documents", "doc_id", "source",
         trainPct = 80, valPct = 10))),
+
+    // CLUSTER-AWARE (leakage-free) split: near-duplicate docs must land
+    // in the same split, so the split hash runs over each doc's CC
+    // cluster representative — a near-dup pair straddling train/test is
+    // eval contamination. Pairs bounded like q_dedup_resolve (the
+    // production route feeds LSH pairs); oracle = recursive closure +
+    // the same representative-keyed hash.
+    Entry("q_cluster_split",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.5, maxDocId = 500)
+        Splits.clusterSplit(docs, pairs, "doc_id", trainPct = 80, valPct = 10)
+      },
+      Some(Splits.duckClusterSplitNgram("documents", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 500, trainPct = 80, valPct = 10))),
 
     // Per-language stratified downsampling to target mixture rates,
     // audited: totals vs deterministic hash-sampled counts.
@@ -1483,6 +1508,20 @@ object Queries {
     Entry("q_bm25",
       (s, d) => Bm25.score(t(s, d, "documents"), "text", "doc_id",
         BmTerms),
+      Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
+
+    // BM25 through a PERSISTENT INVERTED INDEX (the lexical sibling of
+    // q_ann_pq_saved): term-sorted postings + doclen + df + stats built
+    // once to parquet, then the query scored from the index WITHOUT
+    // re-tokenizing the corpus — the postings read prunes to the query
+    // terms' row groups. Same oracle as q_bm25: both physical shapes
+    // must produce bitwise-identical scores.
+    Entry("q_bm25_indexed",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-bm25-index").toString
+        Bm25.buildIndex(t(s, d, "documents"), "text", "doc_id", dir)
+        Bm25.scoreFromIndex(s, dir, BmTerms)
+      },
       Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
 
     // Hybrid retrieval: BM25 + embedding-cosine rankings fused by

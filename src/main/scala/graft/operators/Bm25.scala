@@ -70,6 +70,88 @@ object Bm25 {
       round(termScores.reduce(_ + _), 6).as("bm25"))
   }
 
+  /** Persistent INVERTED-INDEX path for the same scorer (the lexical
+    * sibling of [[Pq]]'s saved ANN index — build once offline, query
+    * many times): [[buildIndex]] materializes term-sorted postings
+    * `(term, doc_id, tf)`, a doc-length table, per-term document
+    * frequencies, and the 1-row corpus stats; [[scoreFromIndex]] scores
+    * a literal query WITHOUT re-tokenizing the corpus.
+    *
+    * Scale shape of the query path: the postings read is term-predicated
+    * against a RANGE-SORTED layout, so parquet footer min/max prunes to
+    * the query terms' row groups — cost O(postings of the query terms),
+    * not O(corpus). The pivoted tf table and the df/stats rows are
+    * query-bounded and broadcast; the only corpus-sized relation is the
+    * doc-length table, which joins the broadcast tfs without shuffling.
+    * Float parity: identical declaration-order score chain as [[score]],
+    * so the SAME oracle gates both physical shapes.
+    */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String,
+                 dir: String): Unit = {
+    val toks = Dedup.rebalance(docs)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("_w"))
+    toks.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
+      .write.parquet(s"$dir/doclen")
+    val postings = toks
+      .select(col("doc_id"), explode(col("_w")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    // Term-sorted postings: range partition + in-file sort give tight
+    // per-row-group term bounds — a term-predicated read prunes to the
+    // groups that can match (same posture as FileSink.writeRangeSorted).
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.parquet(s"$dir/postings")
+    postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.parquet(s"$dir/termdf")
+    spark_stats(toks).write.parquet(s"$dir/stats")
+  }
+
+  private def spark_stats(toks: DataFrame): DataFrame =
+    toks.agg(count(lit(1)).as("n"),
+      sum(size(col("_w")).cast("long")).as("sumdl"))
+
+  /** Score `terms` against a [[buildIndex]] directory. Identical rows
+    * (bitwise) to [[score]] on the source corpus.
+    */
+  def scoreFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct,
+      "query terms must be non-empty and distinct")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+    val doclen = spark.read.parquet(s"$dir/doclen")
+    val stats = spark.read.parquet(s"$dir/stats")
+    // Pivot the query-bounded relations into ONE row / one row per doc
+    // with a column per literal term — restoring the declaration-order
+    // score chain that makes the fold order engine-independent.
+    val dfPivot = spark.read.parquet(s"$dir/termdf")
+      .filter(col("term").isin(terms: _*))
+      .groupBy().pivot("term", terms).agg(sum(col("df")))
+    val tfs = postings.groupBy(col("doc_id")).pivot("term", terms).agg(sum(col("tf")))
+    val dfCols = terms.indices.map(i =>
+      coalesce(col(s"`${terms(i)}`"), lit(0L)).as(s"_df$i"))
+    val tfCols = terms.indices.map(i =>
+      coalesce(col(s"`${terms(i)}`"), lit(0L)).as(s"_tf$i"))
+    val base = doclen
+      .join(broadcast(tfs.select(col("doc_id") +: tfCols: _*)), Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfPivot.select(dfCols: _*)))
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val termScores = terms.indices.map { i =>
+      val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
+      val idf = log(
+        (col("n").cast("double") - col(s"_df$i").cast("double") + 0.5) /
+          (col(s"_df$i").cast("double") + 0.5) + 1.0)
+      idf * (tf * (K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0) - B + lit(B) * col("dl").cast("double") / avgdl))
+    }
+    base.select(col("doc_id"), col("dl"),
+      round(termScores.reduce(_ + _), 6).as("bm25"))
+  }
+
   /** DuckDB oracle twin of [[score]] — identical formula, identical
     * term-order `+` chain.
     */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -79,6 +79,76 @@ object Drift {
           .isNull, col("n_vocab")).as("n_vocab"),
         col("m_tokens"), col("kl"))
   }
+
+  /** EMBEDDING-space drift: cosine of each group's centroid against the
+    * whole-corpus centroid — the semantic sibling of [[sourceKl]]
+    * (token drift says a slice's vocabulary moved; centroid drift says
+    * its MEANING moved, catching paraphrase-level shifts token counts
+    * cannot see). A group whose centroid_cos sinks is contributing
+    * off-blend content.
+    *
+    * Scale shape: one posexplode feeds one (group, component) hash
+    * aggregate — output is groups×dim rows, never corpus-sized; the
+    * global centroid derives from the SAME aggregate (no second scan).
+    * Determinism: components are quantized to 1e-6 quanta and summed as
+    * BIGINTs (the [[Pca]] exact-integer trick — sums ≤ 1e6·n stay
+    * inside Long to n ≈ 9e12 vectors), so centroids are exact rationals
+    * both engines compute bitwise-identically; the cosine folds in
+    * ascending component order on both sides.
+    *
+    * Output: (grpCol, n_vectors, centroid_cos to 6 dp).
+    */
+  def embeddingDrift(vecs: DataFrame, vecCol: String, grpCol: String): DataFrame = {
+    val Q = 1.0e6
+    val qcomp = Dedup.rebalance(vecs)
+      .select(col(grpCol), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .select(col(grpCol), col("pos"),
+        floor(col("_v").cast("double") * Q + 0.5).cast("long").as("_q"))
+    val byGrp = qcomp.groupBy(col(grpCol), col("pos"))
+      .agg(sum(col("_q")).as("_sq"), count(lit(1)).as("_n"))
+    val global = byGrp.groupBy(col("pos"))
+      .agg(sum(col("_sq")).as("_gsq"), sum(col("_n")).as("_gn"))
+    val joined = byGrp.join(global, "pos")
+      .withColumn("_c", col("_sq").cast("double") / (col("_n").cast("double") * Q))
+      .withColumn("_g", col("_gsq").cast("double") / (col("_gn").cast("double") * Q))
+    val arr = array_sort(collect_list(struct(col("pos"), col("_c"), col("_g"))))
+    def fold(f: Column => Column) =
+      aggregate(col("_arr"), lit(0.0), (acc, s) => acc + f(s))
+    joined.groupBy(col(grpCol))
+      .agg(max(col("_n")).as("n_vectors"), arr.as("_arr"))
+      .select(col(grpCol), col("n_vectors"),
+        round(
+          fold(s => s.getField("_c") * s.getField("_g")) /
+            (sqrt(fold(s => s.getField("_c") * s.getField("_c"))) *
+             sqrt(fold(s => s.getField("_g") * s.getField("_g")))), 6)
+          .as("centroid_cos"))
+  }
+
+  /** DuckDB oracle for [[embeddingDrift]]: identical quantization,
+    * exact-integer centroid sums, ascending-component cosine fold.
+    */
+  def duckEmbeddingDrift(tbl: String, vecCol: String, grpCol: String,
+                         dim: Int): String =
+    s"""WITH x AS (
+       |  SELECT $grpCol, pos,
+       |         CAST(floor(CAST($vecCol AS DOUBLE[])[pos] * 1000000.0 + 0.5)
+       |              AS BIGINT) AS q
+       |  FROM $tbl, range(1, ${dim + 1}) t(pos)),
+       |bg AS (SELECT $grpCol, pos, sum(q) AS sq, count(*) AS n
+       |       FROM x GROUP BY $grpCol, pos),
+       |g AS (SELECT pos, sum(sq) AS gsq, sum(n) AS gn FROM bg GROUP BY pos),
+       |j AS (SELECT $grpCol, pos, n,
+       |             CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS c,
+       |             CAST(gsq AS DOUBLE) / (CAST(gn AS DOUBLE) * 1000000.0) AS gc
+       |      FROM bg JOIN g USING (pos)),
+       |f AS (SELECT $grpCol, CAST(max(n) AS BIGINT) AS n_vectors,
+       |             list(c ORDER BY pos) AS lc, list(gc ORDER BY pos) AS lg
+       |      FROM j GROUP BY $grpCol)
+       |SELECT $grpCol, n_vectors,
+       |       round(list_dot_product(lc, lg) /
+       |             (sqrt(list_dot_product(lc, lc)) *
+       |              sqrt(list_dot_product(lg, lg))), 6) AS centroid_cos
+       |FROM f""".stripMargin
 
   /** DuckDB oracle for [[sourceKl]] — identical vocabulary restriction,
     * totals, quantized terms, and rounding.

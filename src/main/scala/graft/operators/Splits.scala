@@ -37,6 +37,51 @@ object Splits {
       .otherwise("test")
   }
 
+  /** CLUSTER-AWARE split assignment — the leakage-free variant of
+    * [[splitOf]]: near-duplicate documents must land in the SAME split
+    * (a train/test pair of near-dups is evaluation contamination), so
+    * the split hash is computed over each doc's CLUSTER REPRESENTATIVE
+    * (component min id from [[Dedup.connectedComponents]]) instead of
+    * the doc's own id. Unpaired docs are their own singleton cluster —
+    * for them this degrades to [[splitOf]] exactly.
+    *
+    * Scale shape: the CC label table has one row per PAIRED doc (a
+    * small fraction of the corpus); the label join is one id-keyed
+    * equi-join and the split itself stays a narrow projection. Output:
+    * (idCol, cluster_rep, split).
+    */
+  def clusterSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                   trainPct: Int, valPct: Int, maxIters: Int = 50): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs, maxIters)
+    val rep = coalesce(col("lbl"), col(idCol))
+    df.join(labels, df(idCol) === labels("id"), "left")
+      .select(col(idCol), rep.as("cluster_rep"),
+        splitOf(rep, trainPct, valPct).as("split"))
+  }
+
+  /** DuckDB oracle for [[clusterSplit]] over
+    * [[Dedup.ngramJaccardPairs]]: recursive-CTE closure → component min
+    * → the same split hash over the representative.
+    */
+  def duckClusterSplitNgram(tbl: String, textCol: String, idCol: String,
+                            n: Int, threshold: Double, maxDocId: Long,
+                            trainPct: Int, valPct: Int): String = {
+    val pairsSql = Dedup.duckNgramJaccardPairs(tbl, textCol, idCol, n, threshold, maxDocId)
+    val rep = s"COALESCE(cc.lbl, d.$idCol)"
+    s"""WITH pairs AS ($pairsSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |cc AS (
+       |  WITH RECURSIVE reach(id, lbl) AS (
+       |    SELECT src, src FROM e
+       |    UNION
+       |    SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.id)
+       |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |SELECT d.$idCol, $rep AS cluster_rep,
+       |       ${duckSplit(rep, trainPct, valPct)} AS split
+       |FROM $tbl d LEFT JOIN cc ON d.$idCol = cc.id""".stripMargin
+  }
+
   /** Per-(stratum, split) row counts — the stratification audit. */
   def splitCounts(df: DataFrame, idCol: String, stratumCol: String,
                   trainPct: Int, valPct: Int): DataFrame =

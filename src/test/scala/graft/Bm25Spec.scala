@@ -55,6 +55,26 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Bm25.score(docs, "text", "doc_id", Nil))
   }
 
+  test("inverted-index path equals the direct scorer row-for-row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark hash window spark"),
+      (2L, "window filler words"),
+      (3L, ""),
+      (4L, "hash hash hash")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    Bm25.buildIndex(docs, "text", "doc_id", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val terms = Seq("spark", "hash")
+    assert(rows(Bm25.scoreFromIndex(spark, dir, terms)) ==
+      rows(Bm25.score(docs, "text", "doc_id", terms)))
+    // a query term absent from the corpus: df=0 on both paths, identical
+    val terms2 = Seq("spark", "absentterm")
+    assert(rows(Bm25.scoreFromIndex(spark, dir, terms2)) ==
+      rows(Bm25.score(docs, "text", "doc_id", terms2)))
+  }
+
   test("rarer term contributes more than a common one at equal tf") {
     import spark.implicits._
     // 'rare' in 1/10 docs, 'common' in 9/10; doc 1 has both once at the

@@ -362,4 +362,43 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       .filter(r => r.getLong(2) < rates(r.getString(1))).map(_.getLong(0)).toSet
     assert(kept == check)
   }
+
+  test("embedding drift: aligned group scores near 1, inverted group scores low") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0), (3L, Seq(0.8f, 0.6f), 0),
+      (4L, Seq(-1f, 0f), 1), (5L, Seq(-0.6f, -0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Drift.embeddingDrift(vecs, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0)._1 == 3L && got(1)._1 == 2L)
+    // corpus centroid points roughly +x: group 0 aligns, group 1 opposes
+    assert(got(0)._2 > 0.9 && got(1)._2 < -0.5)
+    // degenerate single-group corpus: group centroid IS the corpus
+    // centroid — cosine rounds to exactly 1
+    val solo = graft.operators.Drift.embeddingDrift(
+      vecs.filter(col("label") === 0), "embedding", "label")
+    assert(solo.collect().map(_.getDouble(2)).toSeq == Seq(1.0))
+  }
+
+  test("cluster split: near-dup clusters land in one split, singletons match splitOf") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Splits.clusterSplit(docs, pairs, "doc_id", trainPct = 80, valPct = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every cluster member carries the component-min representative and
+    // therefore ONE split
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).distinct.size == 1)
+    assert(Seq(10L, 11L).map(got(_)._1).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(got(_)._2).distinct.size == 1)
+    // singletons degrade to the plain per-id split exactly
+    val plain = docs.select(col("doc_id"),
+        Splits.splitOf(col("doc_id"), 80, 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(20L, 21L).foreach { id =>
+      assert(got(id)._1 == id && got(id)._2 == plain(id))
+    }
+  }
 }
