@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -503,6 +503,17 @@ object Queries {
         TextAnalysis.fingerprint(col("text")).as("fingerprint")),
       Some(s"""SELECT doc_id, ${TextAnalysis.duckFingerprint("text")} AS fingerprint
                FROM documents""")),
+
+    // Distributed BPE merge learning (tokenizer training): 6 merge
+    // rounds over the word-TYPE table — statistics are vocabulary-sized
+    // aggregates, the winning pair per round is 1 row of driver
+    // metadata, and the merge application is a narrow HOF fold. HARD
+    // oracle: all 6 rounds unrolled as CTE chains with the identical
+    // left-fold render and (count DESC, pair ASC) tie-break.
+    Entry("q_bpe_merges",
+      (s, d) => Bpe.learnMerges(t(s, d, "documents"), "text",
+        k = 6, maxWordLen = 20),
+      Some(Bpe.duckLearnMerges("documents", "text", k = 6, maxWordLen = 20))),
 
     // Text canonicalization + canonical-form dup groups (the CCNet/Dolma
     // "fuzzy exact" tier): lowercase / punctuation→space / whitespace

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Distributed BPE merge learning (Sennrich et al. 2016 — the tokenizer-
+  * training step of an LLM data pipeline): starting from characters,
+  * repeatedly count adjacent-symbol pairs over the corpus and merge the
+  * most frequent pair, k times. The learned merge table IS a tokenizer.
+  *
+  * Scale shape (the reason BPE trains fine on a 100 TB corpus): like
+  * every practical implementation, statistics run over the WORD-TYPE
+  * table (word, corpus frequency) — a vocabulary-sized relation produced
+  * by one corpus-sized hash aggregate — so each merge iteration is one
+  * explode + aggregate over the vocabulary, not the corpus. The winning
+  * pair per iteration is 1 row of driver metadata (the [[Similarity
+  * .kmeansCells]] centroid argument); applying it is a narrow
+  * higher-order-function fold over each word's symbol array — no UDF,
+  * no shuffle beyond the per-iteration pair count.
+  *
+  * Determinism / oracle parity: the winner tie-breaks on (count DESC,
+  * left ASC, right ASC); counts are exact integers; the greedy
+  * leftmost-first merge is a left fold both engines execute identically
+  * (DuckDB `list_reduce` seeds the accumulator with the first element,
+  * so the Spark fold seeds with `element_at(syms, 1)` and folds the
+  * tail). Words longer than `maxWordLen` chars are excluded on both
+  * sides (the standard tokenizer-training length cap).
+  *
+  * Output: (rank, merge_left, merge_right, merged, pair_count).
+  */
+object Bpe {
+
+  /** Word-type table: (word, freq, syms) with syms = character symbols. */
+  private def vocabOf(docs: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
+    Dedup.rebalance(docs)
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), ch => ch =!= "").as("syms"))
+
+  /** Adjacent-pair counts over the symbol table, frequency-weighted. */
+  private def pairCounts(vocab: DataFrame): DataFrame = {
+    val idx = when(size(col("syms")) >= 2,
+        sequence(lit(1), size(col("syms")) - 1))
+      .otherwise(array().cast("array<int>"))
+    vocab.select(col("freq"), explode(idx).as("i"), col("syms"))
+      .select(col("freq"),
+        element_at(col("syms"), col("i")).as("l"),
+        element_at(col("syms"), col("i") + 1).as("r"))
+      .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Greedy leftmost-first application of merge (l, r) → l+r to a symbol
+    * array, as a single left fold into a space-joined render: the
+    * accumulator's LAST symbol merging with the next element exactly
+    * when they match the pair — a merged symbol compares as its full
+    * concatenated string, so it cannot cascade within the same pass
+    * (standard BPE single-pass semantics).
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val (ll, rl, lr) = (lit(l), lit(r), lit(l + r))
+    val folded = aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      element_at(syms, 1),
+      (acc, x) =>
+        when(acc === ll && x === rl, lr)
+          .when(acc.endsWith(concat(lit(" "), ll)) && x === rl,
+            concat(acc.substr(lit(1), length(acc) - length(ll)), lr))
+          .otherwise(concat(acc, lit(" "), x)))
+    split(folded, " ")
+  }
+
+  /** Learn `k` merges; returns the merge table (driver-built from the k
+    * 1-row argmax results — tokenizer metadata, not data).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int,
+                  maxWordLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = vocabOf(docs, textCol, maxWordLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (rank <- 1 to k) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, l, r, l + r, cnt))
+        val next = vocab
+          .select(col("word"), col("freq"),
+            applyMerge(col("syms"), l, r).as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before freeing the parent
+        vocab.unpersist(blocking = false)
+        vocab = next
+      }
+    }
+    vocab.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "merge_left", "merge_right", "merged", "pair_count")
+  }
+
+  /** DuckDB oracle twin of [[learnMerges]]: the k iterations unrolled as
+    * CTE chains — pair counts, 1-row argmax, and the same left-fold
+    * merge render (`list_reduce` + correlated merge columns).
+    */
+  def duckLearnMerges(tbl: String, textCol: String, k: Int,
+                      maxWordLen: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, freq,
+         |         list_filter(string_split(word, ''), c -> c <> '') AS syms
+         |  FROM (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+         |        FROM (SELECT unnest(${TextAnalysis.duckTokensBind(s"lower($textCol)")}) AS t
+         |              FROM $tbl)
+         |        GROUP BY t)
+         |  WHERE length(word) <= $maxWordLen)""".stripMargin
+    val iters = (1 to k).flatMap { i =>
+      val p =
+        s"""p$i AS (
+           |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w${i - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      val m =
+        s"""m$i AS (
+           |  SELECT l, r, l || r AS lr, cnt FROM p$i
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+      val w =
+        if (i == k) Seq.empty
+        else Seq(
+          s"""w$i AS (
+             |  SELECT word, freq,
+             |         string_split(list_reduce(syms, (acc, x) -> CASE
+             |           WHEN acc = m.l AND x = m.r THEN m.lr
+             |           WHEN right(acc, length(m.l) + 1) = ' ' || m.l AND x = m.r
+             |             THEN left(acc, length(acc) - length(m.l)) || m.lr
+             |           ELSE acc || ' ' || x END), ' ') AS syms
+             |  FROM w${i - 1}, m$i m)""".stripMargin)
+      Seq(p, m) ++ w
+    }
+    val finalRows = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l AS merge_left, r AS merge_right, lr AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $w0,
+       |${iters.mkString(",\n")}
+       |$finalRows""".stripMargin
+  }
+}

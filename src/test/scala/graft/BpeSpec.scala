@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+
+  test("BPE merges on 'banana' follow the hand-traced greedy order") {
+    import spark.implicits._
+    // One word type, freq 3. Round 1 pairs: (b,a)=3, (a,n)=6, (n,a)=6 —
+    // (a,n) wins the count tie on left ASC. Renders then proceed:
+    //   b an an a  → (an,a)=3 wins on left ASC → b an ana
+    //   b an ana   → (an,ana)               → b anana
+    //   b anana    → (b,anana)              → banana
+    // and round 5 finds no pairs, so k=6 yields exactly 4 merges.
+    val docs = Seq("banana banana banana").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", k = 6, maxWordLen = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "a", "n", "an", 6L),
+      (2L, "an", "a", "ana", 3L),
+      (3L, "an", "ana", "anana", 3L),
+      (4L, "b", "anana", "banana", 3L)))
+  }
+
+  test("BPE: word-type weighting and the length cap") {
+    import spark.implicits._
+    // 'ab' appears 5 times as a word type, 'cd' twice — (a,b) must win
+    // despite both pairs appearing in one word type each. The 25-char
+    // word is excluded by maxWordLen=20 and contributes no pairs.
+    val docs = Seq("ab ab ab", "ab ab cd", "cd " + "x" * 25).toDF("text")
+    val got = Bpe.learnMerges(docs, "text", k = 1, maxWordLen = 20)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == Seq(("a", "b", 5L)))
+  }
+
+  test("BPE: merged symbols do not cascade within one pass") {
+    import spark.implicits._
+    // 'aaaa': pairs (a,a)=3·freq. One merge pass renders aa aa — the
+    // merged 'aa' must not re-merge with the next raw 'a' in the same
+    // pass (leftmost-first non-overlapping), which round 2 then pairs
+    // as (aa,aa).
+    val docs = Seq("aaaa").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", k = 2, maxWordLen = 20)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, "aa", 3L), (2L, "aaaa", 1L)))
+  }
+}
