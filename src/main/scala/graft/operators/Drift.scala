@@ -108,7 +108,9 @@ object Drift {
       .agg(sum(col("_q")).as("_sq"), count(lit(1)).as("_n"))
     val global = byGrp.groupBy(col("pos"))
       .agg(sum(col("_sq")).as("_gsq"), sum(col("_n")).as("_gn"))
-    val joined = byGrp.join(global, "pos")
+    // global is dim rows — broadcast it; the (group, component) side
+    // never re-shuffles for the join.
+    val joined = byGrp.join(broadcast(global), "pos")
       .withColumn("_c", col("_sq").cast("double") / (col("_n").cast("double") * Q))
       .withColumn("_g", col("_gsq").cast("double") / (col("_gn").cast("double") * Q))
     val arr = array_sort(collect_list(struct(col("pos"), col("_c"), col("_g"))))

@@ -472,6 +472,58 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"multi-distinct should plan as a single Expand pass:\n$plan")
   }
 
+  test("hard negatives keep the bounded-heap shape: ObjectHashAggregate, no window") {
+    // The ceiling filter must stay a narrow predicate on the scored
+    // stream feeding the same partial-collapsing top-k aggregate as
+    // q_ann_topk_agg — a Window here means the plan regressed to
+    // shipping every scored pair.
+    val plan = SparkEntry.queries("q_hard_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"),
+      s"hard negatives must rank through the bounded-heap aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window rank crept into the hard-negative path:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"anchor side must broadcast:\n$plan")
+  }
+
+  test("text normalize costs ONE fingerprint-keyed exchange beyond the rebalance") {
+    // Canonical render is narrow regex codegen; the dup-grouping is a
+    // single window over canon_fp with no join-back — a second
+    // non-rebalance exchange means a join-back crept in.
+    val plan = SparkEntry.queries("q_text_normalize")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+    assert(exchanges == rebalances + 1,
+      s"expected exactly one grouping exchange beyond the rebalance:\n$plan")
+  }
+
+  test("BM25 index query path pushes the term predicate and never shuffle-joins") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-bm25-idx").toString
+    graft.operators.Bm25.buildIndex(
+      Tables.load(spark, sf, "documents"), "text", "doc_id", dir)
+    val q = graft.operators.Bm25.scoreFromIndex(spark, dir, Seq("spark", "hash"))
+    val plan = q.queryExecution.executedPlan.toString()
+    // The postings read must reach parquet with the term filter pushed
+    // (row-group pruning against the term-sorted layout)...
+    assert(plan.contains("PushedFilters: [In(term") ||
+      plan.contains("PushedFilters: [IsNotNull(term"),
+      s"term predicate is not pushed to the postings scan:\n$plan")
+    // ...and the corpus-sized doclen relation joins the query-bounded
+    // sides by broadcast only.
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in the index query path:\n$plan")
+  }
+
+  test("embedding drift joins its global centroid by broadcast, never shuffle") {
+    val plan = SparkEntry.queries("q_emb_drift")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim-sized centroid table must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$plan")
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
