@@ -237,6 +237,44 @@ object Queries {
         "user_id", "event_id", "event_type", nBatches = 3),
       Some(Scd2RebuildSql)),
 
+    // SNAPSHOT DIFF — infer a change feed from two table states when NO
+    // change log exists (the complement of the CDF emulation): one
+    // full-outer key join, a narrow 0/1/2-row explode per key, Delta
+    // _change_type vocabulary out. Old/new snapshots derived
+    // deterministically from orders so all three change classes occur.
+    Entry("q_snapshot_diff",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+        val newSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")))
+        ChangeLog.inferChanges(oldSnap, newSnap, Seq("o_orderkey"))
+      },
+      Some("""WITH os AS (SELECT o_orderkey AS k, o_custkey AS c,
+             |                   CAST(o_totalprice AS DOUBLE) AS p
+             |            FROM orders WHERE o_orderkey % 7 <> 0),
+             |ns AS (SELECT o_orderkey AS k, o_custkey AS c,
+             |              CASE WHEN o_orderkey % 3 = 0
+             |                   THEN CAST(o_totalprice AS DOUBLE) * 2
+             |                   ELSE CAST(o_totalprice AS DOUBLE) END AS p
+             |       FROM orders WHERE o_orderkey % 5 <> 0),
+             |j AS (SELECT COALESCE(os.k, ns.k) AS k,
+             |             os.k IS NOT NULL AS ino, ns.k IS NOT NULL AS inn,
+             |             os.c AS oc, os.p AS op, ns.c AS nc, ns.p AS np,
+             |             NOT (os.c IS NOT DISTINCT FROM ns.c
+             |                  AND os.p IS NOT DISTINCT FROM ns.p) AS diff
+             |      FROM os FULL JOIN ns ON os.k = ns.k)
+             |SELECT k AS o_orderkey, oc AS o_custkey, op AS o_totalprice,
+             |       'delete' AS _change_type FROM j WHERE ino AND NOT inn
+             |UNION ALL SELECT k, nc, np, 'insert' FROM j WHERE inn AND NOT ino
+             |UNION ALL SELECT k, oc, op, 'update_preimage' FROM j
+             |          WHERE ino AND inn AND diff
+             |UNION ALL SELECT k, nc, np, 'update_postimage' FROM j
+             |          WHERE ino AND inn AND diff""".stripMargin)),
+
     // MERGE INTO maintenance gate: the materialized per-key snapshot
     // maintained incrementally — tombstone-bearing state from the first
     // half of the log, cdcMergeApply splices the second half (touched
@@ -514,6 +552,16 @@ object Queries {
       (s, d) => Bpe.learnMerges(t(s, d, "documents"), "text",
         k = 6, maxWordLen = 20),
       Some(Bpe.duckLearnMerges("documents", "text", k = 6, maxWordLen = 20))),
+
+    // Tokenize the corpus WITH its own learned merges: per-doc word and
+    // BPE-token counts — the training-token budget question, and the
+    // compression audit (n_bpe_tokens < chars). Merges apply to the
+    // DISTINCT word-type table; the corpus pays one word-keyed join.
+    Entry("q_bpe_tokenize",
+      (s, d) => Bpe.tokenCounts(t(s, d, "documents"), "text", "doc_id",
+        k = 6, maxWordLen = 20),
+      Some(Bpe.duckTokenCounts("documents", "text", "doc_id",
+        k = 6, maxWordLen = 20))),
 
     // Text canonicalization + canonical-form dup groups (the CCNet/Dolma
     // "fuzzy exact" tier): lowercase / punctuation→space / whitespace

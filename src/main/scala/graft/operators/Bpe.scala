@@ -103,12 +103,51 @@ object Bpe {
     merges.toSeq.toDF("rank", "merge_left", "merge_right", "merged", "pair_count")
   }
 
-  /** DuckDB oracle twin of [[learnMerges]]: the k iterations unrolled as
-    * CTE chains — pair counts, 1-row argmax, and the same left-fold
-    * merge render (`list_reduce` + correlated merge columns).
+  /** Tokenize the corpus WITH the merges [[learnMerges]] learns on it:
+    * per-document whitespace-word and BPE-token counts — the "how many
+    * training tokens is this corpus under its own tokenizer" question
+    * (and the corpus-compression audit: n_bpe_tokens shrinks as k
+    * grows). Length-capped words are excluded from LEARNING only; every
+    * word is tokenized.
+    *
+    * Scale shape: merges apply to the DISTINCT word-type table (one
+    * fold chain over the vocabulary), and per-doc counts come from one
+    * word-keyed join of the exploded corpus against that vocabulary-
+    * sized table plus one doc-keyed aggregate — the corpus itself is
+    * never folded per occurrence.
     */
-  def duckLearnMerges(tbl: String, textCol: String, k: Int,
-                      maxWordLen: Int): String = {
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int, maxWordLen: Int): DataFrame = {
+    val merges = learnMerges(docs, textCol, k, maxWordLen)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val words = Dedup.rebalance(docs).select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+    val types0 = words.select(col("word")).distinct()
+      .select(col("word"),
+        filter(split(col("word"), ""), ch => ch =!= "").as("syms"))
+    val rendered = merges.foldLeft(types0) { case (df, (l, r)) =>
+      df.select(col("word"), applyMerge(col("syms"), l, r).as("syms"))
+    }.select(col("word"), size(col("syms")).cast("long").as("_wt"))
+    words.join(rendered, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_wt")).as("n_bpe_tokens"))
+  }
+
+  /** The shared merge-application fold, rendered for DuckDB against a
+    * 1-row merge relation aliased `m`.
+    */
+  private def duckFold(symsExpr: String): String =
+    s"""string_split(list_reduce($symsExpr, (acc, x) -> CASE
+       |  WHEN acc = m.l AND x = m.r THEN m.lr
+       |  WHEN right(acc, length(m.l) + 1) = ' ' || m.l AND x = m.r
+       |    THEN left(acc, length(acc) - length(m.l)) || m.lr
+       |  ELSE acc || ' ' || x END), ' ')""".stripMargin
+
+  /** The learn-chain CTEs w0, (p_i, m_i, w_i)… shared by both oracles
+    * (w_k itself is never needed — only the merges m_1..m_k are).
+    */
+  private def duckLearnCtes(tbl: String, textCol: String, k: Int,
+                            maxWordLen: Int): Seq[String] = {
     val w0 =
       s"""w0 AS (
          |  SELECT word, freq,
@@ -132,20 +171,52 @@ object Bpe {
         if (i == k) Seq.empty
         else Seq(
           s"""w$i AS (
-             |  SELECT word, freq,
-             |         string_split(list_reduce(syms, (acc, x) -> CASE
-             |           WHEN acc = m.l AND x = m.r THEN m.lr
-             |           WHEN right(acc, length(m.l) + 1) = ' ' || m.l AND x = m.r
-             |             THEN left(acc, length(acc) - length(m.l)) || m.lr
-             |           ELSE acc || ' ' || x END), ' ') AS syms
+             |  SELECT word, freq, ${duckFold("syms")} AS syms
              |  FROM w${i - 1}, m$i m)""".stripMargin)
       Seq(p, m) ++ w
     }
+    w0 +: iters
+  }
+
+  /** DuckDB oracle twin of [[learnMerges]]: the k iterations unrolled as
+    * CTE chains — pair counts, 1-row argmax, and the same left-fold
+    * merge render (`list_reduce` + correlated merge columns).
+    */
+  def duckLearnMerges(tbl: String, textCol: String, k: Int,
+                      maxWordLen: Int): String = {
     val finalRows = (1 to k)
       .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l AS merge_left, r AS merge_right, lr AS merged, cnt AS pair_count FROM m$i")
       .mkString("\nUNION ALL ")
-    s"""WITH $w0,
-       |${iters.mkString(",\n")}
+    s"""WITH ${duckLearnCtes(tbl, textCol, k, maxWordLen).mkString(",\n")}
        |$finalRows""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[tokenCounts]]: the learn chain, then the
+    * merges applied in order to the UNCAPPED distinct word-type table,
+    * then the word-keyed join + per-doc rollup.
+    */
+  def duckTokenCounts(tbl: String, textCol: String, idCol: String,
+                      k: Int, maxWordLen: Int): String = {
+    val tw0 =
+      s"""tw0 AS (
+         |  SELECT word, list_filter(string_split(word, ''), c -> c <> '') AS syms
+         |  FROM (SELECT DISTINCT t AS word
+         |        FROM (SELECT unnest(${TextAnalysis.duckTokensBind(s"lower($textCol)")}) AS t
+         |              FROM $tbl)))""".stripMargin
+    val twi = (1 to k).map { i =>
+      s"""tw$i AS (
+         |  SELECT word, ${duckFold("syms")} AS syms
+         |  FROM tw${i - 1}, m$i m)""".stripMargin
+    }
+    s"""WITH ${duckLearnCtes(tbl, textCol, k, maxWordLen).mkString(",\n")},
+       |$tw0,
+       |${twi.mkString(",\n")},
+       |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS wt FROM tw$k),
+       |dw AS (SELECT $idCol, unnest(${TextAnalysis.duckTokensBind(s"lower($textCol)")}) AS word
+       |       FROM $tbl)
+       |SELECT $idCol, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(wt) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN wt USING (word)
+       |GROUP BY $idCol""".stripMargin
   }
 }

@@ -106,6 +106,55 @@ object ChangeLog {
                     tieBreakCol: String): DataFrame =
     foldMergeEvents(projectMergeEvents(log), keyCols, tieBreakCol)
 
+  /** SNAPSHOT DIFF — infer a change feed from two table states when no
+    * CDC log exists (the complement of the change-log emulation above:
+    * sources without CDF are synced by diffing consecutive snapshots,
+    * and the output speaks the same `_change_type` vocabulary Delta CDF
+    * does, so everything downstream — the reference's CASE mapping,
+    * [[scd2History]], the merge/apply family — consumes it unchanged).
+    *
+    * Classification per key (null-safe on every compared column):
+    * new-only → `insert`; old-only → `delete`; both present with any
+    * data column differing → `update_preimage` (old row) +
+    * `update_postimage` (new row); identical rows emit nothing.
+    *
+    * Scale shape: ONE full-outer key join of the two snapshots — the
+    * minimal possible plan for a diff — followed by a narrow
+    * array-explode that emits 0/1/2 rows per key in the same pass (no
+    * second scan per change class). Snapshots bucketed on the key make
+    * the join co-located at 100 TB.
+    */
+  def inferChanges(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val dataCols = newSnap.columns.filterNot(keyCols.contains).toSeq
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      "inferChanges: snapshots must share a schema")
+    val o = oldSnap.select(
+      keyCols.map(col) ++ Seq(lit(true).as("_ino")) ++
+        dataCols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = newSnap.select(
+      keyCols.map(col) ++ Seq(lit(true).as("_inn")) ++
+        dataCols.map(c => col(c).as(s"_n_$c")): _*)
+    val j = o.join(n, keyCols, "full_outer")
+    val changed = dataCols
+      .map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def rowOf(side: String, ct: String) =
+      struct(dataCols.map(c => col(s"_${side}_$c").as(c)) :+
+        lit(ct).as(ChangeType): _*)
+    val emitted =
+      when(col("_inn").isNull, array(rowOf("o", "delete")))
+        .when(col("_ino").isNull, array(rowOf("n", "insert")))
+        .when(changed, array(rowOf("o", "update_preimage"),
+          rowOf("n", "update_postimage")))
+        // unchanged: an empty array of the same struct type (filter
+        // keeps the element type without hand-building DDL)
+        .otherwise(filter(array(rowOf("o", "delete")), _ => lit(false)))
+    j.select(keyCols.map(col) :+ explode(emitted).as("_r"): _*)
+      .select(keyCols.map(col) ++ dataCols.map(c => col(s"_r.$c")) :+
+        col(s"_r.$ChangeType"): _*)
+  }
+
   /** INCREMENTAL snapshot maintenance — Delta `MERGE INTO` semantics
     * over the change-log convention: splice a change batch into an
     * existing [[cdcMergeState]] by re-folding ONLY the touched keys

@@ -36,6 +36,19 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(("a", "b", 5L)))
   }
 
+  test("BPE tokenize: learned merges compress counts; capped words still tokenize") {
+    import spark.implicits._
+    // Doc 1's 'banana' fully merges in 4 rounds → 1 token per word.
+    // Doc 2's 25-char word is excluded from LEARNING by maxWordLen but
+    // is still tokenized — no merge touches 'x', so it stays 25 tokens.
+    val docs = Seq(
+      (1L, "banana banana banana"),
+      (2L, "x" * 25)).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, "text", "doc_id", k = 6, maxWordLen = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (3L, 3L), 2L -> (1L, 25L)))
+  }
+
   test("BPE: merged symbols do not cascade within one pass") {
     import spark.implicits._
     // 'aaaa': pairs (a,a)=3·freq. One merge pass renders aa aa — the

@@ -158,4 +158,47 @@ class ChangeLogSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Set(1L, 2L))
     assert(second == Set(3L))
   }
+
+  test("inferChanges classifies insert/delete/update and is null-safe on data columns") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None: Option[String]), (5L, Option("e")))
+      .toDF("k", "v")
+    val newSnap = Seq(
+      (1L, Option("a")),                    // unchanged → nothing
+      (2L, Option("B")),                    // changed → pre + post
+      // 3 absent → delete
+      (4L, None: Option[String]),           // NULL == NULL → unchanged
+      (5L, None: Option[String]),           // e → NULL is a change
+      (6L, Option("f")))                    // new → insert
+      .toDF("k", "v")
+    val got = ChangeLog.inferChanges(oldSnap, newSnap, Seq("k"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (3L, "c", "delete"),
+      (5L, "e", "update_preimage"), (5L, null, "update_postimage"),
+      (6L, "f", "insert")))
+    // round-trip: applying the inferred feed to the old snapshot via the
+    // merge fold reproduces the new snapshot (the point of the op)
+    val feed = ChangeLog.inferChanges(oldSnap, newSnap, Seq("k"))
+      .withColumn(ChangeLog.CommitTs, org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val merged = ChangeLog.cdcMergePresent(
+      ChangeLog.cdcMergeApply(
+        oldSnap.withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+          .withColumn(ChangeLog.CommitTs, org.apache.spark.sql.functions.lit(
+            java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
+          .transform(df => ChangeLog.cdcMergeState(df, Seq("k"), "k")),
+        feed, Seq("k"), "k"))
+      .select("k", "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toSet
+    val want = newSnap.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(merged == want)
+  }
 }
