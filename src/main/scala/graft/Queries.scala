@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -552,6 +552,17 @@ object Queries {
       (s, d) => Bpe.learnMerges(t(s, d, "documents"), "text",
         k = 6, maxWordLen = 20),
       Some(Bpe.duckLearnMerges("documents", "text", k = 6, maxWordLen = 20))),
+
+    // Content-defined chunking (Rabin-boundary CDC): chunk breaks where
+    // the rolling 8-char hash ≡ 0 (mod 32) — boundaries follow CONTENT,
+    // so an inserted byte realigns after the first boundary instead of
+    // shifting every chunk (spec-pinned). Narrow O(n·w) boundary work,
+    // one chunk-key exchange for the cross-doc dup accounting.
+    Entry("q_content_chunks",
+      (s, d) => ContentChunks.stats(t(s, d, "documents"), "text", "doc_id",
+        w = 8, divisor = 32),
+      Some(ContentChunks.duckStats("documents", "text", "doc_id",
+        w = 8, divisor = 32))),
 
     // Tokenize the corpus WITH its own learned merges: per-doc word and
     // BPE-token counts — the training-token budget question, and the
