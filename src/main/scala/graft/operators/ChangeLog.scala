@@ -123,6 +123,11 @@ object ChangeLog {
     * array-explode that emits 0/1/2 rows per key in the same pass (no
     * second scan per change class). Snapshots bucketed on the key make
     * the join co-located at 100 TB.
+    *
+    * NULL keys: standard SQL join semantics — a null-keyed row never
+    * matches, so it diffs as a delete + insert rather than an update.
+    * That is the honest posture for a diff (a null key is not an
+    * identity); sources with nullable keys should surrogate them first.
     */
   def inferChanges(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String]): DataFrame = {
