@@ -99,7 +99,8 @@ object Bench {
     "q_schema_evolve" -> 1.0, "q_bm25_indexed" -> 2.2,
     "q_emb_drift" -> 1.0, "q_cluster_split" -> 6.0,
     "q_bpe_merges" -> 3.0, "q_bpe_tokenize" -> 4.0,
-    "q_snapshot_diff" -> 1.0, "q_content_chunks" -> 1.5)
+    "q_snapshot_diff" -> 1.0, "q_content_chunks" -> 1.5,
+    "q_shared_substrings" -> 2.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

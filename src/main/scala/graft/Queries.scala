@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -552,6 +552,14 @@ object Queries {
       (s, d) => Bpe.learnMerges(t(s, d, "documents"), "text",
         k = 6, maxWordLen = 20),
       Some(Bpe.duckLearnMerges("documents", "text", k = 6, maxWordLen = 20))),
+
+    // EXACT longest-shared-substring mining (the suffix method DupSpan's
+    // gram windows approximate): suffix keys capped at 64 chars, bucket
+    // by 8-char prefix (no global sort — the only exchange), adjacent
+    // cross-doc LCP at doc-change boundaries, top-10 distinct spans.
+    Entry("q_shared_substrings",
+      (s, d) => SharedSubstrings.topShared(t(s, d, "documents"), "text", "doc_id"),
+      Some(SharedSubstrings.duckTopShared("documents", "text", "doc_id"))),
 
     // Content-defined chunking (Rabin-boundary CDC): chunk breaks where
     // the rolling 8-char hash ≡ 0 (mod 32) — boundaries follow CONTENT,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT cross-document longest-shared-substring mining — the
+  * suffix-sorting method that [[DupSpan]]'s gram-window signal
+  * approximates (ExactSubstr, Lee et al. 2022): every suffix key
+  * (capped at `cap` chars) is bucketed by its `prefixLen`-char prefix,
+  * buckets sort internally, and adjacent suffixes from DIFFERENT
+  * documents report their longest common prefix. Any substring of
+  * length ≥ `prefixLen` shared across two docs puts both suffixes in
+  * one bucket, and the max cross-doc LCP is always attained at a
+  * doc-change boundary of the sorted order (for any non-adjacent pair,
+  * walking between them crosses a doc change whose adjacent LCP is at
+  * least as large) — so adjacent pairs suffice for exactness above the
+  * prefix length.
+  *
+  * Scale shape: NO global sort — the only exchange is the prefix-bucket
+  * key (suffix keys are `cap` bytes, so the shuffle is cap× the corpus,
+  * the honest price of the exact method vs the gram approximation), and
+  * each bucket sorts independently. A corpus-hot prefix (a boilerplate
+  * stop-phrase) is the skew risk: buckets above `maxBucketSize` are
+  * dropped with an observed metric, the [[Dedup]] LSH bucket-cap
+  * posture.
+  *
+  * Output: top-`k` distinct shared spans by (length DESC, span ASC)
+  * with the number of boundary pairs that exhibit them.
+  */
+object SharedSubstrings {
+
+  /** Fold-based longest-common-prefix of two string columns, capped:
+    * the accumulator advances while characters keep matching — both
+    * engines fold left with init 0, so the result is engine-identical.
+    */
+  private def lcpOf(a: Column, b: Column, cap: Int): Column =
+    aggregate(sequence(lit(1), lit(cap)), lit(0), (acc, i) =>
+      when(acc === i - 1 && i <= length(a) && i <= length(b) &&
+        a.substr(i, lit(1)) === b.substr(i, lit(1)), i).otherwise(acc))
+
+  def topShared(docs: DataFrame, textCol: String, idCol: String,
+                minLen: Int = 16, cap: Int = 64, prefixLen: Int = 8,
+                k: Int = 10, maxBucketSize: Int = 100000): DataFrame = {
+    require(prefixLen <= minLen && minLen <= cap,
+      "need prefixLen <= minLen <= cap")
+    val text = col(textCol)
+    val n = length(text)
+    val sfx = Dedup.rebalance(docs)
+      .filter(n >= minLen)
+      .select(col(idCol).as("_id"), text.as("_t"),
+        explode(sequence(lit(1), n - minLen + 1)).as("_pos"))
+      .select(col("_id"), col("_pos"),
+        col("_t").substr(col("_pos"), lit(cap)).as("_key"))
+      .withColumn("_bkt", col("_key").substr(1, prefixLen))
+    // skew guard: drop corpus-hot prefix buckets (observed metric)
+    val wB = Window.partitionBy(col("_bkt"))
+    val capped = sfx.withColumn("_bn", count(lit(1)).over(wB))
+      .observe("graft.sharedsub_bucket_drops",
+        sum(when(col("_bn") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"))
+      .filter(col("_bn") <= maxBucketSize)
+    val w = Window.partitionBy(col("_bkt"))
+      .orderBy(col("_key").asc, col("_id").asc, col("_pos").asc)
+    val adj = capped
+      .withColumn("_pkey", lag(col("_key"), 1).over(w))
+      .withColumn("_pid", lag(col("_id"), 1).over(w))
+      .filter(col("_pid").isNotNull && col("_pid") =!= col("_id"))
+      .withColumn("_lcp", lcpOf(col("_key"), col("_pkey"), cap))
+      .filter(col("_lcp") >= minLen)
+      .select(col("_key").substr(lit(1), col("_lcp")).as("span"))
+    adj.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("span"), length(col("span")).cast("long").as("span_len"),
+        col("n_pairs"))
+      .orderBy(col("span_len").desc, col("span").asc)
+      .limit(k)
+  }
+
+  /** DuckDB oracle twin — identical suffix keys, bucket cap, total
+    * order, LCP fold, and top-k tie-break.
+    */
+  def duckTopShared(tbl: String, textCol: String, idCol: String,
+                    minLen: Int = 16, cap: Int = 64, prefixLen: Int = 8,
+                    k: Int = 10, maxBucketSize: Int = 100000): String =
+    s"""WITH sfx AS (
+       |  SELECT $idCol AS id, i AS pos,
+       |         $textCol[i : i + ${cap - 1}] AS key,
+       |         $textCol[i : i + ${prefixLen - 1}] AS bkt
+       |  FROM (SELECT $idCol, $textCol,
+       |               unnest(range(1, length($textCol) - $minLen + 2)) AS i
+       |        FROM $tbl WHERE length($textCol) >= $minLen)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY bkt) AS bn FROM sfx)
+       |  WHERE bn <= $maxBucketSize),
+       |o AS (
+       |  SELECT id, key,
+       |         lag(key) OVER w AS pkey, lag(id) OVER w AS pid
+       |  FROM capped
+       |  WINDOW w AS (PARTITION BY bkt ORDER BY key ASC, id ASC, pos ASC)),
+       |l AS (
+       |  SELECT key, list_reduce(list_prepend(0, range(1, ${cap + 1})),
+       |           (acc, i) -> CASE WHEN acc = i - 1 AND i <= length(key)
+       |                                 AND i <= length(pkey)
+       |                                 AND key[i:i] = pkey[i:i]
+       |                            THEN i ELSE acc END) AS lcp
+       |  FROM o WHERE pid IS NOT NULL AND pid <> id),
+       |s AS (SELECT key[1:lcp] AS span FROM l WHERE lcp >= $minLen)
+       |SELECT span, CAST(length(span) AS BIGINT) AS span_len,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM s GROUP BY span
+       |ORDER BY span_len DESC, span ASC LIMIT $k""".stripMargin
+}
