@@ -27,17 +27,28 @@ import org.apache.spark.sql.functions._
   *
   * Output: top-`k` distinct shared spans by (length DESC, span ASC)
   * with the number of boundary pairs that exhibit them.
+  *
+  * Cost honesty (BASELINE.md rehearsal): exact suffix mining is
+  * n·log n with comparison-heavy constants on low-entropy text — at
+  * corpus scale run [[DupSpan.stats]] (join-free gram windows) as the
+  * cheap screen and this exact miner over the flagged subset, the same
+  * screen-then-exact routing the prefix similarity join uses.
   */
 object SharedSubstrings {
 
   /** Fold-based longest-common-prefix of two string columns, capped:
     * the accumulator advances while characters keep matching — both
     * engines fold left with init 0, so the result is engine-identical.
+    * Equal keys — THE hot case in duplicate-heavy corpora, where whole
+    * runs of suffixes repeat verbatim — short-circuit to a length
+    * compare instead of walking the interpreted 64-step fold (the fold
+    * is a higher-order function, outside whole-stage codegen).
     */
   private def lcpOf(a: Column, b: Column, cap: Int): Column =
-    aggregate(sequence(lit(1), lit(cap)), lit(0), (acc, i) =>
-      when(acc === i - 1 && i <= length(a) && i <= length(b) &&
-        a.substr(i, lit(1)) === b.substr(i, lit(1)), i).otherwise(acc))
+    when(a === b, least(length(a), length(b)))
+      .otherwise(aggregate(sequence(lit(1), lit(cap)), lit(0), (acc, i) =>
+        when(acc === i - 1 && i <= length(a) && i <= length(b) &&
+          a.substr(i, lit(1)) === b.substr(i, lit(1)), i).otherwise(acc)))
 
   def topShared(docs: DataFrame, textCol: String, idCol: String,
                 minLen: Int = 16, cap: Int = 64, prefixLen: Int = 8,
