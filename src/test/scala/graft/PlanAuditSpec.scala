@@ -524,6 +524,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$plan")
   }
 
+  test("shared substrings: bucket-keyed window, top-k without a global sort") {
+    // The design claim: NO corpus-wide sort — suffixes exchange once on
+    // the prefix bucket, sort within buckets, and the final top-k plans
+    // as TakeOrdered, never a full Sort+Limit of the span table.
+    val plan = SparkEntry.queries("q_shared_substrings")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no join belongs in the suffix pipeline:\n$plan")
+  }
+
+  test("snapshot diff is one full-outer join and narrow emission — no extra exchange") {
+    // One key exchange per snapshot side feeding a single SortMergeJoin
+    // (FullOuter), then the 0/1/2-row classification explode is narrow:
+    // any further exchange means a per-class re-scan crept in.
+    val df = SparkEntry.queries("q_snapshot_diff")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val rebalances = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+    assert(exchanges <= rebalances + 2,
+      s"snapshot diff grew beyond its two join-input exchanges:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"change classes must not re-scan the source, found $scans scans:\n$plan")
+  }
+
   test("hll sketch plan aggregates registers, not raw distinct keys") {
     val events = Tables.load(spark, sf, "events")
     val out = graft.operators.Sketches.hllDistinct(events, "user_id", "event_type")
