@@ -100,7 +100,7 @@ object Bench {
     "q_emb_drift" -> 1.0, "q_cluster_split" -> 6.0,
     "q_bpe_merges" -> 3.0, "q_bpe_tokenize" -> 4.0,
     "q_snapshot_diff" -> 1.0, "q_content_chunks" -> 1.5,
-    "q_shared_substrings" -> 2.5)
+    "q_shared_substrings" -> 2.5, "q_pipeline_splits" -> 4.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1231,6 +1231,16 @@ object Queries {
       Some(Pipeline.duckCurateSpans("documents", "text", "doc_id",
         chunkTokens = 5, minDocs = 3, k = 5, minRun = 4, minScore = 0.5))),
 
+    // The late-round composed recipe: canonical-form exact dedup →
+    // classifier floor → LEAKAGE-FREE cluster-aware split → per-split
+    // manifest. Proves the new tiers compose end-to-end: near-dups can
+    // never straddle train/test in the emitted manifest.
+    Entry("q_pipeline_splits",
+      (s, d) => Pipeline.curateSplits(t(s, d, "documents"), "text", "doc_id",
+        minScore = 0.5, trainPct = 80, valPct = 10, pairMaxDocId = 500),
+      Some(Pipeline.duckCurateSplits("documents", "text", "doc_id",
+        minScore = 0.5, trainPct = 80, valPct = 10, pairMaxDocId = 500))),
+
     // ExactSubstr signal (Lee et al. 2022): per-doc duplicated-span
     // coverage via runs of cross-doc-shared 5-grams — join-free
     // (min≠max over the gram window) + gaps-and-islands run lengths.

@@ -215,6 +215,64 @@ object Pipeline {
       .filter(col("q_score") >= minScore)
   }
 
+  /** The late-round-9 composed recipe: canonical-form exact dedup
+    * (CCNet/Dolma fuzzy-exact tier) → classifier quality floor →
+    * LEAKAGE-FREE cluster-aware split ([[Splits.clusterSplit]] — near
+    * dups can never straddle train/test) → per-split manifest
+    * (documents, tokens). The kept corpus is checkpointed once before
+    * the pair stage (the [[curateSpans]] barrier argument: three
+    * consumers, and the pair search is the expensive stage).
+    */
+  def curateSplits(docs: DataFrame, textCol: String, idCol: String,
+                   minScore: Double, trainPct: Int, valPct: Int,
+                   pairMaxDocId: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_cfp"))
+    val canon = docs.select(col(idCol), col(textCol))
+      .withColumn("_cfp", TextAnalysis.fingerprint(
+        TextAnalysis.canonicalText(col(textCol))))
+    val dedup = canon
+      .withColumn("_min", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("_min"))
+    val kept = dedup
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_q", QualityFilters.classifierScoreOf(col("_w")))
+      .filter(col("_q") >= minScore)
+      .select(col(idCol), col(textCol),
+        size(col("_w")).cast("long").as("_nt"))
+      .localCheckpoint()
+    val pairs = Dedup.ngramJaccardPairs(kept, textCol, idCol,
+      n = 3, threshold = 0.5, maxDocId = pairMaxDocId)
+    Splits.clusterSplit(kept.select(col(idCol)), pairs, idCol, trainPct, valPct)
+      .join(kept, idCol)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+  }
+
+  /** DuckDB oracle for [[curateSplits]] — canonical dedup, classifier
+    * floor, and the cluster-split mirror nested as a CTE.
+    */
+  def duckCurateSplits(tbl: String, textCol: String, idCol: String,
+                       minScore: Double, trainPct: Int, valPct: Int,
+                       pairMaxDocId: Long): String = {
+    val canon = TextAnalysis.duckFingerprint(TextAnalysis.duckCanonicalText(textCol))
+    val lab = Splits.duckClusterSplitNgram("kept", textCol, idCol,
+      n = 3, threshold = 0.5, maxDocId = pairMaxDocId,
+      trainPct = trainPct, valPct = valPct)
+    s"""WITH c0 AS (SELECT $idCol, $textCol, $canon AS cfp FROM $tbl),
+       |dd AS (SELECT $idCol, $textCol FROM c0
+       |       WHERE $idCol IN (SELECT min($idCol) FROM c0 GROUP BY cfp)),
+       |kept AS (
+       |  SELECT $idCol, $textCol, CAST(len(w) AS BIGINT) AS nt
+       |  FROM (SELECT $idCol, $textCol,
+       |               ${TextAnalysis.duckTokensBind(textCol)} AS w FROM dd) x
+       |  WHERE ${QualityFilters.duckClassifierScore} >= $minScore),
+       |lab AS ($lab)
+       |SELECT l.split, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(k.nt) AS BIGINT) AS n_tokens
+       |FROM lab l JOIN kept k USING ($idCol)
+       |GROUP BY l.split""".stripMargin
+  }
+
   /** DuckDB oracle for [[curateSpans]] — the three stage mirrors nested
     * verbatim (each keeps its own WITH scope inside a subquery).
     */

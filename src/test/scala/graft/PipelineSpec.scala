@@ -94,6 +94,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == ((0.0, 0L, 0.0)))
   }
 
+  test("curateSplits: canonical dups collapse and the floor applies before splitting") {
+    import spark.implicits._
+    import graft.functions.{QualityFilters, TextAnalysis}
+    val docs = Seq(
+      (1L, enText),
+      (2L, enText.toUpperCase + "!!!"),          // canonical dup of 1 — collapses
+      (3L, "spam " * 40),                        // repetitive — low classifier score
+      (4L, enText + " with a different ending sentence to stand alone"))
+      .toDF("doc_id", "text")
+    // independent recompute of the kept set via the primitives
+    val scored = docs
+      .withColumn("_cfp", TextAnalysis.fingerprint(
+        TextAnalysis.canonicalText(col("text"))))
+      .withColumn("_q", QualityFilters.classifierScoreOf(
+        TextAnalysis.tokens(col("text"))))
+      .withColumn("_nt", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .select("doc_id", "_cfp", "_q", "_nt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val minPerFp = scored.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val kept = scored.filter { case (id, fp, q, _) => minPerFp(fp) == id && q >= 0.5 }
+    assert(kept.map(_._1).toSet.contains(1L) && !kept.map(_._1).toSet.contains(2L),
+      "canonical dup should collapse to the min id")
+    val manifest = Pipeline.curateSplits(docs, "text", "doc_id",
+        minScore = 0.5, trainPct = 80, valPct = 10, pairMaxDocId = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.map(_._1).forall(Set("train", "val", "test")))
+    assert(manifest.map(_._2).sum == kept.length,
+      s"manifest doc total ${manifest.map(_._2).sum} != kept ${kept.length}")
+    assert(manifest.map(_._3).sum == kept.map(_._4).sum,
+      "manifest token total must equal the kept docs' token sum")
+  }
+
   test("quantizeInt8 digests change when any component changes") {
     import spark.implicits._
     val vecs = Seq(
