@@ -36,13 +36,19 @@ object Pipeline {
                  lang: String, minQuality: Double,
                  n: Int = 3, bands: Int = 42, rowsPerBand: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
+    // Score, BARRIER, then filter: pushing the lang/quality predicate
+    // past the projection substitutes langIdOf's ~24-reference CASE
+    // chain (token split inlined per reference) into the filter and
+    // computes the scoring stage twice — the curateCorpus keptIds note,
+    // measured again on curateSplits at 4.7× the stage cost.
     val scored = Dedup.rebalance(docs)
       .withColumn("_w", TextAnalysis.tokens(col(textCol))) // bind the split once
       .withColumn("lang_pred", TextAnalysis.langIdOf(col("_w")))
       .withColumn("quality", TextAnalysis.qualityScoreOf(col(textCol), col("_w")))
       .withColumn("n_tokens", TextAnalysis.tokenCountOf(col("_w")))
-      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
       .drop("_w")
+      .localCheckpoint()
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
     // Materialize the filtered+exact-deduped corpus BEFORE the LSH
     // pass: minhashLshPairs reads its input three times (signature
     // branch + both sides of the exact-Jaccard verification join), and
@@ -207,11 +213,16 @@ object Pipeline {
       .select(col(idCol), col("clean_text").as(textCol))
       .localCheckpoint()
     val s2 = DupSpan.strip(s1, textCol, idCol, k, minRun)
+    // Score, BARRIER, then floor: letting the q_score filter push past
+    // the projection substitutes the whole classifier (token split
+    // inlined per reference) into the predicate and computes the stage
+    // twice — see the curateSplits note; same measured pathology.
     s2.withColumn("_w", TextAnalysis.tokens(col("clean_text")))
       .select(col(idCol),
         size(col("_w")).cast("long").as("n_tokens"),
         col("n_cut").as("n_cut_spans"),
         QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+      .localCheckpoint()
       .filter(col("q_score") >= minScore)
   }
 
@@ -233,13 +244,21 @@ object Pipeline {
     val dedup = canon
       .withColumn("_min", min(col(idCol)).over(w))
       .filter(col(idCol) === col("_min"))
+    // Checkpoint BEFORE the floor, not after: PushDownPredicates
+    // substitutes the filter's `_q` alias with the full classifier
+    // expression — inlining the token split into its ~10 references —
+    // and the floor then recomputes everything the projection also
+    // computes (measured 7.9 s vs 1.7 s for this stage at sf0.1). The
+    // barrier keeps the score computed ONCE; the floor is then a
+    // trivial predicate over materialized columns.
     val kept = dedup
       .withColumn("_w", TextAnalysis.tokens(col(textCol)))
       .withColumn("_q", QualityFilters.classifierScoreOf(col("_w")))
-      .filter(col("_q") >= minScore)
-      .select(col(idCol), col(textCol),
+      .select(col(idCol), col(textCol), col("_q"),
         size(col("_w")).cast("long").as("_nt"))
       .localCheckpoint()
+      .filter(col("_q") >= minScore)
+      .drop("_q")
     val pairs = Dedup.ngramJaccardPairs(kept, textCol, idCol,
       n = 3, threshold = 0.5, maxDocId = pairMaxDocId)
     Splits.clusterSplit(kept.select(col(idCol)), pairs, idCol, trainPct, valPct)

@@ -414,9 +414,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("collect_set"),
       s"stage-1 boilerplate subtree leaked into the composed plan — the barrier is gone:\n$plan")
+    // Since the scored frame is ALSO checkpointed before the quality
+    // floor (the PushDownPredicates alias-inlining fix), the final plan
+    // collapses to the floor predicate over ONE materialized scan — no
+    // window, no exchange, no re-executed span machinery survives.
     val rddScans = "ExistingRDD".r.findAllIn(plan).size
-    assert(rddScans >= 2,
-      s"expected both DupSpan.strip consumers to read the checkpointed stage-1 RDD, found $rddScans scans:\n$plan")
+    assert(rddScans == 1 && !plan.contains("Window") && !plan.contains("Exchange"),
+      s"expected the floor over one materialized scan, nothing else:\n$plan")
   }
 
   test("bounded-heap top-k plans as a partial ObjectHashAggregate, never a window rank") {
