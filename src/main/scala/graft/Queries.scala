@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1934,7 +1934,79 @@ object Queries {
           "vec_id", k = 8, iters = 2, threshold = 0.5)
         .select(col("vec_id"), col("label")),
       Some(SemDedup.duckDedup("embeddings", "embedding", "vec_id",
-        k = 8, iters = 2, dim = 64, threshold = 0.5, keepCols = Seq("label"))))
+        k = 8, iters = 2, dim = 64, threshold = 0.5, keepCols = Seq("label")))),
+
+    // Incremental aggregate (materialized-view) maintenance gate: the
+    // per-user (count, Σvalue) view maintained from the change feed
+    // alone — state from the first half of the log, the second half
+    // spliced in as a signed delta. Oracle = the full-log signed
+    // aggregate (the IVM equality contract); values quantized once to
+    // 6-dp BIGINTs so every sum is integer-exact on both engines.
+    Entry("q_agg_maintain",
+      (s, d) => {
+        val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .withColumn("_ms", expr(s"unix_micros(`${ChangeLog.CommitTs}`) div 1000"))
+        val splitMs = log.stat.approxQuantile("_ms", Array(0.5), 0.01).head.toLong
+        val state = ChangeLog.aggMaintainState(
+          log.filter(col("_ms") <= splitMs).drop("_ms"), Seq("user_id"), "value")
+        ChangeLog.aggPresent(ChangeLog.aggMaintainApply(state,
+          log.filter(col("_ms") > splitMs).drop("_ms"), Seq("user_id"), "value"))
+      },
+      Some(s"""WITH b AS (SELECT user_id, value,
+                      CASE WHEN event_id % 10 < 6 THEN 'insert'
+                           WHEN event_id % 10 < 8 THEN 'update_postimage'
+                           WHEN event_id % 10 < 9 THEN 'update_preimage'
+                           ELSE 'delete' END AS ct
+               FROM events),
+               sg AS (SELECT user_id,
+                             CASE WHEN ct IN ('insert', 'update_postimage')
+                                  THEN 1 ELSE -1 END AS sgn,
+                             coalesce(CAST(floor(value * ${ChangeLog.AggQuantum} + 0.5) AS BIGINT), 0) AS q
+                      FROM b)
+               SELECT user_id, CAST(sum(sgn) AS BIGINT) AS n_rows,
+                      CAST(sum(sgn * q) AS BIGINT) AS sum_value_q6
+               FROM sg GROUP BY user_id HAVING sum(sgn) <> 0""")),
+
+    // Join-cardinality estimation gate: CMS inner product predicts
+    // |lineitem ⋈ orders| without running the join; the exact count is
+    // computed from grouped key counts as the audit twin. The estimate
+    // over-counts by construction (collisions add) — SketchesSpec pins
+    // the ≥ invariant on a skewed input.
+    Entry("q_join_card",
+      (s, d) => Sketches.cmsJoinCardinality(
+        t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey"),
+      Some(Sketches.duckCmsJoinCardinality(
+        "lineitem", "l_orderkey", "orders", "o_orderkey"))),
+
+    // Directional source-containment gate: the KMV union-sample
+    // machinery of q_kmv_jaccard re-grouped to containment — the
+    // size-asymmetric overlap question Jaccard blurs.
+    Entry("q_kmv_containment",
+      (s, d) => Sketches.kmvContainment(t(s, d, "documents"), "text", "source"),
+      Some(Sketches.duckKmvContainment("documents", "text", "source"))),
+
+    // Token-budget selection gate: best documents until 15 000 tokens
+    // (~55% of the sf≤0.01 corpus, ~6% of sf0.1 — selective at every
+    // SF). The oracle states the semantics directly as a global
+    // running-total prefix; the engine's bucketed two-phase plan (no
+    // corpus-wide sort — PlanAuditSpec) must equal it exactly.
+    Entry("q_token_budget",
+      (s, d) => Curriculum.tokenBudgetSelect(
+        t(s, d, "documents"), "text", "doc_id", budget = 15000L),
+      Some(Curriculum.duckTokenBudgetSelect(
+        "documents", "text", "doc_id", budget = 15000L))),
+
+    // Per-document unigram entropy gate — sorted-fold fp parity like
+    // q_idf_score.
+    Entry("q_entropy",
+      (s, d) => Entropy.docEntropy(t(s, d, "documents"), "text", "doc_id"),
+      Some(Entropy.duckDocEntropy("documents", "text", "doc_id"))),
+
+    // Per-type daily-volume OLS trend gate — integer moments, one
+    // fixed double expression per coefficient.
+    Entry("q_trend_fit",
+      (s, d) => EventStats.trendFit(t(s, d, "events"), "ts", "event_type"),
+      Some(EventStats.duckTrendFit(EvOracle, "ts", "event_type")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -324,6 +324,82 @@ object ChangeLog {
       .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
   }
 
+  /** 6-dp value quantum for the aggregate-maintenance state: each value
+    * is quantized ONCE to BIGINT and every downstream sum is integer
+    * arithmetic — split-invariant and engine-exact (the [[Drift]]
+    * posture). |v| ≤ 9.2e12 fits the quantum inside Long.
+    */
+  val AggQuantum: Long = 1000000L
+
+  /** +1 for state-bearing changes, −1 for retractions — the standard
+    * delta-processing signs of incremental view maintenance: an update's
+    * preimage retracts the old row, its postimage asserts the new one.
+    */
+  private def aggSign: Column =
+    when(col(ChangeType).isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+
+  /** Signed per-key aggregate delta of a change batch: Δcount and
+    * Δsum(value) (6-dp-quantized BIGINT). The building block of
+    * [[aggMaintainApply]]; over a full log it IS the maintained state.
+    */
+  def aggDelta(changes: DataFrame, keyCols: Seq[String],
+               valueCol: String): DataFrame =
+    changes
+      .select(keyCols.map(col) :+ aggSign.as("_sgn") :+
+        coalesce(floor(col(valueCol).cast("double") * AggQuantum + lit(0.5))
+          .cast("long"), lit(0L)).as("_q"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_sgn")).as("n_rows"),
+        sum(col("_sgn") * col("_q")).as("sum_value_q6"))
+
+  /** INCREMENTAL AGGREGATE maintenance — a materialized per-key
+    * (count, sum) view kept current from the change feed alone, the IVM
+    * (incremental view maintenance) complement of [[cdcMergeApply]]'s
+    * row-level MERGE: at 100 TB the base table is never rescanned to
+    * refresh an aggregate; each sync folds the batch-sized delta in.
+    * Only ADDITIVE aggregates maintain this way (count/sum and anything
+    * derived from them — avg, variance via Σx/Σx²); min/max/distinct
+    * need the [[Sketches]] mergeable-sketch route instead.
+    *
+    * Equality contract (gate + spec): for ANY split of the log,
+    * `aggMaintainApply(aggMaintainState(log ≤ T), changes > T)` equals
+    * `aggMaintainState(full log)` — integer sums are associative and
+    * commutative, so even out-of-order batches converge.
+    */
+  def aggMaintainState(log: DataFrame, keyCols: Seq[String],
+                       valueCol: String): DataFrame =
+    aggDelta(log, keyCols, valueCol)
+
+  /** Splice a change batch into an existing [[aggMaintainState]]. The
+    * delta aggregate is batch-sized; with the broadcast hint (sizing
+    * rationale at [[scd2Apply]]) the anti/semi probes are map-side hash
+    * lookups on the state scan — cost scales with the batch, never the
+    * state. Zero rows are NOT retired here (a (0, 0) key row is
+    * algebraically identical to an absent one under this merge);
+    * [[aggPresent]] hides them from readers.
+    */
+  def aggMaintainApply(state: DataFrame, changes: DataFrame,
+                       keyCols: Seq[String], valueCol: String): DataFrame = {
+    val delta = aggDelta(changes, keyCols, valueCol)
+    val touched = broadcast(delta.select(keyCols.map(col): _*))
+    val matchCond = keyCols.map(k => state(k) <=> touched(k)).reduce(_ && _)
+    val untouched = state.join(touched, matchCond, "left_anti")
+    val replayed = state.join(touched, matchCond, "left_semi")
+    untouched.unionByName(
+      replayed.unionByName(delta)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("sum_value_q6")).as("sum_value_q6")))
+  }
+
+  /** Reader view of an aggregate-maintenance state: keys whose row count
+    * has gone to zero (fully retracted) are absent, like any other view
+    * over a table with no rows for that key.
+    */
+  def aggPresent(state: DataFrame): DataFrame =
+    state.filter(col("n_rows") =!= 0L)
+
   /** Synthesize a change log from any table for tests/demo pipelines: a
     * deterministic `_change_type` derived from a key column and a
     * `_commit_timestamp` taken from an existing timestamp column. Mirrors

@@ -87,6 +87,80 @@ object Curriculum {
       .filter(col("d_rank") <= cap)
   }
 
+  /** Score-bucket grid for [[tokenBudgetSelect]]: scores live in (0,1),
+    * so floor(score·1000) yields ≤ 1001 buckets regardless of corpus
+    * size — the running-total table is metadata-scale by construction.
+    */
+  val BudgetGrid = 1000
+
+  /** TOKEN-BUDGET data selection: keep the highest-quality documents
+    * whose cumulative token count fits a training budget — "give me the
+    * best B tokens" (the DCLM/FineWeb-style selection step after
+    * scoring). Semantically: docs in (q_score DESC, id ASC) order, kept
+    * while the INCLUSIVE running token total stays ≤ `budget`.
+    *
+    * Scale shape — the naive plan is a GLOBAL sort + running-total
+    * window over the corpus; this one never sorts the corpus. Instead:
+    * (1) one narrow scoring projection; (2) a per-score-BUCKET token
+    * total (≤ [[BudgetGrid]]+1 rows — one map-side-combinable
+    * exchange); (3) running totals + the budget threshold on that tiny
+    * table (single-partition window over ≤ 1001 rows, deliberately);
+    * (4) a broadcast join tags each doc's bucket `all` / `edge` /
+    * `none` — only the ONE boundary bucket's docs pay a per-doc
+    * running-total window, and that window is bucket-local, not
+    * corpus-global. PlanAuditSpec pins the no-global-sort shape.
+    *
+    * Determinism: scores are 6 dp-rounded, bucketing is integer floor,
+    * and the boundary window uses the (score DESC, id ASC) tie-break —
+    * selection is a pure function of the corpus on any engine.
+    *
+    * Output: (idCol, q_score, n_tokens) for kept documents.
+    */
+  def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
+                        budget: Long): DataFrame = {
+    val scored = docs
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol),
+        QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+        TextAnalysis.tokenCountOf(col("_w")).as("n_tokens"))
+      .withColumn("_b", floor(col("q_score") * BudgetGrid).cast("long"))
+    val bw = Window.orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bstats = scored.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt"))
+      .withColumn("_cum", sum(col("_bt")).over(bw))
+      .withColumn("_before", col("_cum") - col("_bt"))
+      .select(col("_b"), col("_before"),
+        when(col("_cum") <= budget, "all")
+          .when(col("_before") <= budget, "edge")
+          .otherwise("none").as("_cls"))
+    val tagged = scored.join(broadcast(bstats), Seq("_b"))
+    val ww = Window.partitionBy(col("_b"))
+      .orderBy(col("q_score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.filter(col("_cls") === "all")
+      .select(col(idCol), col("q_score"), col("n_tokens"))
+      .unionByName(
+        tagged.filter(col("_cls") === "edge")
+          .withColumn("_wcum", sum(col("n_tokens")).over(ww))
+          .filter(col("_before") + col("_wcum") <= budget)
+          .select(col(idCol), col("q_score"), col("n_tokens")))
+  }
+
+  /** DuckDB oracle for [[tokenBudgetSelect]] — the DIRECT statement of
+    * the semantics (global running-total prefix), which the bucketed
+    * plan must equal exactly.
+    */
+  def duckTokenBudgetSelect(tbl: String, textCol: String, idCol: String,
+                            budget: Long): String =
+    s"""WITH d AS (SELECT $idCol, ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl),
+       |s AS (SELECT $idCol, ${QualityFilters.duckClassifierScore} AS q_score,
+       |             ${TextAnalysis.duckTokenCount} AS n_tokens
+       |      FROM d),
+       |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY q_score DESC, $idCol ASC
+       |                  ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+       |SELECT $idCol, q_score, n_tokens FROM c WHERE cum <= $budget""".stripMargin
+
   /** DuckDB oracle for [[domainCap]] — same score, same tie-broken rank
     * and cap.
     */

@@ -48,6 +48,76 @@ object EventStats {
        |FROM $rel GROUP BY 1""".stripMargin
   }
 
+  /** Per-type LINEAR TREND over the daily count series — ordinary least
+    * squares of daily volume on the day index, the "is this event type
+    * growing or dying" monitor (and, over corpus ingest dates, the
+    * "which sources are ramping" curation signal). Reported per type:
+    * the slope (events/day) and intercept of the fitted line.
+    *
+    * Scale shape: the event stream collapses map-side to (day × type)
+    * in one exchange; the OLS moments (Σx, Σy, Σxy, Σx²) are one more
+    * aggregate over that tiny daily series. No window, no sort.
+    *
+    * Float parity: x is the integer day offset from the GLOBAL first
+    * day (one broadcast 1-row probe), y an integer count — all four
+    * moments are EXACT BIGINTs, so slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)
+    * and the intercept are each ONE fixed double expression over
+    * integers, bit-identical cross-engine; round(6) seals them. Types
+    * seen on a single day have a zero denominator → NULL slope.
+    * Output: (event_type, n_days, slope, intercept).
+    */
+  def trendFit(events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_y"))
+    val d0 = daily.agg(min(col("_d")).as("_d0"))
+    val m = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"),
+        datediff(col("_d"), col("_d0")).cast("long").as("_x"), col("_y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+    val num = (col("n_days") * col("_sxy") - col("_sx") * col("_sy"))
+    val den = (col("n_days") * col("_sxx") - col("_sx") * col("_sx"))
+    val slope = num.cast("double") / den.cast("double")
+    m.select(col("event_type"), col("n_days"),
+      when(den =!= 0L, round(slope, 6)).as("slope"),
+      when(den =!= 0L,
+        round((col("_sy").cast("double") - slope * col("_sx").cast("double"))
+          / col("n_days").cast("double"), 6)).as("intercept"))
+  }
+
+  /** DuckDB oracle twin of [[trendFit]] — identical integer moments and
+    * double expression shapes.
+    */
+  def duckTrendFit(rel: String, tsCol: String, typeCol: String): String =
+    s"""WITH daily AS (SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS d,
+       |                      count(*) AS y
+       |               FROM $rel GROUP BY 1, 2),
+       |d0 AS (SELECT min(d) AS d0 FROM daily),
+       |m AS (SELECT event_type, count(*) AS n_days,
+       |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |             CAST(sum(x * y) AS BIGINT) AS sxy,
+       |             CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM (SELECT event_type, CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+       |            FROM daily, d0)
+       |      GROUP BY 1)
+       |SELECT event_type, n_days,
+       |       CASE WHEN (n_days * sxx - sx * sx) <> 0
+       |            THEN round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+       |                       / CAST(n_days * sxx - sx * sx AS DOUBLE), 6)
+       |            END AS slope,
+       |       CASE WHEN (n_days * sxx - sx * sx) <> 0
+       |            THEN round((CAST(sy AS DOUBLE)
+       |                        - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+       |                           / CAST(n_days * sxx - sx * sx AS DOUBLE))
+       |                          * CAST(sx AS DOUBLE))
+       |                       / CAST(n_days AS DOUBLE), 6)
+       |            END AS intercept
+       |FROM m""".stripMargin
+
   /** Trailing-window anomaly z-scores over the daily count series of
     * each event type: each day scored against the mean/stddev of the
     * PRECEDING `win` days (current day excluded — today must not dilute

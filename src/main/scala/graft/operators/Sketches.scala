@@ -144,6 +144,63 @@ object Sketches {
       .select("term", "n_exact", "cms_estimate")
   }
 
+  /** JOIN-CARDINALITY estimation via count-min inner product: the size
+    * of `A ⋈ B` on a key is exactly  Σ_key c_A(key)·c_B(key), and the
+    * inner product of the two sides' CMS rows OVER-estimates it (every
+    * colliding key pair adds a non-negative term), with the min across
+    * the depth independent rows as the reported estimate (AMS/CM
+    * sketch inner-product estimator, Cormode & Muthukrishnan '05).
+    *
+    * This is the planner question "will this join explode?" answered
+    * WITHOUT running the join: each side is one map-side-combined
+    * 768-cell aggregate (mergeable, shippable per shard — reusable
+    * across many candidate joins), and the estimate itself is a
+    * broadcast-joined 768-row product. The exact count is computed
+    * alongside from the per-key group counts (never by materializing
+    * the join) as the gate's audit twin — at 100 TB a caller runs the
+    * sketch only.
+    *
+    * Output: one row (n_exact, cms_estimate), estimate ≥ exact always.
+    */
+  def cmsJoinCardinality(a: DataFrame, keyA: String,
+                         b: DataFrame, keyB: String): DataFrame = {
+    def cells(df: DataFrame, key: String, out: String) = {
+      val buckets = (0 until CmsDepth).map(i => cmsBucket(col(key).cast("string"), i))
+      df.select(posexplode(array(buckets: _*)).as(Seq("h_row", "bucket")))
+        .groupBy("h_row", "bucket").agg(count(lit(1)).as(out))
+    }
+    val est = cells(a, keyA, "ca")
+      .join(broadcast(cells(b, keyB, "cb")), Seq("h_row", "bucket"))
+      .groupBy("h_row").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("cms_estimate"))
+    val exact = a.groupBy(col(keyA).as("_k")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col(keyB).as("_k")).agg(count(lit(1)).as("nb")), "_k")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_exact"))
+    exact.crossJoin(broadcast(est)).select(col("n_exact"), col("cms_estimate"))
+  }
+
+  /** DuckDB oracle twin of [[cmsJoinCardinality]]. */
+  def duckCmsJoinCardinality(tblA: String, keyA: String,
+                             tblB: String, keyB: String): String = {
+    def cellRows(tbl: String, key: String): String =
+      (0 until CmsDepth).map { i =>
+        val b = s"(${TextAnalysis.duckFingerprint(s"'$i:' || CAST($key AS VARCHAR)")}) % $CmsWidth"
+        s"SELECT $i AS h_row, $b AS bucket FROM $tbl"
+      }.mkString(" UNION ALL ")
+    s"""WITH ca AS (SELECT h_row, bucket, count(*) AS ca
+       |            FROM (${cellRows(tblA, keyA)}) GROUP BY 1, 2),
+       |cb AS (SELECT h_row, bucket, count(*) AS cb
+       |       FROM (${cellRows(tblB, keyB)}) GROUP BY 1, 2),
+       |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_estimate
+       |        FROM (SELECT h_row, sum(ca * cb) AS ip
+       |              FROM ca JOIN cb USING (h_row, bucket) GROUP BY 1)),
+       |ga AS (SELECT $keyA AS k, count(*) AS na FROM $tblA GROUP BY 1),
+       |gb AS (SELECT $keyB AS k, count(*) AS nb FROM $tblB GROUP BY 1),
+       |ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS n_exact
+       |       FROM ga JOIN gb USING (k))
+       |SELECT ex.n_exact, est.cms_estimate FROM ex, est""".stripMargin
+  }
+
   /** KMV sketch size (bottom-k minimum hash values). 128 against the
     * fixtures' ~1.1–1.5k distinct shingles per source keeps the gate's
     * estimates genuinely approximate (the sketch is ~10% of the set).
@@ -175,6 +232,29 @@ object Sketches {
     */
   def kmvSourceJaccard(docs: DataFrame, textCol: String, srcCol: String,
                        n: Int = 3, k: Int = KmvK): DataFrame = {
+    val (ranked, cnt) = kmvUnionSample(docs, textCol, srcCol, n, k)
+    val est = ranked
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("nm"), sum(col("ina") * col("inb")).as("inter_kmv"))
+    // est already carries every valid pair (both sources contribute ≥ 1
+    // sketch row), so only the per-source counts need joining back.
+    est
+      .join(broadcast(cnt.select(col("src").as("sa"), col("n").as("n_a"))), Seq("sa"))
+      .join(broadcast(cnt.select(col("src").as("sb"), col("n").as("n_b"))), Seq("sb"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("n_a"), col("n_b"),
+        col("inter_kmv"),
+        round(col("inter_kmv").cast("double") / col("nm").cast("double"), 6)
+          .as("j_kmv"))
+  }
+
+  /** Shared KMV machinery: per-source bottom-k shingle-hash sketches,
+    * tagged and merged per source pair, ranked to the pair's bottom-k
+    * union sample. Returns (ranked union-sample rows
+    * (sa, sb, ina, inb), per-source distinct counts (src, n)).
+    */
+  private def kmvUnionSample(docs: DataFrame, textCol: String, srcCol: String,
+                             n: Int, k: Int): (DataFrame, DataFrame) = {
     val st = Dedup.rebalance(docs)
       .select(col(srcCol).as("src"),
         explode(Dedup.shingles(col(textCol), n)).as("sh"))
@@ -202,25 +282,72 @@ object Sketches {
       .unionByName(
         sk.select(col("src").as("sb"), col("h")).join(broadcast(pr), Seq("sb"))
           .select(col("sa"), col("sb"), col("h"), lit(0).as("ina"), lit(1).as("inb")))
-    val est = tagged
+    val ranked = tagged
       .groupBy("sa", "sb", "h")
       .agg(max("ina").as("ina"), max("inb").as("inb"))
       .withColumn("_rk",
         row_number().over(Window.partitionBy("sa", "sb").orderBy("h")))
       .filter(col("_rk") <= k)
-      .groupBy("sa", "sb")
-      .agg(count(lit(1)).as("nm"), sum(col("ina") * col("inb")).as("inter_kmv"))
-    // est already carries every valid pair (both sources contribute ≥ 1
-    // sketch row), so only the per-source counts need joining back.
-    est
-      .join(broadcast(cnt.select(col("src").as("sa"), col("n").as("n_a"))), Seq("sa"))
-      .join(broadcast(cnt.select(col("src").as("sb"), col("n").as("n_b"))), Seq("sb"))
-      .select(col("sa").as("src_a"), col("sb").as("src_b"),
-        col("n_a"), col("n_b"),
-        col("inter_kmv"),
-        round(col("inter_kmv").cast("double") / col("nm").cast("double"), 6)
-          .as("j_kmv"))
+    (ranked, cnt)
   }
+
+  /** DIRECTIONAL set containment per source pair via the same KMV
+    * sketches as [[kmvSourceJaccard]] — "how much of snapshot A is
+    * inside snapshot B" (and vice versa), the question Jaccard blurs
+    * when the two sides differ in size: a crawl fully contained in a
+    * 10× larger one has J ≈ 0.09 but containment(A,B) = 1.0. The
+    * decontamination / re-crawl-triage signal.
+    *
+    * Estimator: the pair's bottom-k union sample is uniform over A∪B,
+    * so within it  #(in both)/#(in A)  estimates |A∩B|/|A| — no extra
+    * pass, no new sketch, the Jaccard machinery re-grouped.
+    *
+    * Output: (src_a, src_b, in_a, in_b, inter_kmv, c_a_in_b, c_b_in_a)
+    * for every unordered source pair.
+    */
+  def kmvContainment(docs: DataFrame, textCol: String, srcCol: String,
+                     n: Int = 3, k: Int = KmvK): DataFrame = {
+    val (ranked, _) = kmvUnionSample(docs, textCol, srcCol, n, k)
+    ranked
+      .groupBy("sa", "sb")
+      .agg(sum(col("ina")).as("in_a"), sum(col("inb")).as("in_b"),
+        sum(col("ina") * col("inb")).as("inter_kmv"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("in_a"), col("in_b"), col("inter_kmv"),
+        when(col("in_a") > 0,
+          round(col("inter_kmv").cast("double") / col("in_a").cast("double"), 6))
+          .as("c_a_in_b"),
+        when(col("in_b") > 0,
+          round(col("inter_kmv").cast("double") / col("in_b").cast("double"), 6))
+          .as("c_b_in_a"))
+  }
+
+  /** DuckDB oracle twin of [[kmvContainment]]. */
+  def duckKmvContainment(tbl: String, textCol: String, srcCol: String,
+                         n: Int = 3, k: Int = KmvK): String =
+    s"""WITH ${duckKmvCtes(tbl, textCol, srcCol, n)},
+       |sk AS (SELECT src, h FROM (SELECT src, h,
+       |                                  row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+       |                           FROM st) WHERE rk <= $k),
+       |pr AS (SELECT a.src AS sa, b.src AS sb FROM cnt a JOIN cnt b ON a.src < b.src),
+       |tg AS (SELECT pr.sa, pr.sb, s.h, 1 AS ina, 0 AS inb
+       |       FROM pr JOIN sk s ON s.src = pr.sa
+       |       UNION ALL
+       |       SELECT pr.sa, pr.sb, s.h, 0 AS ina, 1 AS inb
+       |       FROM pr JOIN sk s ON s.src = pr.sb),
+       |m AS (SELECT sa, sb, h, max(ina) AS ina, max(inb) AS inb FROM tg GROUP BY 1, 2, 3),
+       |r2 AS (SELECT sa, sb, ina, inb,
+       |              row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk FROM m)
+       |SELECT sa AS src_a, sb AS src_b,
+       |       CAST(sum(ina) AS BIGINT) AS in_a, CAST(sum(inb) AS BIGINT) AS in_b,
+       |       CAST(sum(ina * inb) AS BIGINT) AS inter_kmv,
+       |       CASE WHEN sum(ina) > 0
+       |            THEN round(CAST(sum(ina * inb) AS DOUBLE) / CAST(sum(ina) AS DOUBLE), 6)
+       |            END AS c_a_in_b,
+       |       CASE WHEN sum(inb) > 0
+       |            THEN round(CAST(sum(ina * inb) AS DOUBLE) / CAST(sum(inb) AS DOUBLE), 6)
+       |            END AS c_b_in_a
+       |FROM r2 WHERE rk <= $k GROUP BY 1, 2""".stripMargin
 
   /** Exact cross-source shingle overlap — the GROUND-TRUTH twin of
     * [[kmvSourceJaccard]]'s estimate. A self-join of the distinct

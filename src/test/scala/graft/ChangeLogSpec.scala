@@ -134,6 +134,38 @@ class ChangeLogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("aggMaintainApply: incremental aggregate equals the full rebuild for every split; fully-retracted keys leave the view") {
+    import spark.implicits._
+    val l = Seq(
+      // key 1: insert 2.5, then an update 2.5 → 4.0 (preimage retracts)
+      (Some(1L), Some(2.5), ts("2024-01-01 00:00:01.000"), "insert"),
+      (Some(1L), Some(2.5), ts("2024-01-01 00:00:02.000"), "update_preimage"),
+      (Some(1L), Some(4.0), ts("2024-01-01 00:00:02.000"), "update_postimage"),
+      // key 2: inserted then deleted → count 0 → absent from the view
+      (Some(2L), Some(1.0), ts("2024-01-01 00:00:01.000"), "insert"),
+      (Some(2L), Some(1.0), ts("2024-01-01 00:00:03.000"), "delete"),
+      // key 3: one insert with a null value (counts, contributes 0 sum)
+      (Some(3L), None, ts("2024-01-01 00:00:02.000"), "insert"),
+      // null key: a real group for the view, like any SQL GROUP BY
+      (None, Some(1.25), ts("2024-01-01 00:00:01.000"), "insert"))
+      .toDF("k", "v", ChangeLog.CommitTs, ChangeLog.ChangeType)
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Option[Long], Long, Long)].collect().toSet
+    val full = view(ChangeLog.aggPresent(
+      ChangeLog.aggMaintainState(l, Seq("k"), "v")))
+    assert(full == Set(
+      (Some(1L), 1L, 4000000L), (Some(3L), 1L, 0L), (None, 1L, 1250000L)))
+    def msCol = org.apache.spark.sql.functions.expr(
+      s"unix_micros(`${ChangeLog.CommitTs}`) div 1000")
+    for (splitMs <- Seq("2024-01-01 00:00:01.500", "2024-01-01 00:00:02.500")) {
+      val cut = ts(splitMs).getTime
+      val state = ChangeLog.aggMaintainState(l.filter(msCol <= cut), Seq("k"), "v")
+      val inc = view(ChangeLog.aggPresent(ChangeLog.aggMaintainApply(
+        state, l.filter(msCol > cut), Seq("k"), "v")))
+      assert(inc == full, s"split at $splitMs diverged from the full rebuild")
+    }
+  }
+
   test("latestCommitMs is millisecond-precise (not floor-to-second)") {
     assert(ChangeLog.latestCommitMs(log()) == ts("2024-01-01 00:00:01.250").getTime)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{ChunkDedup, Curriculum, Decontaminate, Dedup, Drift, DupSpan, Idf, Packing, Splits, Winnow}
+import graft.operators.{ChunkDedup, Curriculum, Decontaminate, Dedup, Drift, DupSpan, Entropy, Idf, Packing, Splits, Winnow}
 
 /** Unit gates for the round-3 corpus-curation operators (quality
   * filters, decontamination, chunk dedup, redaction, splits, packing).
@@ -399,6 +399,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     Seq(20L, 21L).foreach { id =>
       assert(got(id)._1 == id && got(id)._2 == plain(id))
+    }
+  }
+
+  test("entropy: uniform tokens hit ln(k), repetition hits 0, empty docs absent") {
+    val docs = Seq(
+      (1L, "a b c d"),      // 4 uniform types → ln 4
+      (2L, "x x x x x"),    // one type → 0
+      (3L, "a a b b"),      // 2 uniform types over 4 tokens → ln 2
+      (4L, "")              // no tokens → no row
+    ).toDF("doc_id", "text")
+    val got = Entropy.docEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 == 4L && math.abs(got(1L)._2 - math.log(4)) < 1e-6)
+    assert(got(2L)._1 == 5L && math.abs(got(2L)._2) < 1e-9)
+    assert(math.abs(got(3L)._2 - math.log(2)) < 1e-6)
+  }
+
+  test("tokenBudgetSelect equals the global prefix rule at every budget, including boundaries") {
+    val docs = Tables.load(spark, sf, "documents")
+    // the semantics, stated directly: global (score desc, id) running
+    // total, kept while the inclusive cumsum fits
+    val scored = docs
+      .withColumn("_w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+        TextAnalysis.tokenCountOf(col("_w")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q_score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = scored.withColumn("_cum", sum(col("n_tokens")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val total = ranked.map(_._2).max
+    // one mid budget, one that lands EXACTLY on a doc boundary (the
+    // inclusive-≤ edge), zero, and beyond-total
+    val exactBoundary = ranked(ranked.length / 3)._2
+    for (budget <- Seq(0L, 5000L, exactBoundary, total, total + 1000L)) {
+      val expect = ranked.filter(_._2 <= budget).map(_._1).toSet
+      val got = Curriculum.tokenBudgetSelect(docs, "text", "doc_id", budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"budget $budget: ${got.size} kept vs ${expect.size}")
     }
   }
 }

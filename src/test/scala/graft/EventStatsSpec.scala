@@ -85,4 +85,21 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(bad == 0L)
   }
+
+  test("trendFit: exact recovery of a perfect linear series; single-day types fit nothing") {
+    import spark.implicits._
+    // 'grow': days 1..5 with 1,2,3,4,5 events → y = x + 1 on the
+    // 0-based day index (slope 1, intercept 1), recovered EXACTLY
+    // because all moments are integers. 'spike': one day → zero
+    // denominator → NULL coefficients, n_days still reported.
+    val rows = (1 to 5).flatMap(d => (1 to d).map(_ => ("grow", ts(d)))) ++
+      Seq(("spike", ts(3)), ("spike", ts(3)))
+    val out = EventStats.trendFit(rows.toDF("event_type", "ts"), "ts", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("grow")._1 == 5L)
+    assert(out("grow")._2.contains(1.0) && out("grow")._3.contains(1.0))
+    assert(out("spike")._1 == 1L)
+    assert(out("spike")._2.isEmpty && out("spike")._3.isEmpty)
+  }
 }

@@ -567,4 +567,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(pe.contains("partial_max") || pe.contains("max("),
       s"register max must partial-aggregate map-side:\n$pe")
   }
+
+  test("token-budget selection never range-partitions the corpus (no global sort)") {
+    // The operator's whole point: the naive semantics are a GLOBAL
+    // (score desc, id) sort + running total; the bucketed plan must
+    // confine per-row windows to the one boundary bucket and the
+    // metadata-scale bucket table. Any rangepartitioning exchange means
+    // the corpus-wide sort came back.
+    val plan = SparkEntry.queries("q_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"global sort (rangepartitioning) in the token-budget plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket classification must join by broadcast:\n$plan")
+  }
+
+  test("cms join-cardinality estimate joins 768-cell sketches, never the raw keys") {
+    // The estimator must never materialize or shuffle-join the raw key
+    // streams: both sides collapse to depth×width cells first, and the
+    // cell join is broadcast. (The exact audit twin joins GROUPED key
+    // counts — also never the raw streams.)
+    // (the final 1-row × 1-row crossJoin legitimately plans as a
+    // broadcast nested loop — it joins two scalars, not data)
+    val plan = SparkEntry.queries("q_join_card")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian stage in the cms join-cardinality plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch-cell join must be broadcast:\n$plan")
+  }
 }

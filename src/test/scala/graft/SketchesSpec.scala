@@ -54,6 +54,40 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(byTerm("alpha") == 100L && byTerm("gamma") == 50L)
   }
 
+  test("cms join-cardinality estimate is >= the exact join size on a skewed key") {
+    import spark.implicits._
+    // 'hot' appears 100× on one side and 80× on the other: exact join
+    // size 100·80 + the 30 singleton matches = 8030 — the exploding-join
+    // shape the estimator exists to flag before execution.
+    val a = ((1 to 100).map(_ => "hot") ++ (1 to 50).map(i => s"a$i")).toDF("k")
+    val b = ((1 to 80).map(_ => "hot") ++ (1 to 30).map(i => s"a$i")).toDF("k")
+    val Array(row) = Sketches.cmsJoinCardinality(a, "k", b, "k").collect()
+    val (exact, est) = (row.getLong(0), row.getLong(1))
+    assert(exact == 100L * 80L + 30L)
+    assert(est >= exact, s"cms estimate $est < exact $exact")
+    // collisions in a 256-wide sketch over 81 keys stay modest
+    assert(est <= exact + 2000, s"cms estimate $est implausibly inflated")
+  }
+
+  test("kmv containment: a subset source reads as fully contained while jaccard stays partial") {
+    import spark.implicits._
+    // 'sub' docs are verbatim copies of a third of 'big' docs, so sub's
+    // shingle set ⊆ big's: every union-sample row in sub is also in big
+    // → the containment estimate is exactly 1.0, with no sketch error.
+    val big = (1 to 90).map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "big"))
+    val sub = (1 to 30).map(i => (1000L + i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "sub"))
+    val docs = (big ++ sub).toDF("doc_id", "text", "source")
+    val Array(row) = Sketches.kmvContainment(docs, "text", "source", n = 3, k = 64)
+      .collect()
+    assert(row.getString(0) == "big" && row.getString(1) == "sub")
+    val (cBigInSub, cSubInBig) = (row.getDouble(5), row.getDouble(6))
+    assert(cSubInBig == 1.0, s"subset containment $cSubInBig != 1.0")
+    assert(cBigInSub < 0.7, s"reverse containment $cBigInSub should be partial")
+    val j = Sketches.kmvSourceJaccard(docs, "text", "source", n = 3, k = 64)
+      .collect().head.getDouble(5)
+    assert(j < cSubInBig, "jaccard must blur the asymmetry containment keeps")
+  }
+
   test("tfidf pairs: identical docs hit cosine 1, disjoint docs absent") {
     import spark.implicits._
     // Filler docs keep the corpus above the df-cap floor (a term with
