@@ -2006,7 +2006,47 @@ object Queries {
     // fixed double expression per coefficient.
     Entry("q_trend_fit",
       (s, d) => EventStats.trendFit(t(s, d, "events"), "ts", "event_type"),
-      Some(EventStats.duckTrendFit(EvOracle, "ts", "event_type")))
+      Some(EventStats.duckTrendFit(EvOracle, "ts", "event_type"))),
+
+    // Streaming IVM gate: the per-user aggregate view maintained by
+    // foreachBatch × aggMaintainApply over three chronological
+    // micro-batches; same oracle as q_agg_maintain — batch boundaries
+    // must be invisible in the maintained state.
+    Entry("q_stream_agg",
+      (s, d) => StreamSync.replayAgg(
+        ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .select(col("user_id"), col("value"),
+            col(ChangeLog.ChangeType), col(ChangeLog.CommitTs)),
+        "user_id", "value", nBatches = 3),
+      Some(s"""WITH b AS (SELECT user_id, value,
+                      CASE WHEN event_id % 10 < 6 THEN 'insert'
+                           WHEN event_id % 10 < 8 THEN 'update_postimage'
+                           WHEN event_id % 10 < 9 THEN 'update_preimage'
+                           ELSE 'delete' END AS ct
+               FROM events),
+               sg AS (SELECT user_id,
+                             CASE WHEN ct IN ('insert', 'update_postimage')
+                                  THEN 1 ELSE -1 END AS sgn,
+                             coalesce(CAST(floor(value * ${ChangeLog.AggQuantum} + 0.5) AS BIGINT), 0) AS q
+                      FROM b)
+               SELECT user_id, CAST(sum(sgn) AS BIGINT) AS n_rows,
+                      CAST(sum(sgn * q) AS BIGINT) AS sum_value_q6
+               FROM sg GROUP BY user_id HAVING sum(sgn) <> 0""")),
+
+    // First-order event-type transition matrix gate: one user-keyed
+    // lead window, |types|²-sized aggregates, broadcast normalizer.
+    Entry("q_transitions",
+      (s, d) => EventStats.transitions(
+        t(s, d, "events"), "ts", "event_type", "user_id", "event_id"),
+      Some(EventStats.duckTransitions(
+        EvOracle, "ts", "event_type", "user_id", "event_id"))),
+
+    // Key-skew report gate: per-key count distribution collapsed to
+    // (n_rows, n_keys, max_share, gini) — integer moments, two final
+    // divisions.
+    Entry("q_key_skew",
+      (s, d) => Profile.keySkew(t(s, d, "events"), "user_id"),
+      Some(Profile.duckKeySkew("events", "user_id")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

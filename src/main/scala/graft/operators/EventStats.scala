@@ -118,6 +118,54 @@ object EventStats {
        |            END AS intercept
        |FROM m""".stripMargin
 
+  /** FIRST-ORDER TRANSITION MATRIX over per-user event sequences: for
+    * each ordered pair of event types, how often does `from` lead
+    * directly to `to`, and with what conditional probability — the
+    * Markov-chain view of user behavior (drop-off analysis, anomalous
+    * flow detection) and, over document-processing event logs, the
+    * pipeline-stage flow monitor.
+    *
+    * Scale shape: ONE user-keyed exchange for the `lead` window (the
+    * sequence is the per-user order — this exchange is irreducible),
+    * then everything collapses to |types|²-sized aggregates; the
+    * probability normalizer joins back by broadcast.
+    *
+    * Determinism: sequence order is (ts, tieBreakCol) — same-timestamp
+    * events are ordered by the tie-break on both engines; counts are
+    * integers, the probability is one division, round(6).
+    * Output: (from_type, to_type, n, p).
+    */
+  def transitions(events: DataFrame, tsCol: String, typeCol: String,
+                  userCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieBreakCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("_t"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_t").cast("double"), 6).as("p"))
+  }
+
+  /** DuckDB oracle twin of [[transitions]]. */
+  def duckTransitions(rel: String, tsCol: String, typeCol: String,
+                      userCol: String, tieBreakCol: String): String =
+    s"""WITH p AS (SELECT $typeCol AS from_type,
+       |                  lead($typeCol) OVER (PARTITION BY $userCol
+       |                    ORDER BY $tsCol ASC, $tieBreakCol ASC) AS to_type
+       |           FROM $rel),
+       |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tt FROM c GROUP BY 1)
+       |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       |       round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS p
+       |FROM c JOIN t USING (from_type)""".stripMargin
+
   /** Trailing-window anomaly z-scores over the daily count series of
     * each event type: each day scored against the mean/stddev of the
     * PRECEDING `win` days (current day excluded — today must not dilute

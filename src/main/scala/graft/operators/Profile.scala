@@ -120,4 +120,51 @@ object Profile {
          |       CAST(CASE WHEN count(DISTINCT $keyCol) = count(*) THEN 1 ELSE 0 END AS INT) AS passed
          |FROM $tbl""".stripMargin) ++ nullBranches).mkString("\nUNION ALL\n")
   }
+
+  /** KEY-SKEW report — the "will this key salt/broadcast decision bite"
+    * planner aid that pairs with [[Sketches.cmsJoinCardinality]]: the
+    * key's cardinality, the heaviest key's share of all rows, and the
+    * Gini coefficient of the per-key count distribution (0 = perfectly
+    * uniform, → 1 = one key owns everything).
+    *
+    * Scale shape: the row stream collapses map-side to per-key counts
+    * (ONE exchange at key cardinality); the Gini rank window runs over
+    * that count table — vocabulary-scale, not corpus-scale (same
+    * posture as [[Drift]]'s vocab aggregates). NULL keys count as a
+    * real group, exactly as they would skew a join's null partition.
+    *
+    * Float parity: with counts c_(1) ≤ … ≤ c_(k) ranked ascending,
+    * Gini = (2·Σ i·c_(i) − (k+1)·Σc) / (k·Σc) — all integer until ONE
+    * division (tie order within equal counts cannot change the sum);
+    * max_share is one more division; round(6) on both.
+    * Output: (n_rows, n_keys, max_share, gini).
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val cnt = df.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_c"))
+    // deterministic ascending rank; the window is over the per-key
+    // count table (key-cardinality-sized, documented above)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_c").asc, col("_k").asc)
+    cnt
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("n_keys"),
+        max(col("_c")).as("_mx"), sum(col("_i") * col("_c")).as("_sic"))
+      .select(
+        col("_n").as("n_rows"), col("n_keys"),
+        round(col("_mx").cast("double") / col("_n").cast("double"), 6)
+          .as("max_share"),
+        round((lit(2L) * col("_sic") - (col("n_keys") + lit(1L)) * col("_n"))
+          .cast("double")
+          / (col("n_keys") * col("_n")).cast("double"), 6).as("gini"))
+  }
+
+  /** DuckDB oracle twin of [[keySkew]]. */
+  def duckKeySkew(tbl: String, keyCol: String): String =
+    s"""WITH c AS (SELECT $keyCol AS k, count(*) AS c FROM $tbl GROUP BY 1),
+       |r AS (SELECT c, k, row_number() OVER (ORDER BY c ASC, k ASC) AS i FROM c)
+       |SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+       |       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS max_share,
+       |       round(CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+       |             / CAST(count(*) * sum(c) AS DOUBLE), 6) AS gini
+       |FROM r""".stripMargin
 }

@@ -618,6 +618,85 @@ object StreamSync {
     graft.operators.ChangeLog.scd2Present(spark.read.parquet(stateDir))
   }
 
+  /** STREAMING incremental-aggregate maintenance: each micro-batch of
+    * the change feed folds into the persisted per-key (count, Σvalue)
+    * view via [[graft.operators.ChangeLog.aggMaintainApply]] behind the
+    * same staged two-rename state swap as [[startScd2Maintenance]] —
+    * the continuously-current materialized aggregate, never a base
+    * rescan. Integer-exact state makes batch boundaries invisible by
+    * construction (sums are associative/commutative).
+    */
+  def startAggMaintenance(changes: DataFrame, keyCols: Seq[String],
+                          valueCol: String, stateDir: String,
+                          checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cur = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+        val hasState = fs.exists(cur)
+        val next =
+          if (hasState)
+            graft.operators.ChangeLog.aggMaintainApply(
+              spark.read.parquet(stateDir), batch, keyCols, valueCol)
+          else
+            graft.operators.ChangeLog.aggMaintainState(batch, keyCols, valueCol)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__next")
+        val old = new org.apache.hadoop.fs.Path(stateDir + ".__old")
+        fs.delete(tmp, true); fs.delete(old, true)
+        next.write.parquet(tmp.toString)
+        if (hasState && !fs.rename(cur, old))
+          throw new RuntimeException(s"agg maintenance: could not stage $stateDir aside")
+        if (!fs.rename(tmp, cur)) {
+          if (hasState) fs.rename(old, cur)
+          throw new RuntimeException(s"agg maintenance: could not swap state into $stateDir")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
+  /** Drive [[startAggMaintenance]] over a BOUNDED change log in
+    * `nBatches` chronological micro-batches and return the presented
+    * view (the q_stream_agg driver gate; DuckDB twin = the full-log
+    * signed aggregate — batch boundaries must be invisible).
+    */
+  def replayAgg(log: DataFrame, keyCol: String, valueCol: String,
+                nBatches: Int = 3): DataFrame = {
+    val rows = {
+      val spark = log.sparkSession
+      import spark.implicits._
+      log.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+          col(graft.operators.ChangeLog.ChangeType),
+          col(graft.operators.ChangeLog.CommitTs))
+        .as[(Option[Long], Option[Double], String, java.sql.Timestamp)]
+        .collect().sortBy(r => (r._4.getTime, r._2.getOrElse(0.0))).toSeq
+    }
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    val spark = log.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_agg_state")
+      .resolve("state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_agg_ckpt").toString
+    val input = MemoryStream[(Option[Long], Option[Double], String, java.sql.Timestamp)]
+    val q = startAggMaintenance(
+      input.toDF().toDF(keyCol, valueCol,
+        graft.operators.ChangeLog.ChangeType, graft.operators.ChangeLog.CommitTs),
+      Seq(keyCol), valueCol, stateDir, ckpt)
+    try {
+      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
+      rows.grouped(chunk).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.operators.ChangeLog.aggPresent(spark.read.parquet(stateDir))
+  }
+
   /** Start a parquet sink with a checkpoint — the streaming version of
     * [[graft.sinks.FileSink]]. Returns the running query (stop it or
     * `awaitTermination` on the caller side).

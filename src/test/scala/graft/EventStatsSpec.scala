@@ -86,6 +86,22 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0L)
   }
 
+  test("transitions: per-user sequences, same-ts tie-break, conditional probabilities") {
+    import spark.implicits._
+    // user 1: a → b → a ; user 2: a → b (same second as its 'a' — the
+    // event_id tie-break orders them); cross-user pairs must NOT count
+    val rows = Seq(
+      (1L, 10L, "a", ts(1, 1)), (1L, 11L, "b", ts(1, 2)), (1L, 12L, "a", ts(1, 3)),
+      (2L, 20L, "a", ts(2, 1)), (2L, 21L, "b", ts(2, 1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventStats.transitions(rows, "ts", "event_type", "user_id", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("trendFit: exact recovery of a perfect linear series; single-day types fit nothing") {
     import spark.implicits._
     // 'grow': days 1..5 with 1,2,3,4,5 events → y = x + 1 on the

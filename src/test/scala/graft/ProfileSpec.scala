@@ -51,4 +51,22 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out("null_fraction_max:score").getInt(3) == 1)    // 1/6 ≈ 0.17 ≤ 0.2
     assert(out("null_fraction_max:score").getDouble(1) == 0.166667)
   }
+
+  test("keySkew: uniform keys score gini 0, hand-checked skew, null keys are a real group") {
+    import spark.implicits._
+    val uniform = Seq(1L, 2L, 3L, 4L).map(k => (Some(k), "r")).toDF("k", "v")
+    val u = Profile.keySkew(uniform, "k").collect().head
+    assert(u.getLong(0) == 4L && u.getLong(1) == 4L)
+    assert(u.getDouble(2) == 0.25 && u.getDouble(3) == 0.0)
+    // counts {a:1, b:3}: ranked 1·1 + 2·3 = 7 → gini (14−12)/8 = 0.25
+    val skew = (Seq((Some(1L), "r")) ++ (1 to 3).map(_ => (Some(2L), "r")))
+      .toDF("k", "v")
+    val s = Profile.keySkew(skew, "k").collect().head
+    assert(s.getDouble(2) == 0.75 && s.getDouble(3) == 0.25)
+    // a null key skews a join like any other — it must be counted
+    val withNull = (Seq((None: Option[Long], "r"), (None, "r")) ++
+      Seq((Some(1L), "r"))).toDF("k", "v")
+    val n = Profile.keySkew(withNull, "k").collect().head
+    assert(n.getLong(1) == 2L && n.getDouble(2) == 0.666667)
+  }
 }

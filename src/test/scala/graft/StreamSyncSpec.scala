@@ -270,4 +270,27 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
       assert(rows == Set((1L, "click", "gold")))
     } finally q.stop()
   }
+
+  test("streaming aggregate maintenance: cross-batch retraction converges to the full-log aggregate") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 10 is inserted early and deleted two batches later — the
+    // retraction must find and fold the persisted state row, not a
+    // batch-local one; key 20 accumulates across batches.
+    val log = Seq(
+      (Some(10L), Some(2.0), "insert", t("2024-01-01 00:00:01")),
+      (Some(20L), Some(1.5), "insert", t("2024-01-01 00:00:02")),
+      (Some(20L), Some(2.5), "insert", t("2024-01-01 00:00:03")),
+      (Some(20L), Some(1.5), "update_preimage", t("2024-01-01 00:00:04")),
+      (Some(20L), Some(4.0), "update_postimage", t("2024-01-01 00:00:04")),
+      (Some(10L), Some(2.0), "delete", t("2024-01-01 00:00:05")))
+      .toDF("user_id", "value", graft.operators.ChangeLog.ChangeType,
+        graft.operators.ChangeLog.CommitTs)
+    for (nBatches <- Seq(1, 3, 6)) {
+      val got = StreamSync.replayAgg(log, "user_id", "value", nBatches)
+        .as[(Option[Long], Long, Long)].collect().toSet
+      assert(got == Set((Some(20L), 2L, 6500000L)),
+        s"nBatches=$nBatches diverged: $got")
+    }
+  }
 }
