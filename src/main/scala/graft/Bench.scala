@@ -100,7 +100,11 @@ object Bench {
     "q_emb_drift" -> 1.0, "q_cluster_split" -> 6.0,
     "q_bpe_merges" -> 3.0, "q_bpe_tokenize" -> 4.0,
     "q_snapshot_diff" -> 1.0, "q_content_chunks" -> 1.5,
-    "q_shared_substrings" -> 2.5, "q_pipeline_splits" -> 4.5)
+    "q_shared_substrings" -> 2.5, "q_pipeline_splits" -> 4.5,
+    // round-10 additions (solo-measured warm at sf0.1):
+    "q_agg_maintain" -> 1.2, "q_entropy" -> 0.7, "q_join_card" -> 3.8,
+    "q_key_skew" -> 0.17, "q_kmv_containment" -> 2.5, "q_stream_agg" -> 3.1,
+    "q_token_budget" -> 1.5, "q_transitions" -> 0.9, "q_trend_fit" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

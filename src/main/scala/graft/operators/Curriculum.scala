@@ -118,12 +118,19 @@ object Curriculum {
     */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
                         budget: Long): DataFrame = {
+    // Materialization barrier after scoring (the Pipeline lesson,
+    // BASELINE.md round 9): the scored frame feeds the bucket totals,
+    // the join key, and BOTH output branches — without the barrier,
+    // CollapseProject/PushDownPredicates inline the full classifier
+    // expression into every consumer and the corpus is re-scored ~5×
+    // (measured 20.3 s vs 1.3 s at sf0.1).
     val scored = docs
       .withColumn("_w", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
         TextAnalysis.tokenCountOf(col("_w")).as("n_tokens"))
       .withColumn("_b", floor(col("q_score") * BudgetGrid).cast("long"))
+      .localCheckpoint()
     val bw = Window.orderBy(col("_b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bstats = scored.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt"))

@@ -174,7 +174,9 @@ object Sketches {
       .groupBy("h_row").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("cms_estimate"))
     val exact = a.groupBy(col(keyA).as("_k")).agg(count(lit(1)).as("na"))
-      .join(b.groupBy(col(keyB).as("_k")).agg(count(lit(1)).as("nb")), "_k")
+      // audit-twin join over GROUPED counts (key-cardinality-sized);
+      // the hint spares the larger side's counts a sort-merge exchange
+      .join(broadcast(b.groupBy(col(keyB).as("_k")).agg(count(lit(1)).as("nb"))), "_k")
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_exact"))
     exact.crossJoin(broadcast(est)).select(col("n_exact"), col("cms_estimate"))
   }
