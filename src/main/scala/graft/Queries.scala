@@ -2046,7 +2046,38 @@ object Queries {
     // divisions.
     Entry("q_key_skew",
       (s, d) => Profile.keySkew(t(s, d, "events"), "user_id"),
-      Some(Profile.duckKeySkew("events", "user_id")))
+      Some(Profile.duckKeySkew("events", "user_id"))),
+
+    // SCD2 point-in-time lookup gate: every event joined to the user
+    // dimension version valid AT the event's timestamp (half-open
+    // intervals; deleted gaps match nothing). Oracle nests the full
+    // SCD2 rebuild as the history side.
+    Entry("q_scd2_lookup",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val hist = ChangeLog.scd2History(
+          ChangeLog.synthesize(ev, "event_id", "ts"),
+          Seq("user_id"), "event_id", Seq("event_type"))
+        ChangeLog.scd2Lookup(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          hist, Seq("user_id"), "ts", Seq("event_type"))
+      },
+      Some(s"""SELECT e.event_id, e.user_id, e.ts,
+                      h.version AS dim_version,
+                      h.event_type AS dim_event_type
+               FROM $EvOracle e
+               JOIN ($Scd2RebuildSql) h
+                 ON e.user_id = h.user_id
+                AND epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000 >= h.valid_from_ms
+                AND (h.valid_to_ms IS NULL
+                     OR epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000 < h.valid_to_ms)""")),
+
+    // Rolling 7-day distinct-user series gate: mergeable HLL registers
+    // per day, trailing-window register unions, exact audit twin
+    // alongside.
+    Entry("q_rolling_distinct",
+      (s, d) => Sketches.rollingDistinct(t(s, d, "events"), "ts", "user_id"),
+      Some(Sketches.duckRollingDistinct(EvOracle, "ts", "user_id")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

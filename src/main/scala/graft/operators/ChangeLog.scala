@@ -309,6 +309,35 @@ object ChangeLog {
       scd2Windowize(replayed.unionByName(newEvents), keyCols, tieBreakCol))
   }
 
+  /** POINT-IN-TIME dimension lookup over an SCD2 history — join each
+    * fact to the dimension VERSION that was valid when the fact
+    * happened (`valid_from_ms ≤ fact_ms < valid_to_ms`, half-open like
+    * the history itself), the query SCD2 exists to answer. Facts inside
+    * a deleted gap (interval closed by a tombstone, nothing reopened
+    * yet) match no version and drop out — the dimension row genuinely
+    * did not exist at that time.
+    *
+    * Scale shape: an EQUI-join on the key with the interval test as a
+    * residual filter — per-key version counts are small, so this is one
+    * key exchange (or a broadcast when the dimension is), never an
+    * interval/theta join. Dimension columns come back prefixed `dim_`,
+    * the version as `dim_version`.
+    */
+  def scd2Lookup(facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+                 tsCol: String, dimCols: Seq[String]): DataFrame = {
+    val h = history.select(
+      keyCols.map(col) ++
+        Seq(col("valid_from_ms"), col("valid_to_ms"),
+          col("version").as("dim_version")) ++
+        dimCols.map(c => col(c).as(s"dim_$c")): _*)
+    val f = facts.withColumn("_fact_ms", expr(s"unix_micros(`$tsCol`) div 1000"))
+    f.join(h, keyCols)
+      .filter(col("_fact_ms") >= col("valid_from_ms") &&
+        (col("valid_to_ms").isNull || col("_fact_ms") < col("valid_to_ms")))
+      .select(facts.columns.map(col) ++
+        Seq(col("dim_version")) ++ dimCols.map(c => col(s"dim_$c")): _*)
+  }
+
   /** Shared interval math over SCD2 event rows
     * (…, `_change_type`, valid_from_ms): one key-partitioned window
     * assigns closing bounds, version numbers, and currency.

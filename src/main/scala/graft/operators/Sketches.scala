@@ -56,6 +56,20 @@ object Sketches {
     lit(1L) + log2(x.bitwiseAND(-x)).cast("long")
   }
 
+  /** The two-branch HLL estimator over a sketch row carrying `_nb`
+    * (non-empty registers) and `_dpres` (Σ 2^-rho over them) — shared
+    * by [[hllDistinct]] and [[rollingDistinct]].
+    */
+  private def hllEstimate: Column = {
+    val m2 = (HllM.toDouble * HllM).toDouble
+    val zeros = (lit(HllM.toLong) - col("_nb"))
+    val denom = col("_dpres") + zeros.cast("double")
+    val raw = lit(HllAlpha) * lit(m2) / denom
+    when(raw <= lit(2.5 * HllM) && zeros > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
   /** Per-group HLL distinct estimate next to the exact answer.
     * Output: (groupCol, n_exact, hll_estimate).
     */
@@ -71,18 +85,95 @@ object Sketches {
       count(lit(1)).as("_nb"),
       sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(_mrho AS INT))")
         .cast("double")).as("_dpres"))
-    val m2 = (HllM.toDouble * HllM).toDouble
-    val zeros = (lit(HllM.toLong) - col("_nb"))
-    val denom = col("_dpres") + zeros.cast("double")
-    val raw = lit(HllAlpha) * lit(m2) / denom
-    val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
-      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
-      .otherwise(raw)
     val exact = df.groupBy(col(groupCol).as("_grp"))
       .agg(countDistinct(col(valueCol)).as("n_exact"))
     sketch.join(exact, "_grp")
       .select(col("_grp").as(groupCol), col("n_exact"),
-        round(est, 6).as("hll_estimate"))
+        round(hllEstimate, 6).as("hll_estimate"))
+  }
+
+  /** ROLLING-WINDOW distinct counts via HLL register merging — the
+    * "7-day active users" / "distinct URLs this week" series, answered
+    * at 100 TB the only way it can be: `count(DISTINCT x)` does not
+    * decompose over sliding windows (yesterday's users overlap
+    * today's), so the exact form re-scans `win` days of raw data for
+    * EVERY day. HLL registers, by contrast, merge by `max` — so the
+    * stream collapses ONCE into per-(day, register) partials
+    * (days × 64 rows, the same mergeable state a per-shard pipeline
+    * would ship), and every trailing window is a metadata-scale
+    * register union. This is the composable face of [[hllDistinct]]:
+    * same hash, same registers, same estimator.
+    *
+    * The exact audit twin runs alongside (each distinct (day, value)
+    * pair explodes into the ≤ `win` window days it serves — narrow,
+    * two exchanges, but over the DISTINCT pair stream, not raw rows);
+    * at scale a caller runs the sketch only. Window days are the days
+    * present in the data (a day with no events has no row).
+    * Output: (day, n_exact, hll_estimate).
+    */
+  def rollingDistinct(events: DataFrame, tsCol: String, valueCol: String,
+                      win: Int = 7): DataFrame = {
+    val h = TextAnalysis.fingerprint(col(valueCol).cast("string"))
+    val regs = events
+      .select(to_date(col(tsCol)).as("day"),
+        pmod(h, lit(HllM.toLong)).as("_bucket"), rhoOf(h).as("_rho"))
+      .groupBy("day", "_bucket").agg(max("_rho").as("_mrho"))
+    val days = regs.select(col("day")).distinct()
+    // register-table-scale non-equi join (days × days·64 rows):
+    // broadcast + nested-loop is the RIGHT plan at this size
+    val wr = broadcast(days.select(col("day").as("_d")))
+      .join(regs,
+        col("day") >= date_sub(col("_d"), win - 1) && col("day") <= col("_d"))
+      .groupBy(col("_d"), col("_bucket")).agg(max(col("_mrho")).as("_mrho"))
+    val sketch = wr.groupBy(col("_d")).agg(
+      count(lit(1)).as("_nb"),
+      sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(_mrho AS INT))")
+        .cast("double")).as("_dpres"))
+    // exact twin: distinct (day, value) pairs serve window days
+    // [day, day+win) that exist in the data
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(valueCol).as("_v")).distinct()
+    val exact = du
+      .select(explode(sequence(lit(0), lit(win - 1))).as("_i"),
+        col("day"), col("_v"))
+      .select(expr("date_add(day, _i)").as("_d"), col("_v"))
+      .join(broadcast(days.select(col("day").as("_d"))), Seq("_d"))
+      .distinct()
+      .groupBy(col("_d")).agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, "_d")
+      .select(col("_d").as("day"), col("n_exact"),
+        round(hllEstimate, 6).as("hll_estimate"))
+  }
+
+  /** DuckDB oracle twin of [[rollingDistinct]]. */
+  def duckRollingDistinct(rel: String, tsCol: String, valueCol: String,
+                          win: Int = 7): String = {
+    val fp = TextAnalysis.duckFingerprint(s"CAST($valueCol AS VARCHAR)")
+    s"""WITH h AS (SELECT CAST($tsCol AS DATE) AS day, ($fp) AS h FROM $rel),
+       |r AS (SELECT day, h % $HllM AS bucket,
+       |             1 + CAST(log2(x & (-x)) AS BIGINT) AS rho
+       |      FROM (SELECT day, h, (h // $HllM) | $HllSentinel AS x FROM h)),
+       |reg AS (SELECT day, bucket, max(rho) AS mrho FROM r GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT day FROM reg),
+       |wr AS (SELECT d.day AS day, reg.bucket, max(reg.mrho) AS mrho
+       |       FROM days d JOIN reg
+       |         ON reg.day >= d.day - ${win - 1} AND reg.day <= d.day
+       |       GROUP BY 1, 2),
+       |sk AS (SELECT day, count(*) AS nb,
+       |              sum(1.0 / CAST(CAST(1 AS BIGINT) << CAST(mrho AS INT) AS DOUBLE)) AS dpres
+       |       FROM wr GROUP BY 1),
+       |du AS (SELECT DISTINCT CAST($tsCol AS DATE) AS day, $valueCol AS v FROM $rel),
+       |ex AS (SELECT d.day AS day, count(DISTINCT u.v) AS n_exact
+       |       FROM days d JOIN du u
+       |         ON u.day >= d.day - ${win - 1} AND u.day <= d.day
+       |       GROUP BY 1)
+       |SELECT sk.day AS day, ex.n_exact,
+       |       round(CASE WHEN (CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / (dpres + CAST($HllM - nb AS DOUBLE))) <= CAST(${2.5 * HllM} AS DOUBLE)
+       |                   AND ($HllM - nb) > 0
+       |             THEN CAST(${HllM.toDouble} AS DOUBLE) * ln(CAST(${HllM.toDouble} AS DOUBLE) / CAST($HllM - nb AS DOUBLE))
+       |             ELSE CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / (dpres + CAST($HllM - nb AS DOUBLE))
+       |             END, 6) AS hll_estimate
+       |FROM sk JOIN ex ON sk.day = ex.day""".stripMargin
   }
 
   /** DuckDB oracle twin of [[hllDistinct]]. */

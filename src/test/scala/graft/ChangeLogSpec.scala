@@ -166,6 +166,33 @@ class ChangeLogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scd2Lookup: boundary facts take the new version, deleted gaps and pre-history match nothing") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "v1", ts("2024-01-01 00:00:01.000"), "insert"),
+      (1L, 11L, "v2", ts("2024-01-01 00:00:03.000"), "update_postimage"),
+      (1L, 12L, "v2", ts("2024-01-01 00:00:05.000"), "delete"),
+      (1L, 13L, "v3", ts("2024-01-01 00:00:07.000"), "insert"))
+      .toDF("k", "seq", "state", ChangeLog.CommitTs, ChangeLog.ChangeType)
+    val hist = ChangeLog.scd2History(log, Seq("k"), "seq", Seq("state"))
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-01 00:00:00.500")), // before any version → drop
+      (101L, 1L, ts("2024-01-01 00:00:01.000")), // exactly at v1 open → v1
+      (102L, 1L, ts("2024-01-01 00:00:03.000")), // exactly at the v1→v2 flip → v2
+      (103L, 1L, ts("2024-01-01 00:00:04.500")), // inside v2
+      (104L, 1L, ts("2024-01-01 00:00:06.000")), // deleted gap → drop
+      (105L, 1L, ts("2024-01-01 00:00:09.000")), // reopened current → v3
+      (106L, 2L, ts("2024-01-01 00:00:04.000"))) // unknown key → drop
+      .toDF("fact_id", "k", "ts")
+    val got = ChangeLog.scd2Lookup(facts, hist, Seq("k"), "ts", Seq("state"))
+      .select("fact_id", "dim_version", "dim_state")
+      .as[(Long, Long, String)].collect().toSet
+    // version numbers count the tombstone too (it consumes a slot in
+    // the maintained state), so the reopened row is version 4
+    assert(got == Set(
+      (101L, 1L, "v1"), (102L, 2L, "v2"), (103L, 2L, "v2"), (105L, 4L, "v3")))
+  }
+
   test("latestCommitMs is millisecond-precise (not floor-to-second)") {
     assert(ChangeLog.latestCommitMs(log()) == ts("2024-01-01 00:00:01.250").getTime)
   }

@@ -54,6 +54,29 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(byTerm("alpha") == 100L && byTerm("gamma") == 50L)
   }
 
+  test("rollingDistinct: trailing windows union registers; exact twin counts overlap once") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 01:00:00")
+    // day1 {u1..u40}, day2 {u21..u60} (20 overlap), day4 {u1..u10};
+    // day3 has no events → no output row. Window = 2 days.
+    val rows = (1 to 40).map(u => (u.toLong, t(1))) ++
+      (21 to 60).map(u => (u.toLong, t(2))) ++
+      (1 to 10).map(u => (u.toLong, t(4)))
+    val out = Sketches.rollingDistinct(rows.toDF("user_id", "ts"), "ts", "user_id",
+        win = 2)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set("2024-01-01", "2024-01-02", "2024-01-04"))
+    assert(out("2024-01-01")._1 == 40L)
+    assert(out("2024-01-02")._1 == 60L) // 40 + 40 − 20 overlap, counted once
+    assert(out("2024-01-04")._1 == 10L) // day3 empty, so the window holds only day4
+    // m=64 registers → ~13% standard error; allow 3σ like the hll gate
+    out.foreach { case (d, (exact, est)) =>
+      assert(math.abs(est - exact) <= math.max(2.0, 0.4 * exact),
+        s"$d: estimate $est too far from exact $exact")
+    }
+  }
+
   test("cms join-cardinality estimate is >= the exact join size on a skewed key") {
     import spark.implicits._
     // 'hot' appears 100× on one side and 80× on the other: exact join
