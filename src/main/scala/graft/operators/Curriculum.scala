@@ -118,19 +118,26 @@ object Curriculum {
     */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
                         budget: Long): DataFrame = {
-    // Materialization barrier after scoring (the Pipeline lesson,
-    // BASELINE.md round 9): the scored frame feeds the bucket totals,
-    // the join key, and BOTH output branches — without the barrier,
-    // CollapseProject/PushDownPredicates inline the full classifier
-    // expression into every consumer and the corpus is re-scored ~5×
-    // (measured 20.3 s vs 1.3 s at sf0.1).
+    // COLUMNAR-CACHE barrier after scoring: the scored frame feeds the
+    // bucket totals, the join key, and BOTH output branches, and every
+    // weaker barrier measurably fails here (100× rehearsal, 500 k
+    // docs): no barrier → CollapseProject inlines the token split into
+    // every classifier feature reference in every consumer (~100×
+    // re-tokenize, 20.3 s at sf0.1); localCheckpoint → 13 s of
+    // row-serialization for a 2.6 s scoring pass; a repartition(_b)
+    // exchange → column pruning forks a second scoring exchange for
+    // the bucket stats AND the join's isnotnull(_b) constraint
+    // propagates below it as a per-row full-classifier filter OUTSIDE
+    // codegen (80 s). The columnar cache computes scoring once, every
+    // consumer — including the broadcast's constraint filter — reads
+    // the cached column.
     val scored = docs
       .withColumn("_w", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
         TextAnalysis.tokenCountOf(col("_w")).as("n_tokens"))
       .withColumn("_b", floor(col("q_score") * BudgetGrid).cast("long"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bw = Window.orderBy(col("_b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bstats = scored.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt"))
