@@ -2077,7 +2077,16 @@ object Queries {
     // alongside.
     Entry("q_rolling_distinct",
       (s, d) => Sketches.rollingDistinct(t(s, d, "events"), "ts", "user_id"),
-      Some(Sketches.duckRollingDistinct(EvOracle, "ts", "user_id")))
+      Some(Sketches.duckRollingDistinct(EvOracle, "ts", "user_id"))),
+
+    // Document-boundary bin packing gate (Next-Fit-Decreasing): whole
+    // docs into 256-token bins across 8 shards; oracle restates the
+    // per-shard fold as a recursive CTE.
+    Entry("q_bin_pack",
+      (s, d) => Packing.binPack(t(s, d, "documents"), "text", "doc_id",
+        capacity = 256L, nShards = 8),
+      Some(Packing.duckBinPack("documents", "text", "doc_id",
+        capacity = 256L, nShards = 8)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

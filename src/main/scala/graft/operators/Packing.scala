@@ -128,4 +128,81 @@ object Packing {
        |       array_to_string(w[(p*$s+1):(p*$s+$wT)], ' ') AS passage
        |FROM e""".stripMargin
   }
+
+  /** DOCUMENT-BOUNDARY bin packing (Next-Fit-Decreasing): pack whole
+    * documents into fixed token-capacity bins without ever splitting a
+    * document — the packing used when examples must stay intact
+    * (SFT/eval batching, retrieval corpora), complementing [[assign]]'s
+    * concat-and-chunk which cuts across boundaries. Docs sort by
+    * (tokens DESC, id) within a shard and each opens a new bin exactly
+    * when it does not fit the current one; a doc larger than the
+    * capacity gets a bin of its own. NFD is the one classic packing
+    * heuristic whose state is a pure left fold (current bin, remaining
+    * room), which is what makes it expressible — and auditable — as a
+    * deterministic per-shard array fold on ANY engine; first-fit's
+    * open-bin list would need mutable search state.
+    *
+    * Scale shape: ONE shard-keyed exchange, then a per-shard sorted
+    * fold — shards are the parallelism unit and each must fit an
+    * executor (the same contract as [[Splits.epochShuffle]]'s
+    * shard-local sorts); bins never cross shards, so the global result
+    * is simply (shard, bin)-keyed. The shard here is a deterministic
+    * function of the id so the oracle can re-derive it inline.
+    *
+    * Output: (idCol, shard, n_tokens, bin) — bin is 0-based within the
+    * shard.
+    */
+  def binPack(docs: DataFrame, textCol: String, idCol: String,
+              capacity: Long, nShards: Int): DataFrame = {
+    val sorted = docs
+      .select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(
+        struct((-col("n_tokens")).as("_neg"), col(idCol).as("_id"),
+          col("n_tokens").as("_nt")))).as("_docs"))
+    // left fold carrying (current bin, remaining room) and appending
+    // each doc's bin assignment; zip back to the sorted docs
+    // rem = −1 so the FIRST doc (even a 0-token one) never "fits" and
+    // always opens bin 0, matching the oracle's rk=1 anchor row
+    val init = struct(lit(-1).as("cur"), lit(-1L).as("rem"),
+      array().cast("array<int>").as("bins"))
+    val folded = sorted.withColumn("_st",
+      aggregate(col("_docs"), init, (s, d) => {
+        val fits = d.getField("_nt") <= s.getField("rem")
+        val nb = when(fits, s.getField("cur")).otherwise(s.getField("cur") + 1)
+        struct(nb.as("cur"),
+          when(fits, s.getField("rem") - d.getField("_nt"))
+            .otherwise(lit(capacity) - d.getField("_nt")).as("rem"),
+          concat(s.getField("bins"), array(nb)).as("bins"))
+      }))
+    folded
+      .select(col("shard"),
+        explode(arrays_zip(col("_docs"), col("_st.bins"))).as("_z"))
+      .select(col("_z._docs._id").as(idCol), col("shard"),
+        col("_z._docs._nt").as("n_tokens"), col("_z.bins").as("bin"))
+  }
+
+  /** DuckDB oracle for [[binPack]]: the fold restated as a recursive
+    * CTE walking each shard's (tokens DESC, id) rank order.
+    */
+  def duckBinPack(tbl: String, textCol: String, idCol: String,
+                  capacity: Long, nShards: Int): String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT $idCol, $idCol % $nShards AS shard,
+       |         CAST(len(${TextAnalysis.duckTokensBind(textCol)}) AS BIGINT) AS n_tokens
+       |  FROM $tbl),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY shard
+       |        ORDER BY n_tokens DESC, $idCol ASC) AS rk FROM d),
+       |f AS (
+       |  SELECT shard, rk, $idCol, n_tokens, 0 AS bin,
+       |         $capacity - n_tokens AS rem
+       |  FROM r WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.shard, r.rk, r.$idCol, r.n_tokens,
+       |         CASE WHEN r.n_tokens <= f.rem THEN f.bin ELSE f.bin + 1 END,
+       |         CASE WHEN r.n_tokens <= f.rem THEN f.rem - r.n_tokens
+       |              ELSE $capacity - r.n_tokens END
+       |  FROM f JOIN r ON r.shard = f.shard AND r.rk = f.rk + 1)
+       |SELECT $idCol, shard, n_tokens, bin FROM f""".stripMargin
 }

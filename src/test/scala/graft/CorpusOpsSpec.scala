@@ -402,6 +402,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("binPack: NFD hand-check — no-fit opens a bin, oversize gets its own, empty docs ride along") {
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // all ids ≡ 0 mod 1 → one shard; tokens desc: 15, 7, 5, 4, 3, 1, 0
+    val docs = Seq(
+      (1L, text(7)), (2L, text(5)), (3L, text(4)), (4L, text(3)),
+      (5L, text(1)), (6L, text(15)), (7L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Packing.binPack(docs, "text", "doc_id",
+        capacity = 10L, nShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // 15 → bin0 (oversize, alone: rem goes negative so 7 opens bin1);
+    // 7 → bin1 (rem 3); 5 → bin2 (rem 5); 4 → bin2 (rem 1);
+    // 3 → bin3 (rem 7); 1 → bin3 (rem 6); 0-token doc fits bin3
+    assert(got == Map(6L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3,
+      5L -> 3, 7L -> 3))
+  }
+
   test("entropy: uniform tokens hit ln(k), repetition hits 0, empty docs absent") {
     val docs = Seq(
       (1L, "a b c d"),      // 4 uniform types → ln 4
