@@ -2086,7 +2086,30 @@ object Queries {
       (s, d) => Packing.binPack(t(s, d, "documents"), "text", "doc_id",
         capacity = 256L, nShards = 8),
       Some(Packing.duckBinPack("documents", "text", "doc_id",
-        capacity = 256L, nShards = 8)))
+        capacity = 256L, nShards = 8))),
+
+    // Equi-width histogram gate: 20 buckets over the document length
+    // column — two-pass bounds + one bucket aggregate, no sort.
+    Entry("q_histogram",
+      (s, d) => Profile.histogram(t(s, d, "documents"), "n_chars", 20),
+      Some(Profile.duckHistogram("documents", "n_chars", 20))),
+
+    // Order-independent content checksum gate: the reference's P4 row
+    // render XOR-folded — sync integrity verification as one narrow
+    // aggregate (doubles excluded from the render like q_row_hash).
+    Entry("q_content_checksum",
+      (s, d) => RowHash.contentChecksum(t(s, d, "orders"),
+        ignoreColumns = Set("o_totalprice")),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(bit_xor(fp) AS BIGINT) AS checksum
+               FROM (SELECT (${graft.functions.TextAnalysis.duckFingerprint(
+                 """md5('{"o_custkey":' || o_custkey ||
+                   |',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') ||
+                   |'","o_orderkey":' || o_orderkey ||
+                   |',"o_orderpriority":"' || o_orderpriority ||
+                   |'","o_orderstatus":"' || o_orderstatus ||
+                   |'"}')""".stripMargin.linesIterator.map(_.trim).mkString)}) AS fp
+                     FROM orders)"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -121,6 +121,54 @@ object Profile {
          |FROM $tbl""".stripMargin) ++ nullBranches).mkString("\nUNION ALL\n")
   }
 
+  /** Equi-width HISTOGRAM of a numeric column — the distribution view
+    * the scalar [[profile]] metrics flatten away (length profiles,
+    * score distributions, skew shoulders). Two passes: a 2-value
+    * bounds aggregate broadcast back, then ONE map-side-combined
+    * bucket count — never a sort, never a per-value exchange.
+    *
+    * Float parity: bucket = floor((x − min)/width) with width =
+    * (max − min)/k rendered identically on both engines (IEEE ops on
+    * the same inputs), max clamped into the last bucket, NULLs
+    * excluded, degenerate min = max collapsing to bucket 0.
+    * Output: (bucket, lo, hi, n).
+    */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    val b = df.agg(min(col(valueCol).cast("double")).as("_mn"),
+      max(col(valueCol).cast("double")).as("_mx"))
+    val w = (col("_mx") - col("_mn")) / nBuckets
+    df.select(col(valueCol).cast("double").as("_x"))
+      .filter(col("_x").isNotNull)
+      .crossJoin(broadcast(b))
+      .select(
+        when(col("_mx") > col("_mn"),
+          least(floor((col("_x") - col("_mn")) / w), lit((nBuckets - 1).toLong)))
+          .otherwise(lit(0L)).cast("long").as("bucket"),
+        col("_mn"), col("_mx"))
+      .groupBy(col("bucket"), col("_mn"), col("_mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(col("_mn") + col("bucket") * w, 6).as("lo"),
+        round(col("_mn") + (col("bucket") + 1) * w, 6).as("hi"),
+        col("n"))
+  }
+
+  /** DuckDB oracle twin of [[histogram]]. */
+  def duckHistogram(tbl: String, valueCol: String, nBuckets: Int): String =
+    s"""WITH b AS (SELECT CAST(min($valueCol) AS DOUBLE) AS mn,
+       |                  CAST(max($valueCol) AS DOUBLE) AS mx FROM $tbl),
+       |g AS (SELECT CASE WHEN mx > mn
+       |               THEN CAST(least(floor((CAST($valueCol AS DOUBLE) - mn)
+       |                                     / ((mx - mn) / $nBuckets)),
+       |                          ${nBuckets - 1}) AS BIGINT)
+       |               ELSE 0 END AS bucket, mn, mx
+       |      FROM $tbl, b WHERE $valueCol IS NOT NULL)
+       |SELECT bucket,
+       |       round(mn + bucket * ((mx - mn) / $nBuckets), 6) AS lo,
+       |       round(mn + (bucket + 1) * ((mx - mn) / $nBuckets), 6) AS hi,
+       |       count(*) AS n
+       |FROM g GROUP BY bucket, mn, mx""".stripMargin
+
   /** KEY-SKEW report — the "will this key salt/broadcast decision bite"
     * planner aid that pairs with [[Sketches.cmsJoinCardinality]]: the
     * key's cardinality, the heaviest key's share of all rows, and the

@@ -31,4 +31,23 @@ object RowHash {
       df.withColumn(hashCol, md5(to_json(struct(cols.map(col): _*))))
     }
   }
+
+  /** ORDER-INDEPENDENT dataset content checksum — "did the sync land
+    * bit-exact" verified without moving, sorting, or comparing data:
+    * per-row deterministic hash (the reference's P4 render, so the
+    * same rows hash the same on any engine) folded by XOR, which is
+    * commutative/associative — the checksum is identical for any
+    * partitioning, row order, or file layout, and two datasets agree
+    * iff source and sink hold the same row multiset (up to XOR's
+    * paired-duplicate blind spot, which `n_rows` plus the md5-derived
+    * 60-bit space makes practically inert). One narrow codegen'd
+    * projection + one map-side-combined aggregate per side.
+    * Output: one row (n_rows, checksum).
+    */
+  def contentChecksum(df: DataFrame,
+                      ignoreColumns: Set[String] = Set.empty): DataFrame =
+    withHashColumn(df, "_row_h", ignoreColumns)
+      .select(graft.functions.TextAnalysis.fingerprint(col("_row_h")).as("_fp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_fp)").as("checksum"))
 }

@@ -52,6 +52,23 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out("null_fraction_max:score").getDouble(1) == 0.166667)
   }
 
+  test("histogram: even spread, max clamped into the last bucket, nulls out, degenerate collapses") {
+    import spark.implicits._
+    val vals = (0 to 9).map(v => Some(v.toLong)) :+ Option.empty[Long]
+    val out = Profile.histogram(vals.toDF("x"), "x", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // width (9-0)/5 = 1.8: buckets get {0,1}, {2,3}, {4,5}, {6,7}, {8,9};
+    // the max value 9 computes bucket 5 and clamps to 4; the null is gone
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(out.values.map(_._3).sum == 10L)
+    assert(out(0L)._1 == 0.0 && out(4L)._2 == 9.0)
+    assert(out(4L)._3 == 2L)
+    val flat = Profile.histogram(Seq(5L, 5L, 5L).toDF("x"), "x", 5).collect()
+    assert(flat.length == 1 && flat.head.getLong(0) == 0L
+      && flat.head.getLong(3) == 3L)
+  }
+
   test("keySkew: uniform keys score gini 0, hand-checked skew, null keys are a real group") {
     import spark.implicits._
     val uniform = Seq(1L, 2L, 3L, 4L).map(k => (Some(k), "r")).toDF("k", "v")

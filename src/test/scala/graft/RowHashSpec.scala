@@ -57,4 +57,21 @@ class RowHashSpec extends AnyFunSuite with SparkTestBase {
       .digest("""{"x":1}""".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(hashes(a).head == expected)
   }
+
+  test("content checksum: invariant to partitioning and row order, sensitive to one changed row") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      RowHash.contentChecksum(df).as[(Long, Long)].head()
+    val ref = sum(base)
+    assert(ref._1 == 4L)
+    assert(sum(base.repartition(7)) == ref)
+    assert(sum(base.orderBy(org.apache.spark.sql.functions.col("id").desc)) == ref)
+    val tweaked = Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    assert(sum(tweaked) != ref)
+    // ignore set: a column excluded from the render cannot perturb it
+    val ignored = Seq((1L, "a", 9.9), (2L, "b", 1.1), (3L, "c", 0.0),
+      (4L, "d", 7.7)).toDF("id", "v", "noise")
+    assert(RowHash.contentChecksum(ignored, Set("noise"))
+      .as[(Long, Long)].head() == ref)
+  }
 }
