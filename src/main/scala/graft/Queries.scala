@@ -2097,6 +2097,20 @@ object Queries {
     // Order-independent content checksum gate: the reference's P4 row
     // render XOR-folded — sync integrity verification as one narrow
     // aggregate (doubles excluded from the render like q_row_hash).
+    // FK referential-integrity gate: orders→customer orphan count as a
+    // one-row expectation (broadcast anti probe).
+    Entry("q_fk_check",
+      (s, d) => Profile.fkCheck(t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey"),
+      Some(Profile.duckFkCheck("orders", "o_custkey", "customer", "c_custkey"))),
+
+    // Percent-rank score normalization gate: within-language quantile
+    // position of the classifier score (cross-language comparable).
+    Entry("q_score_normalize",
+      (s, d) => Curriculum.scoreNormalize(t(s, d, "documents"), "text",
+        "doc_id", "lang"),
+      Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
+
     Entry("q_content_checksum",
       (s, d) => RowHash.contentChecksum(t(s, d, "orders"),
         ignoreColumns = Set("o_totalprice")),

@@ -175,6 +175,45 @@ object Curriculum {
        |                  ROWS UNBOUNDED PRECEDING) AS cum FROM s)
        |SELECT $idCol, q_score, n_tokens FROM c WHERE cum <= $budget""".stripMargin
 
+  /** PERCENT-RANK score normalization within a group — the continuous
+    * complement of [[qualityBins]]' deciles: maps each document's
+    * classifier score to its within-language quantile position
+    * ∈ [0, 1], making scores comparable ACROSS languages (raw
+    * classifier scores are not — each language has its own score
+    * distribution; curricula and mixture policies want "top 10% of
+    * German", not "score > 0.7"). Deterministic: the rank order is
+    * (score ASC, id ASC), so `pct_rank` is a pure corpus function;
+    * percent_rank = (rank − 1)/(n − 1) with a single-row group pinned
+    * to 0 — identical definitions on both engines, one division,
+    * round(6).
+    *
+    * Scale shape: one language-keyed window exchange, exactly
+    * [[qualityBins]] (same salting note applies at few-language 100 TB).
+    * Output: (idCol, langCol, q_score, pct_rank).
+    */
+  def scoreNormalize(docs: DataFrame, textCol: String, idCol: String,
+                     langCol: String): DataFrame = {
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("q_score").asc, col(idCol).asc)
+    docs
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), col(langCol),
+        QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
+  /** DuckDB oracle for [[scoreNormalize]]. */
+  def duckScoreNormalize(tbl: String, textCol: String, idCol: String,
+                         langCol: String): String =
+    s"""WITH d AS (SELECT $idCol, $langCol,
+       |                  ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl)
+       |SELECT $idCol, $langCol,
+       |       ${QualityFilters.duckClassifierScore} AS q_score,
+       |       round(percent_rank() OVER (PARTITION BY $langCol
+       |         ORDER BY ${QualityFilters.duckClassifierScore} ASC, $idCol ASC), 6) AS pct_rank
+       |FROM d""".stripMargin
+
   /** DuckDB oracle for [[domainCap]] — same score, same tie-broken rank
     * and cap.
     */

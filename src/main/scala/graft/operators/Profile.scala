@@ -169,6 +169,44 @@ object Profile {
        |       count(*) AS n
        |FROM g GROUP BY bucket, mn, mx""".stripMargin
 
+  /** REFERENTIAL-INTEGRITY expectation — the foreign-key face of
+    * [[expectations]]: how many child rows reference a parent key that
+    * does not exist. NULL foreign keys are not orphans (SQL's absent
+    * reference), but they are reported via `n_nonnull` so a "all rows
+    * must reference" policy can gate on both numbers.
+    *
+    * Scale shape: ONE left-anti join (broadcast when the parent's key
+    * set fits — hinted here; at larger parents the [[BloomPrune]]
+    * bitset is the pre-filter) plus two 1-row aggregates.
+    * Output: one row (n_child, n_nonnull, n_orphans, passed).
+    */
+  def fkCheck(child: DataFrame, fkCol: String,
+              parent: DataFrame, pkCol: String): DataFrame = {
+    val orphans = child.filter(col(fkCol).isNotNull)
+      .join(broadcast(parent.select(col(pkCol).as(fkCol))), Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    child
+      .agg(count(lit(1)).as("n_child"), count(col(fkCol)).as("n_nonnull"))
+      .crossJoin(broadcast(orphans))
+      .select(col("n_child"), col("n_nonnull"), col("n_orphans"),
+        (col("n_orphans") === 0L).cast("int").as("passed"))
+  }
+
+  /** DuckDB oracle twin of [[fkCheck]]. */
+  def duckFkCheck(childTbl: String, fkCol: String,
+                  parentTbl: String, pkCol: String): String =
+    s"""SELECT CAST((SELECT count(*) FROM $childTbl) AS BIGINT) AS n_child,
+       |       CAST((SELECT count($fkCol) FROM $childTbl) AS BIGINT) AS n_nonnull,
+       |       CAST((SELECT count(*) FROM $childTbl ch
+       |             WHERE ch.$fkCol IS NOT NULL
+       |               AND NOT EXISTS (SELECT 1 FROM $parentTbl p
+       |                               WHERE p.$pkCol = ch.$fkCol)) AS BIGINT) AS n_orphans,
+       |       CAST(CASE WHEN (SELECT count(*) FROM $childTbl ch
+       |                       WHERE ch.$fkCol IS NOT NULL
+       |                         AND NOT EXISTS (SELECT 1 FROM $parentTbl p
+       |                                         WHERE p.$pkCol = ch.$fkCol)) = 0
+       |            THEN 1 ELSE 0 END AS INT) AS passed""".stripMargin
+
   /** KEY-SKEW report — the "will this key salt/broadcast decision bite"
     * planner aid that pairs with [[Sketches.cmsJoinCardinality]]: the
     * key's cardinality, the heaviest key's share of all rows, and the

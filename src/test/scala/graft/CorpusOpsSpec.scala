@@ -402,6 +402,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scoreNormalize: within-group quantile positions, singleton groups pin to 0") {
+    // distinct lengths → distinct scores; percent_rank = (rank−1)/(n−1)
+    val docs = Seq(
+      (1L, "short words here", "en"),
+      (2L, "a much longer document with many more quality words inside", "en"),
+      (3L, "medium length document with words", "en"),
+      (4L, "solo", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Curriculum.scoreNormalize(docs, "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(4L) == 0.0)
+    assert(Seq(got(1L), got(2L), got(3L)).sorted == Seq(0.0, 0.5, 1.0))
+  }
+
   test("binPack: NFD hand-check — no-fit opens a bin, oversize gets its own, empty docs ride along") {
     def text(n: Int) = Seq.fill(n)("w").mkString(" ")
     // all ids ≡ 0 mod 1 → one shard; tokens desc: 15, 7, 5, 4, 3, 1, 0

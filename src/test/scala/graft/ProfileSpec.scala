@@ -69,6 +69,18 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       && flat.head.getLong(3) == 3L)
   }
 
+  test("fkCheck: orphans counted, null FKs excluded but reported, clean parentage passes") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val r = Profile.fkCheck(child, "fk", parent, "pk").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)) ==
+      ((4L, 3L, 1L, 0)))
+    val clean = Profile.fkCheck(Seq(1L, 1L, 3L).toDF("fk"), "fk", parent, "pk")
+      .collect().head
+    assert(clean.getLong(2) == 0L && clean.getInt(3) == 1)
+  }
+
   test("keySkew: uniform keys score gini 0, hand-checked skew, null keys are a real group") {
     import spark.implicits._
     val uniform = Seq(1L, 2L, 3L, 4L).map(k => (Some(k), "r")).toDF("k", "v")
