@@ -2097,6 +2097,29 @@ object Queries {
     // Order-independent content checksum gate: the reference's P4 row
     // render XOR-folded — sync integrity verification as one narrow
     // aggregate (doubles excluded from the render like q_row_hash).
+    // Streaming windowed-distinct gate: daily HLL registers maintained
+    // by a real watermarked streaming aggregate, estimator run over
+    // the emitted register table, batch-exact twin joined per window.
+    Entry("q_stream_distinct",
+      (s, d) => StreamSync.replayDistinctCounts(
+        t(s, d, "events"), "ts", "user_id", windowLength = "1 day"),
+      Some(Sketches.duckWindowedDistinct(EvOracle, "ts", "user_id",
+        lenUs = 86400000000L))),
+
+    // EWMA daily smoothing gate: sequential recurrence folded over the
+    // tiny per-type day series; oracle = recursive CTE.
+    Entry("q_ewma",
+      (s, d) => EventStats.ewmaDaily(t(s, d, "events"), "ts", "event_type",
+        alpha = 0.3),
+      Some(EventStats.duckEwmaDaily(EvOracle, "ts", "event_type", alpha = 0.3))),
+
+    // Distinct-n-gram diversity gate: the Self-BLEU-style synthetic-
+    // data canary — per-source share of fresh 3-grams.
+    Entry("q_distinct_ngrams",
+      (s, d) => Novelty.distinctNgramRatio(t(s, d, "documents"), "text",
+        "source", n = 3),
+      Some(Novelty.duckDistinctNgramRatio("documents", "text", "source", n = 3))),
+
     // FK referential-integrity gate: orders→customer orphan count as a
     // one-row expectation (broadcast anti probe).
     Entry("q_fk_check",

@@ -118,6 +118,69 @@ object EventStats {
        |            END AS intercept
        |FROM m""".stripMargin
 
+  /** EWMA (exponentially-weighted moving average) smoothing of the
+    * daily count series per event type — the standard monitoring
+    * baseline next to [[anomalyZscores]]' trailing windows: reacts to
+    * level shifts with exponential memory instead of a hard cutoff.
+    * `y_t = α·x_t + (1−α)·y_{t−1}`, seeded with the first day's count.
+    *
+    * Scale shape: the stream collapses map-side to (day × type) in one
+    * exchange; the recurrence — inherently sequential — folds over
+    * each type's DAY SERIES (tiny by construction), never over events:
+    * a sorted per-type array fold, the [[graft.operators.Packing]]
+    * binPack pattern.
+    *
+    * Float parity: both engines fold the identical (day ASC) order
+    * with the same double expression; only the OUTPUT is rounded —
+    * state keeps full precision, so the recurrence never diverges.
+    * Output: (event_type, day, n, ewma).
+    */
+  def ewmaDaily(events: DataFrame, tsCol: String, typeCol: String,
+                alpha: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_y"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("_d").as("_day"),
+        col("_y").as("_n")))).as("_s"))
+    val init = struct(lit(Double.NaN).as("prev"),
+      array().cast("array<double>").as("out"))
+    val folded = series.withColumn("_st",
+      aggregate(col("_s"), init, (s, e) => {
+        val x = e.getField("_n").cast("double")
+        val y = when(isnan(s.getField("prev")), x)
+          .otherwise(lit(alpha) * x + lit(1.0 - alpha) * s.getField("prev"))
+        struct(y.as("prev"), concat(s.getField("out"), array(y)).as("out"))
+      }))
+    folded
+      .select(col("event_type"),
+        explode(arrays_zip(col("_s"), col("_st.out"))).as("_z"))
+      .select(col("event_type"), col("_z._s._day").as("day"),
+        col("_z._s._n").as("n"), round(col("_z.out"), 6).as("ewma"))
+  }
+
+  /** DuckDB oracle twin of [[ewmaDaily]] — the recurrence restated as
+    * a recursive CTE over each type's day rank.
+    */
+  def duckEwmaDaily(rel: String, tsCol: String, typeCol: String,
+                    alpha: Double): String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+       |         count(*) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |        ORDER BY day ASC) AS rk FROM daily),
+       |f AS (
+       |  SELECT event_type, day, n, rk, CAST(n AS DOUBLE) AS ewma
+       |  FROM r WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.day, r.n, r.rk,
+       |         $alpha * CAST(r.n AS DOUBLE) + ${1.0 - alpha} * f.ewma
+       |  FROM f JOIN r ON r.event_type = f.event_type AND r.rk = f.rk + 1)
+       |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       |       round(ewma, 6) AS ewma
+       |FROM f""".stripMargin
+
   /** FIRST-ORDER TRANSITION MATRIX over per-user event sequences: for
     * each ordered pair of event types, how often does `from` lead
     * directly to `to`, and with what conditional probability — the

@@ -75,4 +75,58 @@ object Novelty {
        |       round(CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
        |             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
        |FROM s JOIN d USING (sh) GROUP BY s.$idCol""".stripMargin
+
+  /** Per-source DISTINCT-N-GRAM diversity ratio (distinct-n — the
+    * corpus-health twin of Self-BLEU used to monitor SYNTHETIC data:
+    * model-generated corpora collapse to repeated phrasings long
+    * before per-document stats notice, and the share of distinct
+    * n-grams per source is the cheap canary). `ratio` → 1 means every
+    * n-gram occurrence is fresh; low values mean phrase reuse.
+    *
+    * Scale shape: one explode → ONE (source, shingle-hash) distinct-
+    * style aggregate (map-side combinable; hashes, not strings, cross
+    * the wire) → source-sized outputs. No joins.
+    * Output: (source, n_grams, n_distinct, ratio).
+    */
+  def distinctNgramRatio(docs: DataFrame, textCol: String, srcCol: String,
+                         n: Int): DataFrame = {
+    // RAW occurrence n-grams, deliberately NOT [[Dedup.shingles]] (which
+    // deduplicates per doc — right for Jaccard sets, wrong for a
+    // diversity ratio whose denominator is occurrences); docs shorter
+    // than n grams contribute nothing.
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val sh = Dedup.rebalance(docs)
+      .select(col(srcCol).as("source"), explode(grams).as("_sh"))
+      .select(col("source"), TextAnalysis.fingerprint(col("_sh")).as("_h"))
+    sh.groupBy(col("source"), col("_h")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("source"))
+      .agg(sum(col("_c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams").cast("double"), 6)
+          .as("ratio"))
+  }
+
+  /** DuckDB oracle twin of [[distinctNgramRatio]] — raw occurrence
+    * grams, no per-doc dedup.
+    */
+  def duckDistinctNgramRatio(tbl: String, textCol: String, srcCol: String,
+                             n: Int): String = {
+    val gram = (1 to n).map(k => s"w[i + ${k - 1}]").mkString(" || ' ' || ")
+    val rawGrams = s"CASE WHEN len(w) >= $n THEN " +
+      s"[$gram for i in range(1, len(w) - $n + 2)] ELSE [] END"
+    s"""WITH s AS (SELECT $srcCol AS source,
+       |                  (${TextAnalysis.duckFingerprint("sh")}) AS h
+       |           FROM (SELECT $srcCol, unnest($rawGrams) AS sh
+       |                 FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |                       FROM $tbl)))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       |       round(CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |         AS ratio
+       |FROM s GROUP BY source""".stripMargin
+  }
 }

@@ -51,7 +51,7 @@ object Sketches {
     * capped. `x & -x` isolates the lowest set bit; log2 of a power of
     * two is exact in double, so the cast is lossless.
     */
-  private def rhoOf(h: Column): Column = {
+  private[graft] def rhoOf(h: Column): Column = {
     val x = shiftright(h, HllP).bitwiseOR(lit(HllSentinel))
     lit(1L) + log2(x.bitwiseAND(-x)).cast("long")
   }
@@ -60,7 +60,7 @@ object Sketches {
     * (non-empty registers) and `_dpres` (Σ 2^-rho over them) — shared
     * by [[hllDistinct]] and [[rollingDistinct]].
     */
-  private def hllEstimate: Column = {
+  private[graft] def hllEstimate: Column = {
     val m2 = (HllM.toDouble * HllM).toDouble
     val zeros = (lit(HllM.toLong) - col("_nb"))
     val denom = col("_dpres") + zeros.cast("double")
@@ -174,6 +174,37 @@ object Sketches {
        |             ELSE CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / (dpres + CAST($HllM - nb AS DOUBLE))
        |             END, 6) AS hll_estimate
        |FROM sk JOIN ex ON sk.day = ex.day""".stripMargin
+  }
+
+  /** The estimator's SQL render over `nb`/`dpres` columns. */
+  private def duckHllEstimate(nb: String, dpres: String): String =
+    s"""CASE WHEN (CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / ($dpres + CAST($HllM - $nb AS DOUBLE))) <= CAST(${2.5 * HllM} AS DOUBLE)
+       |      AND ($HllM - $nb) > 0
+       | THEN CAST(${HllM.toDouble} AS DOUBLE) * ln(CAST(${HllM.toDouble} AS DOUBLE) / CAST($HllM - $nb AS DOUBLE))
+       | ELSE CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / ($dpres + CAST($HllM - $nb AS DOUBLE))
+       | END""".stripMargin
+
+  /** DuckDB oracle twin of
+    * [[graft.streaming.StreamSync.replayDistinctCounts]] — tumbling
+    * epoch-floored windows, registers, estimator, exact twin.
+    */
+  def duckWindowedDistinct(rel: String, tsCol: String, valueCol: String,
+                           lenUs: Long): String = {
+    val fp = TextAnalysis.duckFingerprint(s"CAST($valueCol AS VARCHAR)")
+    s"""WITH h AS (SELECT make_timestamp((epoch_us(CAST($tsCol AS TIMESTAMP)) // $lenUs) * $lenUs) AS window_start,
+       |                  ($fp) AS h, $valueCol AS v
+       |           FROM $rel WHERE $tsCol IS NOT NULL),
+       |r AS (SELECT window_start, h % $HllM AS bucket,
+       |             1 + CAST(log2(x & (-x)) AS BIGINT) AS rho
+       |      FROM (SELECT window_start, h, (h // $HllM) | $HllSentinel AS x FROM h)),
+       |reg AS (SELECT window_start, bucket, max(rho) AS mrho FROM r GROUP BY 1, 2),
+       |sk AS (SELECT window_start, count(*) AS nb,
+       |              sum(1.0 / CAST(CAST(1 AS BIGINT) << CAST(mrho AS INT) AS DOUBLE)) AS dpres
+       |       FROM reg GROUP BY 1),
+       |ex AS (SELECT window_start, count(DISTINCT v) AS n_exact FROM h GROUP BY 1)
+       |SELECT sk.window_start, ex.n_exact,
+       |       round(${duckHllEstimate("nb", "dpres")}, 6) AS hll_estimate
+       |FROM sk JOIN ex USING (window_start)""".stripMargin
   }
 
   /** DuckDB oracle twin of [[hllDistinct]]. */

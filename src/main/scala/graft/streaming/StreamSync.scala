@@ -618,6 +618,96 @@ object StreamSync {
     graft.operators.ChangeLog.scd2Present(spark.read.parquet(stateDir))
   }
 
+  /** STREAMING windowed DISTINCT-COUNT registers: per tumbling
+    * event-time window, the 64 HLL registers maintained as a real
+    * watermarked streaming aggregate — `max(rho)` per (window, bucket)
+    * is mergeable monotone state, exactly what Structured Streaming
+    * aggregates want (bounded per-window state, map-side combine per
+    * trigger, Append emission when the watermark closes the window).
+    *
+    * The stream publishes REGISTERS, not estimates, and that is the
+    * production posture, not a workaround: chained streaming
+    * aggregations are unsupported in Append mode, and the register
+    * table is the shippable, further-mergeable artifact (union across
+    * shards/streams by `max` again) — readers run the estimator over
+    * whatever window slice they need, as [[replayDistinctCounts]]
+    * does. The batch twin is [[graft.operators.Sketches.rollingDistinct]].
+    * Output (streaming): (window_start, bucket, mrho).
+    */
+  def streamingDistinctRegisters(events: DataFrame, tsCol: String,
+                                 valueCol: String, watermarkDelay: String,
+                                 windowLength: String): DataFrame = {
+    val h = graft.functions.TextAnalysis.fingerprint(col(valueCol).cast("string"))
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength),
+        pmod(h, lit(graft.operators.Sketches.HllM.toLong)).as("bucket"))
+      .agg(max(graft.operators.Sketches.rhoOf(h)).as("mrho"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("mrho"))
+  }
+
+  /** Sentinel value for [[replayDistinctCounts]]'s watermark flush —
+    * its far-future rows land in their own windows and are dropped.
+    */
+  private val SentinelDistinctValue = "__graft_distinct_sentinel__"
+
+  /** Drive [[streamingDistinctRegisters]] over a BOUNDED event set in
+    * chronological micro-batches, then run the HLL estimator over the
+    * emitted register table and join the batch-exact count per window
+    * (the q_stream_distinct driver gate; the oracle mirrors registers,
+    * estimator, and exact twin — batch boundaries and the streaming
+    * engine itself must be invisible in the registers).
+    * Output: (window_start, n_exact, hll_estimate).
+    */
+  def replayDistinctCounts(events: DataFrame, tsCol: String, valueCol: String,
+                           windowLength: String, nBatches: Int = 2): DataFrame = {
+    val rows = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.filter(col(tsCol).isNotNull)
+        .select(col(tsCol), col(valueCol).cast("string"))
+        .as[(java.sql.Timestamp, String)].collect().sortBy(_._1.getTime).toSeq
+    }
+    require(rows.forall(_._2 != SentinelDistinctValue),
+      s"value $SentinelDistinctValue is reserved")
+    val spark = events.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val name = s"graft_replay_distinct_${ReplaySeq.incrementAndGet()}"
+    val q = streamingDistinctRegisters(
+        input.toDF().toDF(tsCol, valueCol),
+        tsCol, valueCol, watermarkDelay = "0 seconds", windowLength)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
+      rows.grouped(chunk).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      input.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+        SentinelDistinctValue))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2101-01-01 00:00:00"),
+        SentinelDistinctValue))
+      q.processAllAvailable()
+    } finally q.stop()
+    val regs = spark.table(name)
+      .filter(col("window_start") < lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+    val sketch = regs.groupBy(col("window_start")).agg(
+      count(lit(1)).as("_nb"),
+      sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(mrho AS INT))")
+        .cast("double")).as("_dpres"))
+    val exact = rows.toDF(tsCol, valueCol)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+      .select(col("window.start").as("window_start"), col("n_exact"))
+    sketch.join(exact, "window_start")
+      .select(col("window_start"), col("n_exact"),
+        round(graft.operators.Sketches.hllEstimate, 6).as("hll_estimate"))
+  }
+
   /** STREAMING incremental-aggregate maintenance: each micro-batch of
     * the change feed folds into the persisted per-key (count, Σvalue)
     * view via [[graft.operators.ChangeLog.aggMaintainApply]] behind the

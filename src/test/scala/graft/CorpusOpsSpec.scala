@@ -402,6 +402,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("distinctNgramRatio: repeated phrasing scores low, fresh text scores 1") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c", "loop"),   // 7 3-grams, 3 distinct
+      (2L, "p q r s t u v w x", "fresh"))  // 7 3-grams, all distinct
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Novelty.distinctNgramRatio(docs, "text", "source", 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("loop") == ((7L, 3L, 0.428571)))
+    assert(got("fresh") == ((7L, 7L, 1.0)))
+  }
+
   test("scoreNormalize: within-group quantile positions, singleton groups pin to 0") {
     // distinct lengths → distinct scores; percent_rank = (rank−1)/(n−1)
     val docs = Seq(

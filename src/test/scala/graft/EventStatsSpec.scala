@@ -86,6 +86,23 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0L)
   }
 
+  test("ewmaDaily: hand-checked recurrence, first day seeds, gaps carry state") {
+    import spark.implicits._
+    // counts 1, 2, 3 on days 1, 2, 4 with α = 0.5:
+    // y1 = 1; y2 = 0.5·2 + 0.5·1 = 1.5; y4 = 0.5·3 + 0.5·1.5 = 2.25
+    // (the day-3 gap does NOT decay state — EWMA is per-observation)
+    val rows = Seq(("g", ts(1))) ++ (1 to 2).map(_ => ("g", ts(2))) ++
+      (1 to 3).map(_ => ("g", ts(4)))
+    val out = EventStats.ewmaDaily(rows.toDF("event_type", "ts"), "ts",
+        "event_type", alpha = 0.5)
+      .collect().map(r => r.getDate(1).toString -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      "2024-01-01" -> ((1L, 1.0)),
+      "2024-01-02" -> ((2L, 1.5)),
+      "2024-01-04" -> ((3L, 2.25))))
+  }
+
   test("transitions: per-user sequences, same-ts tie-break, conditional probabilities") {
     import spark.implicits._
     // user 1: a → b → a ; user 2: a → b (same second as its 'a' — the

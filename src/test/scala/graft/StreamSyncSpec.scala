@@ -271,6 +271,26 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming distinct registers: batch-count invariant, exact twin counts window overlap once") {
+    import spark.implicits._
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // day1: u1..u30 (u1 twice — distinct once); day2: u21..u40
+    val rows = ((1 to 30).map(u => (t(1, 1), u.toLong)) :+ ((t(1, 5), 1L))) ++
+      (21 to 40).map(u => (t(2, 3), u.toLong))
+    val df = rows.toDF("ts", "user_id")
+    def run(n: Int) = StreamSync.replayDistinctCounts(df, "ts", "user_id",
+        windowLength = "1 day", nBatches = n)
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val one = run(1)
+    assert(one.keySet == Set("2024-01-01 00:00:00.0", "2024-01-02 00:00:00.0"))
+    assert(one("2024-01-01 00:00:00.0")._1 == 30L)
+    assert(one("2024-01-02 00:00:00.0")._1 == 20L)
+    one.values.foreach { case (exact, est) =>
+      assert(math.abs(est - exact) <= math.max(2.0, 0.4 * exact)) }
+    assert(run(3) == one) // micro-batch boundaries invisible in registers
+  }
+
   test("streaming aggregate maintenance: cross-batch retraction converges to the full-log aggregate") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
