@@ -2097,6 +2097,14 @@ object Queries {
     // Order-independent content checksum gate: the reference's P4 row
     // render XOR-folded — sync integrity verification as one narrow
     // aggregate (doubles excluded from the render like q_row_hash).
+    // Top session paths gate: first-3-step path per 30-min session,
+    // top 15 by session count (path tie-break).
+    Entry("q_top_paths",
+      (s, d) => Sessionize.topPaths(t(s, d, "events"), "user_id", "ts",
+        "event_id", "event_type", gapMs = 30L * 60 * 1000, maxSteps = 3, k = 15),
+      Some(Sessionize.duckTopPaths(EvOracle, "user_id", "ts", "event_id",
+        "event_type", gapMs = 30L * 60 * 1000, maxSteps = 3, k = 15))),
+
     // Streaming windowed-distinct gate: daily HLL registers maintained
     // by a real watermarked streaming aggregate, estimator run over
     // the emitted register table, batch-exact twin joined per window.

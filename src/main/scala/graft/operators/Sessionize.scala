@@ -70,4 +70,58 @@ object Sessionize {
        |       count(*) AS n_events,
        |       CAST(sum(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS total_value
        |FROM s GROUP BY $userCol, session_idx""".stripMargin
+
+  /** TOP SESSION PATHS — the Sankey/flow-analysis source: each
+    * session's first `maxSteps` event types joined into a path string,
+    * ranked by session count. "Where do users actually go" in one
+    * query.
+    *
+    * Scale shape: the session windows and the per-session fold share
+    * ONE user-key exchange (groupBy(user, session) extends the window
+    * partitioning); the path ranking is a path-cardinality aggregate
+    * behind TakeOrdered — no global sort. Per-session event lists are
+    * bounded by session length (gap-bounded by construction).
+    *
+    * Determinism: in-session order is (ts, tieBreaker); ranking ties
+    * break on the path string.
+    * Output: (path, n_sessions), top `k`.
+    */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String,
+               tieBreaker: String, typeCol: String, gapMs: Long,
+               maxSteps: Int, k: Int): DataFrame =
+    withSessionIdx(df, userCol, tsCol, tieBreaker, gapMs)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("_ts"),
+        col(tieBreaker).as("_tb"), col(typeCol).as("_t")))).as("_e"))
+      .select(concat_ws(" > ",
+        slice(transform(col("_e"), e => e.getField("_t")), 1, maxSteps))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+
+  /** DuckDB oracle for [[topPaths]]. */
+  def duckTopPaths(rel: String, userCol: String, tsCol: String,
+                   tieBreaker: String, typeCol: String, gapMs: Long,
+                   maxSteps: Int, k: Int): String =
+    s"""WITH flagged AS (
+       |  SELECT *,
+       |    CASE WHEN lag(epoch_us($tsCol)) OVER w IS NULL THEN 0
+       |         WHEN epoch_us($tsCol) - lag(epoch_us($tsCol)) OVER w > ${gapMs * 1000L} THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM $rel
+       |  WINDOW w AS (PARTITION BY $userCol ORDER BY $tsCol, $tieBreaker)),
+       |s AS (
+       |  SELECT *, CAST(sum(new_session) OVER (
+       |    PARTITION BY $userCol ORDER BY $tsCol, $tieBreaker
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM flagged),
+       |p AS (
+       |  SELECT array_to_string(
+       |           list($typeCol ORDER BY $tsCol, $tieBreaker)[1:$maxSteps],
+       |           ' > ') AS path
+       |  FROM s GROUP BY $userCol, session_idx)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
 }

@@ -36,4 +36,24 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     // zero gap → both in session 0 regardless of order
     assert(idx == Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("topPaths: sessions truncate to maxSteps, counts rank, path breaks ties") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1, one session of four events → path truncates to 3 steps
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:10"), 2L, "b"),
+      (1L, ts("2024-01-01 10:00:20"), 3L, "c"),
+      (1L, ts("2024-01-01 10:00:30"), 4L, "d"),
+      // user 2: two sessions (1h gap), both "a > b"
+      (2L, ts("2024-01-01 09:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 09:00:05"), 6L, "b"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "a"),
+      (2L, ts("2024-01-01 11:00:05"), 8L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.topPaths(rows, "user_id", "ts", "event_id",
+        "event_type", gapMs = 30L * 60 * 1000, maxSteps = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a > b", 2L), ("a > b > c", 1L)))
+  }
 }
