@@ -2097,6 +2097,24 @@ object Queries {
     // Order-independent content checksum gate: the reference's P4 row
     // render XOR-folded — sync integrity verification as one narrow
     // aggregate (doubles excluded from the render like q_row_hash).
+    // ANN recall@k audit gate: IVF vs exact per query — the deployment
+    // metric as a first-class query; oracle joins both mirrors.
+    Entry("q_ann_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.recallAtK(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", "label", k = 5, nProbe = 3)
+      },
+      Some(Similarity.duckRecallAtK("embeddings", "embedding", "vec_id",
+        "label", dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
+
+    // PSI score-distribution drift gate: English vs the rest over the
+    // fixed 10-bucket grid, add-one smoothed, 1e-12-quantized terms.
+    Entry("q_psi",
+      (s, d) => Drift.scorePsi(t(s, d, "documents"), "text",
+        col("lang") === "en"),
+      Some(Drift.duckScorePsi("documents", "text", "lang = 'en'"))),
+
     // Top session paths gate: first-3-step path per 30-min session,
     // top 15 by session count (path tie-break).
     Entry("q_top_paths",

@@ -176,4 +176,85 @@ object Drift {
        |FROM j JOIN mtot USING ($srcCol) CROSS JOIN ntot
        |GROUP BY $srcCol""".stripMargin
   }
+
+  /** PSI bucket count for [[scorePsi]]: classifier scores live in
+    * (0, 1), so ten equal-width buckets are the standard monitoring
+    * grid (no bounds pass needed).
+    */
+  val PsiBuckets = 10
+
+  /** POPULATION STABILITY INDEX of the quality-score distribution
+    * between two corpus slices — the standard "did my scorer's input
+    * distribution move" monitor for deployed ML filters (PSI < 0.1
+    * stable, > 0.25 action):
+    *
+    *   PSI = Σ_buckets (p_A − p_B) · ln(p_A / p_B)
+    *
+    * over the fixed [[PsiBuckets]] grid with ADD-ONE smoothing (every
+    * bucket contributes on both sides, so empty buckets need no
+    * epsilon special-case and the estimator is a total function).
+    * Complements [[sourceKl]] (token-distribution drift) with
+    * score-distribution drift.
+    *
+    * Scale shape: one narrow scoring pass collapses map-side to 10
+    * bucket rows; everything after is constant-size. Float parity: the
+    * per-bucket term is quantized to 1e-12 BIGINTs ([[Quantum]]) and
+    * summed in integers — bucket order cannot move the result.
+    * Output: one row (n_a, n_b, psi).
+    */
+  def scorePsi(docs: DataFrame, textCol: String, sideACol: Column): DataFrame = {
+    import graft.functions.{QualityFilters, TextAnalysis}
+    val b = docs
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(QualityFilters.classifierScoreOf(col("_w")).as("_s"),
+        sideACol.cast("boolean").as("_a"))
+      .select(least(floor(col("_s") * PsiBuckets), lit((PsiBuckets - 1).toLong))
+        .cast("long").as("bucket"), col("_a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("cb"))
+    // dense 10-bucket grid: absent buckets still contribute under
+    // add-one smoothing whenever the side totals differ
+    val grid = docs.sparkSession.range(PsiBuckets)
+      .select(col("id").as("bucket"))
+    val counts = grid.join(b, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val pa = (col("ca") + 1L).cast("double") / (col("n_a") + PsiBuckets).cast("double")
+    val pb = (col("cb") + 1L).cast("double") / (col("n_b") + PsiBuckets).cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        floor((pa - pb) * log(pa / pb) * Quantum + 0.5).cast("long").as("_tq"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("_tq")).as("_q"))
+      .select(col("n_a"), col("n_b"),
+        round(col("_q").cast("double") / Quantum, 6).as("psi"))
+  }
+
+  /** DuckDB oracle twin of [[scorePsi]]; `sideASql` is the boolean SQL
+    * of the A-side predicate.
+    */
+  def duckScorePsi(tbl: String, textCol: String, sideASql: String): String = {
+    import graft.functions.{QualityFilters, TextAnalysis}
+    val k = PsiBuckets
+    s"""WITH d AS (SELECT ${TextAnalysis.duckTokensBind(textCol)} AS w,
+       |                  ($sideASql) AS a FROM $tbl),
+       |s AS (SELECT CAST(least(floor(${QualityFilters.duckClassifierScore} * $k), ${k - 1}) AS BIGINT) AS bucket, a FROM d),
+       |c0 AS (SELECT bucket, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |              CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |       FROM s GROUP BY 1),
+       |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range($k)),
+       |c AS (SELECT g.bucket, coalesce(c0.ca, 0) AS ca, coalesce(c0.cb, 0) AS cb
+       |      FROM g LEFT JOIN c0 ON c0.bucket = g.bucket),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+       |SELECT n_a, n_b,
+       |       round(CAST(sum(CAST(floor(
+       |         ((CAST(ca + 1 AS DOUBLE) / CAST(n_a + $k AS DOUBLE))
+       |          - (CAST(cb + 1 AS DOUBLE) / CAST(n_b + $k AS DOUBLE))) *
+       |         ln((CAST(ca + 1 AS DOUBLE) / CAST(n_a + $k AS DOUBLE))
+       |            / (CAST(cb + 1 AS DOUBLE) / CAST(n_b + $k AS DOUBLE))) *
+       |         $Quantum + 0.5) AS BIGINT)) AS DOUBLE) / $Quantum, 6) AS psi
+       |FROM c, t GROUP BY n_a, n_b""".stripMargin
+  }
 }

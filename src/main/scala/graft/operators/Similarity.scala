@@ -105,6 +105,42 @@ object Similarity {
         round(col("_e.score"), 6).as("score"))
   }
 
+  /** RECALL@k audit of the IVF index against the exact search — THE
+    * number an ANN deployment reports, as a first-class query instead
+    * of a spec assertion: per query, the fraction of the true top-k
+    * the index actually returned. Run on a sample of queries per
+    * release; both constituents are this module's existing operators,
+    * so the audit costs one brute-force pass over the SAMPLE's
+    * candidates only.
+    * Output: (query_id, n_hits, recall).
+    */
+  def recallAtK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfTopK(corpus, queries, vecCol, idCol, cellCol, k, nProbe)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
+  /** DuckDB oracle twin of [[recallAtK]] — both constituent mirrors
+    * joined.
+    */
+  def duckRecallAtK(tbl: String, vecCol: String, idCol: String,
+                    cellCol: String, dim: Int, k: Int, nProbe: Int,
+                    maxQueryId: Long): String =
+    s"""SELECT e.query_id,
+       |       CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits,
+       |       round(CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / $k, 6) AS recall
+       |FROM (${duckBruteForceTopK(tbl, vecCol, idCol, k, maxQueryId)}) e
+       |LEFT JOIN (${duckIvfTopK(tbl, vecCol, idCol, cellCol, dim, k, nProbe, maxQueryId)}) a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Contrastive hard-negative mining: for each anchor, the `k`
     * most-similar corpus vectors whose cosine stays BELOW `posCeiling` —
     * self-matches and near-duplicates above the ceiling are positives

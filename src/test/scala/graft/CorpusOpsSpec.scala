@@ -402,6 +402,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scorePsi: identical sides score 0, shifted distributions score high") {
+    // same texts on both sides → per-bucket shares equal → every term 0
+    val same = (1 to 20).flatMap(i => Seq(
+      (i.toLong, s"doc number $i with some words", "A"),
+      (100L + i, s"doc number $i with some words", "B")))
+      .toDF("doc_id", "text", "side")
+    val s0 = graft.operators.Drift.scorePsi(same, "text", col("side") === "A")
+      .collect().head
+    assert(s0.getLong(0) == 20L && s0.getLong(1) == 20L)
+    assert(s0.getDouble(2) == 0.0)
+    // side A short/repetitive, side B long/diverse → bucket mass moves
+    val shifted = ((1 to 20).map(i => (i.toLong, "x x", "A")) ++
+      (1 to 20).map(i => (200L + i,
+        s"many varied quality tokens compose document $i of the cleaner corpus", "B")))
+      .toDF("doc_id", "text", "side")
+    val s1 = graft.operators.Drift.scorePsi(shifted, "text", col("side") === "A")
+      .collect().head
+    assert(s1.getDouble(2) > 0.25, s"psi ${s1.getDouble(2)} should flag the shift")
+  }
+
   test("distinctNgramRatio: repeated phrasing scores low, fresh text scores 1") {
     val docs = Seq(
       (1L, "a b c a b c a b c", "loop"),   // 7 3-grams, 3 distinct

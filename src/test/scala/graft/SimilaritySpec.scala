@@ -335,4 +335,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // codebook geometry: every centroid has subLen components
     assert(cents.forall(_._3.length == 8))
   }
+
+  test("recallAtK: probing every cell recovers the exact search (recall 1.0), fewer cells degrade within [0,1]") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val full = Similarity.recallAtK(emb, queries, "embedding", "vec_id",
+        "label", k = 5, nProbe = 10) // 10 cells = all labels → exhaustive
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(full.length == 8)
+    assert(full.forall { case (hits, rec) => hits == 5L && rec == 1.0 })
+    val partial = Similarity.recallAtK(emb, queries, "embedding", "vec_id",
+        "label", k = 5, nProbe = 3)
+      .collect().map(_.getDouble(2))
+    assert(partial.forall(r => r >= 0.0 && r <= 1.0))
+  }
 }
