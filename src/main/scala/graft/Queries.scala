@@ -2097,6 +2097,30 @@ object Queries {
     // Order-independent content checksum gate: the reference's P4 row
     // render XOR-folded — sync integrity verification as one narrow
     // aggregate (doubles excluded from the render like q_row_hash).
+    // Z-order clustered sink round-trip gate: the multi-column pruning
+    // layout (Morton interleave + range partition) must be ROW-LOSSLESS
+    // — the layout work cannot perturb data. The pruning property
+    // itself is FileSinkSpec's gate; this driver-gates the data path.
+    Entry("q_zorder_roundtrip",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        val dir = Files.createTempDirectory("graft-zorder").toString + "/li"
+        FileSink.writeZOrdered(li, dir, "l_orderkey", "l_partkey", numFiles = 8)
+        s.read.parquet(dir)
+      },
+      Some("SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem")),
+
+    // Streaming windowed CMS gate: daily count-min cells maintained by
+    // a watermarked streaming aggregate; point estimates for fixed
+    // probe terms next to exact counts (estimate ≥ exact).
+    Entry("q_stream_cms",
+      (s, d) => StreamSync.replayCmsCounts(
+        t(s, d, "events"), "ts", "event_type", windowLength = "1 day",
+        terms = Seq("click", "view", "purchase")),
+      Some(Sketches.duckStreamingCms(EvOracle, "ts", "event_type",
+        lenUs = 86400000000L, terms = Seq("click", "view", "purchase")))),
+
     // ANN recall@k audit gate: IVF vs exact per query — the deployment
     // metric as a first-class query; oracle joins both mirrors.
     Entry("q_ann_recall",

@@ -207,6 +207,41 @@ object Sketches {
        |FROM sk JOIN ex USING (window_start)""".stripMargin
   }
 
+  /** DuckDB oracle twin of
+    * [[graft.streaming.StreamSync.replayCmsCounts]] — tumbling
+    * epoch-floored windows, depth×width cells, literal-term probes,
+    * exact twin.
+    */
+  def duckStreamingCms(rel: String, tsCol: String, termCol: String,
+                       lenUs: Long, terms: Seq[String]): String = {
+    def bucket(i: Int, termExpr: String): String =
+      s"(${TextAnalysis.duckFingerprint(s"'$i:' || $termExpr")}) % $CmsWidth"
+    val cellRows = (0 until CmsDepth).map { i =>
+      s"SELECT window_start, $i AS h_row, ${bucket(i, "term")} AS bucket FROM b"
+    }.mkString(" UNION ALL ")
+    val probeRows = terms.flatMap { t =>
+      val lit = s"'${t.replace("'", "''")}'"
+      (0 until CmsDepth).map(i =>
+        s"SELECT $lit AS term, $i AS h_row, ${bucket(i, lit)} AS bucket")
+    }.mkString(" UNION ALL ")
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH b AS (SELECT make_timestamp((epoch_us(CAST($tsCol AS TIMESTAMP)) // $lenUs) * $lenUs) AS window_start,
+       |                  CAST($termCol AS VARCHAR) AS term
+       |           FROM $rel WHERE $tsCol IS NOT NULL),
+       |cells AS (SELECT window_start, h_row, bucket, count(*) AS cell_n
+       |          FROM ($cellRows) GROUP BY 1, 2, 3),
+       |probes AS ($probeRows),
+       |est AS (SELECT c.window_start, p.term, min(c.cell_n) AS cms_estimate
+       |        FROM cells c JOIN probes p
+       |          ON p.h_row = c.h_row AND p.bucket = c.bucket
+       |        GROUP BY 1, 2),
+       |ex AS (SELECT window_start, term, count(*) AS n_exact
+       |       FROM b WHERE term IN ($inList) GROUP BY 1, 2)
+       |SELECT est.window_start, est.term, ex.n_exact, est.cms_estimate
+       |FROM est JOIN ex ON ex.window_start = est.window_start
+       |                AND ex.term = est.term""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[hllDistinct]]. */
   def duckHllDistinct(tbl: String, valueCol: String, groupCol: String): String = {
     val fp = TextAnalysis.duckFingerprint(s"CAST($valueCol AS VARCHAR)")
@@ -238,9 +273,17 @@ object Sketches {
   val CmsWidth = 256
 
   /** Row-i bucket of a term: seeded fingerprint mod width. */
-  private def cmsBucket(term: Column, i: Int): Column =
+  private[graft] def cmsBucket(term: Column, i: Int): Column =
     pmod(TextAnalysis.fingerprint(concat(lit(s"$i:"), term)),
       lit(CmsWidth.toLong))
+
+  /** [[cmsBucket]] with the row index as a COLUMN (for probe tables
+    * that carry (term, h_row) rows) — renders the identical seeded
+    * string, so buckets match the static variant exactly.
+    */
+  private[graft] def cmsBucketDyn(term: Column, row: Column): Column =
+    pmod(TextAnalysis.fingerprint(
+      concat(row.cast("string"), lit(":"), term)), lit(CmsWidth.toLong))
 
   /** Heavy hitters with count-min estimates: build the sketch over all
     * token occurrences, take the exact top-k tokens (count desc, term

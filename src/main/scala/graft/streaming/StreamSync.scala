@@ -650,6 +650,89 @@ object StreamSync {
     */
   private val SentinelDistinctValue = "__graft_distinct_sentinel__"
 
+  /** STREAMING windowed COUNT-MIN cells: per tumbling event-time
+    * window, the depth×width CMS cell counts as a watermarked
+    * streaming aggregate — counts are additive, so the cells are the
+    * mergeable artifact exactly like [[streamingDistinctRegisters]]'
+    * HLL registers (union across shards by +). Readers answer "how
+    * often did X occur in window W" by the min-over-depth point lookup
+    * without the stream ever tracking the full key vocabulary.
+    * Output (streaming): (window_start, h_row, bucket, cell_n).
+    */
+  def streamingCmsCells(events: DataFrame, tsCol: String, termCol: String,
+                        watermarkDelay: String, windowLength: String): DataFrame = {
+    val buckets = (0 until graft.operators.Sketches.CmsDepth)
+      .map(i => graft.operators.Sketches.cmsBucket(col(termCol).cast("string"), i))
+    events
+      .select(col(tsCol), posexplode(array(buckets: _*)).as(Seq("h_row", "bucket")))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col("h_row"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+      .select(col("window.start").as("window_start"), col("h_row"),
+        col("bucket"), col("cell_n"))
+  }
+
+  /** Drive [[streamingCmsCells]] over a BOUNDED event set and answer
+    * point estimates for `terms` per window, next to the exact counts
+    * (the q_stream_cms gate; estimate ≥ exact always).
+    * Output: (window_start, term, n_exact, cms_estimate).
+    */
+  def replayCmsCounts(events: DataFrame, tsCol: String, termCol: String,
+                      windowLength: String, terms: Seq[String],
+                      nBatches: Int = 2): DataFrame = {
+    val rows = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.filter(col(tsCol).isNotNull)
+        .select(col(tsCol), col(termCol).cast("string"))
+        .as[(java.sql.Timestamp, String)].collect().sortBy(_._1.getTime).toSeq
+    }
+    require(rows.forall(_._2 != SentinelDistinctValue),
+      s"value $SentinelDistinctValue is reserved")
+    val spark = events.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val name = s"graft_replay_cms_${ReplaySeq.incrementAndGet()}"
+    val q = streamingCmsCells(
+        input.toDF().toDF(tsCol, termCol),
+        tsCol, termCol, watermarkDelay = "0 seconds", windowLength)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
+      rows.grouped(chunk).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      input.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+        SentinelDistinctValue))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2101-01-01 00:00:00"),
+        SentinelDistinctValue))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = spark.table(name)
+      .filter(col("window_start") < lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+    val probes = terms.zipWithIndex.flatMap { case (t, _) =>
+      (0 until graft.operators.Sketches.CmsDepth).map(i => (t, i))
+    }.toDF("term", "h_row")
+      .withColumn("bucket",
+        graft.operators.Sketches.cmsBucketDyn(col("term"), col("h_row")))
+    val est = cells.join(broadcast(probes), Seq("h_row", "bucket"))
+      .groupBy(col("window_start"), col("term"))
+      .agg(min(col("cell_n")).as("cms_estimate"))
+    val exact = rows.toDF(tsCol, termCol)
+      .filter(col(termCol).isin(terms: _*))
+      .groupBy(window(col(tsCol), windowLength), col(termCol).as("term"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col("window.start").as("window_start"), col("term"), col("n_exact"))
+    est.join(exact, Seq("window_start", "term"))
+      .select(col("window_start"), col("term"), col("n_exact"),
+        col("cms_estimate"))
+  }
+
   /** Drive [[streamingDistinctRegisters]] over a BOUNDED event set in
     * chronological micro-batches, then run the HLL estimator over the
     * emitted register table and join the batch-exact count per window

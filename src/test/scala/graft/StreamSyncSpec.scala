@@ -291,6 +291,25 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
     assert(run(3) == one) // micro-batch boundaries invisible in registers
   }
 
+  test("streaming cms cells: estimate >= exact per window term, batch boundaries invisible") {
+    import spark.implicits._
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val rows = (1 to 50).map(_ => (t(1, 1), "hot")) ++
+      (1 to 5).map(i => (t(1, 2), s"rare$i")) ++
+      (1 to 20).map(_ => (t(2, 1), "hot"))
+    val df = rows.toDF("ts", "term")
+    def run(n: Int) = StreamSync.replayCmsCounts(df, "ts", "term",
+        windowLength = "1 day", terms = Seq("hot"), nBatches = n)
+      .collect().map(r => r.getTimestamp(0).toString -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val one = run(1)
+    assert(one("2024-01-01 00:00:00.0")._1 == 50L)
+    assert(one("2024-01-02 00:00:00.0")._1 == 20L)
+    one.values.foreach { case (exact, est) =>
+      assert(est >= exact, s"cms $est < exact $exact") }
+    assert(run(3) == one)
+  }
+
   test("streaming aggregate maintenance: cross-batch retraction converges to the full-log aggregate") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
