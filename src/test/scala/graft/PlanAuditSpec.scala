@@ -568,6 +568,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"register max must partial-aggregate map-side:\n$pe")
   }
 
+  test("scd2 point-in-time lookup plans as an equi-join, never an interval join") {
+    // The operator's contract: the half-open interval test is a
+    // RESIDUAL filter on a key equi-join. A nested-loop or cartesian
+    // means the planner saw the interval predicate as the join
+    // condition — the theta-join shape that cannot ship at scale.
+    val plan = SparkEntry.queries("q_scd2_lookup")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval-join shape in the scd2 lookup plan:\n$plan")
+  }
+
+  test("rolling distinct never sorts or range-partitions the event stream") {
+    // The corpus-sized path must collapse to per-(day, register)
+    // partials map-side; only register-table-scale frames may do
+    // anything more exotic (their nested-loop day-window join is the
+    // documented right plan at 64·days rows).
+    val plan = SparkEntry.queries("q_rolling_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"global sort in the rolling-distinct plan:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"registers must partial-aggregate map-side:\n$plan")
+  }
+
+  test("transitions: the only corpus exchange is the user-keyed window; normalizer joins broadcast") {
+    val plan = SparkEntry.queries("q_transitions")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probability normalizer must join by broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a shuffle join crept into the transition plan:\n$plan")
+  }
+
   test("token-budget selection never range-partitions the corpus (no global sort)") {
     // The operator's whole point: the naive semantics are a GLOBAL
     // (score desc, id) sort + running total; the bucketed plan must
