@@ -2097,6 +2097,15 @@ object Queries {
     // Order-independent content checksum gate: the reference's P4 row
     // render XOR-folded — sync integrity verification as one narrow
     // aggregate (doubles excluded from the render like q_row_hash).
+    // Composed corpus health report gate: six monitoring diagnostics
+    // (volume, diversity, Zipf shape, entropy, language balance)
+    // unioned into one (metric, value) frame — every constituent's
+    // mirror nested in the oracle.
+    Entry("q_health_report",
+      (s, d) => Pipeline.healthReport(t(s, d, "documents"), "text",
+        "doc_id", "lang"),
+      Some(Pipeline.duckHealthReport("documents", "text", "doc_id", "lang"))),
+
     // Z-order clustered sink round-trip gate: the multi-column pruning
     // layout (Morton interleave + range partition) must be ROW-LOSSLESS
     // — the layout work cannot perturb data. The pruning property

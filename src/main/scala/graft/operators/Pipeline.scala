@@ -312,4 +312,81 @@ object Pipeline {
        |FROM b
        |WHERE ${QualityFilters.duckClassifierScore} >= $minScore""".stripMargin
   }
+
+  /** COMPOSED CORPUS HEALTH REPORT — the monitoring dashboard a data
+    * team runs per snapshot, assembled from this library's own
+    * diagnostics into one (metric, value) frame: volume (docs,
+    * tokens), phrase diversity ([[Novelty.distinctNgramRatio]] at
+    * corpus level — synthetic-collapse canary), the Zipf exponent
+    * ([[Zipf.fit]] — natural-language shape), mean per-doc unigram
+    * entropy ([[Entropy.docEntropy]] — information density), and the
+    * language-mix entropy (mixture balance). Every constituent keeps
+    * its own scale shape; the report adds only 1-row unions.
+    *
+    * Float parity: means and mixture entropies are quantized-integer
+    * sums ([[Drift.Quantum]] / 1e6 patterns) — aggregation order never
+    * moves a bit.
+    * Output: (metric, value) — 6 rows, all DOUBLE.
+    */
+  def healthReport(docs: DataFrame, textCol: String, idCol: String,
+                   langCol: String): DataFrame = {
+    val totals = docs.withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .agg(count(lit(1)).as("_n"), sum(size(col("_w")).cast("long")).as("_t"))
+    val m1 = totals.select(lit("n_docs").as("metric"),
+      col("_n").cast("double").as("value"))
+    val m2 = totals.select(lit("n_tokens").as("metric"),
+      col("_t").cast("double").as("value"))
+    val m3 = Novelty.distinctNgramRatio(
+        docs.withColumn("_all", lit("all")), textCol, "_all", 3)
+      .select(lit("distinct_3gram_ratio").as("metric"), col("ratio").as("value"))
+    val m4 = Zipf.fit(docs, textCol, topN = 100)
+      .select(lit("zipf_alpha").as("metric"), col("alpha").as("value"))
+    val m5 = Entropy.docEntropy(docs, textCol, idCol)
+      .agg(sum(floor(col("entropy") * 1000000.0 + 0.5).cast("long")).as("_sq"),
+        count(lit(1)).as("_nd"))
+      .select(lit("mean_entropy").as("metric"),
+        round(col("_sq").cast("double")
+          / (col("_nd").cast("double") * 1000000.0), 6).as("value"))
+    val lc = docs.groupBy(col(langCol)).agg(count(lit(1)).as("_c"))
+    val m6 = lc.crossJoin(broadcast(lc.agg(sum(col("_c")).as("_nn"))))
+      .select(floor(
+        (-(col("_c").cast("double") / col("_nn").cast("double"))
+          * log(col("_c").cast("double") / col("_nn").cast("double")))
+          * lit(Drift.Quantum) + 0.5).cast("long").as("_tq"))
+      .agg(sum(col("_tq")).as("_q"))
+      .select(lit("lang_entropy").as("metric"),
+        round(col("_q").cast("double") / Drift.Quantum, 6).as("value"))
+    m1.unionByName(m2).unionByName(m3).unionByName(m4)
+      .unionByName(m5).unionByName(m6)
+  }
+
+  /** DuckDB oracle twin of [[healthReport]] — every constituent's
+    * mirror unioned.
+    */
+  def duckHealthReport(tbl: String, textCol: String, idCol: String,
+                       langCol: String): String = {
+    val q = Drift.Quantum
+    s"""SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM $tbl
+       |UNION ALL
+       |SELECT 'n_tokens', CAST(sum(len(w)) AS DOUBLE)
+       |FROM (SELECT ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl)
+       |UNION ALL
+       |SELECT 'distinct_3gram_ratio', ratio
+       |FROM (${Novelty.duckDistinctNgramRatio(tbl, textCol, "'all'", 3)})
+       |UNION ALL
+       |SELECT 'zipf_alpha', alpha FROM (${Zipf.duckFit(tbl, textCol, 100)})
+       |UNION ALL
+       |SELECT 'mean_entropy',
+       |       round(CAST(sum(CAST(floor(entropy * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+       |FROM (${Entropy.duckDocEntropy(tbl, textCol, idCol)})
+       |UNION ALL
+       |SELECT 'lang_entropy',
+       |       round(CAST(sum(CAST(floor(
+       |         (-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+       |          * ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))) * $q + 0.5)
+       |         AS BIGINT)) AS DOUBLE) / $q, 6)
+       |FROM (SELECT $langCol, count(*) AS c FROM $tbl GROUP BY 1),
+       |     (SELECT count(*) AS nn FROM $tbl)""".stripMargin
+  }
 }

@@ -136,4 +136,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .select("q_digest").as[Long].collect().toSeq
     assert(d.distinct.size == 2)
   }
+
+  test("health report: six metrics, each inside its mathematical range") {
+    val docs = Tables.load(spark, sf, "documents")
+    val m = graft.operators.Pipeline.healthReport(docs, "text", "doc_id", "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set("n_docs", "n_tokens", "distinct_3gram_ratio",
+      "zipf_alpha", "mean_entropy", "lang_entropy"))
+    assert(m("n_docs") == 500.0)
+    assert(m("n_tokens") > m("n_docs")) // docs average many tokens
+    assert(m("distinct_3gram_ratio") > 0.0 && m("distinct_3gram_ratio") <= 1.0)
+    assert(m("zipf_alpha") > 0.0) // frequencies must DECREASE in rank
+    assert(m("mean_entropy") > 0.0)
+    // 5 languages → mixture entropy ∈ (0, ln 5]
+    assert(m("lang_entropy") > 0.0 && m("lang_entropy") <= math.log(5.0) + 1e-9)
+  }
 }
