@@ -49,7 +49,9 @@ object RehearseCdc {
           pmod(xxhash64(col("id")), lit(keys)).as("user_id"),
           col("id").as("event_id"),
           timestamp_micros(lit(1704067200000000L) + col("id") * 1000L).as("ts"),
-          concat(lit("t"), pmod(col("id"), lit(7))).as("event_type"))
+          concat(lit("t"), pmod(col("id"), lit(7))).as("event_type"),
+          (pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).cast("double") / 1000.0)
+            .as("value"))
       } else Tables.load(spark, sfDir, "events")
     val log = ChangeLog.synthesize(raw, "event_id", "ts")
       .withColumn("_ms", expr(s"unix_micros(`${ChangeLog.CommitTs}`) div 1000"))
@@ -73,20 +75,31 @@ object RehearseCdc {
         st => ChangeLog.scd2Apply(st, batch, Seq("user_id"), "event_id", Seq("event_type"))),
       ("merge",
         () => ChangeLog.cdcMergeState(head, Seq("user_id"), "event_id"),
-        st => ChangeLog.cdcMergeApply(st, batch, Seq("user_id"), "event_id")))) {
+        st => ChangeLog.cdcMergeApply(st, batch, Seq("user_id"), "event_id")),
+      ("agg",
+        () => ChangeLog.aggMaintainState(head, Seq("user_id"), "value"),
+        st => ChangeLog.aggMaintainApply(st, batch, Seq("user_id"), "value")))) {
       // Materialization must consume a WINDOW-DERIVED column: a bare
       // count() lets Catalyst prune the window (it preserves
       // cardinality) and the "rebuild" would time only the scan.
       def force(df: org.apache.spark.sql.DataFrame): Unit = {
-        val probe = if (df.columns.contains("version")) "version" else "_merge_ms"
+        val probe =
+          if (df.columns.contains("version")) "version"
+          else if (df.columns.contains("sum_value_q6")) "sum_value_q6"
+          else "_merge_ms"
         df.agg(sum(col(probe))).head()
         ()
       }
       // Full rebuild over the whole log, timed cold each call.
       val (_, fullSec) = time {
-        force(if (name == "scd2")
-          ChangeLog.scd2State(log.drop("_ms"), Seq("user_id"), "event_id", Seq("event_type"))
-        else ChangeLog.cdcMergeState(log.drop("_ms"), Seq("user_id"), "event_id"))
+        force(name match {
+          case "scd2" => ChangeLog.scd2State(log.drop("_ms"), Seq("user_id"),
+            "event_id", Seq("event_type"))
+          case "merge" => ChangeLog.cdcMergeState(log.drop("_ms"),
+            Seq("user_id"), "event_id")
+          case _ => ChangeLog.aggMaintainState(log.drop("_ms"),
+            Seq("user_id"), "value")
+        })
       }
       // State materialized OUTSIDE the timed region.
       val state = buildState().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
