@@ -110,7 +110,8 @@ object Bench {
     "q_fk_check" -> 0.55, "q_score_normalize" -> 0.3,
     "q_stream_distinct" -> 4.6, "q_ewma" -> 0.4, "q_distinct_ngrams" -> 0.5,
     "q_top_paths" -> 1.2, "q_ann_recall" -> 0.7, "q_psi" -> 1.7,
-    "q_stream_cms" -> 5.1, "q_zorder_roundtrip" -> 1.3, "q_health_report" -> 1.6)
+    "q_stream_cms" -> 5.1, "q_zorder_roundtrip" -> 1.3, "q_health_report" -> 1.6,
+    "q_fd_check" -> 0.45)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2097,6 +2097,23 @@ object Queries {
     // Order-independent content checksum gate: the reference's P4 row
     // render XOR-folded — sync integrity verification as one narrow
     // aggregate (doubles excluded from the render like q_row_hash).
+    // Functional-dependency gates: l_orderkey → o-side attributes via
+    // the lineitem/orders denormalization would hold; within lineitem,
+    // l_orderkey does NOT determine l_partkey (multi-line orders) while
+    // doc_id → lang trivially holds on documents. One violated, one
+    // held — both summaries exercised.
+    Entry("q_fd_check",
+      (s, d) => Profile.fdCheck(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+        .withColumn("fd", lit("l_orderkey->l_partkey"))
+        .unionByName(
+          Profile.fdCheck(t(s, d, "documents"), "doc_id", "lang")
+            .withColumn("fd", lit("doc_id->lang"))),
+      Some(s"""SELECT *, 'l_orderkey->l_partkey' AS fd
+               FROM (${Profile.duckFdCheck("lineitem", "l_orderkey", "l_partkey")})
+               UNION ALL
+               SELECT *, 'doc_id->lang' AS fd
+               FROM (${Profile.duckFdCheck("documents", "doc_id", "lang")})""")),
+
     // Composed corpus health report gate: six monitoring diagnostics
     // (volume, diversity, Zipf shape, entropy, language balance)
     // unioned into one (metric, value) frame — every constituent's

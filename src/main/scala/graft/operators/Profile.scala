@@ -207,6 +207,40 @@ object Profile {
        |                                         WHERE p.$pkCol = ch.$fkCol)) = 0
        |            THEN 1 ELSE 0 END AS INT) AS passed""".stripMargin
 
+  /** FUNCTIONAL-DEPENDENCY check — "does column A determine column B"
+    * (A → B), the schema-discovery profiler behind normalization,
+    * key inference, and dimension extraction: if A → B holds, B
+    * belongs in a dimension keyed by A, not on the fact. Null-safe:
+    * NULL is one B-value like any other (count(DISTINCT) ignores
+    * nulls, so presence of nulls is tracked separately per group via
+    * a max-null flag folded into the distinct count).
+    *
+    * Scale shape: ONE map-side-combinable aggregate on A (the
+    * per-group distinct over B is bounded by B's per-group fan-out)
+    * collapsed to a 1-row summary.
+    * Output: one row (n_groups, n_violating, holds).
+    */
+  def fdCheck(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame =
+    df.groupBy(col(lhsCol))
+      .agg((countDistinct(col(rhsCol)) +
+        max(col(rhsCol).isNull.cast("int")).cast("long")).as("_nv"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("_nv") > 1L, 1L).otherwise(0L)).as("n_violating"))
+      .select(col("n_groups"), col("n_violating"),
+        (col("n_violating") === 0L).cast("int").as("holds"))
+
+  /** DuckDB oracle twin of [[fdCheck]]. */
+  def duckFdCheck(tbl: String, lhsCol: String, rhsCol: String): String =
+    s"""WITH g AS (SELECT $lhsCol,
+       |                  count(DISTINCT $rhsCol)
+       |                    + CAST(max(CASE WHEN $rhsCol IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv
+       |           FROM $tbl GROUP BY $lhsCol)
+       |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |       CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       |       CAST(CASE WHEN sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+       |            THEN 1 ELSE 0 END AS INT) AS holds
+       |FROM g""".stripMargin
+
   /** KEY-SKEW report — the "will this key salt/broadcast decision bite"
     * planner aid that pairs with [[Sketches.cmsJoinCardinality]]: the
     * key's cardinality, the heaviest key's share of all rows, and the

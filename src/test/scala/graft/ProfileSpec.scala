@@ -81,6 +81,21 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(clean.getLong(2) == 0L && clean.getInt(3) == 1)
   }
 
+  test("fdCheck: held and violated dependencies, null B-values break a dependency") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x")), (1L, Some("x")),   // group 1: determined
+      (2L, Some("y")), (2L, Some("z")),   // group 2: two values → violates
+      (3L, Some("w")), (3L, None))        // group 3: value AND null → violates
+      .toDF("a", "b")
+    val r = Profile.fdCheck(df, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2)) == ((3L, 2L, 0)))
+    val held = Profile.fdCheck(
+        df.filter(org.apache.spark.sql.functions.col("a") === 1L), "a", "b")
+      .collect().head
+    assert(held.getLong(1) == 0L && held.getInt(2) == 1)
+  }
+
   test("keySkew: uniform keys score gini 0, hand-checked skew, null keys are a real group") {
     import spark.implicits._
     val uniform = Seq(1L, 2L, 3L, 4L).map(k => (Some(k), "r")).toDF("k", "v")
