@@ -920,7 +920,7 @@ object Queries {
         val emb = t(s, d, "embeddings")
         val (codes, cents) = Pq.pqModel(emb, "embedding", "vec_id",
           dim = 64, m = 8, ksub = 16, iters = 2)
-        val dir = Files.createTempDirectory("graft-pq-index").toString
+        val dir = TempDirs.create("graft-pq-index").toString
         Pq.saveIndex(codes, cents, "vec_id", dir)
         val (codes2, cents2) = Pq.loadIndex(s, dir)
         Pq.pqTopKFromIndex(codes2, cents2, emb.filter(col("vec_id") < 10),
@@ -1606,7 +1606,7 @@ object Queries {
     // must produce bitwise-identical scores.
     Entry("q_bm25_indexed",
       (s, d) => {
-        val dir = Files.createTempDirectory("graft-bm25-index").toString
+        val dir = TempDirs.create("graft-bm25-index").toString
         Bm25.buildIndex(t(s, d, "documents"), "text", "doc_id", dir)
         Bm25.scoreFromIndex(s, dir, BmTerms)
       },
@@ -1678,7 +1678,7 @@ object Queries {
         // Per-run unique dir: a fixed path lets two concurrent runs
         // (Bench alongside Verify) clobber each other mid-read.
         val uri = "file:" +
-          Files.createTempDirectory("graft-sink-roundtrip").toAbsolutePath
+          TempDirs.create("graft-sink-roundtrip").toAbsolutePath
         FileSink.write(out, SinkSpec("json", uri, maxRecordsPerFile = Some(20000L)))
         s.read.schema(out.schema).json(uri)
       },
@@ -1693,7 +1693,7 @@ object Queries {
     Entry("q_compact_roundtrip",
       (s, d) => {
         val src = t(s, d, "lineitem")
-        val dir = Files.createTempDirectory("graft-compact").toString + "/lineitem"
+        val dir = TempDirs.create("graft-compact").toString + "/lineitem"
         src.write.option("maxRecordsPerFile", "2000").parquet(dir)
         FileSink.compact(s, dir, targetFileBytes = 64L * 1024 * 1024)
         s.read.parquet(dir)
@@ -1726,7 +1726,7 @@ object Queries {
     Entry("q_compact_partitioned",
       (s, d) => {
         val src = t(s, d, "events")
-        val dir = Files.createTempDirectory("graft-compact-part").toString + "/events"
+        val dir = TempDirs.create("graft-compact-part").toString + "/events"
         src.write.option("maxRecordsPerFile", "1000")
           .partitionBy("event_type").parquet(dir)
         FileSink.compactPartitioned(s, dir, targetFileBytes = 64L * 1024 * 1024)
@@ -1746,7 +1746,7 @@ object Queries {
     // discovery; oracle = the equivalent row filter on the source.
     Entry("q_retention_expire",
       (s, d) => {
-        val dir = Files.createTempDirectory("graft-retention").toString + "/events"
+        val dir = TempDirs.create("graft-retention").toString + "/events"
         t(s, d, "events")
           .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
           .write.partitionBy("event_date").parquet(dir)
@@ -1770,7 +1770,7 @@ object Queries {
     // evolution as a CASE on the source.
     Entry("q_schema_evolve",
       (s, d) => {
-        val dir = Files.createTempDirectory("graft-schema-evolve").toString + "/orders"
+        val dir = TempDirs.create("graft-schema-evolve").toString + "/orders"
         val o = t(s, d, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_custkey"))
@@ -1797,7 +1797,7 @@ object Queries {
       (s, d) => {
         val out = Sync.plan(t(s, d, "orders"), SyncMode.Full, Seq("o_orderstatus"))
         val uri = "file:" +
-          Files.createTempDirectory("graft-sink-roundtrip-csv").toAbsolutePath
+          TempDirs.create("graft-sink-roundtrip-csv").toAbsolutePath
         FileSink.write(out, SinkSpec("csv", uri))
         s.read.schema(out.schema).option("header", "true").csv(uri)
       },
@@ -2131,7 +2131,7 @@ object Queries {
       (s, d) => {
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-        val dir = Files.createTempDirectory("graft-zorder").toString + "/li"
+        val dir = TempDirs.create("graft-zorder").toString + "/li"
         FileSink.writeZOrdered(li, dir, "l_orderkey", "l_partkey", numFiles = 8)
         s.read.parquet(dir)
       },
@@ -2214,7 +2214,8 @@ object Queries {
       (s, d) => RowHash.contentChecksum(t(s, d, "orders"),
         ignoreColumns = Set("o_totalprice")),
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                      CAST(bit_xor(fp) AS BIGINT) AS checksum
+                      CAST(bit_xor(fp) AS BIGINT) AS checksum,
+                      CAST(sum(CAST(fp AS HUGEINT)) % ${graft.functions.TextAnalysis.FpMod} AS BIGINT) AS checksum_add
                FROM (SELECT (${graft.functions.TextAnalysis.duckFingerprint(
                  """md5('{"o_custkey":' || o_custkey ||
                    |',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') ||

@@ -93,6 +93,21 @@ object Curriculum {
     */
   val BudgetGrid = 1000
 
+  /** Last scored frame persisted by [[tokenBudgetSelect]] — held so a
+    * repeat invocation (or an explicit [[releaseBudgetCache]]) can drop
+    * the cached blocks instead of leaving them to LRU eviction.
+    */
+  private val lastBudgetCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Drop the cached scoring frame of the most recent
+    * [[tokenBudgetSelect]] call (no-op if none). Non-blocking.
+    */
+  def releaseBudgetCache(): Unit = {
+    val prev = lastBudgetCache.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** TOKEN-BUDGET data selection: keep the highest-quality documents
     * whose cumulative token count fits a training budget — "give me the
     * best B tokens" (the DCLM/FineWeb-style selection step after
@@ -115,6 +130,13 @@ object Curriculum {
     * selection is a pure function of the corpus on any engine.
     *
     * Output: (idCol, q_score, n_tokens) for kept documents.
+    *
+    * CACHING SIDE EFFECT: the scored frame is persisted
+    * (MEMORY_AND_DISK) as the barrier described below and stays cached
+    * after the result is consumed (Spark has no consumption callback).
+    * Each new call releases the previous call's cache, so a long-lived
+    * session holds at most ONE scored frame; call
+    * [[releaseBudgetCache]] to drop the last one eagerly.
     */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
                         budget: Long): DataFrame = {
@@ -138,6 +160,8 @@ object Curriculum {
         TextAnalysis.tokenCountOf(col("_w")).as("n_tokens"))
       .withColumn("_b", floor(col("q_score") * BudgetGrid).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releaseBudgetCache()
+    lastBudgetCache.set(scored)
     val bw = Window.orderBy(col("_b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bstats = scored.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt"))

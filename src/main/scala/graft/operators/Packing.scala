@@ -189,7 +189,7 @@ object Packing {
   def duckBinPack(tbl: String, textCol: String, idCol: String,
                   capacity: Long, nShards: Int): String =
     s"""WITH RECURSIVE d AS (
-       |  SELECT $idCol, $idCol % $nShards AS shard,
+       |  SELECT $idCol, (($idCol % $nShards) + $nShards) % $nShards AS shard,
        |         CAST(len(${TextAnalysis.duckTokensBind(textCol)}) AS BIGINT) AS n_tokens
        |  FROM $tbl),
        |r AS (SELECT *, row_number() OVER (PARTITION BY shard

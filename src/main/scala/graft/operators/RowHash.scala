@@ -35,19 +35,40 @@ object RowHash {
   /** ORDER-INDEPENDENT dataset content checksum — "did the sync land
     * bit-exact" verified without moving, sorting, or comparing data:
     * per-row deterministic hash (the reference's P4 render, so the
-    * same rows hash the same on any engine) folded by XOR, which is
-    * commutative/associative — the checksum is identical for any
-    * partitioning, row order, or file layout, and two datasets agree
-    * iff source and sink hold the same row multiset (up to XOR's
-    * paired-duplicate blind spot, which `n_rows` plus the md5-derived
-    * 60-bit space makes practically inert). One narrow codegen'd
-    * projection + one map-side-combined aggregate per side.
-    * Output: one row (n_rows, checksum).
+    * same rows hash the same on any engine) folded TWO ways, both
+    * commutative/associative — identical for any partitioning, row
+    * order, or file layout:
+    *
+    *   - `checksum`: XOR fold. Blind to even-multiplicity changes (a
+    *     row duplicated while an equal XOR mass is dropped cancels).
+    *   - `checksum_add`: modular SUM fold (mod [[graft.functions
+    *     .TextAnalysis.FpMod]]). Sums see multiplicity, so duplicate /
+    *     dropped-pair corruption that XOR cannot catch shifts the sum;
+    *     together with `n_rows` the pair detects every single-row and
+    *     every paired-duplicate change.
+    *
+    * The additive fold is TWO-LEVEL modular on the Spark side: a
+    * per-residue partial sum (`pmod(fp, 1024)` groups — the inner agg
+    * is map-side combinable and its exchange carries ≤ 1024 rows)
+    * reduced mod FpMod, then the outer sum of ≤ 1024 bounded partials.
+    * Why not one `sum(fp)`: fp < FpMod ≈ 2^30, so a single ungrouped
+    * sum overflows Long past ~2^33 rows — and Spark 4's ANSI default
+    * makes that a runtime error, not a wrap. The bucketed form is exact
+    * `sum(fp) mod FpMod` and safe to ~2^43 rows per residue class
+    * (hash-balanced), i.e. effectively unbounded. Still one pass over
+    * the data; the second aggregate is over ≤ 1024 rows.
+    * Output: one row (n_rows, checksum, checksum_add).
     */
   def contentChecksum(df: DataFrame,
-                      ignoreColumns: Set[String] = Set.empty): DataFrame =
+                      ignoreColumns: Set[String] = Set.empty): DataFrame = {
+    val FpMod = graft.functions.TextAnalysis.FpMod
     withHashColumn(df, "_row_h", ignoreColumns)
       .select(graft.functions.TextAnalysis.fingerprint(col("_row_h")).as("_fp"))
-      .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(_fp)").as("checksum"))
+      .groupBy(pmod(col("_fp"), lit(1024L)).as("_r"))
+      .agg(count(lit(1)).as("_n"), expr("bit_xor(_fp)").as("_x"),
+        (sum(col("_fp")) % FpMod).as("_s"))
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        expr("bit_xor(_x)").as("checksum"),
+        (sum(col("_s")) % FpMod).as("checksum_add"))
+  }
 }

@@ -28,23 +28,38 @@ import org.apache.spark.sql.functions._
   * Output: top-`k` distinct shared spans by (length DESC, span ASC)
   * with the number of boundary pairs that exhibit them.
   *
-  * Cost honesty (BASELINE.md rehearsal): exact suffix mining is
-  * n·log n with comparison-heavy constants on low-entropy text — at
-  * corpus scale run [[DupSpan.stats]] (join-free gram windows) as the
-  * cheap screen and this exact miner over the flagged subset, the same
-  * screen-then-exact routing the prefix similarity join uses.
+  * Cost honesty (BASELINE.md rehearsals): r9 measured 12.8× at 10×
+  * and blamed the per-bucket sort; the r10 stage profile showed ~80%
+  * of wall-clock was actually the interpreted LCP fold (O(cap²) char
+  * scans per boundary pair). With the native byte-walk LCP the 10×
+  * rehearsal runs 91 → 12.3 s (1.7× over the 1× run, which is
+  * job-overhead-bound) — n·log n with honest constants. At corpus
+  * scale the screen-then-exact posture still applies: run
+  * [[DupSpan.stats]] (join-free gram windows) as the cheap screen and
+  * this exact miner over the flagged subset, the same routing the
+  * prefix similarity join uses.
   */
 object SharedSubstrings {
 
-  /** Fold-based longest-common-prefix of two string columns, capped:
-    * the accumulator advances while characters keep matching — both
-    * engines fold left with init 0, so the result is engine-identical.
-    * Equal keys — THE hot case in duplicate-heavy corpora, where whole
-    * runs of suffixes repeat verbatim — short-circuit to a length
-    * compare instead of walking the interpreted 64-step fold (the fold
-    * is a higher-order function, outside whole-stage codegen).
+  /** Longest-common-prefix of two string columns — the native
+    * byte-walk expression ([[org.apache.spark.sql.graft
+    * .LongestCommonPrefix]], whole-stage codegen). The fold-based HOF
+    * formulation below is kept as the parity reference
+    * (NativeExprSpec proves them identical on real adjacent-suffix
+    * pairs): the fold is interpreted AND each `substr(i, 1)` walks
+    * from byte 0 to the i-th char boundary — O(cap²) char scans per
+    * pair, which the r10 profile measured as ~80% of the whole
+    * operator's wall-clock (the r9 "per-bucket sort" diagnosis was
+    * wrong). Keys are pre-capped at `cap` chars, so no explicit cap is
+    * needed on the native path.
     */
   private def lcpOf(a: Column, b: Column, cap: Int): Column =
+    org.apache.spark.sql.graft.LongestCommonPrefix(a, b)
+
+  /** Interpreted HOF reference for [[lcpOf]] — capped char-by-char fold
+    * with an equal-key short-circuit; NativeExprSpec's parity twin.
+    */
+  private[graft] def lcpOfHof(a: Column, b: Column, cap: Int): Column =
     when(a === b, least(length(a), length(b)))
       .otherwise(aggregate(sequence(lit(1), lit(cap)), lit(0), (acc, i) =>
         when(acc === i - 1 && i <= length(a) && i <= length(b) &&
@@ -64,8 +79,15 @@ object SharedSubstrings {
       .select(col("_id"), col("_pos"),
         col("_t").substr(col("_pos"), lit(cap)).as("_key"))
       .withColumn("_bkt", col("_key").substr(1, prefixLen))
-    // skew guard: drop corpus-hot prefix buckets (observed metric)
+    // skew guard: drop corpus-hot prefix buckets (observed metric).
+    // The count window deliberately carries the LAG window's ordering
+    // with an explicit whole-partition frame: same partition key + same
+    // sort order means EnsureRequirements plans ONE sort serving both
+    // Window operators (the filter in between preserves ordering)
+    // instead of a bucket-only sort followed by a full re-sort.
     val wB = Window.partitionBy(col("_bkt"))
+      .orderBy(col("_key").asc, col("_id").asc, col("_pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val capped = sfx.withColumn("_bn", count(lit(1)).over(wB))
       .observe("graft.sharedsub_bucket_drops",
         sum(when(col("_bn") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"))

@@ -168,11 +168,7 @@ object Sketches {
        |         ON u.day >= d.day - ${win - 1} AND u.day <= d.day
        |       GROUP BY 1)
        |SELECT sk.day AS day, ex.n_exact,
-       |       round(CASE WHEN (CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / (dpres + CAST($HllM - nb AS DOUBLE))) <= CAST(${2.5 * HllM} AS DOUBLE)
-       |                   AND ($HllM - nb) > 0
-       |             THEN CAST(${HllM.toDouble} AS DOUBLE) * ln(CAST(${HllM.toDouble} AS DOUBLE) / CAST($HllM - nb AS DOUBLE))
-       |             ELSE CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / (dpres + CAST($HllM - nb AS DOUBLE))
-       |             END, 6) AS hll_estimate
+       |       round(${duckHllEstimate("nb", "dpres")}, 6) AS hll_estimate
        |FROM sk JOIN ex ON sk.day = ex.day""".stripMargin
   }
 
@@ -256,11 +252,7 @@ object Sketches {
        |ex AS (SELECT $groupCol AS grp, count(DISTINCT $valueCol) AS n_exact
        |       FROM $tbl GROUP BY 1)
        |SELECT sk.grp AS $groupCol, ex.n_exact,
-       |       round(CASE WHEN (CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / (dpres + CAST($HllM - nb AS DOUBLE))) <= CAST(${2.5 * HllM} AS DOUBLE)
-       |                   AND ($HllM - nb) > 0
-       |             THEN CAST(${HllM.toDouble} AS DOUBLE) * ln(CAST(${HllM.toDouble} AS DOUBLE) / CAST($HllM - nb AS DOUBLE))
-       |             ELSE CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / (dpres + CAST($HllM - nb AS DOUBLE))
-       |             END, 6) AS hll_estimate
+       |       round(${duckHllEstimate("nb", "dpres")}, 6) AS hll_estimate
        |FROM sk JOIN ex ON sk.grp = ex.grp""".stripMargin
   }
 

@@ -131,6 +131,29 @@ object StreamSync {
 
   private val ReplaySeq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Materialize a replay result into the CALLER's session and release
+    * the replay harness's resources: the memory-sink temp table is
+    * dropped from the replay session's catalog and any temp
+    * state/checkpoint dirs are deleted — so repeated replays in a
+    * long-lived session (a bench loop) accumulate nothing. Replay
+    * results are bounded by construction (the emitted windows/sessions
+    * of a bounded fixture), so the local materialization is
+    * metadata-scale — the same non-production harness boundary as the
+    * `collect` on the input side of every replay.
+    */
+  private def handoff(out: DataFrame, caller: SparkSession,
+                      replay: SparkSession, sinkTable: Option[String],
+                      tempDirs: Seq[String] = Nil): DataFrame = {
+    val rows = out.collect()
+    val schema = out.schema
+    sinkTable.foreach(t => replay.catalog.dropTempView(t))
+    tempDirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(replay.sessionState.newHadoopConf()).delete(p, true)
+    }
+    caller.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Key value reserved for the watermark-advancing sentinel rows of
     * [[replaySessions]]; input keys must differ from it.
     */
@@ -190,7 +213,8 @@ object StreamSync {
       input.addData((SentinelKey, java.sql.Timestamp.valueOf("2101-01-01 00:00:00")))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).filter(col(keyCol) =!= SentinelKey)
+    handoff(spark.table(name).filter(col(keyCol) =!= SentinelKey),
+      events.sparkSession, spark, Some(name))
   }
 
   /** Drive [[streamingDedup]] over a BOUNDED (id, ts) set with every row
@@ -235,7 +259,8 @@ object StreamSync {
       input.addData(rows ++ rows)
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).withColumnRenamed("_commit_timestamp", tsCol)
+    handoff(spark.table(name).withColumnRenamed("_commit_timestamp", tsCol),
+      events.sparkSession, spark, Some(name))
   }
 
   /** Drive [[streamingLatestByKey]] over a BOUNDED event set and return
@@ -279,13 +304,14 @@ object StreamSync {
     val schema = new StructType()
       .add(keyCol, "long").add("_commit_timestamp", "timestamp")
       .add(typeCol, "string").add(valueCol, "double")
-    spark.table(name)
+    handoff(spark.table(name)
       .select(col("key"), col("commitUs"),
         from_json(col("json"), schema).as("_r"))
       .select(col("key").as(keyCol),
         timestamp_micros(col("commitUs")).as(tsCol),
         col(s"_r.$typeCol").as(typeCol),
-        col(s"_r.$valueCol").as(valueCol))
+        col(s"_r.$valueCol").as(valueCol)),
+      events.sparkSession, spark, Some(name))
   }
 
   /** Stream-stream interval join: enrich a fact stream with ALL
@@ -364,7 +390,8 @@ object StreamSync {
       input.addData((java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).filter(col("_change_type") =!= SentinelChangeType)
+    handoff(spark.table(name).filter(col("_change_type") =!= SentinelChangeType),
+      log.sparkSession, spark, Some(name))
   }
 
   /** Drive [[streamingIntervalJoin]] over BOUNDED fact/dim sets and
@@ -412,10 +439,11 @@ object StreamSync {
       dIn.addData(dRows)
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).select(
+    handoff(spark.table(name).select(
       col(keyCol),
       col(tsCol).as("fact_ts"), col(idCol).as("fact_id"),
-      col(s"dim_$tsCol").as("dim_ts"), col(s"dim_$idCol").as("dim_id"))
+      col(s"dim_$tsCol").as("dim_ts"), col(s"dim_$idCol").as("dim_id")),
+      facts.sparkSession, spark, Some(name))
   }
 
   /** Stream-STATIC dimension enrichment — the fourth streaming join
@@ -475,7 +503,7 @@ object StreamSync {
       input.addData(rows)
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    handoff(spark.table(name), events.sparkSession, spark, Some(name))
   }
 
   /** Continuous-ingestion dedup: every micro-batch of incoming documents
@@ -600,8 +628,8 @@ object StreamSync {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_scd2_state")
-      .resolve("state").toString
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_scd2_state")
+    val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
     val input = MemoryStream[(Option[Long], Long, String, String, java.sql.Timestamp)]
     val q = startScd2Maintenance(
@@ -615,7 +643,8 @@ object StreamSync {
         q.processAllAvailable()
       }
     } finally q.stop()
-    graft.operators.ChangeLog.scd2Present(spark.read.parquet(stateDir))
+    handoff(graft.operators.ChangeLog.scd2Present(spark.read.parquet(stateDir)),
+      log.sparkSession, spark, None, Seq(stateRoot.toString, ckpt))
   }
 
   /** STREAMING windowed DISTINCT-COUNT registers: per tumbling
@@ -728,9 +757,10 @@ object StreamSync {
       .groupBy(window(col(tsCol), windowLength), col(termCol).as("term"))
       .agg(count(lit(1)).as("n_exact"))
       .select(col("window.start").as("window_start"), col("term"), col("n_exact"))
-    est.join(exact, Seq("window_start", "term"))
+    handoff(est.join(exact, Seq("window_start", "term"))
       .select(col("window_start"), col("term"), col("n_exact"),
-        col("cms_estimate"))
+        col("cms_estimate")),
+      events.sparkSession, spark, Some(name))
   }
 
   /** Drive [[streamingDistinctRegisters]] over a BOUNDED event set in
@@ -786,9 +816,10 @@ object StreamSync {
       .groupBy(window(col(tsCol), windowLength))
       .agg(countDistinct(col(valueCol)).as("n_exact"))
       .select(col("window.start").as("window_start"), col("n_exact"))
-    sketch.join(exact, "window_start")
+    handoff(sketch.join(exact, "window_start")
       .select(col("window_start"), col("n_exact"),
-        round(graft.operators.Sketches.hllEstimate, 6).as("hll_estimate"))
+        round(graft.operators.Sketches.hllEstimate, 6).as("hll_estimate")),
+      events.sparkSession, spark, Some(name))
   }
 
   /** STREAMING incremental-aggregate maintenance: each micro-batch of
@@ -852,8 +883,8 @@ object StreamSync {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_agg_state")
-      .resolve("state").toString
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_agg_state")
+    val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_agg_ckpt").toString
     val input = MemoryStream[(Option[Long], Option[Double], String, java.sql.Timestamp)]
     val q = startAggMaintenance(
@@ -867,7 +898,8 @@ object StreamSync {
         q.processAllAvailable()
       }
     } finally q.stop()
-    graft.operators.ChangeLog.aggPresent(spark.read.parquet(stateDir))
+    handoff(graft.operators.ChangeLog.aggPresent(spark.read.parquet(stateDir)),
+      log.sparkSession, spark, None, Seq(stateRoot.toString, ckpt))
   }
 
   /** Start a parquet sink with a checkpoint — the streaming version of

@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Shingles(children.head, intLit(children(1), "n"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lcp"),
+      new ExpressionInfo(classOf[LongestCommonPrefix].getCanonicalName, "graft_lcp"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_lcp(a, b) takes exactly 2 arguments")
+        LongestCommonPrefix(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sign_lsh_keys"),
       new ExpressionInfo(classOf[SignLshKeys].getCanonicalName, "graft_sign_lsh_keys"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -103,6 +103,41 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.forall(_ == Seq("")))
   }
 
+  test("LongestCommonPrefix native == HOF fold on real adjacent suffix pairs") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val cap = 64
+    // Real suffix keys paired with their sort neighbor — the exact
+    // input shape SharedSubstrings feeds the LCP.
+    val sfx = docs.filter(length(col("text")) >= 16)
+      .select(col("doc_id"), explode(sequence(lit(1),
+        length(col("text")) - 15)).as("_pos"), col("text"))
+      .select(col("text").substr(col("_pos"), lit(cap)).as("_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_key")).partitionBy(substring(col("_key"), 1, 4))
+    val pairs = sfx.withColumn("_pkey", lag(col("_key"), 1).over(w))
+      .filter(col("_pkey").isNotNull)
+    val diff = pairs.select(
+      graft.operators.SharedSubstrings.lcpOfHof(col("_key"), col("_pkey"), cap).as("hof"),
+      org.apache.spark.sql.graft.LongestCommonPrefix(col("_key"), col("_pkey")).as("native"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("LongestCommonPrefix edge cases: empty, equal, multibyte boundaries") {
+    import spark.implicits._
+    val rows = Seq(
+      ("", ""), ("", "a"), ("abc", "abc"), ("abc", "abd"),
+      ("abc", "ab"), ("héllo", "héllp"), ("héllo", "hèllo"),
+      ("日本語abc", "日本語abd"), ("日本x", "日本y"), ("ß1", "ß2"))
+      .toDF("a", "b")
+    val got = rows.select(
+      org.apache.spark.sql.graft.LongestCommonPrefix(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    // char-count LCPs; hèllo vs héllo diverge INSIDE the 2nd char's
+    // bytes (C3A9 vs C3A8) → partial char excluded → 1
+    assert(got == Seq(0, 0, 3, 2, 2, 4, 1, 5, 2, 1))
+  }
+
   test("SimHash64 handles empty token arrays") {
     import spark.implicits._
     val sig = Seq("").toDF("text").select(Dedup.simhash(col("text")))

@@ -61,7 +61,7 @@ class RowHashSpec extends AnyFunSuite with SparkTestBase {
   test("content checksum: invariant to partitioning and row order, sensitive to one changed row") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     def sum(df: org.apache.spark.sql.DataFrame) =
-      RowHash.contentChecksum(df).as[(Long, Long)].head()
+      RowHash.contentChecksum(df).as[(Long, Long, Long)].head()
     val ref = sum(base)
     assert(ref._1 == 4L)
     assert(sum(base.repartition(7)) == ref)
@@ -72,6 +72,22 @@ class RowHashSpec extends AnyFunSuite with SparkTestBase {
     val ignored = Seq((1L, "a", 9.9), (2L, "b", 1.1), (3L, "c", 0.0),
       (4L, "d", 7.7)).toDF("id", "v", "noise")
     assert(RowHash.contentChecksum(ignored, Set("noise"))
-      .as[(Long, Long)].head() == ref)
+      .as[(Long, Long, Long)].head() == ref)
+  }
+
+  test("content checksum: additive component catches XOR's paired-duplicate blind spot") {
+    // The ADVICE scenario: a sink duplicates a block of rows while
+    // dropping an equal-sized block, and the corruption cancels under
+    // XOR. Even-multiplicity multisets make it deterministic: {a,a,b,b}
+    // vs {a,a,a,a} both XOR-fold to 0 with equal n_rows, but the
+    // additive fold sees 2h(a)+2h(b) vs 4h(a).
+    val good = Seq(1L, 1L, 2L, 2L).map(Tuple1(_)).toDF("id")
+    val bad = Seq(1L, 1L, 1L, 1L).map(Tuple1(_)).toDF("id")
+    val gc = RowHash.contentChecksum(good).as[(Long, Long, Long)].head()
+    val bc = RowHash.contentChecksum(bad).as[(Long, Long, Long)].head()
+    assert(gc._1 == 4L && bc._1 == 4L)
+    assert(gc._2 == bc._2, "setup: corruption must be invisible to XOR")
+    assert(gc._2 == 0L)
+    assert(gc._3 != bc._3, "additive checksum must catch it")
   }
 }
