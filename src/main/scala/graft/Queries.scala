@@ -1874,6 +1874,51 @@ object Queries {
                FROM events WHERE ts IS NOT NULL
                GROUP BY 1, 2""")),
 
+    // FILE-SOURCE streaming e2e gate: the SAME windowed change counts,
+    // but ingested through the production readStream path — a staged
+    // change-log parquet directory replayed file-per-micro-batch
+    // (maxFilesPerTrigger=1, modTime-ordered). Same oracle as
+    // q_stream_counts: the transport must be invisible.
+    Entry("q_stream_file_counts",
+      (s, d) => StreamSync.replayFileCounts(
+        ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .select(col("_commit_timestamp"), col("_change_type")),
+        windowLength = "1 hour"),
+      Some(s"""SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                        * 3600000000) AS window_start,
+                      CASE WHEN event_id % 10 < 6 THEN 'insert'
+                           WHEN event_id % 10 < 8 THEN 'update_postimage'
+                           WHEN event_id % 10 < 9 THEN 'update_preimage'
+                           ELSE 'delete' END AS _change_type,
+                      count(*) AS n_changes
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY 1, 2""")),
+
+    // FILE-SOURCE streaming e2e gate for aggregate maintenance: the
+    // foreachBatch incremental fold driven by real file-source
+    // micro-batches over a staged change-log directory. Same oracle as
+    // q_stream_agg — batch boundaries AND the transport are invisible.
+    Entry("q_stream_file_agg",
+      (s, d) => StreamSync.replayFileAgg(
+        ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .select(col("user_id"), col("value"),
+            col(ChangeLog.ChangeType), col(ChangeLog.CommitTs)),
+        "user_id", "value", nChunks = 3),
+      Some(s"""WITH b AS (SELECT user_id, value,
+                      CASE WHEN event_id % 10 < 6 THEN 'insert'
+                           WHEN event_id % 10 < 8 THEN 'update_postimage'
+                           WHEN event_id % 10 < 9 THEN 'update_preimage'
+                           ELSE 'delete' END AS ct
+               FROM events),
+               sg AS (SELECT user_id,
+                             CASE WHEN ct IN ('insert', 'update_postimage')
+                                  THEN 1 ELSE -1 END AS sgn,
+                             coalesce(CAST(floor(value * ${ChangeLog.AggQuantum} + 0.5) AS BIGINT), 0) AS q
+                      FROM b)
+               SELECT user_id, CAST(sum(sgn) AS BIGINT) AS n_rows,
+                      CAST(sum(sgn * q) AS BIGINT) AS sum_value_q6
+               FROM sg GROUP BY user_id HAVING sum(sgn) <> 0""")),
+
     // Stream-stream interval join driver gate: purchases enriched with
     // every same-user click in the 2 h before them, replayed through
     // the watermarked streaming join (one micro-batch per side — inner

@@ -159,6 +159,118 @@ object StreamSync {
     */
   val SentinelKey: Long = Long.MinValue
 
+  /** Stage a bounded log as a parquet DIRECTORY for the FILE-SOURCE
+    * replays: `nChunks` row-slice files plus optional sentinel files,
+    * one row-slice per file, with file modification times forced
+    * strictly monotone — the file source lists by (modTime) ascending,
+    * so under `maxFilesPerTrigger=1` each staged file replays as its
+    * own micro-batch in slice order. Returns (watchDir, tempRoots to
+    * delete at handoff).
+    */
+  private def stageChunkedLog(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+                              schema: StructType, nChunks: Int,
+                              sentinels: Seq[org.apache.spark.sql.Row] = Nil): (String, Seq[String]) = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val root = java.nio.file.Files.createTempDirectory("graft_file_replay")
+    val watch = root.resolve("log")
+    java.nio.file.Files.createDirectories(watch)
+    val chunk = math.max(1, math.ceil(rows.size.toDouble / nChunks).toInt)
+    val slices = rows.grouped(chunk).toSeq ++ sentinels.map(Seq(_))
+    val base = System.currentTimeMillis()
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val sdir = root.resolve(s"stage$i")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+      val part = {
+        val ls = java.nio.file.Files.list(sdir)
+        try ls.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow()
+        finally ls.close()
+      }
+      val dest = watch.resolve(f"chunk-$i%04d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+    (watch.toString, Seq(root.toString))
+  }
+
+  /** FILE-SOURCE streaming e2e: [[readChangeLog]] over a staged
+    * change-log parquet DIRECTORY → [[windowedChangeCounts]] — the
+    * PRODUCTION ingest path (readStream file discovery, explicit
+    * schema, per-file micro-batches), closing the gap between the
+    * MemoryStream replay gates and the documented `readChangeLog`
+    * posture. Chunks are time-ordered slices so the 0-delay watermark
+    * late-drops nothing; two far-future sentinel FILES advance the
+    * watermark past every real window, exactly the
+    * [[replayChangeCounts]] protocol but driven by real file-source
+    * listing order (q_stream_file_counts; same batch oracle as
+    * q_stream_counts — the transport must be invisible).
+    */
+  def replayFileCounts(log: DataFrame, windowLength: String,
+                       nChunks: Int = 3): DataFrame = {
+    val caller = log.sparkSession
+    val rows = log.filter(col("_commit_timestamp").isNotNull)
+      .select(col("_commit_timestamp"), col("_change_type"))
+      .collect().sortBy(_.getAs[java.sql.Timestamp](0).getTime).toSeq
+    require(rows.forall(_.getAs[String](1) != SentinelChangeType),
+      s"change type $SentinelChangeType is reserved")
+    val schema = new StructType()
+      .add("_commit_timestamp", "timestamp").add("_change_type", "string")
+    val sentinels = Seq(
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), SentinelChangeType),
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
+    val spark = caller.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val (watchDir, tempRoots) = stageChunkedLog(spark, rows, schema, nChunks, sentinels)
+    val name = s"graft_replay_filecounts_${ReplaySeq.incrementAndGet()}"
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = windowedChangeCounts(src, watermarkDelay = "0 seconds",
+        windowLength = windowLength)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    handoff(spark.table(name).filter(col("_change_type") =!= SentinelChangeType),
+      caller, spark, Some(name), tempRoots)
+  }
+
+  /** FILE-SOURCE streaming e2e for the maintained aggregate:
+    * [[readChangeLog]] over a staged change-log directory →
+    * [[startAggMaintenance]] (foreachBatch incremental fold into the
+    * persisted state) — the production maintenance loop driven by real
+    * file-source micro-batches. No sentinels needed: the signed
+    * integer-exact fold is commutative, so batch boundaries (and file
+    * order) are invisible by construction (q_stream_file_agg; same
+    * oracle as q_stream_agg).
+    */
+  def replayFileAgg(log: DataFrame, keyCol: String, valueCol: String,
+                    nChunks: Int = 3): DataFrame = {
+    val caller = log.sparkSession
+    val rows = log.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+        col(graft.operators.ChangeLog.ChangeType),
+        col(graft.operators.ChangeLog.CommitTs))
+      .collect().sortBy(_.getAs[java.sql.Timestamp](3).getTime).toSeq
+    val schema = new StructType()
+      .add(keyCol, "long").add(valueCol, "double")
+      .add(graft.operators.ChangeLog.ChangeType, "string")
+      .add(graft.operators.ChangeLog.CommitTs, "timestamp")
+    val spark = caller.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val (watchDir, tempRoots) = stageChunkedLog(spark, rows, schema, nChunks)
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_file_agg_state")
+    val stateDir = stateRoot.resolve("state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_file_agg_ckpt").toString
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = startAggMaintenance(src, Seq(keyCol), valueCol, stateDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    handoff(graft.operators.ChangeLog.aggPresent(spark.read.parquet(stateDir)),
+      caller, spark, None, tempRoots ++ Seq(stateRoot.toString, ckpt))
+  }
+
   /** Drive [[streamingSessions]] over a BOUNDED (key, ts) set and return
     * the completed sessions as a batch DataFrame — the harness that lets
     * a batch oracle prove the streaming operator (q_stream_sessions).

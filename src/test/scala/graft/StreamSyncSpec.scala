@@ -332,4 +332,46 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
         s"nBatches=$nBatches diverged: $got")
     }
   }
+
+  test("file-source replay: windowed counts match the MemoryStream replay (transport-invisible)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (t("2024-01-01 00:00:10"), "insert"),
+      (t("2024-01-01 00:20:20"), "insert"),
+      (t("2024-01-01 00:40:30"), "delete"),
+      (t("2024-01-01 01:10:10"), "insert"),
+      (t("2024-01-01 02:05:00"), "update_postimage"))
+      .toDF("_commit_timestamp", "_change_type")
+    val viaFiles = StreamSync.replayFileCounts(log, "1 hour", nChunks = 2)
+      .as[(Timestamp, String, Long)].collect().toSet
+    val viaMemory = StreamSync.replayChangeCounts(log, "1 hour")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(viaFiles == viaMemory)
+    assert(viaFiles == Set(
+      (t("2024-01-01 00:00:00"), "insert", 2L),
+      (t("2024-01-01 00:00:00"), "delete", 1L),
+      (t("2024-01-01 01:00:00"), "insert", 1L),
+      (t("2024-01-01 02:00:00"), "update_postimage", 1L)))
+  }
+
+  test("file-source replay: maintained aggregate matches the MemoryStream replay across chunkings") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (Some(10L), Some(2.0), "insert", t("2024-01-01 00:00:01")),
+      (Some(20L), Some(1.5), "insert", t("2024-01-01 00:00:02")),
+      (Some(20L), Some(2.5), "insert", t("2024-01-01 00:00:03")),
+      (Some(20L), Some(1.5), "update_preimage", t("2024-01-01 00:00:04")),
+      (Some(20L), Some(4.0), "update_postimage", t("2024-01-01 00:00:04")),
+      (Some(10L), Some(2.0), "delete", t("2024-01-01 00:00:05")))
+      .toDF("user_id", "value", graft.operators.ChangeLog.ChangeType,
+        graft.operators.ChangeLog.CommitTs)
+    for (nChunks <- Seq(1, 3)) {
+      val got = StreamSync.replayFileAgg(log, "user_id", "value", nChunks)
+        .as[(Option[Long], Long, Long)].collect().toSet
+      assert(got == Set((Some(20L), 2L, 6500000L)),
+        s"nChunks=$nChunks diverged: $got")
+    }
+  }
 }
