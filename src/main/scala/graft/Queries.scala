@@ -61,6 +61,24 @@ object Queries {
     */
   private val BmTerms = Seq("spark", "hash", "window")
 
+  /** Per-JVM artifact cache for the *_saved gates. The production
+    * posture those gates measure is build/train ONCE offline, query
+    * many times — so the artifact is built on first use and reused
+    * for the rest of the JVM (Bench's min-of-2 then reads the second,
+    * query-side-only cost; Verify builds once and correctness is
+    * unaffected). Keyed by (artifact, sfDir) so mixed-SF sessions
+    * never cross-read.
+    */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def artifactDir(key: String)(build: String => Unit): String =
+    artifactCache.computeIfAbsent(key, _ => {
+      val dir = TempDirs.create("graft-artifact").toString
+      build(dir)
+      dir
+    })
+
   /** Full-log SCD2 rebuild — the shared oracle for every SCD2 face
     * (batch build, incremental apply, streaming maintenance): however
     * the history is produced, it must equal replaying the whole log.
@@ -579,6 +597,23 @@ object Queries {
     Entry("q_bpe_tokenize",
       (s, d) => Bpe.tokenCounts(t(s, d, "documents"), "text", "doc_id",
         k = 6, maxWordLen = 20),
+      Some(Bpe.duckTokenCounts("documents", "text", "doc_id",
+        k = 6, maxWordLen = 20))),
+
+    // BPE tokenization from PERSISTED merges — the amortized tokenizer
+    // path (learn once offline, tokenize every batch): merges learned
+    // + saved once per JVM (artifactCache), then loaded from parquet
+    // in rank order and applied. Same oracle as q_bpe_tokenize — the
+    // disk round trip of the tokenizer artifact must be invisible.
+    Entry("q_bpe_saved",
+      (s, d) => {
+        val dir = artifactDir(s"bpe|$d|k=6") { dir =>
+          Bpe.saveMerges(
+            Bpe.learnMerges(t(s, d, "documents"), "text", k = 6, maxWordLen = 20), dir)
+        }
+        Bpe.tokenCountsWithMerges(t(s, d, "documents"), "text", "doc_id",
+          Bpe.loadMerges(s, dir))
+      },
       Some(Bpe.duckTokenCounts("documents", "text", "doc_id",
         k = 6, maxWordLen = 20))),
 
@@ -1608,6 +1643,21 @@ object Queries {
       (s, d) => {
         val dir = TempDirs.create("graft-bm25-index").toString
         Bm25.buildIndex(t(s, d, "documents"), "text", "doc_id", dir)
+        Bm25.scoreFromIndex(s, dir, BmTerms)
+      },
+      Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
+
+    // BM25 from a PREBUILT index — the amortized read path
+    // q_bm25_indexed pays build cost to prove: the index is built once
+    // per JVM (artifactCache) and every invocation after the first is
+    // pure query-side (postings pruned to the query terms). Same
+    // oracle as q_bm25/q_bm25_indexed — three physical shapes, one
+    // answer.
+    Entry("q_bm25_saved",
+      (s, d) => {
+        val dir = artifactDir(s"bm25|$d") { dir =>
+          Bm25.buildIndex(t(s, d, "documents"), "text", "doc_id", dir)
+        }
         Bm25.scoreFromIndex(s, dir, BmTerms)
       },
       Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),

@@ -117,9 +117,17 @@ object Bpe {
     * never folded per occurrence.
     */
   def tokenCounts(docs: DataFrame, textCol: String, idCol: String,
-                  k: Int, maxWordLen: Int): DataFrame = {
-    val merges = learnMerges(docs, textCol, k, maxWordLen)
-      .collect().map(r => (r.getString(1), r.getString(2)))
+                  k: Int, maxWordLen: Int): DataFrame =
+    tokenCountsWithMerges(docs, textCol, idCol,
+      learnMerges(docs, textCol, k, maxWordLen)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** [[tokenCounts]]'s application half against an ALREADY-LEARNED
+    * ordered merge list — the amortized production path (learn once
+    * offline, tokenize every batch; the q_bpe_saved gate).
+    */
+  def tokenCountsWithMerges(docs: DataFrame, textCol: String, idCol: String,
+                            merges: Seq[(String, String)]): DataFrame = {
     val words = Dedup.rebalance(docs).select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
     val types0 = words.select(col("word")).distinct()
@@ -132,6 +140,21 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("_wt")).as("n_bpe_tokens"))
   }
+
+  /** Persist a learned merge table ([[learnMerges]]' output) to
+    * parquet — the tokenizer artifact. Tiny (k rows), one file.
+    */
+  def saveMerges(merges: DataFrame, dir: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+
+  /** Load a persisted merge table as the ordered (left, right) list
+    * [[tokenCountsWithMerges]] applies. Rank order IS the BPE
+    * semantics — merges must re-apply in learned order.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right"))).toSeq
 
   /** The shared merge-application fold, rendered for DuckDB against a
     * 1-row merge relation aliased `m`.
