@@ -2215,8 +2215,13 @@ object Queries {
     // mirror nested in the oracle.
     Entry("q_health_report",
       (s, d) => Pipeline.healthReport(t(s, d, "documents"), "text",
-        "doc_id", "lang"),
-      Some(Pipeline.duckHealthReport("documents", "text", "doc_id", "lang"))),
+          "doc_id", "lang")
+        .unionByName(Pipeline.capDropReport(t(s, d, "documents"), "text",
+          "doc_id", t(s, d, "embeddings"), "embedding", "vec_id")),
+      Some(s"""${Pipeline.duckHealthReport("documents", "text", "doc_id", "lang")}
+               UNION ALL
+               ${Pipeline.duckCapDropReport("documents", "text", "doc_id",
+                 "embeddings", "embedding", "vec_id", dim = 64)}""")),
 
     // Z-order clustered sink round-trip gate: the multi-column pruning
     // layout (Morton interleave + range partition) must be ROW-LOSSLESS

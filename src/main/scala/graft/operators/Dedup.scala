@@ -459,6 +459,56 @@ object Dedup {
       .filter(col("_bn") <= maxBucketSize).drop("_bn")
   }
 
+  /** The shared front half of the MinHash-LSH machinery: shingles →
+    * signatures → signature groups → per-band bucket keys of the group
+    * representatives. Returns (shingled, members, banded) — factored
+    * out so [[minhashLshPairs]] and [[lshCapDropCount]] derive bucket
+    * contents from ONE definition and cannot drift.
+    */
+  private def shingleSigBands(df: DataFrame, textCol: String, idCol: String,
+                              n: Int, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+    val k = bands * rowsPerBand
+    val shingled = rebalance(df).select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("_sh"))
+    val sig = shingled
+      .select(col("id"), minhashSignature(col("_sh"), k).as("_sig"))
+      // 64-bit key over the signature array: cheap shuffle key; a key
+      // collision merely merges two groups and the exact-Jaccard
+      // verification still filters every expanded pair.
+      .withColumn("_skey", xxhash64(col("_sig")))
+    // Pin `_sig` (see withSigGroups): a signature always has k slots,
+    // so the predicate is constant-true but survives the optimizer.
+    // `coalesce(..., true)` keeps it constant-true even for null text
+    // (null shingles → null signature → `size(null)` is null, which a
+    // bare `>= 0` pin would silently filter out); null-signature rows
+    // group under xxhash64(null) like any other signature.
+    val members = withSigGroups(sig, col("_skey"),
+      pin = coalesce(size(col("_sig")) >= 0, lit(true)))
+    // Band only one representative per distinct signature.
+    val reps = members.filter(col("id") === col("_rep"))
+    val banded = reps.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "bkey")
+    (shingled, members, banded)
+  }
+
+  /** Rows the LSH bucket cap ([[capBuckets]]) would drop at these
+    * parameters — the cap's recall cost as a QUERYABLE one-row metric
+    * (band-bucket rows in buckets above `maxBucketSize`), for
+    * [[Pipeline.capDropReport]] / the health report. Derived from the
+    * same [[shingleSigBands]] definition the pair search uses.
+    */
+  def lshCapDropCount(df: DataFrame, textCol: String, idCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (_, _, banded) = shingleSigBands(df, textCol, idCol, n, bands, rowsPerBand)
+    banded.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("_bn"))
+      .agg(coalesce(sum(when(col("_bn") > maxBucketSize, col("_bn"))
+        .otherwise(0L)), lit(0L)).as("dropped_rows"),
+        coalesce(sum(col("_bn")), lit(0L)).as("total_rows"))
+  }
+
   /** MinHash + LSH near-dup pairs at scale:
     * signature (k = bands·rowsPerBand) → collapse identical signatures to
     * one representative (duplicate-heavy corpora — THE target workload —
@@ -479,35 +529,14 @@ object Dedup {
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val k = bands * rowsPerBand
     // Shingles deliberately do NOT travel through the signature shuffle:
     // shingle arrays are ~3× the text volume, so shipping them would
     // triple the exchange payload at 100 TB. The verification join
     // recomputes them in a second narrow scan instead (CPU-for-network,
     // the right trade at scale).
-    val shingled = rebalance(df).select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("_sh"))
-    val sig = shingled
-      .select(col("id"), minhashSignature(col("_sh"), k).as("_sig"))
-      // 64-bit key over the signature array: cheap shuffle key; a key
-      // collision merely merges two groups and the exact-Jaccard
-      // verification still filters every expanded pair.
-      .withColumn("_skey", xxhash64(col("_sig")))
-    // Pin `_sig` (see withSigGroups): a signature always has k slots,
-    // so the predicate is constant-true but survives the optimizer.
-    // `coalesce(..., true)` keeps it constant-true even for null text
-    // (null shingles → null signature → `size(null)` is null, which a
-    // bare `>= 0` pin would silently filter out); null-signature rows
-    // group under xxhash64(null) like any other signature.
-    val members = withSigGroups(sig, col("_skey"),
-      pin = coalesce(size(col("_sig")) >= 0, lit(true)))
+    val (shingled, members, banded) =
+      shingleSigBands(df, textCol, idCol, n, bands, rowsPerBand)
     val within = withinGroupPairs(members, "_skey")
-    // Band only one representative per distinct signature.
-    val reps = members.filter(col("id") === col("_rep"))
-    val banded = reps.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .toDF("id", "band", "bkey")
     val capped = capBuckets(banded, Seq("band", "bkey"), maxBucketSize)
     val repPairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -360,6 +360,77 @@ object Pipeline {
       .unionByName(m5).unionByName(m6)
   }
 
+  /** CAP-DROP accounting — the recall cost of every skew-guard cap as
+    * queryable (metric, value) rows, unioned into the health report by
+    * the q_health_report gate. Each capped operator family contributes
+    * its census at the production/gate default parameters:
+    *
+    *   - `sharedsub_prefix_cap_*`: suffix rows in prefix buckets above
+    *     the [[SharedSubstrings.topShared]] cap;
+    *   - `semdedup_cell_cap_*`: rows in k-means cells above
+    *     [[SemDedup.MaxCellSize]];
+    *   - `lsh_bucket_cap_*`: band-bucket rows above
+    *     [[Dedup.DefaultMaxBucketSize]].
+    *
+    * Per family: `_drop_rows` (absolute) and `_drop_rate`
+    * (rows dropped / rows bucketed, 0.0 on an empty census) — so a
+    * monitoring consumer sees the caps' data loss next to the corpus
+    * health metrics instead of digging through `observe` listeners and
+    * stderr notes.
+    */
+  def capDropReport(docs: DataFrame, textCol: String, idCol: String,
+                    emb: DataFrame, vecCol: String, embIdCol: String): DataFrame = {
+    def rows(census: DataFrame, family: String): DataFrame = {
+      val rate = when(col("total_rows") === 0L, lit(0.0))
+        .otherwise(round(col("dropped_rows").cast("double")
+          / col("total_rows").cast("double"), 6))
+      census.select(
+        explode(array(
+          struct(lit(s"${family}_drop_rows").as("metric"),
+            col("dropped_rows").cast("double").as("value")),
+          struct(lit(s"${family}_drop_rate").as("metric"),
+            rate.as("value")))).as("_m"))
+        .select(col("_m.metric").as("metric"), col("_m.value").as("value"))
+    }
+    rows(SharedSubstrings.capDropCount(docs, textCol, idCol),
+        "sharedsub_prefix_cap")
+      .unionByName(rows(SemDedup.cellCapDropCount(emb, vecCol, embIdCol,
+        k = 8, iters = 2), "semdedup_cell_cap"))
+      .unionByName(rows(Dedup.lshCapDropCount(docs, textCol, idCol,
+        n = 3, bands = 42, rowsPerBand = 3), "lsh_bucket_cap"))
+  }
+
+  /** DuckDB twin of [[capDropReport]]. The sharedsub and semdedup
+    * censuses mirror exactly; the LSH bucket keys are xxhash64-chained
+    * MinHash slices DuckDB cannot express, so its rows pin the ZERO
+    * the cap provably drops at fixture scale — a fixture change that
+    * trips the cap turns the gate red loudly instead of silently
+    * shifting recall.
+    */
+  def duckCapDropReport(tbl: String, textCol: String, idCol: String,
+                        embTbl: String, vecCol: String, embIdCol: String,
+                        dim: Int): String = {
+    def rows(censusSql: String, family: String): String =
+      s"""SELECT '${family}_drop_rows' AS metric,
+         |       CAST(dropped_rows AS DOUBLE) AS value
+         |FROM ($censusSql)
+         |UNION ALL
+         |SELECT '${family}_drop_rate',
+         |       CASE WHEN total_rows = 0 THEN 0.0
+         |            ELSE round(CAST(dropped_rows AS DOUBLE)
+         |                       / CAST(total_rows AS DOUBLE), 6) END
+         |FROM ($censusSql)""".stripMargin
+    s"""${rows(SharedSubstrings.duckCapDropCount(tbl, textCol, idCol),
+          "sharedsub_prefix_cap")}
+       |UNION ALL
+       |${rows(SemDedup.duckCellCapDropCount(embTbl, vecCol, embIdCol,
+          k = 8, iters = 2, dim = dim), "semdedup_cell_cap")}
+       |UNION ALL
+       |SELECT 'lsh_bucket_cap_drop_rows', 0.0
+       |UNION ALL
+       |SELECT 'lsh_bucket_cap_drop_rate', 0.0""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[healthReport]] — every constituent's
     * mirror unioned.
     */

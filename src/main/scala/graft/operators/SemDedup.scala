@@ -68,6 +68,33 @@ object SemDedup {
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")
   }
 
+  /** Rows the cell cap of [[pairs]] would drop at these parameters —
+    * the cap's recall cost as a QUERYABLE one-row metric (rows in
+    * k-means cells above `maxCellSize`), for
+    * [[Pipeline.capDropReport]] / the health report.
+    */
+  def cellCapDropCount(df: DataFrame, vecCol: String, idCol: String,
+                       k: Int, iters: Int,
+                       maxCellSize: Int = MaxCellSize): DataFrame =
+    Similarity.kmeansCells(df, vecCol, idCol, k, iters)
+      .groupBy(col("cell")).agg(count(lit(1)).as("_cn"))
+      .agg(coalesce(sum(when(col("_cn") > maxCellSize, col("_cn"))
+        .otherwise(0L)), lit(0L)).as("dropped_rows"),
+        coalesce(sum(col("_cn")), lit(0L)).as("total_rows"))
+
+  /** DuckDB twin of [[cellCapDropCount]] — the same cell-size census
+    * over the unrolled k-means relation.
+    */
+  def duckCellCapDropCount(tbl: String, vecCol: String, idCol: String,
+                           k: Int, iters: Int, dim: Int,
+                           maxCellSize: Int = MaxCellSize): String =
+    s"""SELECT coalesce(CAST(sum(CASE WHEN cn > $maxCellSize THEN cn ELSE 0 END) AS BIGINT),
+       |                CAST(0 AS BIGINT)) AS dropped_rows,
+       |       coalesce(CAST(sum(cn) AS BIGINT), CAST(0 AS BIGINT)) AS total_rows
+       |FROM (SELECT count(*) AS cn
+       |      FROM ${Similarity.duckKmeansRel(tbl, vecCol, idCol, k, iters, dim)} x
+       |      GROUP BY cell)""".stripMargin
+
   /** DuckDB oracle twin of [[dedup]]: unrolled k-means cells →
     * within-cell cosine pairs → greedy smaller-id drop. Emits only
     * (idCol, keepCols…) — array columns stay out of the compared output.

@@ -109,6 +109,41 @@ object SharedSubstrings {
       .limit(k)
   }
 
+  /** Rows the prefix-bucket cap of [[topShared]] would drop at these
+    * parameters — the cap's recall cost as a QUERYABLE one-row metric
+    * (suffix rows in prefix buckets above `maxBucketSize`), for
+    * [[Pipeline.capDropReport]] / the health report. Same suffix
+    * derivation, no sort and no LCP — a bucket-count aggregate only.
+    */
+  def capDropCount(docs: DataFrame, textCol: String, idCol: String,
+                   minLen: Int = 16, prefixLen: Int = 8,
+                   maxBucketSize: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val n = length(text)
+    Dedup.rebalance(docs)
+      .filter(n >= minLen)
+      .select(explode(sequence(lit(1), n - minLen + 1)).as("_pos"), text.as("_t"))
+      .select(col("_t").substr(col("_pos"), lit(prefixLen)).as("_bkt"))
+      .groupBy(col("_bkt")).agg(count(lit(1)).as("_bn"))
+      .agg(coalesce(sum(when(col("_bn") > maxBucketSize, col("_bn"))
+        .otherwise(0L)), lit(0L)).as("dropped_rows"),
+        coalesce(sum(col("_bn")), lit(0L)).as("total_rows"))
+  }
+
+  /** DuckDB twin of [[capDropCount]] — the same bucket-size census. */
+  def duckCapDropCount(tbl: String, textCol: String, idCol: String,
+                       minLen: Int = 16, prefixLen: Int = 8,
+                       maxBucketSize: Int = 100000): String =
+    s"""SELECT coalesce(CAST(sum(CASE WHEN bn > $maxBucketSize THEN bn ELSE 0 END) AS BIGINT),
+       |                CAST(0 AS BIGINT)) AS dropped_rows,
+       |       coalesce(CAST(sum(bn) AS BIGINT), CAST(0 AS BIGINT)) AS total_rows
+       |FROM (SELECT count(*) AS bn
+       |      FROM (SELECT $textCol[i : i + ${prefixLen - 1}] AS bkt
+       |            FROM (SELECT $textCol,
+       |                         unnest(range(1, length($textCol) - $minLen + 2)) AS i
+       |                  FROM $tbl WHERE length($textCol) >= $minLen))
+       |      GROUP BY bkt)""".stripMargin
+
   /** DuckDB oracle twin — identical suffix keys, bucket cap, total
     * order, LCP fold, and top-k tie-break.
     */

@@ -151,4 +151,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // 5 languages → mixture entropy ∈ (0, ln 5]
     assert(m("lang_entropy") > 0.0 && m("lang_entropy") <= math.log(5.0) + 1e-9)
   }
+
+  test("cap-drop report: six rows, zero drops at fixture scale, rates consistent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val m = Pipeline.capDropReport(docs, "text", "doc_id", emb, "embedding", "vec_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.size == 6)
+    for (fam <- Seq("sharedsub_prefix_cap", "semdedup_cell_cap", "lsh_bucket_cap")) {
+      assert(m.contains(s"${fam}_drop_rows") && m.contains(s"${fam}_drop_rate"))
+      // fixture scale: no cap fires (the oracle pins the same zeros)
+      assert(m(s"${fam}_drop_rows") == 0.0, s"$fam dropped at fixture scale")
+      assert(m(s"${fam}_drop_rate") == 0.0)
+    }
+  }
+
+  test("cap-drop censuses COUNT correctly: a forced-zero cap drops every bucketed row") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val ss = graft.operators.SharedSubstrings
+      .capDropCount(docs, "text", "doc_id", maxBucketSize = 0)
+      .collect().head
+    assert(ss.getLong(0) == ss.getLong(1) && ss.getLong(1) > 0L,
+      s"sharedsub census: $ss")
+    val sd = graft.operators.SemDedup
+      .cellCapDropCount(emb, "embedding", "vec_id", k = 8, iters = 2, maxCellSize = 0)
+      .collect().head
+    assert(sd.getLong(0) == sd.getLong(1) && sd.getLong(1) > 0L,
+      s"semdedup census: $sd")
+    val lsh = graft.operators.Dedup
+      .lshCapDropCount(docs, "text", "doc_id", n = 3, bands = 42,
+        rowsPerBand = 3, maxBucketSize = 0)
+      .collect().head
+    assert(lsh.getLong(0) == lsh.getLong(1) && lsh.getLong(1) > 0L,
+      s"lsh census: $lsh")
+  }
 }
