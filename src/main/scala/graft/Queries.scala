@@ -1044,11 +1044,19 @@ object Queries {
     // training manifest. Oracle mirrors stages directly with the exact
     // pairwise ground truth in place of LSH, so this re-proves 100% LSH
     // recall through the whole composition.
+    // SCOPE BOUND (r10 verdict item 7): the oracle's near-dup stage is
+    // the exact O(n²) pairwise CTE, which at sf0.1's 5 000 docs ran
+    // ~96 CPU-min in DuckDB and cut the r9 full-SF verify short. The
+    // gate slices the corpus at doc_id < 1500 on BOTH sides — a no-op
+    // at sf0.001/sf0.01 (≤ 500 docs), and at sf0.1 it caps the oracle
+    // at ~1.1 M pairs so a full-suite sf0.1 pass completes. The
+    // operator itself stays unbounded (q_dedup_minhash_lsh's pattern).
     Entry("q_pipeline_prep",
-      (s, d) => Pipeline.prepCorpus(t(s, d, "documents"), "text", "doc_id",
+      (s, d) => Pipeline.prepCorpus(
+        t(s, d, "documents").filter(col("doc_id") < 1500), "text", "doc_id",
         lang = "en", minQuality = 0.75),
-      Some(Pipeline.duckPrepCorpus("documents", "text", "doc_id",
-        lang = "en", minQuality = 0.75, n = 3, threshold = 0.5))),
+      Some(Pipeline.duckPrepCorpus("(SELECT * FROM documents WHERE doc_id < 1500)",
+        "text", "doc_id", lang = "en", minQuality = 0.75, n = 3, threshold = 0.5))),
 
     // Symmetric int8 embedding quantization (the 4× storage shrink before
     // indexing/shipping vectors): scale, quantized-vector digest, and
