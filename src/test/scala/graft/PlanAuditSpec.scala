@@ -47,6 +47,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"assignment introduced a non-rebalance exchange:\n$plan")
   }
 
+  test("sharedSubstrings plans ONE sort serving both windows (bucket count + lag)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.operators.SharedSubstrings.topShared(docs, "text", "doc_id")
+    val plan = df.queryExecution.executedPlan.toString()
+    // The bucket-count window deliberately carries the lag window's
+    // (partition, order) so EnsureRequirements plans a single SortExec
+    // below both Window operators; the top-k is TakeOrdered, never a
+    // second full sort. A second SortExec here means the shared-order
+    // trick regressed.
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    val windows = "\\bWindow \\[".r.findAllIn(plan).size
+    assert(windows == 2, s"expected both window operators in plan:\n$plan")
+    assert(sorts == 1, s"expected exactly one Sort, got $sorts:\n$plan")
+  }
+
   test("narrow corpus filters stay narrow: no exchange beyond the small-input rebalance") {
     for (q <- Seq("q_quality_gopher", "q_pii_redact", "q_passage_chunk")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
