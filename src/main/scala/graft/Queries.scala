@@ -579,6 +579,16 @@ object Queries {
       (s, d) => SharedSubstrings.topShared(t(s, d, "documents"), "text", "doc_id"),
       Some(SharedSubstrings.duckTopShared("documents", "text", "doc_id"))),
 
+    // Screen-then-exact shared-substring mining — the 100 TB posture as
+    // a first-class gate: the DupSpan word-gram screen flags the docs,
+    // the exact suffix miner runs on the flagged subset only. Both
+    // engines compute the identical composition (screen recall bounds
+    // and adjacency semantics documented on the operator).
+    Entry("q_shared_screened",
+      (s, d) => SharedSubstrings.topSharedScreened(
+        t(s, d, "documents"), "text", "doc_id"),
+      Some(SharedSubstrings.duckTopSharedScreened("documents", "text", "doc_id"))),
+
     // Content-defined chunking (Rabin-boundary CDC): chunk breaks where
     // the rolling 8-char hash ≡ 0 (mod 32) — boundaries follow CONTENT,
     // so an inserted byte realigns after the first boundary instead of

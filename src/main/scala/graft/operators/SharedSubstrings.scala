@@ -109,6 +109,49 @@ object SharedSubstrings {
       .limit(k)
   }
 
+  /** SCREEN-THEN-EXACT shared-substring mining — the 100 TB posture the
+    * operator docs prescribe, as code: the join-free [[DupSpan.stats]]
+    * word-gram screen flags documents with ANY cross-document shared
+    * k-gram run, and the exact suffix miner runs over that subset only.
+    * On real corpora the flagged fraction is small (boilerplate and
+    * template carriers), so the suffix explosion — cap× the bytes, the
+    * exact method's dominant cost — pays for flagged docs instead of
+    * the whole corpus; the screen itself is one narrow projection plus
+    * one gram-keyed exchange.
+    *
+    * SEMANTICS NOTE (why this is its OWN operator, not a faster
+    * [[topShared]]): dropping unscreened docs changes sort adjacency,
+    * so `n_pairs` counts can differ from the full-corpus miner (a
+    * removed no-share doc can sit between two sharers), and the
+    * word-gram screen bounds recall — a CHARACTER span of `minLen`
+    * chars that never covers `screenGrams` consecutive WORDS is not
+    * flagged. Pick `screenGrams` so k words ≲ minLen chars (the
+    * default pairs k=3 words with minLen=16 chars). Both engines
+    * compute the identical composition, so the gate stays exact.
+    */
+  def topSharedScreened(docs: DataFrame, textCol: String, idCol: String,
+                        minLen: Int = 16, cap: Int = 64, prefixLen: Int = 8,
+                        k: Int = 10, maxBucketSize: Int = 100000,
+                        screenGrams: Int = 3): DataFrame = {
+    val flagged = DupSpan.stats(docs, textCol, idCol, screenGrams)
+      .select(col(idCol))
+    topShared(docs.join(flagged, Seq(idCol), "left_semi"), textCol, idCol,
+      minLen, cap, prefixLen, k, maxBucketSize)
+  }
+
+  /** DuckDB twin of [[topSharedScreened]] — [[duckTopShared]] over the
+    * [[DupSpan.duckStats]]-flagged subset.
+    */
+  def duckTopSharedScreened(tbl: String, textCol: String, idCol: String,
+                            minLen: Int = 16, cap: Int = 64, prefixLen: Int = 8,
+                            k: Int = 10, maxBucketSize: Int = 100000,
+                            screenGrams: Int = 3): String = {
+    val screened =
+      s"""(SELECT * FROM $tbl WHERE $idCol IN
+         | (SELECT $idCol FROM (${DupSpan.duckStats(tbl, textCol, idCol, screenGrams)})))""".stripMargin
+    duckTopShared(screened, textCol, idCol, minLen, cap, prefixLen, k, maxBucketSize)
+  }
+
   /** Rows the prefix-bucket cap of [[topShared]] would drop at these
     * parameters — the cap's recall cost as a QUERYABLE one-row metric
     * (suffix rows in prefix buckets above `maxBucketSize`), for

@@ -53,4 +53,25 @@ class SharedSubstringsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("exactly sixteen!", 16L)))
   }
+
+  test("screened variant: flagged sharers mined exactly, never-sharing docs screened out") {
+    import spark.implicits._
+    val shared = "the five boxing wizards jump quickly" // 6 words >= 3-gram screen
+    val docs = Seq(
+      (1L, "aaaa." + shared + " xxxxxxxx"),
+      (2L, "bbbb," + shared + " zzzzzzzz"),
+      // no cross-doc word 3-gram: must be screened out before the
+      // suffix explosion (and shares nothing anyway)
+      (3L, "completely unrelated filler text with no repeats at all"),
+      (4L, "another standalone document nothing shared here either"))
+      .toDF("doc_id", "text")
+    val full = SharedSubstrings.topShared(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val screened = SharedSubstrings.topSharedScreened(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // docs 3/4 share nothing >= minLen, so removing them leaves the
+    // mined spans identical on this fixture
+    assert(screened == full)
+    assert(screened.head == (shared + " ", 37L))
+  }
 }
