@@ -789,6 +789,17 @@ object Queries {
     // ground-truth pair set — the verified output is a subset of the
     // exact pairs by construction, so equality IS a 100%-recall check
     // (hashes are deterministic, so this is stable run-to-run).
+    // Pairwise-Jaccard histogram — pick the dedup threshold from the
+    // corpus's measured similarity distribution. Engine side is the
+    // postings-intersection formulation (co-occurrence-linear, df-cap
+    // skew guard); the oracle mirrors the SAME formulation, so the cap
+    // semantics are exact, not approximated.
+    Entry("q_dedup_hist",
+      (s, d) => Dedup.jaccardHistogram(t(s, d, "documents"), "text",
+        "doc_id", n = 3, bins = 20, maxDocId = 1000),
+      Some(Dedup.duckJaccardHistogram("documents", "text", "doc_id",
+        n = 3, bins = 20, maxDocId = 1000))),
+
     Entry("q_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(
         t(s, d, "documents").filter(col("doc_id") < 1000), "text", "doc_id",

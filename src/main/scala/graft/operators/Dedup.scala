@@ -143,6 +143,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Pairwise-Jaccard HISTOGRAM — the threshold-tuning diagnostic:
+    * how many document pairs sit in each similarity band, so the dedup
+    * threshold is picked from the corpus's actual similarity
+    * distribution instead of folklore (0.5? 0.8?). A near-dup-heavy
+    * corpus shows a bimodal histogram (noise floor + a spike near 1);
+    * the valley is the threshold.
+    *
+    * Scale shape — POSTINGS INTERSECTION, not the O(n²) scan: explode
+    * distinct shingles, count df per shingle, drop shingles with df >
+    * `dfCap` (a hot boilerplate shingle would contribute df² candidate
+    * rows — the same skew-guard posture as every bucketed join here;
+    * dropping it DISCOUNTS the affected pairs' intersection, a defined
+    * and mirrored semantics), self-join on the shingle, count shared
+    * shingles per pair, and derive jaccard = inter / (|A| + |B| −
+    * inter) from the ride-along set sizes. Cost is Σ df² over
+    * surviving shingles — co-occurrence-linear — and only pairs with
+    * ≥ 1 shared informative shingle ever materialize (exactly the
+    * jaccard > 0 pairs). One shingle-keyed exchange + one pair-keyed
+    * aggregate.
+    *
+    * Output: (bin, bin_lo, n_pairs), bin = min(⌊jaccard·bins⌋, bins−1)
+    * over rounded-6dp jaccard, only non-empty bins.
+    */
+  def jaccardHistogram(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, bins: Int, maxDocId: Long,
+                       dfCap: Int = DefaultMaxBucketSize): DataFrame = {
+    val withSh = rebalance(df.filter(col(idCol) < maxDocId))
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
+      .withColumn("_n", size(col("_sh")))
+    val posts = withSh
+      .select(col("id"), col("_n"), explode(col("_sh")).as("_s"))
+    val keep = capBuckets(posts, Seq("_s"), dfCap)
+    val inter = keep.as("a").join(keep.as("b"),
+        col("a._s") === col("b._s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a._n").as("_na"), col("b._n").as("_nb"))
+      .agg(count(lit(1)).as("_inter"))
+    val jac = inter.withColumn("jaccard",
+      round(col("_inter").cast("double")
+        / (col("_na") + col("_nb") - col("_inter")).cast("double"), 6))
+    jac.withColumn("bin",
+        least(floor(col("jaccard") * bins), lit(bins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"),
+        round(col("bin").cast("double") / bins, 6).as("bin_lo"),
+        col("n_pairs"))
+  }
+
+  /** DuckDB twin of [[jaccardHistogram]] — the SAME postings
+    * formulation (df cap included), not the all-pairs CTE, so the cap
+    * semantics mirror exactly.
+    */
+  def duckJaccardHistogram(tbl: String, textCol: String, idCol: String,
+                           n: Int, bins: Int, maxDocId: Long,
+                           dfCap: Int = DefaultMaxBucketSize): String =
+    s"""WITH t AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+       |           FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |                 FROM $tbl WHERE $idCol < $maxDocId)),
+       |e AS (SELECT id, len(sh) AS nsh, unnest(sh) AS s FROM t),
+       |keep AS (SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY s) AS df FROM e)
+       |  WHERE df <= $dfCap),
+       |i AS (SELECT a.id AS id_a, b.id AS id_b, a.nsh AS na, b.nsh AS nb,
+       |             count(*) AS inter
+       |      FROM keep a JOIN keep b ON a.s = b.s AND a.id < b.id
+       |      GROUP BY 1, 2, 3, 4),
+       |j AS (SELECT round(CAST(inter AS DOUBLE)
+       |                   / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+       |      FROM i),
+       |h AS (SELECT CAST(least(floor(jaccard * $bins), ${bins - 1}) AS BIGINT) AS bin
+       |      FROM j)
+       |SELECT bin, round(CAST(bin AS DOUBLE) / $bins, 6) AS bin_lo,
+       |       count(*) AS n_pairs
+       |FROM h GROUP BY bin""".stripMargin
+
   /** DuckDB rendering of [[shingles]]: word n-gram set over a token array
     * bound as `w` in the enclosing scope ([[TextAnalysis.duckTokensBind]]).
     */

@@ -259,4 +259,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._2 == 4L && out(2L)._2 == 4L)
     assert(out(3L)._2 == 0L)
   }
+
+  test("jaccard histogram: identical pair in the top bin, disjoint pairs absent, df cap discounts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pack my box with five dozen jugs"),
+      (2L, "pack my box with five dozen jugs"),            // exact dup of 1
+      (3L, "a wholly different sentence sharing no phrase"),
+      (4L, "pack my box with five dozen bottles"))         // near-dup of 1/2
+      .toDF("doc_id", "text")
+    val hist = Dedup.jaccardHistogram(docs, "text", "doc_id",
+        n = 3, bins = 10, maxDocId = 100)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._3).toMap
+    // (1,2) jaccard 1.0 -> top bin (9); (1,4)/(2,4): 4 of 5 grams
+    // shared, union 6 -> 0.666667 -> bin 6; (x,3) share nothing ->
+    // never materialize. Total pairs = 3.
+    assert(hist == Map(9L -> 1L, 6L -> 2L))
+    // df cap 0 drops every posting -> empty histogram (discounting
+    // semantics pinned at the extreme; the oracle mirrors the cap)
+    assert(Dedup.jaccardHistogram(docs, "text", "doc_id",
+      n = 3, bins = 10, maxDocId = 100, dfCap = 0).count() == 0L)
+  }
 }
