@@ -1248,6 +1248,19 @@ object Queries {
       Some(Decontaminate.duckOverlap("documents", "text", "doc_id",
         evalPredSql = "doc_id % 97 = 0", n = 3))),
 
+    // Per-eval-item CONTAINMENT decontamination: which benchmark item
+    // leaked into which training doc, at what gram fraction — the
+    // fuzzy tier between exact gram collision and embedding cosine.
+    // Threshold 0.2: the word-salad fixture has no planted eval
+    // leakage, so real hits come from chance vocabulary overlap — low
+    // enough to exercise rows, structurally identical at any t.
+    Entry("q_decontaminate_item",
+      (s, d) => Decontaminate.itemContainment(t(s, d, "documents"), "text",
+        "doc_id", evalPred = pmod(col("doc_id"), lit(97L)) === 0L,
+        n = 3, threshold = 0.2),
+      Some(Decontaminate.duckItemContainment("documents", "text", "doc_id",
+        evalPredSql = "doc_id % 97 = 0", n = 3, threshold = 0.2))),
+
     // SEMANTIC decontamination: cosine-vs-eval-set flagging in embedding
     // space (paraphrase leakage has no n-gram collision). τ=0.35 is the
     // fixture's demo near-threshold (FIXTURES.md: max pairwise cosine

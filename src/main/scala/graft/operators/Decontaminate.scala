@@ -53,6 +53,62 @@ object Decontaminate {
        |SELECT $idCol, count(*) AS n_overlap
        |FROM tr JOIN ev USING (gram) GROUP BY $idCol""".stripMargin
 
+  /** PER-EVAL-ITEM containment decontamination — the fuzzy tier
+    * between [[overlap]]'s whole-eval-set gram counting and
+    * [[embeddingOverlap]]'s semantic match: for each (training doc,
+    * eval ITEM) pair, the fraction of the eval item's distinct
+    * n-grams the training doc contains. `containment ≥ threshold`
+    * catches lightly-edited benchmark leakage (reworded stems,
+    * renumbered answers) that the exact whole-item collision misses,
+    * and names WHICH benchmark item leaked — the per-example
+    * train-test-overlap report of the GPT-3 appendix-C playbook.
+    *
+    * Scale shape: identical to [[overlap]] — eval postings (item id,
+    * gram) are benchmark-sized and broadcast; the corpus side is one
+    * narrow explode probing the broadcast, then a per-(doc, item)
+    * map-side-combinable count. Both shingle sets are distinct, so
+    * join multiplicity is 1 and count(*) = |∩|.
+    *
+    * Output: (idCol, eval_id, n_shared, containment) for pairs at or
+    * above the threshold.
+    */
+  def itemContainment(docs: DataFrame, textCol: String, idCol: String,
+                      evalPred: Column, n: Int,
+                      threshold: Double): DataFrame = {
+    val sh = Dedup.rebalance(docs)
+      .select(col(idCol), evalPred.as("_is_eval"),
+        Dedup.shingles(col(textCol), n).as("_g"))
+    val evalPosts = sh.filter(col("_is_eval"))
+      .select(col(idCol).as("eval_id"), size(col("_g")).as("_ne"),
+        explode(col("_g")).as("gram"))
+    val trainGrams = sh.filter(!col("_is_eval"))
+      .select(col(idCol), explode(col("_g")).as("gram"))
+    trainGrams.join(broadcast(evalPosts), "gram")
+      .groupBy(col(idCol), col("eval_id"), col("_ne"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("_ne").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col(idCol), col("eval_id"), col("n_shared"), col("containment"))
+  }
+
+  /** DuckDB oracle for [[itemContainment]] — same postings join. */
+  def duckItemContainment(tbl: String, textCol: String, idCol: String,
+                          evalPredSql: String, n: Int,
+                          threshold: Double): String =
+    s"""WITH d AS (SELECT *, ${graft.functions.TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
+       |sh AS (SELECT $idCol, ($evalPredSql) AS is_eval,
+       |              ${Dedup.duckShingles(textCol, n)} AS g FROM d),
+       |ev AS (SELECT $idCol AS eval_id, len(g) AS ne, unnest(g) AS gram
+       |       FROM sh WHERE is_eval),
+       |tr AS (SELECT $idCol, unnest(g) AS gram FROM sh WHERE NOT is_eval),
+       |c AS (SELECT $idCol, eval_id, ne, count(*) AS n_shared
+       |      FROM tr JOIN ev USING (gram) GROUP BY 1, 2, 3)
+       |SELECT $idCol, eval_id, n_shared,
+       |       round(CAST(n_shared AS DOUBLE) / CAST(ne AS DOUBLE), 6) AS containment
+       |FROM c
+       |WHERE round(CAST(n_shared AS DOUBLE) / CAST(ne AS DOUBLE), 6) >= $threshold""".stripMargin
+
   /** SEMANTIC decontamination: flag training vectors whose cosine
     * similarity to ANY eval vector reaches `threshold` — the
     * embedding-space complement of [[overlap]] (paraphrased benchmark

@@ -55,6 +55,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("decontaminate: item containment names the leaked eval item with its gram fraction") {
+    val df = Seq(
+      (0L, "a b c d e"),          // eval item A: 3 grams
+      (5L, "p q r s t u"),        // eval item B: 4 grams
+      (1L, "x a b c d e y"),      // contains ALL of A's grams (5 of its own) → containment 1.0 vs A
+      (2L, "a b c d x"),          // 2 of A's 3 grams → 0.666667
+      (3L, "p q r z"),            // 1 of B's 4 grams → 0.25, below 0.5
+      (4L, "no shared phrases at all here")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.itemContainment(df, "text", "doc_id",
+        evalPred = col("doc_id") === 0L || col("doc_id") === 5L,
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      (1L, 0L) -> ((3L, 1.0)),
+      (2L, 0L) -> ((2L, 0.666667))))
+  }
+
   test("chunk dedup: first global occurrence kept, later duplicates dropped") {
     // 2-token chunks; doc 1 = [a b][c d], doc 2 = [a b][e f], doc 3 = [c d]
     val df = Seq(
