@@ -951,6 +951,27 @@ object Queries {
         Similarity.duckKmeansRel("embeddings", "embedding", "vec_id", k = 8, iters = 2, dim = 64),
         "embedding", "vec_id", "cell", dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
 
+    // IVF from a PERSISTED cell assignment — the amortized read path of
+    // q_ann_ivf_kmeans (train the coarse quantizer once, search many
+    // times): the learned (vec_id, cell) table is built and saved once
+    // per JVM (artifactCache) and every invocation after the first
+    // loads it from parquet and pays the probe + in-cell search only.
+    // Same oracle — the index round trip must be invisible.
+    Entry("q_ann_ivf_saved",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dir = artifactDir(s"ivf|$d|k=8") { dir =>
+          Similarity.kmeansCells(emb, "embedding", "vec_id", k = 8, iters = 2)
+            .write.mode("overwrite").parquet(s"$dir/cells")
+        }
+        val corpus = emb.join(s.read.parquet(s"$dir/cells"), "vec_id")
+        Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
+          "embedding", "vec_id", "cell", k = 5, nProbe = 3)
+      },
+      Some(Similarity.duckIvfTopK(
+        Similarity.duckKmeansRel("embeddings", "embedding", "vec_id", k = 8, iters = 2, dim = 64),
+        "embedding", "vec_id", "cell", dim = 64, k = 5, nProbe = 3, maxQueryId = 10))),
+
     // Product-quantization ANN: 8 subspaces × 16 centroids trained as ONE
     // joint deterministic Lloyd pass (single exchange updates all eight
     // codebooks), corpus stored as 8 codes/vector, candidates scored by
@@ -2268,6 +2289,24 @@ object Queries {
     // (volume, diversity, Zipf shape, entropy, language balance)
     // unioned into one (metric, value) frame — every constituent's
     // mirror nested in the oracle.
+    // Vocabulary-coverage / OOV-rate report: top-20 corpus vocabulary
+    // (count DESC, word ASC — deterministic cut), per-doc fraction of
+    // token occurrences outside it. Broadcast vocab probe; the corpus
+    // never shuffles by word.
+    Entry("q_oov_rate",
+      (s, d) => Profile.oovRate(t(s, d, "documents"), "text", "doc_id",
+        topV = 20),
+      Some(Profile.duckOovRate("documents", "text", "doc_id", topV = 20))),
+
+    // Per-source redundancy report: per source, the fraction of its
+    // docs byte-identical (md5) to an earlier doc anywhere in the
+    // corpus — the mixture-weight discount signal.
+    Entry("q_source_redundancy",
+      (s, d) => Profile.sourceRedundancy(t(s, d, "documents"), "text",
+        "doc_id", "source"),
+      Some(Profile.duckSourceRedundancy("documents", "text", "doc_id",
+        "source"))),
+
     Entry("q_health_report",
       (s, d) => Pipeline.healthReport(t(s, d, "documents"), "text",
           "doc_id", "lang")

@@ -287,4 +287,96 @@ object Profile {
        |       round(CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS DOUBLE)
        |             / CAST(count(*) * sum(c) AS DOUBLE), 6) AS gini
        |FROM r""".stripMargin
+
+  /** VOCABULARY COVERAGE / OOV-rate report — the tokenizer-coverage
+    * question ("how much of each document falls outside the top-V
+    * vocabulary"): corpus-frequency top-V word list (count DESC, word
+    * ASC — a total order, so the cut is deterministic), then per
+    * document the fraction of token OCCURRENCES outside it. High OOV
+    * docs are the ones a fixed vocabulary tokenizes badly.
+    *
+    * Scale shape: one word-count aggregate (vocabulary-sized output),
+    * the top-V cut on that table, then ONE narrow corpus explode
+    * probing the BROADCAST vocabulary with a left-anti join + a
+    * doc-keyed count. The corpus never shuffles by word; empty docs
+    * report (0, 0, 0.0) rather than disappearing.
+    *
+    * Output: (idCol, n_tokens, n_oov, oov_rate).
+    */
+  def oovRate(docs: DataFrame, textCol: String, idCol: String,
+              topV: Int): DataFrame = {
+    val words = Dedup.rebalance(docs).select(col(idCol),
+      explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("_w"))
+    val vocab = words.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w").asc)
+      .limit(topV)
+      .select(col("_w"))
+    val oov = words.join(broadcast(vocab), Seq("_w"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_oov"))
+    docs.select(col(idCol),
+        graft.functions.TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("_oov"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double"), 6)).as("oov_rate"))
+  }
+
+  /** DuckDB twin of [[oovRate]]. */
+  def duckOovRate(tbl: String, textCol: String, idCol: String,
+                  topV: Int): String =
+    s"""WITH d AS (SELECT $idCol,
+       |                  ${graft.functions.TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl),
+       |tok AS (SELECT $idCol, unnest(w) AS t FROM d),
+       |v AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+       |      ORDER BY c DESC, t ASC LIMIT $topV),
+       |o AS (SELECT $idCol, count(*) AS n_oov FROM tok
+       |      WHERE t NOT IN (SELECT t FROM v) GROUP BY 1)
+       |SELECT d.$idCol, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       |       coalesce(o.n_oov, 0) AS n_oov,
+       |       CASE WHEN len(d.w) = 0 THEN 0.0
+       |            ELSE round(CAST(coalesce(o.n_oov, 0) AS DOUBLE)
+       |                       / CAST(len(d.w) AS DOUBLE), 6) END AS oov_rate
+       |FROM d LEFT JOIN o ON d.$idCol = o.$idCol""".stripMargin
+
+  /** PER-SOURCE REDUNDANCY report — the mixture-weighting diagnostic:
+    * for each source, how many of its documents are byte-identical
+    * (md5 of the text) to an EARLIER document anywhere in the corpus.
+    * A source whose dup_rate is high mostly re-serves content the
+    * corpus already has; its mixture weight should discount it.
+    *
+    * Scale shape: one narrow md5 projection, one hash-keyed window
+    * for the first-occurrence id (the same exchange exact dedup
+    * pays — the md5 key keeps full text off the wire), then a
+    * source-sized aggregate. "Earlier" = smaller idCol, the corpus-
+    * global first-keeper convention of [[Dedup]].
+    *
+    * Output: (srcCol, n_docs, n_dup, dup_rate).
+    */
+  def sourceRedundancy(docs: DataFrame, textCol: String, idCol: String,
+                       srcCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    Dedup.rebalance(docs)
+      .select(col(idCol), col(srcCol), md5(col(textCol)).as("_h"))
+      .withColumn("_first", min(col(idCol)).over(w))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col(idCol) > col("_first"), 1)).as("n_dup"))
+      .select(col(srcCol), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
+  /** DuckDB twin of [[sourceRedundancy]]. */
+  def duckSourceRedundancy(tbl: String, textCol: String, idCol: String,
+                           srcCol: String): String =
+    s"""WITH h AS (SELECT $idCol, $srcCol, md5($textCol) AS h FROM $tbl),
+       |f AS (SELECT *, min($idCol) OVER (PARTITION BY h) AS first_id FROM h)
+       |SELECT $srcCol, count(*) AS n_docs,
+       |       CAST(count(CASE WHEN $idCol > first_id THEN 1 END) AS BIGINT) AS n_dup,
+       |       round(CAST(count(CASE WHEN $idCol > first_id THEN 1 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+       |FROM f GROUP BY $srcCol""".stripMargin
 }

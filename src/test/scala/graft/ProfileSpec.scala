@@ -113,4 +113,37 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     val n = Profile.keySkew(withNull, "k").collect().head
     assert(n.getLong(1) == 2L && n.getDouble(2) == 0.666667)
   }
+
+  test("oov rate: deterministic top-V cut, occurrence counting, empty docs kept") {
+    import spark.implicits._
+    // counts: a:4, b:3, c:2, d:1 → topV=2 vocab {a, b}
+    val docs = Seq(
+      (1L, "a a b c"),     // 1 OOV occurrence of c → 0.25
+      (2L, "a b b c d"),   // c + d → 0.4
+      (3L, "a"),           // fully covered
+      (4L, ""))            // empty → (0, 0, 0.0)
+      .toDF("doc_id", "text")
+    val got = Profile.oovRate(docs, "text", "doc_id", topV = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 1L, 0.25)),
+      2L -> ((5L, 2L, 0.4)),
+      3L -> ((1L, 0L, 0.0)),
+      4L -> ((0L, 0L, 0.0))))
+  }
+
+  test("source redundancy: duplicate of an earlier doc counts against the LATER doc's source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared text", "srcA"),
+      (2L, "shared text", "srcB"),   // dup of 1 → charged to srcB
+      (3L, "unique one", "srcB"),
+      (4L, "shared text", "srcB"))   // another dup → srcB
+      .toDF("doc_id", "text", "source")
+    val got = Profile.sourceRedundancy(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "srcA" -> ((1L, 0L, 0.0)),
+      "srcB" -> ((3L, 2L, 0.666667))))
+  }
 }
