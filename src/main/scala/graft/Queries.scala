@@ -1190,6 +1190,15 @@ object Queries {
         Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id"),
       Some(Multimodal.duckDecodeBatch("documents", "text", "doc_id"))),
 
+    // Multimodal batch resize: nearest-neighbor 16×8 with the stub
+    // resizer (real java.awt path spec-gated like imageDecode).
+    Entry("q_mm_resize",
+      (s, d) => Multimodal.resizeBatch(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id",
+        targetW = 16, targetH = 8),
+      Some(Multimodal.duckResizeBatch("documents", "text", "doc_id",
+        targetW = 16, targetH = 8))),
+
     // Multimodal frame sampling: every 2nd 64-byte frame, flat rows.
     Entry("q_mm_frames",
       (s, d) => Multimodal.frameSample(

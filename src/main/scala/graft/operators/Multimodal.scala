@@ -103,6 +103,94 @@ object Multimodal {
        |    c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT) AS checksum
        |FROM $tbl""".stripMargin
 
+  /** A resizer turns (payload, targetW, targetH) into the resized
+    * raster's (width, height, checksum).
+    */
+  type Resizer = (Array[Byte], Int, Int) => (Int, Int, Long)
+
+  /** STUB resize: nearest-neighbor sampling of the BYTE stream as a
+    * 1-D "raster" — sample i of m = targetW·targetH reads byte
+    * ⌊i·n/m⌋ and the checksum sums the samples. Deterministic, codec-
+    * free, and exactly mirrorable in the oracle; swap in
+    * [[imageResize]] for real payloads.
+    */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): (Int, Int, Long) = {
+    val n = bytes.length
+    val m = targetW * targetH
+    var checksum = 0L
+    if (n > 0) {
+      var i = 0
+      while (i < m) {
+        checksum += bytes((i.toLong * n / m).toInt) & 0xFF
+        i += 1
+      }
+    }
+    (targetW, targetH, checksum)
+  }
+
+  /** REAL image resize via the JDK (decode with `javax.imageio`,
+    * nearest-neighbor scale through `java.awt` Graphics2D): returns
+    * the resized raster's dimensions and 24-bit-RGB checksum. The same
+    * justified per-partition imperative path as [[imageDecode]].
+    */
+  def imageResize(bytes: Array[Byte], targetW: Int, targetH: Int): (Int, Int, Long) = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "imageResize: payload is not a decodable image")
+    val out = new java.awt.image.BufferedImage(targetW, targetH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    var checksum = 0L
+    var y = 0
+    while (y < targetH) {
+      var x = 0
+      while (x < targetW) { checksum += out.getRGB(x, y) & 0xFFFFFF; x += 1 }
+      y += 1
+    }
+    (targetW, targetH, checksum)
+  }
+
+  /** Per-partition resize of (`idCol`, payload) → (id, width, height,
+    * checksum) with a pluggable [[Resizer]] — the batch resize stage of
+    * a media-preprocessing pipeline, same no-shuffle `mapPartitions`
+    * shape as [[decodeBatch]].
+    */
+  def resizeBatch(df: DataFrame, idCol: String, targetW: Int, targetH: Int,
+                  resizer: Resizer = resizeStub): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("checksum", LongType, nullable = false)))
+    val src = df.select(col(idCol).cast("long"), col("payload"))
+    src.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, cs) = resizer(r.getAs[Array[Byte]]("payload"), targetW, targetH)
+        Row(r.getLong(0), w, h, cs)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** DuckDB oracle for [[resizeBatch]] with the stub resizer over
+    * ASCII text payloads.
+    */
+  def duckResizeBatch(tbl: String, textCol: String, idCol: String,
+                      targetW: Int, targetH: Int): String = {
+    val m = targetW * targetH
+    s"""SELECT CAST($idCol AS BIGINT) AS $idCol,
+       |  CAST($targetW AS INT) AS width,
+       |  CAST($targetH AS INT) AS height,
+       |  CAST(CASE WHEN length($textCol) = 0 THEN 0 ELSE
+       |    (SELECT sum(ascii($textCol[CAST(i * length($textCol) // $m AS BIGINT) + 1
+       |                              : CAST(i * length($textCol) // $m AS BIGINT) + 1]))
+       |     FROM range(0, $m) t(i)) END AS BIGINT) AS checksum
+       |FROM $tbl""".stripMargin
+  }
+
   /** Frame sampling over a "video" payload: split the bytes into
     * [[FrameBytes]]-sized frames, keep every `step`-th frame, emit one
     * flat row per sampled frame with its checksum. Same batched

@@ -99,6 +99,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((1L, 3, 2, 6L * 0x112233), (2L, 5, 4, 20L * 1)))
   }
 
+  test("multimodal real image resize: solid color preserved, dims forced, deterministic") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a solid-color source stays solid through nearest-neighbor resize:
+    // checksum = targetW·targetH·rgb exactly
+    val df = Seq((1L, png(6, 4, 0x112233)), (2L, png(2, 2, 0x000004)))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.resizeBatch(df, "doc_id", targetW = 3, targetH = 2,
+        Multimodal.imageResize)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows == Set((1L, 3, 2, 6L * 0x112233), (2L, 3, 2, 6L * 4)))
+  }
+
+  test("multimodal stub resize: nearest-neighbor byte sampling, empty payload -> 0") {
+    // 4 bytes 'abcd' resized to 2x1 → samples at ⌊0·4/2⌋=0, ⌊1·4/2⌋=2
+    val (w, h, cs) = Multimodal.resizeStub("abcd".getBytes("UTF-8"), 2, 1)
+    assert((w, h) == (2, 1) && cs == ('a'.toLong + 'c'.toLong))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 2, 1)._3 == 0L)
+  }
+
   test("multimodal frame sampling emits every step-th frame") {
     import spark.implicits._
     val text = "x" * 200 // 4 frames of 64 → sampled frames 0 and 2
