@@ -1199,6 +1199,13 @@ object Queries {
       Some(Multimodal.duckResizeBatch("documents", "text", "doc_id",
         targetW = 16, targetH = 8))),
 
+    // Multimodal audio-feature extraction: payload as unsigned PCM8 —
+    // sample count, peak, centered integer energy (bitwise oracle).
+    Entry("q_mm_audio",
+      (s, d) => Multimodal.audioFeatures(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id"),
+      Some(Multimodal.duckAudioFeatures("documents", "text", "doc_id"))),
+
     // Multimodal frame sampling: every 2nd 64-byte frame, flat rows.
     Entry("q_mm_frames",
       (s, d) => Multimodal.frameSample(

@@ -191,6 +191,42 @@ object Multimodal {
        |FROM $tbl""".stripMargin
   }
 
+  /** AUDIO-style feature extraction over an opaque payload treated as
+    * unsigned 8-bit PCM samples (the audio analogue of [[decodeBatch]]
+    * — real audio codecs aren't in this container, so the byte-domain
+    * features ARE the deterministic fake, with the Spark-side
+    * plumbing real): per payload, sample count, peak amplitude, and
+    * the 128-centered integer energy Σ(b−128)². Integer-exact, so the
+    * oracle mirrors bitwise; all narrow codegen'd array work, no
+    * mapPartitions needed (no codec in the loop, unlike image decode).
+    *
+    * Output: (idCol, n_samples, peak, energy).
+    */
+  def audioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    // payload bytes → unsigned ints via the ASCII codes of the utf-8
+    // text render (fixture payloads are ASCII text; a real PCM byte
+    // column binds the same way)
+    val samples = filter(split(decode(col("payload"), "UTF-8"), ""), c => c =!= "")
+    val vals = transform(samples, c => ascii(c).cast("long"))
+    df.select(col(idCol),
+        size(vals).cast("long").as("n_samples"),
+        coalesce(array_max(vals), lit(0L)).as("peak"),
+        coalesce(aggregate(vals, lit(0L),
+          (acc, v) => acc + (v - 128L) * (v - 128L)), lit(0L)).as("energy"))
+  }
+
+  /** DuckDB twin of [[audioFeatures]] over ASCII text payloads. */
+  def duckAudioFeatures(tbl: String, textCol: String, idCol: String): String =
+    s"""SELECT $idCol,
+       |  CAST(length($textCol) AS BIGINT) AS n_samples,
+       |  CAST(coalesce(list_max(list_transform(
+       |    list_filter(string_split($textCol, ''), c -> c <> ''),
+       |    c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT) AS peak,
+       |  CAST(coalesce(list_sum(list_transform(
+       |    list_filter(string_split($textCol, ''), c -> c <> ''),
+       |    c -> (CAST(ascii(c) AS BIGINT) - 128) * (CAST(ascii(c) AS BIGINT) - 128))), 0) AS BIGINT) AS energy
+       |FROM $tbl""".stripMargin
+
   /** Frame sampling over a "video" payload: split the bytes into
     * [[FrameBytes]]-sized frames, keep every `step`-th frame, emit one
     * flat row per sampled frame with its checksum. Same batched

@@ -125,6 +125,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.resizeStub(Array.emptyByteArray, 2, 1)._3 == 0L)
   }
 
+  test("multimodal audio features: count, peak, centered energy; empty payload zeros") {
+    import spark.implicits._
+    val df = Seq((1L, "aA"), (2L, "")).toDF("doc_id", "text")
+    val got = Multimodal.audioFeatures(Multimodal.attachBinary(df, "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 'a'=97, 'A'=65: energy = (97-128)^2 + (65-128)^2 = 961 + 3969
+    assert(got == Map(1L -> ((2L, 97L, 4930L)), 2L -> ((0L, 0L, 0L))))
+  }
+
   test("multimodal frame sampling emits every step-th frame") {
     import spark.implicits._
     val text = "x" * 200 // 4 frames of 64 → sampled frames 0 and 2
