@@ -62,6 +62,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(sorts == 1, s"expected exactly one Sort, got $sorts:\n$plan")
   }
 
+  test("oovRate probes a BROADCAST vocabulary; the corpus never shuffles by word") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = graft.operators.Profile.oovRate(docs, "text", "doc_id", topV = 20)
+      .queryExecution.executedPlan.toString()
+    // the OOV probe must be a broadcast ANTI join (vocab is V rows);
+    // a sort-merge join would shuffle the exploded corpus by word
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"vocab probe must be a broadcast anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join crept in:\n$plan")
+    // exactly ONE word-keyed exchange is legitimate: the vocabulary
+    // COUNT aggregate (map-side combined, vocabulary-sized payload)
+    assert("hashpartitioning\\(_w".r.findAllIn(plan).size <= 1,
+      s"corpus shuffled by word beyond the vocab count:\n$plan")
+  }
+
+  test("jaccardHistogram reuses one shingle-keyed exchange for cap window and postings join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = graft.operators.Dedup.jaccardHistogram(docs, "text", "doc_id",
+        n = 3, bins = 20, maxDocId = 1000)
+      .queryExecution.executedPlan.toString()
+    // the df-cap window and the self-join both need (_s)-partitioning;
+    // the join sides must reuse the window's exchange, not re-shuffle
+    val reused = plan.contains("ReusedExchange") ||
+      "hashpartitioning\\(_s".r.findAllIn(plan).size <= 2
+    assert(reused, s"postings exchange not shared:\n$plan")
+  }
+
   test("narrow corpus filters stay narrow: no exchange beyond the small-input rebalance") {
     for (q <- Seq("q_quality_gopher", "q_pii_redact", "q_passage_chunk")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
