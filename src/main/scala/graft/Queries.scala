@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2419,6 +2419,19 @@ object Queries {
       (s, d) => Curriculum.scoreNormalize(t(s, d, "documents"), "text",
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
+
+    // Last-touch attribution gate: purchases credited to the user's
+    // most recent view/click/signup inside a 3-day lookback; one
+    // user-key exchange, no touch×conversion self-join.
+    Entry("q_attribution",
+      (s, d) => Attribution.lastTouch(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackMs = 3L * 24 * 3600 * 1000),
+      Some(Attribution.duckLastTouch(EvOracle, "user_id", "ts", "event_id",
+        "event_type", "value",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackMs = 3L * 24 * 3600 * 1000))),
 
     Entry("q_content_checksum",
       (s, d) => RowHash.contentChecksum(t(s, d, "orders"),

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+import graft.operators.Attribution
+
+class AttributionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val Day = 24L * 3600 * 1000
+
+  private def run(rows: Seq[(Long, Timestamp, Long, String, Double)],
+                  lookbackMs: Long): Map[String, (Long, Double)] = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    Attribution.lastTouch(df, "user_id", "ts", "event_id", "event_type",
+        "value", touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackMs = lookbackMs)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("credits the most recent touch, not the first") {
+    val out = run(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "purchase", 10.0)), Day)
+    assert(out == Map("click" -> ((1L, 10.0))))
+  }
+
+  test("touches outside the lookback window fall to (none)") {
+    val out = run(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-03 00:00:01"), 2L, "purchase", 5.0), // 2d + 1s ago
+      (2L, ts("2024-01-05 00:00:00"), 3L, "purchase", 7.0)), 2 * Day)
+    assert(out == Map("(none)" -> ((2L, 12.0))))
+  }
+
+  test("touches never credit across users; later purchases re-credit the same touch") {
+    val out = run(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 00:30:00"), 2L, "purchase", 3.0), // other user
+      (1L, ts("2024-01-01 01:00:00"), 3L, "purchase", 4.0),
+      (1L, ts("2024-01-01 02:00:00"), 4L, "purchase", 5.0)), Day)
+    assert(out == Map("click" -> ((2L, 9.0)), "(none)" -> ((1L, 3.0))))
+  }
+
+  test("same-timestamp touch counts when it sorts first on the id tie-break") {
+    val out = run(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 00:00:00"), 2L, "purchase", 1.0),
+      // touch id AFTER the purchase id at the same ts → not yet seen
+      (2L, ts("2024-01-01 00:00:00"), 9L, "view", 0.0),
+      (2L, ts("2024-01-01 00:00:00"), 8L, "purchase", 2.0)), Day)
+    assert(out == Map("view" -> ((1L, 1.0)), "(none)" -> ((1L, 2.0))))
+  }
+
+  test("conversion type may not be a touch type") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    intercept[IllegalArgumentException] {
+      Attribution.lastTouch(df, "user_id", "ts", "event_id", "event_type",
+        "value", touchTypes = Seq("view"), convType = "view", lookbackMs = Day)
+    }
+  }
+}
