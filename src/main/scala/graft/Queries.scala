@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2419,6 +2419,15 @@ object Queries {
       (s, d) => Curriculum.scoreNormalize(t(s, d, "documents"), "text",
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
+
+    // Market-basket gate: top co-purchased part pairs by lift across
+    // orders; exact-integer moments, one double division, TakeOrdered
+    // top-k (never a full sort).
+    Entry("q_basket_lift",
+      (s, d) => MarketBasket.pairLift(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minPairs = 2, topK = 100),
+      Some(MarketBasket.duckPairLift("lineitem", "l_orderkey", "l_partkey",
+        minPairs = 2, topK = 100))),
 
     // Last-touch attribution gate: purchases credited to the user's
     // most recent view/click/signup inside a 3-day lookback; one

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence analysis: which item pairs appear in the
+  * same basket more often than chance (lift) — the association-rule
+  * companion to the order/lineitem exports, and (over document sources
+  * or tag sets) a curation signal for corpus composition.
+  *
+  * Scale shape:
+  *   - the basket×item incidence is deduped in ONE (basket,item)
+  *     exchange before anything quadratic happens;
+  *   - pair generation is an equi-join on the basket key, so the work
+  *     is Σ|basket|² — bounded by the largest basket, not the corpus
+  *     (baskets are short in practice; a cap-guard belongs upstream if
+  *     a domain has degenerate mega-baskets);
+  *   - per-item frequencies are a broadcast dim (item cardinality ≪
+  *     fact rows), so lift attachment adds no exchange;
+  *   - top-k is `orderBy().limit()` → TakeOrdered, never a full sort.
+  */
+object MarketBasket {
+
+  /** Pairwise lift: for item pairs co-occurring in ≥ `minPairs` baskets,
+    * lift = P(a,b) / (P(a)·P(b)) = pair_count · n_baskets /
+    * (count_a · count_b), computed in exact BIGINTs with ONE final
+    * double division (bit-identical cross-engine, so top-k ordering by
+    * lift is deterministic; ties break on the item ids).
+    *
+    * Output: top `topK` rows of (item_a, item_b, pair_count, lift),
+    * item_a < item_b.
+    */
+  def pairLift(df: DataFrame, basketCol: String, itemCol: String,
+               minPairs: Long, topK: Int): DataFrame = {
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val nb = items.agg(count_distinct(col("_b")).as("_n"))
+    val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minPairs)
+    pairs
+      .join(broadcast(itemCounts.select(col("_i").as("item_a"), col("_cnt").as("_ca"))), "item_a")
+      .join(broadcast(itemCounts.select(col("_i").as("item_b"), col("_cnt").as("_cb"))), "item_b")
+      .crossJoin(broadcast(nb))
+      .withColumn("_lift", (col("pair_count") * col("_n")).cast("double")
+        / (col("_ca") * col("_cb")).cast("double"))
+      .orderBy(col("_lift").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        round(col("_lift"), 6).as("lift"))
+  }
+
+  /** DuckDB oracle twin of [[pairLift]] — same exact-integer moments,
+    * one double division, identical ordering.
+    */
+  def duckPairLift(rel: String, basketCol: String, itemCol: String,
+                   minPairs: Long, topK: Int): String =
+    s"""WITH items AS (SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $rel),
+       |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+       |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+       |p AS (SELECT x.i AS item_a, y.i AS item_b,
+       |             CAST(count(*) AS BIGINT) AS pair_count
+       |      FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+       |      GROUP BY 1, 2
+       |      HAVING count(*) >= $minPairs)
+       |SELECT item_a, item_b, pair_count,
+       |       round(CAST(pair_count * n AS DOUBLE)
+       |             / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift
+       |FROM p JOIN ic ca ON ca.i = p.item_a
+       |       JOIN ic cb ON cb.i = p.item_b, nb
+       |ORDER BY CAST(pair_count * n AS DOUBLE)
+       |         / CAST(ca.cnt * cb.cnt AS DOUBLE) DESC, item_a, item_b
+       |LIMIT $topK""".stripMargin
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MarketBasket
+
+class MarketBasketSpec extends AnyFunSuite with SparkTestBase {
+
+  test("lift is pair_count*n_baskets/(cnt_a*cnt_b) over deduped incidence") {
+    import spark.implicits._
+    // 4 baskets; {1,2} together twice of 4, item1 in 3, item2 in 2:
+    // lift(1,2) = 2*4/(3*2) = 1.333333. Duplicate (b1,i1) row must not
+    // inflate any count.
+    val df = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L),
+      (40L, 3L))
+      .toDF("basket", "item")
+    val out = MarketBasket.pairLift(df, "basket", "item", minPairs = 1, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, 1.333333),
+      (1L, 3L, 1L, 0.666667)))
+  }
+
+  test("minPairs filters and topK keeps the highest-lift pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 100L), (1L, 200L),
+      (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 300L),
+      (4L, 400L), (4L, 500L))
+      .toDF("basket", "item")
+    val out2 = MarketBasket.pairLift(df, "basket", "item", minPairs = 2, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out2.map(r => (r._1, r._2)) == Set((100L, 200L)))
+    val top1 = MarketBasket.pairLift(df, "basket", "item", minPairs = 1, topK = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // lift(400,500)=1*4/(1*1)=4.0 beats lift(100,200)=2*4/(3*2)=1.33
+    assert(top1 == Seq((400L, 500L, 1L, 4.0)))
+  }
+}
