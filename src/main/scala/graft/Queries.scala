@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2419,6 +2419,27 @@ object Queries {
       (s, d) => Curriculum.scoreNormalize(t(s, d, "documents"), "text",
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
+
+    // Sorted-neighborhood dedup gate: range-sort on a text-prefix key,
+    // pair within a fixed window over the sorted order (candidate
+    // volume exactly n·(w−1) — no bucket-skew failure mode), verify by
+    // exact n-gram Jaccard.
+    Entry("q_dedup_snm",
+      (s, d) => SortedNeighborhood.pairs(t(s, d, "documents"), "text",
+        "doc_id", keyLen = 40, window = 10, n = 3, threshold = 0.5),
+      Some(SortedNeighborhood.duckPairs("documents", "text", "doc_id",
+        keyLen = 40, window = 10, n = 3, threshold = 0.5))),
+
+    // SNM recall audit vs the exact O(n²) truth on an id-bounded slice:
+    // what fraction of true near-dup pairs does the (key, window)
+    // configuration co-locate? (Precision is structurally 1.0 — every
+    // emitted pair is Jaccard-verified.)
+    Entry("q_snm_recall",
+      (s, d) => SortedNeighborhood.recallAudit(t(s, d, "documents"), "text",
+        "doc_id", keyLen = 40, window = 10, n = 3, threshold = 0.5,
+        maxDocId = 500),
+      Some(SortedNeighborhood.duckRecallAudit("documents", "text", "doc_id",
+        keyLen = 40, window = 10, n = 3, threshold = 0.5, maxDocId = 500))),
 
     // Market-basket gate: top co-purchased part pairs by lift across
     // orders; exact-integer moments, one double division, TakeOrdered
