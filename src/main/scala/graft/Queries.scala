@@ -2420,6 +2420,35 @@ object Queries {
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
 
+    // Incremental IVF gate: train on the first 400 vectors, append the
+    // rest by frozen-centroid assignment (O(batch), no retraining, no
+    // pass over the indexed corpus), query the union probing the SAME
+    // frozen centroids.
+    Entry("q_ann_ivf_incr",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") < 400)
+        val cells = Similarity.kmeansCells(base, "embedding", "vec_id",
+          k = 8, iters = 2)
+        val baseIdx = base.join(cells, "vec_id")
+          .select("vec_id", "embedding", "cell")
+        val cents = Similarity.collectCentroids(
+          Similarity.centroidsOf(baseIdx, "embedding", "cell"))
+        val batch = emb.filter(col("vec_id") >= 400)
+        val batchIdx = batch
+          .join(Similarity.assignCells(batch, "embedding", "vec_id", cents),
+            "vec_id")
+          .select("vec_id", "embedding", "cell")
+        val union = baseIdx.union(batchIdx)
+        Similarity.ivfTopKWith(union, union.filter(col("vec_id") < 10),
+          cents.toSeq.toDF("cell", "centroid"),
+          "embedding", "vec_id", "cell", k = 5, nProbe = 3)
+      },
+      Some(Similarity.duckIvfIncrTopK("embeddings", "embedding", "vec_id",
+        dim = 64, kCells = 8, iters = 2, splitId = 400, k = 5, nProbe = 3,
+        maxQueryId = 10))),
+
     // Sorted-neighborhood dedup gate: range-sort on a text-prefix key,
     // pair within a fixed window over the sorted order (candidate
     // volume exactly n·(w−1) — no bucket-skew failure mode), verify by

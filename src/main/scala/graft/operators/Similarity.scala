@@ -303,8 +303,19 @@ object Similarity {
     * is partition pruning; the centroid table is tiny and broadcast.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame = {
-    val centroids = centroidsOf(corpus, vecCol, cellCol)
+              idCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(corpus, queries, centroidsOf(corpus, vecCol, cellCol),
+      vecCol, idCol, cellCol, k, nProbe)
+
+  /** [[ivfTopK]] with an EXPLICIT centroid table — the incremental-
+    * maintenance entry point: after [[ivfAppend]], probing keeps using
+    * the FROZEN training-time centroids (recomputing them from the
+    * grown corpus would silently re-tune the index every batch and
+    * desynchronize it from any persisted codebook metadata).
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, vecCol: String, idCol: String,
+                  cellCol: String, k: Int, nProbe: Int): DataFrame = {
     // Probe assignment: nProbe nearest centroids per query.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -364,6 +375,56 @@ object Similarity {
        |SELECT query_id, vec_id, rank, round(score, 6) AS score
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** DuckDB oracle for the incremental-IVF flow (train on `idCol <
+    * splitId`, [[ivfAppend]] the rest onto frozen centroids, query via
+    * [[ivfTopKWith]] on the union with those same centroids): unrolls
+    * the base k-means, the frozen per-cell means, the batch max-dot
+    * assignment, and the probe + in-cell top-k. Same fp posture as
+    * [[duckIvfTopK]]: means only pick cells, emitted scores are exact.
+    */
+  def duckIvfIncrTopK(tbl: String, vecCol: String, idCol: String,
+                      dim: Int, kCells: Int, iters: Int, splitId: Long,
+                      k: Int, nProbe: Int, maxQueryId: Long): String = {
+    val baseRel = s"(SELECT * FROM $tbl WHERE $idCol < $splitId)"
+    val kmeansRel = duckKmeansRel(baseRel, vecCol, idCol, kCells, iters, dim)
+    s"""WITH bi AS (SELECT $idCol AS vec_id, CAST($vecCol AS DOUBLE[]) AS emb, cell
+       |            FROM $kmeansRel),
+       |cent AS (
+       |  SELECT cell, list(m ORDER BY i) AS centroid FROM (
+       |    SELECT cell, i, avg(emb[i]) AS m
+       |    FROM bi, range(1, ${dim + 1}) t(i)
+       |    GROUP BY cell, i)
+       |  GROUP BY cell),
+       |ba AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT b.$idCol AS vec_id, CAST(b.$vecCol AS DOUBLE[]) AS emb, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY b.$idCol
+       |             ORDER BY list_dot_product(CAST(b.$vecCol AS DOUBLE[]), c.centroid) DESC,
+       |                      c.cell ASC) AS rn
+       |    FROM $tbl b, cent c WHERE b.$idCol >= $splitId) x
+       |  WHERE rn = 1),
+       |u AS (SELECT vec_id, emb, cell FROM bi
+       |      UNION ALL SELECT vec_id, emb, cell FROM ba),
+       |q AS (SELECT vec_id AS query_id, emb AS qv FROM u WHERE vec_id < $maxQueryId),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_dot_product(q.qv, c.centroid) DESC, c.cell ASC) AS crank
+       |    FROM q, cent c) x
+       |  WHERE crank <= $nProbe),
+       |s AS (
+       |  SELECT p.query_id, u.vec_id,
+       |         list_dot_product(p.qv, u.emb) AS score
+       |  FROM probes p JOIN u ON u.cell = p.cell
+       |  WHERE u.vec_id <> p.query_id),
+       |r AS (SELECT query_id, vec_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+       |SELECT query_id, vec_id, rank, round(score, 6) AS score
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Sign-LSH bucket key: `nBits` hyperplane sign bits packed into a
     * long. Hyperplanes are pseudo-random unit-ish vectors derived
     * deterministically from `xxhash64(bit, component)` — no data needed,
@@ -385,6 +446,43 @@ object Similarity {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Collect a (cell, centroid) frame to driver metadata — k·dim
+    * doubles, the same coordinator-sized state every ANN engine keeps.
+    */
+  def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double])] =
+    centroids.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+
+  /** Assign every row to its nearest FROZEN centroid (max dot, min-cell
+    * tie-break — the same deterministic rule as [[kmeansCells]]'s
+    * assignment step, and the same literal-inlined fold: a pure narrow
+    * projection under whole-stage codegen, no exchange). Output:
+    * (`idCol`, cell).
+    */
+  def assignCells(df: DataFrame, vecCol: String, idCol: String,
+                  cents: Array[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "assignCells: empty centroid set")
+    val scored = cents.sortBy(_._1).map { case (cell, c) =>
+      struct(dot(col(vecCol), typedlit(c)).as("score"),
+        lit(-cell).as("negcell"))
+    }
+    val best = array_max(array(scored: _*))
+    df.select(col(idCol), (-best.getField("negcell")).as("cell"))
+  }
+
+  /** INCREMENTAL IVF maintenance: assign a new vector batch to the
+    * index's frozen centroids (no retraining — O(batch) work, zero
+    * passes over the indexed corpus). Returns the batch's (`idCol`,
+    * cell) rows; callers union them with the existing assignment and
+    * keep probing via [[ivfTopKWith]] on the SAME centroids. Retraining
+    * is a deliberate, separate decision driven by a drift monitor
+    * (cell-size skew / centroid drift), not something the append path
+    * does implicitly.
+    */
+  def ivfAppend(baseAssigned: DataFrame, batch: DataFrame, vecCol: String,
+                idCol: String, cellCol: String): DataFrame =
+    assignCells(batch, vecCol, idCol,
+      collectCentroids(centroidsOf(baseAssigned, vecCol, cellCol)))
 
   /** Embedding near-dup candidates via sign-LSH bucketing (scale path for
     * [[Dedup.embeddingNearDupPairs]]): bucket on the key, pair within

@@ -33,7 +33,7 @@ object SortedNeighborhood {
                  rankCol: String): DataFrame = {
     val sorted = df.orderBy(sortCols.map(c => col(c).asc): _*)
     val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, schema)
