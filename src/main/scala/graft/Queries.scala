@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2419,6 +2419,26 @@ object Queries {
       (s, d) => Curriculum.scoreNormalize(t(s, d, "documents"), "text",
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
+
+    // PageRank gate: item centrality over the co-purchase graph.
+    // Fixed-point BIGINT arithmetic end to end (integer sums commute),
+    // so 5 synchronous iterations are bit-reproducible and oracle-
+    // hash-exact; per-iteration shape is one src join + one dst agg.
+    Entry("q_pagerank",
+      (s, d) => {
+        val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2)
+        val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+          .union(pairs.select(col("item_b"), col("item_a")))
+        PageRank.ranks(edges, "src", "dst", iters = 5)
+      },
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |e AS (SELECT item_a AS src, item_b AS dst FROM pairs
+              |      UNION ALL SELECT item_b, item_a FROM pairs),
+              |${PageRank.duckRankCtes("e", "src", "dst", iters = 5)}
+              |SELECT node, round(CAST(r AS DOUBLE) / ${PageRank.DefaultScale}.0, 6) AS rank
+              |FROM r5""".stripMargin)),
 
     // Incremental IVF gate: train on the first 400 vectors, append the
     // rest by frozen-centroid assignment (O(batch), no retraining, no

@@ -36,11 +36,7 @@ object MarketBasket {
       .distinct()
     val nb = items.agg(count_distinct(col("_b")).as("_n"))
     val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
-    val pairs = items.as("x").join(items.as("y"),
-        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
-      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
-      .agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minPairs)
+    val pairs = coPairsOf(items, minPairs)
     pairs
       .join(broadcast(itemCounts.select(col("_i").as("item_a"), col("_cnt").as("_ca"))), "item_a")
       .join(broadcast(itemCounts.select(col("_i").as("item_b"), col("_cnt").as("_cb"))), "item_b")
@@ -52,6 +48,33 @@ object MarketBasket {
       .select(col("item_a"), col("item_b"), col("pair_count"),
         round(col("_lift"), 6).as("lift"))
   }
+
+  /** Co-occurrence pairs: (item_a, item_b, pair_count), item_a < item_b,
+    * over the deduped basket×item incidence — the shared substrate of
+    * [[pairLift]] and the co-occurrence graph fed to
+    * [[PageRank.ranks]].
+    */
+  def coPairs(df: DataFrame, basketCol: String, itemCol: String,
+              minPairs: Long): DataFrame =
+    coPairsOf(df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct(), minPairs)
+
+  private def coPairsOf(items: DataFrame, minPairs: Long): DataFrame =
+    items.as("x").join(items.as("y"),
+        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minPairs)
+
+  /** DuckDB CTEs for [[coPairs]]: declares `${p}items` and `${p}pairs`. */
+  def duckCoPairCtes(rel: String, basketCol: String, itemCol: String,
+                     minPairs: Long, p: String = ""): String =
+    s"""${p}items AS (SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $rel),
+       |${p}pairs AS (SELECT x.i AS item_a, y.i AS item_b,
+       |               CAST(count(*) AS BIGINT) AS pair_count
+       |             FROM ${p}items x JOIN ${p}items y ON x.b = y.b AND x.i < y.i
+       |             GROUP BY 1, 2
+       |             HAVING count(*) >= $minPairs)""".stripMargin
 
   /** DuckDB oracle twin of [[pairLift]] — same exact-integer moments,
     * one double division, identical ordering.

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — item centrality for the
+  * co-occurrence graph ([[MarketBasket.coPairs]]), source authority for
+  * link graphs, influence for user-interaction graphs.
+  *
+  * FIXED-POINT INTEGER arithmetic end to end: ranks are BIGINT
+  * micro-units (`scale` = 1 rank unit), every per-edge contribution is
+  * an integer division `r div outdeg`, and the damping mix is
+  * `(damp·Σ) div 100`. Integer sums commute, so the iteration is
+  * bit-reproducible regardless of partial-aggregation order and
+  * oracle-hash-exact cross-engine — double-precision PageRank cannot
+  * promise either (fp sums are order-dependent). Quantization: each
+  * division floors, losing < 1 micro-unit per term; with scale = 1e12
+  * the cumulative error after `iters` rounds is ≲ iters·deg/1e12 of a
+  * unit — far below the 6-dp output rounding. (The total mass therefore
+  * drifts marginally below 1; PageRank ORDERING, the thing consumers
+  * use, is unaffected at these magnitudes.)
+  *
+  * Scale shape per iteration: one src-keyed broadcast-or-shuffle join
+  * (ranks ⋈ edges, both partitioned by src), one dst-keyed partial
+  * aggregate (map-side combinable — integer sums), one left join back
+  * to the node list for isolated-receiver base mass. No windows, no
+  * global sorts, no driver-side state beyond the scalar node count
+  * (kept plan-side as a broadcast 1-row aggregate). At 100 TB the
+  * per-iteration lineage should be pinned with a reliable checkpoint
+  * every few rounds (the connected-components posture,
+  * Dedup.resolvePairs); at fixed small `iters` the plain chain is fine.
+  *
+  * Directed semantics: an edge (src → dst) sends mass src → dst;
+  * undirected graphs pass both orientations. Nodes = endpoints of the
+  * edge list; every node here has outdeg ≥ 1 when edges are symmetric,
+  * so no dangling-mass redistribution term is needed for the undirected
+  * case (dangling nodes in directed graphs simply leak their mass —
+  * callers wanting the redistribution variant should densify first).
+  */
+object PageRank {
+
+  val DefaultScale = 1000000000000L // 1e12 micro-units per rank unit
+
+  /** PageRank after `iters` synchronous iterations. `dampPct` is the
+    * damping factor in integer percent (85 = the canonical 0.85).
+    * Output: (node, rank) with rank in units (double, rounded 6 dp).
+    */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+            dampPct: Long = 85L, scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 0 && dampPct >= 0 && dampPct <= 100,
+      s"pageRank: bad iters=$iters / dampPct=$dampPct")
+    // The edge list and its two derived tables are referenced 2–3× per
+    // iteration; materialize each ONCE (localCheckpoint — at cluster
+    // scale: checkpoint() to reliable storage, the Pipeline posture) so
+    // the iteration plan is pure join/agg over pinned inputs instead of
+    // iters× recomputations of whatever subtree produced the edges.
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("_src").as("node"))
+      .agg(count(lit(1)).as("_outdeg")).localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("_n"))
+    // Base (teleport) mass per node, and the uniform start rank.
+    val base = expr(s"(($scale * ${100 - dampPct}) div 100) div _n")
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$scale div _n").as("_r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "_src"), "_src")
+        .join(outdeg.withColumnRenamed("node", "_src"), "_src")
+        .groupBy(col("_dst").as("node"))
+        .agg(sum(expr("_r div _outdeg")).as("_in"))
+      ranks = nodes.crossJoin(broadcast(nn))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"($dampPct * coalesce(_in, 0L)) div 100"))
+            .as("_r"))
+    }
+    ranks.select(col("node"),
+      round(col("_r").cast("double") / lit(scale.toDouble), 6).as("rank"))
+  }
+
+  /** DuckDB CTE chain for [[ranks]] over an edge relation (must expose
+    * `srcCol`, `dstCol`): declares `${p}nodes`, `${p}deg`, `${p}nn`,
+    * `${p}r0` … `${p}r{iters}` — read
+    * `SELECT node, round(CAST(r AS DOUBLE) / scale, 6) FROM ${p}r{iters}`.
+    */
+  def duckRankCtes(edgesRel: String, srcCol: String, dstCol: String,
+                   iters: Int, dampPct: Long = 85L,
+                   scale: Long = DefaultScale, p: String = ""): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""${p}r$k AS (
+         |  SELECT n.node,
+         |         ((($scale * ${100 - dampPct}) // 100) // nn.n)
+         |         + CAST(($dampPct * COALESCE(s.i, 0)) // 100 AS BIGINT) AS r
+         |  FROM ${p}nodes n CROSS JOIN ${p}nn nn
+         |  LEFT JOIN (SELECT e.$dstCol AS node, sum(r.r // d.outdeg) AS i
+         |             FROM $edgesRel e
+         |               JOIN ${p}r${k - 1} r ON r.node = e.$srcCol
+         |               JOIN ${p}deg d ON d.node = e.$srcCol
+         |             GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }
+    (Seq(
+      s"""${p}nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT $srcCol AS node FROM $edgesRel
+         |   UNION SELECT $dstCol FROM $edgesRel))""".stripMargin,
+      s"""${p}deg AS (SELECT $srcCol AS node, CAST(count(*) AS BIGINT) AS outdeg
+         |           FROM $edgesRel GROUP BY 1)""".stripMargin,
+      s"${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ${p}nodes)",
+      s"""${p}r0 AS (SELECT node, $scale // nn.n AS r
+         |           FROM ${p}nodes CROSS JOIN ${p}nn nn)""".stripMargin
+    ) ++ iterCtes).mkString(",\n")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PageRank
+
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    import spark.implicits._
+    PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Double)].collect().toMap
+  }
+
+  test("symmetric two-node graph stays uniform at every iteration") {
+    for (it <- Seq(0, 1, 5)) {
+      val r = ranksOf(Seq((1L, 2L), (2L, 1L)), it)
+      assert(r == Map(1L -> 0.5, 2L -> 0.5), s"iters=$it")
+    }
+  }
+
+  test("a sink hub accumulates rank above its spokes") {
+    // Star: 1,2,3 all link to 4; 4 links back to 1 only.
+    val r = ranksOf(Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L)), 5)
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r(4L) > r(1L) && r(1L) > r(2L))
+    assert(r(2L) == r(3L)) // symmetric spokes tie exactly (integer arithmetic)
+  }
+
+  test("fixed-point iteration matches a double-precision reference within quantization") {
+    // Undirected triangle + pendant: 1-2, 2-3, 3-1, 3-4.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val edges = und ++ und.map(e => (e._2, e._1))
+    val got = ranksOf(edges, 8)
+    // Same synchronous updates in plain doubles.
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(n => n -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 8) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map(e => r(e._1) / out(e._1)).sum).toMap
+      r = nodes.map(n => n -> (0.15 / nodes.size + 0.85 * in.getOrElse(n, 0.0))).toMap
+    }
+    for (n <- nodes)
+      assert(math.abs(got(n) - r(n)) < 1e-5, s"node $n: ${got(n)} vs ${r(n)}")
+    // mass conservation to quantization error
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
+}
