@@ -659,6 +659,72 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"bucket classification must join by broadcast:\n$plan")
   }
 
+  test("attribution: one user-keyed exchange; the type filter reaches the scan") {
+    val plan = SparkEntry.queries("q_attribution")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // exactly one hash exchange (the user window); the final touch-type
+    // aggregate partials combine on it
+    val userEx = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userEx >= 1 && !plan.contains("SortMergeJoin"),
+      s"attribution must be window-over-one-exchange, not a self-join:\n$plan")
+    // non-participating event types are pruned at the parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"type filter did not reach the scan:\n$plan")
+  }
+
+  test("basket lift: frequency dims broadcast; top-k is TakeOrdered, not a global sort") {
+    val plan = SparkEntry.queries("q_basket_lift")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"global sort crept into the lift plan:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"item-frequency dims must broadcast:\n$plan")
+  }
+
+  test("snm pairs: equi-join on rank+offset — no nested-loop band join, no 1-partition window") {
+    val plan = SparkEntry.queries("q_dedup_snm")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank-band pairing must be an equi-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a window sneaked into the SNM plan (global ranks must come from zipWithIndex):\n$plan")
+  }
+
+  test("incremental IVF: batch assignment is a narrow projection (no exchange, no window)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Array(0L -> Seq.fill(64)(0.1), 1L -> Seq.fill(64)(-0.1))
+    val plan = Similarity.assignCells(emb, "embedding", "vec_id", cents)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("SortExec"),
+      s"frozen-centroid assignment must be scan + project only:\n$plan")
+  }
+
+  test("pagerank: iteration inputs are checkpointed scans, contributions combine map-side") {
+    val plan = SparkEntry.queries("q_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // the upstream co-purchase self-join must be pinned behind the
+    // checkpoint barrier, not replayed per iteration: every edge/node/
+    // degree reference is an RDD scan and no parquet scan remains
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"edge/node/degree inputs must be checkpointed RDD scans:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"iteration replays the upstream pair join (checkpoint barrier lost):\n$plan")
+    // integer per-dst sums combine map-side
+    assert(plan.contains("partial_sum"),
+      s"dst aggregation lost its partial (map-side) phase:\n$plan")
+    // the only nested-loop allowed is the 1-row node-count broadcast
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian stage in the pagerank plan:\n$plan")
+    // (rank ⋈ edges is a src-keyed shuffle join by design: both sides
+    // are corpus-node-sized at scale and the checkpointed inputs carry
+    // no broadcast-eligible stats — asserting broadcast here would pin
+    // the WRONG shape.)
+  }
+
   test("cms join-cardinality estimate joins 768-cell sketches, never the raw keys") {
     // The estimator must never materialize or shuffle-join the raw key
     // streams: both sides collapse to depth×width cells first, and the
