@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2419,6 +2419,19 @@ object Queries {
       (s, d) => Curriculum.scoreNormalize(t(s, d, "documents"), "text",
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
+
+    // Triangle census gate: cohesion of the co-purchase graph via
+    // degree-ordered orientation (wedge fan-out bounded O(√m) per
+    // node, both stages equi-joins, exact BIGINT counts).
+    Entry("q_triangles",
+      (s, d) => Triangles.census(
+        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minPairs = 2),
+        "item_a", "item_b"),
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |${Triangles.duckCensusCtes("pairs", "item_a", "item_b")}
+              |${Triangles.duckCensusSelect}""".stripMargin)),
 
     // PageRank gate: item centrality over the co-purchase graph.
     // Fixed-point BIGINT arithmetic end to end (integer sums commute),

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Triangles
+
+class TrianglesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Option[Double]) = {
+    import spark.implicits._
+    val Array(r) = Triangles.census(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    r
+  }
+
+  test("triangle with a pendant: 1 triangle, 5 wedges, clustering 0.6") {
+    // K3 on {1,2,3} plus edge 3-4: wedges = C(2,2)? degrees 2,2,3,1 →
+    // 1+1+3+0 = 5; clustering = 3*1/5.
+    val r = census(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(r == ((4L, 1L, 5L, Some(0.6))))
+  }
+
+  test("duplicates, self-loops, and reversed orientations canonicalize away") {
+    val r = census(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 1L), (1L, 3L)))
+    assert(r == ((3L, 1L, 3L, Some(1.0))))
+  }
+
+  test("K4 has 4 triangles and clustering 1.0") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val r = census(edges)
+    assert(r == ((6L, 4L, 12L, Some(1.0))))
+  }
+
+  test("triangle-free star: 0 triangles, null clustering only when no wedges") {
+    val star = census(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(star == ((3L, 0L, 3L, Some(0.0))))
+    val single = census(Seq((1L, 2L)))
+    assert(single == ((1L, 0L, 0L, None)))
+  }
+}
