@@ -2420,6 +2420,14 @@ object Queries {
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
 
+    // Daily-autocorrelation gate: per-type Pearson r of the daily count
+    // series vs its 1..3-day shift — seasonality/momentum probe from
+    // exact BIGINT moments (one √-quotient at the end).
+    Entry("q_event_acf",
+      (s, d) => EventStats.dailyAcf(t(s, d, "events"), "ts", "event_type",
+        maxLag = 3),
+      Some(EventStats.duckDailyAcf(EvOracle, "ts", "event_type", maxLag = 3))),
+
     // Triangle census gate: cohesion of the co-purchase graph via
     // degree-ordered orientation (wedge fan-out bounded O(√m) per
     // node, both stages equi-joins, exact BIGINT counts).

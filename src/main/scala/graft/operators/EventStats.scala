@@ -48,6 +48,87 @@ object EventStats {
        |FROM $rel GROUP BY 1""".stripMargin
   }
 
+  /** Per-type AUTOCORRELATION of the daily count series at small lags —
+    * the seasonality probe (a strong lag-7 ACF means weekly cycles; a
+    * near-1 lag-1 ACF means momentum/trend): Pearson r between the
+    * series and its `lag`-day shift, per (event_type, lag).
+    *
+    * Pair semantics: a (t, t+lag) pair exists iff BOTH days appear in
+    * the daily table (days with zero events are absent, not zero —
+    * same convention as [[trendFit]]); the pairing is an equi-join on
+    * `event_type` and the shifted date, never a window over a densified
+    * calendar. Per-type lags with < 2 pairs or zero variance on either
+    * side yield NULL.
+    *
+    * Float parity: daily counts are integers, so all five moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINTs; r is derived with
+    * one double quotient num/√(dx·dy) — dx·dy is a product of two
+    * exact-in-double integers, √ and ÷ are IEEE-correctly-rounded, so
+    * the value is bit-identical cross-engine before round(6).
+    *
+    * Scale shape: the event stream collapses map-side to (type × day)
+    * in one exchange; everything after runs on the tiny daily series
+    * (lags exploded → one self-equi-join → one aggregate).
+    * Output: (event_type, lag, n_pairs, acf).
+    */
+  def dailyAcf(events: DataFrame, tsCol: String, typeCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"dailyAcf: maxLag must be >= 1, got $maxLag")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_y"))
+    // left side: each day exploded per lag, keyed by its SHIFTED date
+    val lags = daily.select(col("event_type"), col("_y").as("_x"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"), col("_d"))
+      .select(col("event_type"), col("lag"), col("_x"),
+        date_add(col("_d"), col("lag")).as("_d2"))
+    val pairs = lags.join(
+      daily.select(col("event_type"), col("_d").as("_d2"), col("_y")),
+      Seq("event_type", "_d2"))
+    val m = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val dx = col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val dy = col("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    val num = (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double")
+    m.select(col("event_type"), col("lag"), col("n_pairs"),
+      when(dx > 0L && dy > 0L,
+        round(num / sqrt(dx.cast("double") * dy.cast("double")), 6))
+        .as("acf"))
+  }
+
+  /** DuckDB oracle twin of [[dailyAcf]] — identical integer moments and
+    * the same single √-quotient shape.
+    */
+  def duckDailyAcf(rel: String, tsCol: String, typeCol: String,
+                   maxLag: Int): String =
+    s"""WITH daily AS (SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS d,
+       |                      CAST(count(*) AS BIGINT) AS y
+       |               FROM $rel GROUP BY 1, 2),
+       |pairs AS (SELECT a.event_type, l.lag, a.y AS x, b.y AS y
+       |          FROM daily a CROSS JOIN range(1, ${maxLag + 1}) l(lag)
+       |            JOIN daily b ON b.event_type = a.event_type
+       |                        AND b.d = a.d + CAST(l.lag AS INTEGER)),
+       |m AS (SELECT event_type, CAST(lag AS INTEGER) AS lag,
+       |             CAST(count(*) AS BIGINT) AS n_pairs,
+       |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |             CAST(sum(x * y) AS BIGINT) AS sxy,
+       |             CAST(sum(x * x) AS BIGINT) AS sxx,
+       |             CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM pairs GROUP BY 1, 2)
+       |SELECT event_type, lag, n_pairs,
+       |       CASE WHEN (n_pairs * sxx - sx * sx) > 0
+       |                 AND (n_pairs * syy - sy * sy) > 0
+       |            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+       |                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+       |                              * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+       |            END AS acf
+       |FROM m""".stripMargin
+
   /** Per-type LINEAR TREND over the daily count series — ordinary least
     * squares of daily volume on the day index, the "is this event type
     * growing or dying" monitor (and, over corpus ingest dates, the

@@ -31,6 +31,30 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("2024-01-02") == ((0L, 1L, 1L)))  // click cell zero-filled
   }
 
+  test("dailyAcf: alternating series has acf -1 at lag 1 and +1 at lag 2") {
+    import spark.implicits._
+    // daily counts 1,2,1,2,1,2 (day i gets i%2+1 events)
+    val rows = for (d <- 1 to 6; _ <- 1 to (d % 2 + 1))
+      yield ("a", ts(d))
+    val out = EventStats.dailyAcf(rows.toDF("event_type", "ts"), "ts",
+        "event_type", maxLag = 2)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(out(1) == ((5L, Some(-1.0))))
+    assert(out(2) == ((4L, Some(1.0))))
+  }
+
+  test("dailyAcf: zero variance or missing shifted days yield null/no pair") {
+    import spark.implicits._
+    // constant series → zero variance → null; gap breaks pairing
+    val rows = Seq(("c", ts(1)), ("c", ts(2)), ("c", ts(4)))
+    val out = EventStats.dailyAcf(rows.toDF("event_type", "ts"), "ts",
+        "event_type", maxLag = 1)
+      .as[(String, Int, Long, Option[Double])].collect()
+    // pairs: (1,2) and... day 3 missing so (2,3)/(3,4) absent → 1 pair
+    assert(out.toSeq == Seq(("c", 1, 1L, None)))
+  }
+
   test("anomalyZscores: full-window days only, today excluded from baseline") {
     import spark.implicits._
     // Baseline days 1..7 alternate 1,2 events; day 8 spikes to 10.
