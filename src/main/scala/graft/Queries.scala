@@ -2420,6 +2420,14 @@ object Queries {
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
 
+    // Funnel latency gate: time-to-convert distribution per transition
+    // (exact integer ms; interpolated p50/p90 over converted users).
+    Entry("q_funnel_latency",
+      (s, d) => Funnel.stepLatency(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase")),
+      Some(Funnel.duckStepLatency3(EvOracle, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")))),
+
     // Daily-autocorrelation gate: per-type Pearson r of the daily count
     // series vs its 1..3-day shift — seasonality/momentum probe from
     // exact BIGINT moments (one √-quotient at the end).

@@ -93,11 +93,14 @@ object Funnel {
   /** DuckDB oracle for [[stepCounts]] with three steps (the gate query
     * shape): chained min-after-previous-step CTEs, identical semantics.
     */
-  def duckStepCounts3(rel: String, userCol: String, tsCol: String,
-                      typeCol: String, steps: Seq[String]): String = {
+  /** The shared chained min-after-previous-step CTE chain (c1, c2, c3)
+    * mirroring [[conversionTimes]] for the 3-step oracle shape.
+    */
+  private def duckConvCtes3(rel: String, userCol: String, tsCol: String,
+                            typeCol: String, steps: Seq[String]): String = {
     require(steps.length == 3, "oracle helper renders the 3-step shape")
     val Seq(s1, s2, s3) = steps
-    s"""WITH c1 AS (
+    s"""c1 AS (
        |  SELECT $userCol, min($tsCol) AS t1 FROM $rel
        |  WHERE $typeCol = '$s1' GROUP BY $userCol),
        |c2 AS (
@@ -109,11 +112,59 @@ object Funnel {
        |  SELECT e.$userCol, c2.t1, c2.t2, min(e.$tsCol) AS t3 FROM $rel e
        |  JOIN c2 ON e.$userCol = c2.$userCol
        |  WHERE e.$typeCol = '$s3' AND e.$tsCol >= c2.t2
-       |  GROUP BY e.$userCol, c2.t1, c2.t2)
+       |  GROUP BY e.$userCol, c2.t1, c2.t2)""".stripMargin
+  }
+
+  def duckStepCounts3(rel: String, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String]): String = {
+    val Seq(s1, s2, s3) = steps
+    s"""WITH ${duckConvCtes3(rel, userCol, tsCol, typeCol, steps)}
        |SELECT 1 AS step, '$s1' AS event_type, (SELECT count(*) FROM c1) AS n_users
        |UNION ALL
        |SELECT 2, '$s2', (SELECT count(*) FROM c2)
        |UNION ALL
        |SELECT 3, '$s3', (SELECT count(*) FROM c3)""".stripMargin
   }
+
+  /** Time-to-convert distribution per funnel transition: for every user
+    * reaching step k+1, the latency t_{k+1} − t_k in EXACT integer
+    * milliseconds, summarized as n_users + interpolated p50/p90 (the
+    * q_len_quantiles convention: exact `percentile` — group cardinality
+    * is the converted-user count, fine to sort within; at extreme scale
+    * swap in the GK sketch like q_quantile_sketch).
+    *
+    * One conversion pass (the [[conversionTimes]] user-key exchange),
+    * one inline stack reshape (no per-step re-scan), one step-keyed
+    * aggregate over ≤ (n−1)·users rows.
+    * Output: (step, n_users, p50_ms, p90_ms) for steps 2..n.
+    */
+  def stepLatency(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "stepLatency needs at least two steps")
+    val conv = conversionTimes(events, userCol, tsCol, typeCol, steps)
+    val stacked = (1 until steps.length).map { k =>
+      struct(lit(k + 1).as("step"),
+        (unix_millis(col(s"t${k + 1}")) - unix_millis(col(s"t$k")))
+          .as("lat"))
+    }
+    conv.select(explode(array(stacked: _*)).as("_l"))
+      .select(col("_l.step").as("step"), col("_l.lat").as("_lat"))
+      .filter(col("_lat").isNotNull)
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(_lat, 0.5D)"), 6).as("p50_ms"),
+        round(expr("percentile(_lat, 0.9D)"), 6).as("p90_ms"))
+  }
+
+  /** DuckDB oracle for [[stepLatency]] (3-step shape). */
+  def duckStepLatency3(rel: String, userCol: String, tsCol: String,
+                       typeCol: String, steps: Seq[String]): String =
+    s"""WITH ${duckConvCtes3(rel, userCol, tsCol, typeCol, steps)},
+       |l AS (SELECT 2 AS step, epoch_ms(t2) - epoch_ms(t1) AS lat FROM c2
+       |      UNION ALL
+       |      SELECT 3, epoch_ms(t3) - epoch_ms(t2) FROM c3)
+       |SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+       |       round(quantile_cont(lat, 0.5), 6) AS p50_ms,
+       |       round(quantile_cont(lat, 0.9), 6) AS p90_ms
+       |FROM l GROUP BY 1""".stripMargin
 }

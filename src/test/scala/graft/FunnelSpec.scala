@@ -27,6 +27,30 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     assert(counts == Set((1, "A", 3L), (2, "B", 1L)))
   }
 
+  test("stepLatency: exact ms diffs of the fold's chain, converted users only") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: view@0 → click@+60s → purchase@+300s
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:00"), "click"),
+      (1L, ts("2024-01-01 00:05:00"), "purchase"),
+      // user 2: view@0 → click@+180s, never purchases
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:03:00"), "click"),
+      // user 3: click only — reaches no transition
+      (3L, ts("2024-01-01 00:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.stepLatency(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // step 2 latencies: {60000, 180000} → p50 = 120000 (interpolated),
+    // p90 = 168000; step 3: {240000} alone
+    assert(out(2) == ((2L, 120000.0, 168000.0)))
+    assert(out(3) == ((1L, 240000.0, 240000.0)))
+    assert(!out.contains(1))
+  }
+
   test("fold semantics match chained min-after-previous joins on interleaved events") {
     import spark.implicits._
     val df = Seq(
