@@ -2420,6 +2420,44 @@ object Queries {
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
 
+    // Lead-lag cross-correlation gate: does the view series predict the
+    // purchase series, and at what day offset?
+    Entry("q_event_xcorr",
+      (s, d) => EventStats.dailyCrossCorr(t(s, d, "events"), "ts",
+        "event_type", typeA = "view", typeB = "purchase", maxLag = 3),
+      Some(EventStats.duckDailyCrossCorr(EvOracle, "ts", "event_type",
+        typeA = "view", typeB = "purchase", maxLag = 3))),
+
+    // Degree-distribution gate: log2-binned power-law fingerprint of
+    // the co-purchase graph (integer bit-length bins — no floating
+    // log2 at bucket boundaries).
+    Entry("q_degree_dist",
+      (s, d) => Triangles.degreeHistogram(
+        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minPairs = 2),
+        "item_a", "item_b"),
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)}
+              |SELECT * FROM (
+              |${Triangles.duckDegreeHistogram("pairs", "item_a", "item_b")})""".stripMargin)),
+
+    // Temporal-split leakage gate: time-cutoff split with the entity-
+    // leakage census (users seen on both sides of the cutoff).
+    Entry("q_time_split",
+      (s, d) => Splits.timeSplitAudit(t(s, d, "events"), "user_id", "ts",
+        cutoffMs = EvCutoffMs),
+      Some(Splits.duckTimeSplitAudit(EvOracle, "user_id", "ts",
+        cutoffMs = EvCutoffMs))),
+
+    // Nearest-centroid classifier audit gate: label separability in
+    // embedding space (per-label mean centroids, narrow re-assignment
+    // fold, exact counts).
+    Entry("q_centroid_classify",
+      (s, d) => Similarity.centroidClassify(t(s, d, "embeddings"),
+        "embedding", "vec_id", "label"),
+      Some(Similarity.duckCentroidClassify("embeddings", "embedding",
+        "vec_id", "label", dim = 64))),
+
     // Funnel latency gate: time-to-convert distribution per transition
     // (exact integer ms; interpolated p50/p90 over converted users).
     Entry("q_funnel_latency",

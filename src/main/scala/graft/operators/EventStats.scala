@@ -101,6 +101,68 @@ object EventStats {
         .as("acf"))
   }
 
+  /** LEAD-LAG CROSS-CORRELATION between two event types' daily series:
+    * Pearson r between count_A(t) and count_B(t + lag) for lag ∈
+    * [−maxLag, maxLag] — "do clicks predict purchases, and by how many
+    * days?" (the peak-lag reading). Negative lags mean B leads A.
+    * Same conventions as [[dailyAcf]]: pairs exist only where both days
+    * are present, exact BIGINT moments, one √-quotient, NULL on zero
+    * variance. Output: (lag, n_pairs, xcorr).
+    */
+  def dailyCrossCorr(events: DataFrame, tsCol: String, typeCol: String,
+                     typeA: String, typeB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"dailyCrossCorr: maxLag must be >= 0, got $maxLag")
+    def daily(t: String) = events.filter(col(typeCol) === t)
+      .groupBy(to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_y"))
+    val lagged = daily(typeA).select(col("_y").as("_x"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"), col("_d"))
+      .select(col("lag"), col("_x"), date_add(col("_d"), col("lag")).as("_d2"))
+    val pairs = lagged.join(daily(typeB).select(col("_d").as("_d2"), col("_y")),
+      Seq("_d2"))
+    val m = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val dx = col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val dy = col("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    val num = (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double")
+    m.select(col("lag"), col("n_pairs"),
+      when(dx > 0L && dy > 0L,
+        round(num / sqrt(dx.cast("double") * dy.cast("double")), 6))
+        .as("xcorr"))
+  }
+
+  /** DuckDB oracle twin of [[dailyCrossCorr]]. */
+  def duckDailyCrossCorr(rel: String, tsCol: String, typeCol: String,
+                         typeA: String, typeB: String, maxLag: Int): String = {
+    def daily(t: String) =
+      s"""(SELECT CAST($tsCol AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+         | FROM $rel WHERE $typeCol = '${t.replace("'", "''")}' GROUP BY 1)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT CAST(l.lag AS INTEGER) AS lag, a.y AS x, b.y AS y
+       |  FROM ${daily(typeA)} a
+       |    CROSS JOIN range(${-maxLag}, ${maxLag + 1}) l(lag)
+       |    JOIN ${daily(typeB)} b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+       |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |             CAST(sum(x * y) AS BIGINT) AS sxy,
+       |             CAST(sum(x * x) AS BIGINT) AS sxx,
+       |             CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM pairs GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |       CASE WHEN (n_pairs * sxx - sx * sx) > 0
+       |                 AND (n_pairs * syy - sy * sy) > 0
+       |            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+       |                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+       |                              * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+       |            END AS xcorr
+       |FROM m""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[dailyAcf]] — identical integer moments and
     * the same single √-quotient shape.
     */

@@ -375,6 +375,57 @@ object Similarity {
        |SELECT query_id, vec_id, rank, round(score, 6) AS score
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** NEAREST-CENTROID CLASSIFIER AUDIT: how linearly separable are the
+    * labels in embedding space? Train per-label mean centroids (one
+    * (label, component) exchange), re-assign every vector to its
+    * nearest centroid (the [[assignCells]] narrow fold — no exchange),
+    * report per-label accuracy. The embedding-quality smoke test run
+    * before anything expensive is built on top of a vector column —
+    * centroid accuracy near chance means the labels are not in the
+    * geometry and ANN/semdedup results over it will be noise.
+    *
+    * Same fp posture as IVF: centroid means pick the ARGMAX only
+    * (margins dwarf last-bit noise); counts are exact integers.
+    * Output: (label, n, n_correct, accuracy).
+    */
+  def centroidClassify(df: DataFrame, vecCol: String, idCol: String,
+                       labelCol: String): DataFrame = {
+    val labeled = df.select(col(idCol).as("id"), col(vecCol).as("_v"),
+      col(labelCol).cast("long").as("label"))
+    val cents = collectCentroids(centroidsOf(labeled, "_v", "label"))
+    labeled.join(assignCells(labeled, "_v", "id", cents), "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cell") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"))
+  }
+
+  /** DuckDB oracle twin of [[centroidClassify]]. */
+  def duckCentroidClassify(tbl: String, vecCol: String, idCol: String,
+                           labelCol: String, dim: Int): String =
+    s"""WITH v AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS emb,
+       |                  CAST($labelCol AS BIGINT) AS label FROM $tbl),
+       |cent AS (
+       |  SELECT label, list(m ORDER BY i) AS centroid FROM (
+       |    SELECT label, i, avg(emb[i]) AS m
+       |    FROM v, range(1, ${dim + 1}) t(i)
+       |    GROUP BY label, i)
+       |  GROUP BY label),
+       |a AS (SELECT id, label, cell FROM (
+       |    SELECT v.id, v.label, c.label AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY v.id
+       |             ORDER BY list_dot_product(v.emb, c.centroid) DESC,
+       |                      c.label ASC) AS rn
+       |    FROM v, cent c) x WHERE rn = 1)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(count(*) FILTER (WHERE cell = label) AS BIGINT) AS n_correct,
+       |       round(CAST(count(*) FILTER (WHERE cell = label) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+       |FROM a GROUP BY 1""".stripMargin
+
   /** DuckDB oracle for the incremental-IVF flow (train on `idCol <
     * splitId`, [[ivfAppend]] the rest onto frozen centroids, query via
     * [[ivfTopKWith]] on the union with those same centroids): unrolls

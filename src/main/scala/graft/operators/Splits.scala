@@ -83,6 +83,60 @@ object Splits {
   }
 
   /** Per-(stratum, split) row counts — the stratification audit. */
+  /** TEMPORAL train/test split audit: split at a time cutoff (the only
+    * leak-free split for forecasting-style training) and report the
+    * ENTITY LEAKAGE the cutoff still allows — entities (users, devices,
+    * documents' sources…) with rows on BOTH sides, which is fine for
+    * time-series models but poisons per-entity generalization claims.
+    * One entity-keyed exchange (per-entity side flags) + one global
+    * aggregate; exact integers, one final division.
+    * Output 1 row: (n_train, n_test, n_train_entities, n_test_entities,
+    * n_leaky_entities, leaky_frac) — leaky_frac over TEST entities
+    * (the fraction of evaluation entities the model saw in training).
+    */
+  def timeSplitAudit(df: DataFrame, entityCol: String, tsCol: String,
+                     cutoffMs: Long): DataFrame = {
+    val isTrain = unix_millis(col(tsCol)) < cutoffMs
+    val perEntity = df
+      .groupBy(col(entityCol))
+      .agg(sum(when(isTrain, 1L).otherwise(0L)).as("_tr"),
+        sum(when(isTrain, 0L).otherwise(1L)).as("_te"))
+    perEntity.agg(
+        sum(col("_tr")).as("n_train"),
+        sum(col("_te")).as("n_test"),
+        sum(when(col("_tr") > 0L, 1L).otherwise(0L)).as("n_train_entities"),
+        sum(when(col("_te") > 0L, 1L).otherwise(0L)).as("n_test_entities"),
+        sum(when(col("_tr") > 0L && col("_te") > 0L, 1L).otherwise(0L))
+          .as("n_leaky_entities"))
+      .select(col("n_train"), col("n_test"), col("n_train_entities"),
+        col("n_test_entities"), col("n_leaky_entities"),
+        when(col("n_test_entities") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_leaky_entities").cast("double")
+            / col("n_test_entities").cast("double"), 6)).as("leaky_frac"))
+  }
+
+  /** DuckDB oracle twin of [[timeSplitAudit]]. */
+  def duckTimeSplitAudit(rel: String, entityCol: String, tsCol: String,
+                         cutoffMs: Long): String =
+    s"""WITH pe AS (
+       |  SELECT $entityCol,
+       |         CAST(count(*) FILTER (WHERE epoch_ms($tsCol) < $cutoffMs) AS BIGINT) AS tr,
+       |         CAST(count(*) FILTER (WHERE epoch_ms($tsCol) >= $cutoffMs) AS BIGINT) AS te
+       |  FROM $rel GROUP BY 1),
+       |g AS (SELECT CAST(sum(tr) AS BIGINT) AS n_train,
+       |             CAST(sum(te) AS BIGINT) AS n_test,
+       |             CAST(count(*) FILTER (WHERE tr > 0) AS BIGINT) AS n_train_entities,
+       |             CAST(count(*) FILTER (WHERE te > 0) AS BIGINT) AS n_test_entities,
+       |             CAST(count(*) FILTER (WHERE tr > 0 AND te > 0) AS BIGINT) AS n_leaky_entities
+       |      FROM pe)
+       |SELECT n_train, n_test, n_train_entities, n_test_entities,
+       |       n_leaky_entities,
+       |       CASE WHEN n_test_entities <> 0
+       |            THEN round(CAST(n_leaky_entities AS DOUBLE)
+       |                       / CAST(n_test_entities AS DOUBLE), 6)
+       |            END AS leaky_frac
+       |FROM g""".stripMargin
+
   def splitCounts(df: DataFrame, idCol: String, stratumCol: String,
                   trainPct: Int, valPct: Int): DataFrame =
     df.withColumn("split", splitOf(col(idCol), trainPct, valPct))

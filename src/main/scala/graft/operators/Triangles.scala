@@ -83,6 +83,44 @@ object Triangles {
     * triples (x<y<z with all three edges present) directly, which any
     * correct triangle counter must equal.
     */
+  /** Log2-binned degree histogram of the canonical undirected graph —
+    * the power-law fingerprint (and the skew early-warning for every
+    * per-neighbor join downstream). Bin = ⌊log2 deg⌋ computed as
+    * `length(bin(deg)) − 1` — pure INTEGER/string arithmetic, because a
+    * floating log2 of an exact integer is not guaranteed to round
+    * identically across engines at bin boundaries.
+    * Output: (bucket, deg_lo, n_nodes) for non-empty buckets.
+    */
+  def degreeHistogram(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    ce.select(col("a").as("node")).union(ce.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .select((length(bin(col("deg"))) - 1).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("bucket"), expr("shiftleft(1L, bucket)").as("deg_lo"),
+        col("n_nodes"))
+  }
+
+  /** DuckDB oracle twin of [[degreeHistogram]]. */
+  def duckDegreeHistogram(edgesRel: String, srcCol: String,
+                          dstCol: String): String =
+    s"""WITH ce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+       |                   greatest($srcCol, $dstCol) AS b
+       |            FROM $edgesRel WHERE $srcCol <> $dstCol),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |          (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+       |        GROUP BY 1)
+       |SELECT bucket, CAST(1 AS BIGINT) << bucket AS deg_lo,
+       |       CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM (SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket FROM deg)
+       |GROUP BY 1""".stripMargin
+
   def duckCensusCtes(edgesRel: String, srcCol: String,
                      dstCol: String): String =
     s"""ce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,

@@ -524,4 +524,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(got == expect, s"budget $budget: ${got.size} kept vs ${expect.size}")
     }
   }
+
+  test("timeSplitAudit: side totals, entity census, and leak fraction over test entities") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cutoff = ts("2024-01-03 00:00:00")
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-04 10:00:00")), // leaky
+      (2L, ts("2024-01-02 10:00:00")),                                  // train only
+      (3L, ts("2024-01-05 10:00:00")), (3L, ts("2024-01-06 10:00:00")), // test only
+      (4L, ts("2024-01-02 23:59:59")), (4L, ts("2024-01-03 00:00:00"))) // boundary: 2nd row is TEST
+      .toDF("user_id", "ts")
+    val Array(r) = Splits.timeSplitAudit(df, "user_id", "ts", cutoff.getTime)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+    // train rows: u1@01, u2@02, u4@02 = 3; test rows: u1@04, u3@05, u3@06, u4@03 = 4
+    // train entities {1,2,4}, test entities {1,3,4}, leaky {1,4} -> 2/3
+    assert(r == ((3L, 4L, 3L, 3L, 2L, Some(0.666667))))
+  }
 }

@@ -44,6 +44,22 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == ((4L, Some(1.0))))
   }
 
+  test("dailyCrossCorr: a shifted copy peaks at its lead; negative lags mirror") {
+    import spark.implicits._
+    // B = A shifted forward 1 day, A = 1,2,1,2,... → xcorr(lag=1) = 1,
+    // xcorr(lag=-1) = 1 (2-periodic), xcorr(0) = -1 (anti-phase).
+    val rows =
+      (for (d <- 1 to 6; _ <- 1 to (d % 2 + 1)) yield ("a", ts(d))) ++
+      (for (d <- 2 to 7; _ <- 1 to ((d - 1) % 2 + 1)) yield ("b", ts(d)))
+    val out = EventStats.dailyCrossCorr(rows.toDF("event_type", "ts"), "ts",
+        "event_type", "a", "b", maxLag = 1)
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(1) == Some(1.0))
+    assert(out(0) == Some(-1.0))
+    assert(out(-1) == Some(1.0))
+  }
+
   test("dailyAcf: zero variance or missing shifted days yield null/no pair") {
     import spark.implicits._
     // constant series → zero variance → null; gap breaks pairing

@@ -384,4 +384,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getDouble(2))
     assert(partial.forall(r => r >= 0.0 && r <= 1.0))
   }
+
+  test("centroidClassify: separable labels score 1.0, a planted outlier is misassigned") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + one 'a'-labelled vector
+    // sitting on the b axis -> label a: 2/3 correct, label b: 3/3
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val df = Seq(
+      (1L, v(1, 0), 0), (2L, v(0.9, 0.1), 0), (3L, v(0, 1), 0), // outlier id 3
+      (4L, v(0, 1), 1), (5L, v(0.1, 0.9), 1), (6L, v(0, 0.95), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassify(df, "embedding", "vec_id", "label")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((3L, 2L, 0.666667)))
+    assert(out(1L) == ((3L, 3L, 1.0)))
+  }
 }

@@ -33,6 +33,19 @@ class TrianglesSpec extends AnyFunSuite with SparkTestBase {
     assert(r == ((6L, 4L, 12L, Some(1.0))))
   }
 
+  test("degreeHistogram bins by integer bit length, not floating log2") {
+    import spark.implicits._
+    // degrees: node1:3 (→bucket 1), node2:1, node3:2 (→1), node4:4 (→2),
+    // edges chosen so deg(4)=4 exactly at the 2^2 boundary.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 4L), (4L, 5L),
+      (4L, 6L))
+    val out = graft.operators.Triangles
+      .degreeHistogram(edges.toDF("s", "t"), "s", "t")
+      .as[(Int, Long, Long)].collect().toSet
+    // deg: 1→3,2→1,3→2,4→4,5→1,6→1 ⇒ bucket0:{2,5,6}, bucket1:{1,3}, bucket2:{4}
+    assert(out == Set((0, 1L, 3L), (1, 2L, 2L), (2, 4L, 1L)))
+  }
+
   test("triangle-free star: 0 triangles, null clustering only when no wedges") {
     val star = census(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
     assert(star == ((3L, 0L, 3L, Some(0.0))))
