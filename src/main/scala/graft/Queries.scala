@@ -2566,6 +2566,15 @@ object Queries {
       Some(MarketBasket.duckPairLift("lineitem", "l_orderkey", "l_partkey",
         minPairs = 2, topK = 100))),
 
+    // Item-item neighborhood similarity gate ("users also bought"):
+    // basket-set Jaccard via postings intersection, per-item top-3
+    // neighbors over the pair set.
+    Entry("q_item_neighbors",
+      (s, d) => MarketBasket.itemNeighbors(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minPairs = 2, topK = 3),
+      Some(MarketBasket.duckItemNeighbors("lineitem", "l_orderkey",
+        "l_partkey", minPairs = 2, topK = 3))),
+
     // Last-touch attribution gate: purchases credited to the user's
     // most recent view/click/signup inside a 3-day lookback; one
     // user-key exchange, no touch×conversion self-join.

@@ -76,6 +76,61 @@ object MarketBasket {
        |             GROUP BY 1, 2
        |             HAVING count(*) >= $minPairs)""".stripMargin
 
+  /** ITEM-ITEM NEIGHBORHOOD SIMILARITY ("users also bought"): Jaccard
+    * overlap of two items' basket sets, computed by POSTINGS
+    * INTERSECTION — the item-item collaborative-filtering kernel.
+    * |A∩B| comes from the same basket-key equi-join as [[coPairs]]
+    * (only co-occurring pairs ever materialize — exactly the
+    * similarity > 0 pairs); |A∪B| = cnt_a + cnt_b − inter rides along
+    * from the broadcast item-frequency dim. Exact integers, ONE double
+    * division, then per-item top-k neighbors via a window over the
+    * co-occurrence pair set (pair-set-sized, not corpus-sized).
+    *
+    * Output: (item, neighbor, inter, jaccard, rank), rank ≤ `topK` per
+    * item, both orientations emitted (each item gets its own neighbor
+    * list).
+    */
+  def itemNeighbors(df: DataFrame, basketCol: String, itemCol: String,
+                    minPairs: Long, topK: Int): DataFrame = {
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
+    val pairs = coPairsOf(items, minPairs)
+    val sym = pairs.select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("pair_count"))
+      .union(pairs.select(col("item_b"), col("item_a"), col("pair_count")))
+    val scored = sym
+      .join(broadcast(itemCounts.select(col("_i").as("item"), col("_cnt").as("_ca"))), "item")
+      .join(broadcast(itemCounts.select(col("_i").as("neighbor"), col("_cnt").as("_cb"))), "neighbor")
+      .withColumn("_j", col("pair_count").cast("double")
+        / (col("_ca") + col("_cb") - col("pair_count")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+      .orderBy(col("_j").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("neighbor"), col("pair_count").as("inter"),
+        round(col("_j"), 6).as("jaccard"), col("rank"))
+  }
+
+  /** DuckDB oracle twin of [[itemNeighbors]]. */
+  def duckItemNeighbors(rel: String, basketCol: String, itemCol: String,
+                        minPairs: Long, topK: Int): String =
+    s"""WITH ${duckCoPairCtes(rel, basketCol, itemCol, minPairs)},
+       |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+       |sym AS (SELECT item_a AS item, item_b AS neighbor, pair_count FROM pairs
+       |        UNION ALL
+       |        SELECT item_b, item_a, pair_count FROM pairs),
+       |sc AS (SELECT s.item, s.neighbor, s.pair_count,
+       |              CAST(s.pair_count AS DOUBLE)
+       |              / CAST(ca.cnt + cb.cnt - s.pair_count AS DOUBLE) AS j
+       |       FROM sym s JOIN ic ca ON ca.i = s.item
+       |                  JOIN ic cb ON cb.i = s.neighbor),
+       |r AS (SELECT item, neighbor, pair_count, j,
+       |        ROW_NUMBER() OVER (PARTITION BY item
+       |          ORDER BY j DESC, neighbor ASC) AS rank FROM sc)
+       |SELECT item, neighbor, pair_count AS inter, round(j, 6) AS jaccard, rank
+       |FROM r WHERE rank <= $topK""".stripMargin
+
   /** DuckDB oracle twin of [[pairLift]] — same exact-integer moments,
     * one double division, identical ordering.
     */

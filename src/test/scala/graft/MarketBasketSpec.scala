@@ -24,6 +24,25 @@ class MarketBasketSpec extends AnyFunSuite with SparkTestBase {
       (1L, 3L, 1L, 0.666667)))
   }
 
+  test("itemNeighbors: jaccard = inter/union over basket sets, both orientations, per-item topK") {
+    import spark.implicits._
+    // baskets of item 1: {10,20,30}; item 2: {10,20,40}; item 3: {10}
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L),
+      (40L, 2L))
+      .toDF("basket", "item")
+    val out = MarketBasket.itemNeighbors(df, "basket", "item",
+        minPairs = 1, topK = 1)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // j(1,2) = 2/(3+3-2) = 0.5, j(1,3) = 1/3, j(2,3) = 1/3 → top-1:
+    assert(out(1L) == ((2L, 2L, 0.5)))
+    assert(out(2L) == ((1L, 2L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 0.333333))) // tie on j broken by id: 1 < 2
+  }
+
   test("minPairs filters and topK keeps the highest-lift pairs") {
     import spark.implicits._
     val df = Seq(
