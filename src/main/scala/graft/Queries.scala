@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2565,6 +2565,15 @@ object Queries {
         "l_orderkey", "l_partkey", minPairs = 2, topK = 100),
       Some(MarketBasket.duckPairLift("lineitem", "l_orderkey", "l_partkey",
         minPairs = 2, topK = 100))),
+
+    // Exact phrase search gate: consecutive in-order token match via
+    // aligned-anchor bitmask aggregation — one explode (query-term
+    // postings only), one (doc, anchor) aggregate, no join chain.
+    Entry("q_phrase_search",
+      (s, d) => Phrase.phraseHits(t(s, d, "documents"), "text", "doc_id",
+        phrase = Seq("table", "value")),
+      Some(Phrase.duckPhraseHits("documents", "text", "doc_id",
+        phrase = Seq("table", "value")))),
 
     // Item-item neighborhood similarity gate ("users also bought"):
     // basket-set Jaccard via postings intersection, per-item top-3
