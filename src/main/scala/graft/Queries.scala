@@ -2566,6 +2566,19 @@ object Queries {
       Some(MarketBasket.duckPairLift("lineitem", "l_orderkey", "l_partkey",
         minPairs = 2, topK = 100))),
 
+    // Linear multi-touch attribution gate: even credit split across
+    // all in-window touches in fixed-point micro-units; the pairing is
+    // the user-keyed bucketed interval join, never a nested loop.
+    Entry("q_attribution_linear",
+      (s, d) => Attribution.linearTouch(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackMs = 3L * 24 * 3600 * 1000),
+      Some(Attribution.duckLinearTouch(EvOracle, "user_id", "ts", "event_id",
+        "event_type", "value",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackMs = 3L * 24 * 3600 * 1000))),
+
     // Exact phrase search gate: consecutive in-order token match via
     // aligned-anchor bitmask aggregation — one explode (query-term
     // postings only), one (doc, anchor) aggregate, no join chain.

@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** `points` with µs-epoch column `pUsCol`; `intervals` with µs-epoch
-    * `[startUsCol, endUsCol)` bounds. Inner join semantics.
+    * `[startUsCol, endUsCol)` bounds. Inner join semantics. `keys`
+    * names columns present on BOTH sides that must also match (e.g. the
+    * user id for per-entity windows) — they join as additional equi
+    * keys, so cross-entity bucket collisions never materialize.
     */
   def bucketedIntervalJoin(points: DataFrame, pUsCol: String,
                            intervals: DataFrame, startUsCol: String,
-                           endUsCol: String, bucketUs: Long): DataFrame = {
+                           endUsCol: String, bucketUs: Long,
+                           keys: Seq[String] = Nil): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val p = points.withColumn("_b", floor(col(pUsCol) / bucketUs))
     val i = intervals
@@ -37,7 +41,7 @@ object RangeJoin {
       .withColumn("_b", explode(sequence(
         floor(col(startUsCol) / bucketUs),
         floor((col(endUsCol) - 1) / bucketUs))))
-    p.join(i, Seq("_b"))
+    p.join(i, "_b" +: keys)
       .filter(col(pUsCol) >= col(startUsCol) && col(pUsCol) < col(endUsCol))
       .drop("_b")
   }

@@ -58,6 +58,46 @@ class AttributionSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map("view" -> ((1L, 1.0)), "(none)" -> ((1L, 2.0))))
   }
 
+  private def runLinear(rows: Seq[(Long, Timestamp, Long, String, Double)],
+                        lookbackMs: Long): Map[String, (Long, Double)] = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    Attribution.linearTouch(df, "user_id", "ts", "event_id", "event_type",
+        "value", touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackMs = lookbackMs)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("linearTouch splits credit evenly across in-window touches") {
+    val out = runLinear(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "view", 0.0),
+      (1L, ts("2024-01-01 03:00:00"), 4L, "purchase", 9.0)), Day)
+    // 3 touches → 3 micro-units each: view 2×3.0, click 1×3.0
+    assert(out == Map("view" -> ((1L, 6.0)), "click" -> ((1L, 3.0))))
+  }
+
+  test("linearTouch: out-of-window touches excluded; orphan conversions go to (none) at full value") {
+    val out = runLinear(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-03 00:00:01"), 2L, "purchase", 5.0), // view 2d+1s old
+      (2L, ts("2024-01-05 00:00:00"), 3L, "click", 0.0),
+      (2L, ts("2024-01-05 00:30:00"), 4L, "purchase", 7.0)), 2 * Day)
+    assert(out == Map("(none)" -> ((1L, 5.0)), "click" -> ((1L, 7.0))))
+  }
+
+  test("linearTouch micro-unit floor: 10.0 over 3 touches loses 1 micro-unit") {
+    val out = runLinear(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 00:10:00"), 2L, "view", 0.0),
+      (1L, ts("2024-01-01 00:20:00"), 3L, "click", 0.0),
+      (1L, ts("2024-01-01 01:00:00"), 4L, "purchase", 10.0)), Day)
+    // 10_000_000 div 3 = 3_333_333 → view 6.666666, click 3.333333
+    assert(out == Map("view" -> ((1L, 6.666666)), "click" -> ((1L, 3.333333))))
+  }
+
   test("conversion type may not be a touch type") {
     import spark.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0))
