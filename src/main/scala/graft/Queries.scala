@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2565,6 +2565,27 @@ object Queries {
         "l_orderkey", "l_partkey", minPairs = 2, topK = 100),
       Some(MarketBasket.duckPairLift("lineitem", "l_orderkey", "l_partkey",
         minPairs = 2, topK = 100))),
+
+    // CUSUM change-point gate: fixed-point integer sequential test over
+    // per-type daily volume (accumulates small persistent drifts the
+    // pointwise z-score misses).
+    Entry("q_cusum",
+      (s, d) => EventStats.cusumDaily(t(s, d, "events"), "ts", "event_type",
+        kMicro = 500000L, hMicro = 20000000L),
+      Some(EventStats.duckCusumDaily(EvOracle, "ts", "event_type",
+        kMicro = 500000L, hMicro = 20000000L))),
+
+    // RFM segmentation gate: fixed-threshold tiers (policy, not data
+    // artifacts — and no single-partition population NTILE), one user
+    // exchange + a 27-cell aggregate. Reference "now" = 2024-02-01.
+    Entry("q_rfm",
+      (s, d) => Rfm.segments(t(s, d, "events"), "user_id", "ts",
+        "event_type", "value", convType = "purchase",
+        refMs = 1706745600000L, rDays = (5, 9), fCounts = (15L, 12L),
+        mValues = (700.0, 500.0)),
+      Some(Rfm.duckSegments(EvOracle, "user_id", "ts", "event_type",
+        "value", convType = "purchase", refMs = 1706745600000L,
+        rDays = (5, 9), fCounts = (15L, 12L), mValues = (700.0, 500.0)))),
 
     // Linear multi-touch attribution gate: even credit split across
     // all in-window touches in fixed-point micro-units; the pairing is

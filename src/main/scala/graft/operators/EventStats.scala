@@ -302,6 +302,82 @@ object EventStats {
         col("_z._s._n").as("n"), round(col("_z.out"), 6).as("ewma"))
   }
 
+  /** One-sided CUSUM change-point monitor over the per-type daily
+    * series: s_t = max(0, s_{t−1} + (x_t − μ − k)), flag when s_t > h —
+    * the standard "has the daily volume drifted above its mean"
+    * sequential test (Page 1954), next to [[anomalyZscores]]'s
+    * pointwise trailing z-score: CUSUM accumulates SMALL persistent
+    * shifts a per-day z-score never trips on.
+    *
+    * FIXED-POINT INTEGER state (the PageRank posture): counts scale to
+    * micro-units, μ = (Σx·10⁶) div n, and the whole recurrence is
+    * BIGINT — bit-reproducible, oracle-hash-exact; `kMicro`/`hMicro`
+    * are the slack and alarm threshold in the same micro-units.
+    * Missing days are ABSENT (the [[dailyAcf]] convention): the fold
+    * runs over present days only.
+    *
+    * Scale shape: one (type, day) map-side exchange; the sequential
+    * fold runs per type over its tiny day series (the [[ewmaDaily]]
+    * fold pattern). Output: (event_type, day, n, cusum, flagged).
+    */
+  def cusumDaily(events: DataFrame, tsCol: String, typeCol: String,
+                 kMicro: Long, hMicro: Long): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_y"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("_d").as("_day"),
+          col("_y").as("_n")))).as("_s"),
+        sum(col("_y")).as("_sum"), count(lit(1)).as("_nd"))
+      .withColumn("_mu", expr("(_sum * 1000000L) div _nd"))
+    val init = struct(lit(0L).as("prev"),
+      array().cast("array<bigint>").as("out"))
+    val folded = series.withColumn("_st",
+      aggregate(col("_s"), init, (s, e) => {
+        val v = greatest(lit(0L),
+          s.getField("prev") + e.getField("_n") * lit(1000000L)
+            - col("_mu") - lit(kMicro))
+        struct(v.as("prev"), concat(s.getField("out"), array(v)).as("out"))
+      }))
+    folded
+      .select(col("event_type"),
+        explode(arrays_zip(col("_s"), col("_st.out"))).as("_z"))
+      .select(col("event_type"), col("_z._s._day").as("day"),
+        col("_z._s._n").as("n"),
+        round(col("_z.out").cast("double") / 1e6, 6).as("cusum"),
+        (col("_z.out") > hMicro).as("flagged"))
+  }
+
+  /** DuckDB oracle twin of [[cusumDaily]] — the integer recurrence as a
+    * recursive CTE over each type's day rank.
+    */
+  def duckCusumDaily(rel: String, tsCol: String, typeCol: String,
+                     kMicro: Long, hMicro: Long): String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |mu AS (SELECT event_type,
+       |              (CAST(sum(n) AS BIGINT) * 1000000) // count(*) AS mu
+       |       FROM daily GROUP BY 1),
+       |r AS (SELECT d.*, mu.mu, row_number() OVER (PARTITION BY d.event_type
+       |        ORDER BY d.day ASC) AS rk
+       |      FROM daily d JOIN mu ON mu.event_type = d.event_type),
+       |f AS (
+       |  SELECT event_type, day, n, mu, rk,
+       |         greatest(CAST(0 AS BIGINT),
+       |                  CAST(n * 1000000 - mu - $kMicro AS BIGINT)) AS s
+       |  FROM r WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.day, r.n, r.mu, r.rk,
+       |         greatest(CAST(0 AS BIGINT),
+       |                  CAST(f.s + r.n * 1000000 - r.mu - $kMicro AS BIGINT))
+       |  FROM r JOIN f ON r.event_type = f.event_type AND r.rk = f.rk + 1)
+       |SELECT event_type, day, n,
+       |       round(CAST(s AS DOUBLE) / 1e6, 6) AS cusum,
+       |       s > $hMicro AS flagged
+       |FROM f""".stripMargin
+
   /** DuckDB oracle twin of [[ewmaDaily]] — the recurrence restated as
     * a recursive CTE over each type's day rank.
     */

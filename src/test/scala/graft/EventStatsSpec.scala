@@ -175,4 +175,19 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("spike")._1 == 1L)
     assert(out("spike")._2.isEmpty && out("spike")._3.isEmpty)
   }
+
+  test("cusumDaily: integer recurrence accumulates a level shift and flags past h") {
+    import spark.implicits._
+    // counts: 1,1,1,3,3 -> mean_micro = (9*1e6) div 5 = 1_800_000
+    // k=0: s = max(0, prev + n*1e6 - mu): -0.8,-0.8,-0.8,+1.2,+1.2 accum
+    // s: 0, 0, 0, 1_200_000, 2_400_000 -> flags at h=2_000_000: last day
+    val rows = for (d <- 1 to 5; _ <- 1 to (if (d >= 4) 3 else 1))
+      yield ("a", ts(d))
+    val out = EventStats.cusumDaily(rows.toDF("event_type", "ts"), "ts",
+        "event_type", kMicro = 0L, hMicro = 2000000L)
+      .as[(String, java.sql.Date, Long, Double, Boolean)].collect()
+      .sortBy(_._2.toString)
+    assert(out.map(_._4).toSeq == Seq(0.0, 0.0, 0.0, 1.2, 2.4))
+    assert(out.map(_._5).toSeq == Seq(false, false, false, false, true))
+  }
 }
