@@ -2566,6 +2566,18 @@ object Queries {
       Some(MarketBasket.duckPairLift("lineitem", "l_orderkey", "l_partkey",
         minPairs = 2, topK = 100))),
 
+    // Correlation-matrix gate: pairwise Pearson r over lineitem's
+    // numeric columns from quantized exact-integer moments, one scan
+    // for all pairs. Scales sized to the column magnitudes (price in
+    // tenths keeps Σx² far inside BIGINT at any SF).
+    Entry("q_corr_matrix",
+      (s, d) => Profile.corrMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity" -> 10000L, "l_extendedprice" -> 10L,
+          "l_discount" -> 10000000L)),
+      Some(Profile.duckCorrMatrix("lineitem",
+        Seq("l_quantity" -> 10000L, "l_extendedprice" -> 10L,
+          "l_discount" -> 10000000L)))),
+
     // CUSUM change-point gate: fixed-point integer sequential test over
     // per-type daily volume (accumulates small persistent drifts the
     // pointwise z-score misses).

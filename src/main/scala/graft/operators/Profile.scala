@@ -25,6 +25,99 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Pairwise Pearson CORRELATION MATRIX over numeric columns — the
+    * redundancy screen of the column profiler (|r| ≈ 1 columns are
+    * derivable from each other; near-0 ones are independent signals).
+    *
+    * Determinism: doubles are QUANTIZED to fixed-point integers
+    * (floor(x·scale) — same floor both engines) so every moment (Σx,
+    * Σy, Σxy, Σx², Σy²) is an exact BIGINT accumulated order-
+    * independently; r is one √-quotient at the end (the
+    * [[EventStats.dailyAcf]] arithmetic). Each column carries its own
+    * quantization `scale` (units per 1.0): pick it so
+    * rows · (max|x|·scale)² stays under 2⁶³ — ANSI mode throws loudly
+    * on a bad pick rather than wrapping silently. Quantization bias on
+    * r is O(1/(scale·σ)) — far below the 6-dp output rounding for sane
+    * picks, and Pearson r is scale-invariant so the per-column scales
+    * introduce no bias beyond granularity.
+    *
+    * Scale shape: ONE full-scan aggregate computes all k·(k−1)/2 pair
+    * moments map-side combinably — never k² passes. NULL rows are
+    * excluded PER PAIR (pairwise-complete semantics).
+    *
+    * Output: (col_a, col_b, n, corr) for each unordered pair, NULL on
+    * zero variance.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Long)]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val scaleOf = cols.toMap
+    def q(c: String) =
+      floor(col(c).cast("double") * scaleOf(c).toDouble).cast("long")
+    val pairs = cols.map(_._1).combinations(2)
+      .map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.flatMap { case (a, b) =>
+      val p = s"${a}__$b"
+      val both = col(a).isNotNull && col(b).isNotNull
+      val (x, y) = (when(both, q(a)), when(both, q(b)))
+      Seq(
+        count(when(both, lit(1))).as(s"n__$p"),
+        coalesce(sum(x), lit(0L)).as(s"sx__$p"),
+        coalesce(sum(y), lit(0L)).as(s"sy__$p"),
+        coalesce(sum(x * y), lit(0L)).as(s"sxy__$p"),
+        coalesce(sum(x * x), lit(0L)).as(s"sxx__$p"),
+        coalesce(sum(y * y), lit(0L)).as(s"syy__$p"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    // Moment combination in DECIMAL(38,0) (DuckDB mirror: HUGEINT):
+    // n·Σx² can overflow BIGINT even when every raw moment fits — the
+    // 128-bit stage keeps the combination EXACT, and the final
+    // double conversion of identical exact integers is identical.
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val rows = pairs.map { case (a, b) =>
+      val p = s"${a}__$b"
+      val (n, sx, sy) = (col(s"n__$p"), col(s"sx__$p"), col(s"sy__$p"))
+      val (sxy, sxx, syy) = (col(s"sxy__$p"), col(s"sxx__$p"), col(s"syy__$p"))
+      val dx = d38(n) * d38(sxx) - d38(sx) * d38(sx)
+      val dy = d38(n) * d38(syy) - d38(sy) * d38(sy)
+      val num = d38(n) * d38(sxy) - d38(sx) * d38(sy)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.as("n"),
+        when(dx > lit(0) && dy > lit(0),
+          round(num.cast("double")
+            / sqrt(dx.cast("double") * dy.cast("double")), 6)).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.col_a"), col("_r.col_b"), col("_r.n"), col("_r.corr"))
+  }
+
+  /** DuckDB oracle twin of [[corrMatrix]]. */
+  def duckCorrMatrix(rel: String, cols: Seq[(String, Long)]): String = {
+    val scaleOf = cols.toMap
+    val pairs = cols.map(_._1).combinations(2)
+      .map { case Seq(a, b) => (a, b) }.toSeq
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |       CASE WHEN (hn * hsxx - hsx * hsx) > 0 AND (hn * hsyy - hsy * hsy) > 0
+         |            THEN round(CAST(hn * hsxy - hsx * hsy AS DOUBLE)
+         |                       / sqrt(CAST(hn * hsxx - hsx * hsx AS DOUBLE)
+         |                              * CAST(hn * hsyy - hsy * hsy AS DOUBLE)), 6)
+         |            END AS corr
+         |FROM (SELECT n, CAST(n AS HUGEINT) AS hn,
+         |             CAST(sx AS HUGEINT) AS hsx, CAST(sy AS HUGEINT) AS hsy,
+         |             CAST(sxy AS HUGEINT) AS hsxy, CAST(sxx AS HUGEINT) AS hsxx,
+         |             CAST(syy AS HUGEINT) AS hsyy FROM (
+         |      SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(coalesce(sum(x), 0) AS BIGINT) AS sx,
+         |             CAST(coalesce(sum(y), 0) AS BIGINT) AS sy,
+         |             CAST(coalesce(sum(x * y), 0) AS BIGINT) AS sxy,
+         |             CAST(coalesce(sum(x * x), 0) AS BIGINT) AS sxx,
+         |             CAST(coalesce(sum(y * y), 0) AS BIGINT) AS syy
+         |      FROM (SELECT CAST(floor(CAST($a AS DOUBLE) * ${scaleOf(a)}.0) AS BIGINT) AS x,
+         |                   CAST(floor(CAST($b AS DOUBLE) * ${scaleOf(b)}.0) AS BIGINT) AS y
+         |            FROM $rel WHERE $a IS NOT NULL AND $b IS NOT NULL)))""".stripMargin
+    }
+    selects.mkString("\nUNION ALL\n")
+  }
+
   /** Per-column profile: numeric columns report value stats, string
     * columns report length stats. Output (one row per column):
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val).

@@ -739,4 +739,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"sketch-cell join must be broadcast:\n$plan")
   }
+
+  test("corr matrix: ONE scan and ONE aggregate for all pairs — no join, no per-pair pass") {
+    // The whole point of the moment formulation: k·(k−1)/2 pair
+    // correlations from a single map-side-combinable aggregate. A join
+    // or a second scan means the plan degenerated to per-pair passes.
+    val qe = SparkEntry.queries("q_corr_matrix")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString()
+    assert(!plan.contains("Join"), s"join in the corr-matrix plan:\n$plan")
+    val scans = "FileScan|BatchScan".r.findAllIn(plan).size
+    assert(scans == 1, s"corr matrix must read the table once, saw $scans scans:\n$plan")
+    assert(plan.contains("partial_"),
+      s"pair moments must partial-aggregate map-side:\n$plan")
+  }
 }

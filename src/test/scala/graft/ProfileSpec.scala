@@ -146,4 +146,22 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       "srcA" -> ((1L, 0L, 0.0)),
       "srcB" -> ((3L, 2L, 0.666667))))
   }
+
+  test("corrMatrix: perfect linear pair hits ±1, constant column yields NULL, nulls pairwise-excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, Some(5.0), 7.0),
+      (2.0, 4.0, Some(5.0), 6.0),
+      (3.0, 6.0, None, 5.0),
+      (4.0, 8.0, Some(5.0), 4.0))
+      .toDF("a", "b", "c", "d")
+    val out = Profile.corrMatrix(df,
+        Seq("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L, "d" -> 1000000L))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", "b")) == ((4L, Some(1.0))))    // b = 2a exactly
+    assert(out(("a", "d")) == ((4L, Some(-1.0))))   // d = 8 - a
+    assert(out(("a", "c")) == ((3L, None)))         // c constant → no variance
+    assert(out(("c", "d"))._1 == 3L)                // null row excluded per pair
+  }
 }
