@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1256,6 +1256,39 @@ object Queries {
                FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                      FROM documents) d""")),
 
+    // Classifier evaluation, AUC: exact rank-sum (Mann–Whitney with tie
+    // correction) of the linear classifier score against the Gopher
+    // rule as weak label — computed from score-GROUPED counts (≤ 10⁶+1
+    // distinct 6dp scores, metadata scale), never a per-row global rank.
+    Entry("q_auc",
+      (s, d) => Eval.aucRankSum(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+            QualityFilters.keepOf(col("_w")).as("keep")),
+        "q_score", "keep"),
+      Some(Eval.duckAucRankSum(
+        s"""SELECT ${QualityFilters.duckClassifierScore} AS q_score,
+                   ${QualityFilters.duckKeep} AS keep
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "q_score", "keep"))),
+
+    // Classifier evaluation, calibration: equal-width reliability bins
+    // (mean predicted score vs observed positive rate), bin membership
+    // decided in integer micro-score space — one nBins-cardinality agg.
+    Entry("q_calibration",
+      (s, d) => Eval.calibrationBins(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+            QualityFilters.keepOf(col("_w")).as("keep")),
+        "q_score", "keep", nBins = 10),
+      Some(Eval.duckCalibrationBins(
+        s"""SELECT ${QualityFilters.duckClassifierScore} AS q_score,
+                   ${QualityFilters.duckKeep} AS keep
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "q_score", "keep", nBins = 10))),
+
     // Curriculum quality binning: per-language equal-depth NTILE deciles
     // of the classifier score (score DESC, id ASC — deterministic bin
     // membership). One narrow scoring projection + one language-keyed
@@ -1782,6 +1815,14 @@ object Queries {
         "event_type", win = 7),
       Some(EventStats.duckAnomalyZscores(EvOracle, "ts", "event_type",
         win = 7))),
+
+    // Robust median/MAD outlier summary on the same daily series — the
+    // heavy-tail-safe twin of the z-score gate (exact interpolated
+    // medians are holistic only over the days-sized series).
+    Entry("q_mad_outliers",
+      (s, d) => EventStats.madOutliers(t(s, d, "events"), "ts",
+        "event_type"),
+      Some(EventStats.duckMadOutliers(EvOracle, "ts", "event_type"))),
 
     // Schema-on-read JSON property extraction + per-type aggregation
     // (from_json with a declared schema — codegen'd, no UDF).
@@ -2577,6 +2618,15 @@ object Queries {
       Some(Profile.duckCorrMatrix("lineitem",
         Seq("l_quantity" -> 10000L, "l_extendedprice" -> 10L,
           "l_discount" -> 10000000L)))),
+
+    // K-anonymity gate: QI equivalence-class size distribution over
+    // customer under a generalized account-balance bucket — the privacy
+    // risk report (k=1 rows are unique under the QI tuple).
+    Entry("q_kanon",
+      (s, d) => Profile.kAnonymity(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment", "floor(c_acctbal / 1000)")),
+      Some(Profile.duckKAnonymity("customer",
+        Seq("c_nationkey", "c_mktsegment", "floor(c_acctbal / 1000)")))),
 
     // CUSUM change-point gate: fixed-point integer sequential test over
     // per-type daily volume (accumulates small persistent drifts the

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation over a (score, 0/1 label) frame — the model-ops
+  * side of the quality-classifier pipeline: before a scored corpus drives
+  * sampling or filtering decisions, measure how well the score separates
+  * (AUC) and how honest its probabilities are (calibration).
+  *
+  * Both operators assume the score column is already 6 dp-rounded (the
+  * repo-wide classifier contract, [[graft.functions.QualityFilters]]), so
+  * micro-quantization `round(score·10⁶)` recovers an EXACT integer and
+  * every aggregate below is integer arithmetic until one final division.
+  */
+object Eval {
+
+  /** AUC by exact rank-sum (Mann–Whitney U with tie correction), computed
+    * from score-GROUPED counts — never a per-row global rank:
+    *
+    *   2U = Σ_s p_s · (2·(negatives strictly below s) + n_s)
+    *   AUC = 2U / (2·P·N)
+    *
+    * (each positive at score s beats every negative below it and half of
+    * the negatives tied with it — the n_s/2 tie term is why everything
+    * is doubled).
+    *
+    * Scale shape: one map-side-combinable groupBy collapses the corpus
+    * to DISTINCT SCORES (≤ 10⁶+1 rows at 6 dp quantization — metadata
+    * scale, by construction, regardless of corpus size); the cumulative
+    * window and final sum run on that tiny table only. 2U can reach
+    * 2·P·N ≈ n²/2, far past BIGINT at corpus scale, so the per-score
+    * products accumulate in DECIMAL(38,0) (oracle: HUGEINT) and convert
+    * to double exactly once.
+    *
+    * Output (one row): (n_pos, n_neg, auc) — auc NULL when either class
+    * is empty.
+    */
+  def aucRankSum(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = scored.groupBy(col(scoreCol).as("s")).agg(
+      count(when(col(labelCol) === 1, lit(1))).as("p"),
+      count(when(col(labelCol) === 0, lit(1))).as("n"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val terms = byScore
+      .withColumn("cum_n", coalesce(sum(col("n")).over(below), lit(0L)))
+    terms.agg(
+      sum(col("p")).as("n_pos"),
+      sum(col("n")).as("n_neg"),
+      sum(d38(col("p")) * (lit(2) * d38(col("cum_n")) + d38(col("n"))))
+        .as("_u2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("_u2").cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+               * col("n_neg").cast("double")), 6)).as("auc"))
+  }
+
+  /** DuckDB oracle twin of [[aucRankSum]]. `innerSql` must select the
+    * same (scoreCol, labelCol) frame the engine scored.
+    */
+  def duckAucRankSum(innerSql: String, scoreCol: String,
+                     labelCol: String): String =
+    s"""WITH by_score AS (
+       |  SELECT $scoreCol AS s,
+       |         CAST(count(*) FILTER (WHERE $labelCol = 1) AS BIGINT) AS p,
+       |         CAST(count(*) FILTER (WHERE $labelCol = 0) AS BIGINT) AS n
+       |  FROM ($innerSql) GROUP BY 1),
+       |terms AS (
+       |  SELECT p, n,
+       |         coalesce(sum(n) OVER (ORDER BY s
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0) AS cum_n
+       |  FROM by_score)
+       |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |       CAST(sum(n) AS BIGINT) AS n_neg,
+       |       CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+       |         round(CAST(sum(CAST(p AS HUGEINT)
+       |                        * (2 * CAST(cum_n AS HUGEINT)
+       |                           + CAST(n AS HUGEINT))) AS DOUBLE)
+       |               / (2.0 * CAST(sum(p) AS DOUBLE)
+       |                  * CAST(sum(n) AS DOUBLE)), 6)
+       |       END AS auc
+       |FROM terms""".stripMargin
+
+  /** Calibration (reliability) bins: equal-width score bins, each
+    * reporting its mean predicted score against its observed positive
+    * rate — a well-calibrated classifier puts the two on the diagonal.
+    *
+    * Bin membership is decided in INTEGER space — `(micro·nBins) div
+    * 10⁶`, capped at nBins−1 — so a score sitting on a bin edge lands
+    * identically in both engines (no float-boundary roulette). Score
+    * sums accumulate micro-integers in DECIMAL(38,0)/HUGEINT (10⁶ ×
+    * corpus rows overflows BIGINT at scale); each output is one final
+    * double division.
+    *
+    * Scale shape: one map-side-combinable groupBy at nBins cardinality.
+    * Output: (bin, n, avg_score, pos_rate) — bin ∈ [0, nBins).
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "calibrationBins: need at least two bins")
+    val micro = round(col(scoreCol) * lit(1000000.0)).cast("long")
+    // micro·nBins ≤ 10⁷ — exact in double, so floor-division here is
+    // bit-identical to the oracle's integer `//` (scores are ≥ 0).
+    val bin = least(
+      floor((micro * lit(nBins.toLong)).cast("double") / 1000000.0).cast("long"),
+      lit(nBins - 1L))
+    scored
+      .withColumn("_micro", micro).withColumn("_bin", bin)
+      .groupBy(col("_bin").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("_micro").cast("decimal(38,0)")).cast("double")
+          / 1000000.0 / count(lit(1)).cast("double"), 6).as("avg_score"),
+        round(sum(col(labelCol)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("pos_rate"))
+  }
+
+  /** DuckDB oracle twin of [[calibrationBins]]. */
+  def duckCalibrationBins(innerSql: String, scoreCol: String,
+                          labelCol: String, nBins: Int = 10): String =
+    s"""SELECT least((micro * $nBins) // 1000000, ${nBins - 1}) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(CAST(micro AS HUGEINT)) AS DOUBLE)
+       |             / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS avg_score,
+       |       round(CAST(sum($labelCol) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+       |FROM (SELECT CAST(round($scoreCol * 1000000.0) AS BIGINT) AS micro,
+       |             $labelCol
+       |      FROM ($innerSql))
+       |GROUP BY 1""".stripMargin
+}

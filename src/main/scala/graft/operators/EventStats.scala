@@ -510,6 +510,69 @@ object EventStats {
        |FROM scored
        |WHERE wn = $win AND sqrt((s2 - s1 * s1 / $win) / ${win - 1}) > 0.0""".stripMargin
 
+  /** ROBUST (median/MAD) outlier summary over each type's daily count
+    * series — the heavy-tail-safe twin of [[anomalyZscores]]: one wild
+    * day inflates a mean/stddev baseline and masks itself, but barely
+    * moves the median and the median-absolute-deviation. A day is an
+    * outlier when |n − median| > 3 · 1.4826 · MAD (1.4826 scales MAD to
+    * σ under normality — the standard consistency constant).
+    *
+    * Scale shape: the event stream reduces map-side to (day × type)
+    * daily counts in ONE corpus exchange; the exact medians are
+    * holistic window aggregates over that daily series only — state is
+    * days-per-type (bounded: ~365·years rows), never event-sized.
+    *
+    * Float parity: daily counts are BIGINTs; an exact interpolated
+    * median of integers is a multiple of 0.5 and a MAD of those a
+    * multiple of 0.25 — all exactly representable, so the threshold
+    * compare `dev > 3.0 * 1.4826 * mad` is bit-deterministic in both
+    * engines (same literals, same IEEE ops). round(6) seals outputs.
+    * Output: (event_type, n_days, med, mad, n_outliers).
+    */
+  def madOutliers(events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("_med", percentile(col("n"), lit(0.5)).over(w))
+      .withColumn("_dev", abs(col("n").cast("double") - col("_med")))
+      .withColumn("_mad", percentile(col("_dev"), lit(0.5)).over(w))
+    scored.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(min(col("_med")), 6).as("med"),
+        round(min(col("_mad")), 6).as("mad"),
+        count(when(col("_dev") > lit(3.0) * lit(1.4826) * col("_mad"), lit(1)))
+          .as("n_outliers"))
+  }
+
+  /** DuckDB oracle twin of [[madOutliers]] — same exact interpolated
+    * medians (quantile_cont ≡ percentile), same threshold expression.
+    */
+  def duckMadOutliers(rel: String, tsCol: String, typeCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+       |         count(*) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |med AS (
+       |  SELECT event_type, quantile_cont(n, 0.5) AS med
+       |  FROM daily GROUP BY 1),
+       |dev AS (
+       |  SELECT d.event_type, abs(CAST(d.n AS DOUBLE) - m.med) AS dev, m.med
+       |  FROM daily d JOIN med m USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+       |  FROM dev GROUP BY 1)
+       |SELECT d.event_type,
+       |       CAST(count(*) AS BIGINT) AS n_days,
+       |       round(min(d.med), 6) AS med,
+       |       round(min(a.mad), 6) AS mad,
+       |       CAST(count(*) FILTER (WHERE d.dev > 3.0 * 1.4826 * a.mad)
+       |            AS BIGINT) AS n_outliers
+       |FROM dev d JOIN mad a USING (event_type)
+       |GROUP BY 1""".stripMargin
+
   /** Semi-structured property extraction: parse the JSON `propsCol`
     * with a declared schema (`from_json` — schema'd, codegen'd, no
     * UDF) and aggregate the extracted field per event type. A real

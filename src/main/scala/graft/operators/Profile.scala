@@ -118,6 +118,53 @@ object Profile {
     selects.mkString("\nUNION ALL\n")
   }
 
+  /** K-ANONYMITY profile over a set of quasi-identifier expressions —
+    * the privacy posture check a pipeline runs before releasing a
+    * dataset: every row whose QI equivalence class has size k is
+    * re-identifiable among only k candidates, so the class-size
+    * distribution IS the risk report (k=1 rows are unique, k<5 rows are
+    * conventionally "at risk").
+    *
+    * `qiExprs` are SQL expression strings (generalizations like
+    * `floor(c_acctbal / 1000)` welcome) so the engine and the DuckDB
+    * oracle share one spelling.
+    *
+    * Scale shape: one shuffle keyed on the QI tuple (map-side partial
+    * counts), then a histogram aggregate over the class table. The
+    * final percent-of-rows window runs on the HISTOGRAM (≤ distinct
+    * class sizes rows — metadata scale), never the corpus, so its
+    * single-partition frame is free. NULL QI values form their own
+    * class (group-by semantics), matching the re-identification model:
+    * a shared missing value is still a linkable signature.
+    *
+    * Output: (k, n_classes, n_rows, pct_rows) — one row per observed
+    * class size.
+    */
+  def kAnonymity(df: DataFrame, qiExprs: Seq[String]): DataFrame = {
+    require(qiExprs.nonEmpty, "kAnonymity: need at least one quasi-identifier")
+    val classes = df.groupBy(qiExprs.map(expr): _*)
+      .agg(count(lit(1)).as("k"))
+    val hist = classes.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("k") * col("n_classes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    hist.withColumn("pct_rows",
+      round(col("n_rows").cast("double") / sum("n_rows").over(w), 6))
+  }
+
+  /** DuckDB oracle twin of [[kAnonymity]]. */
+  def duckKAnonymity(rel: String, qiExprs: Seq[String]): String = {
+    val qi = qiExprs.mkString(", ")
+    s"""SELECT k, n_classes, k * n_classes AS n_rows,
+       |       round(CAST(k * n_classes AS DOUBLE)
+       |             / sum(k * n_classes) OVER (), 6) AS pct_rows
+       |FROM (SELECT k, CAST(count(*) AS BIGINT) AS n_classes
+       |      FROM (SELECT CAST(count(*) AS BIGINT) AS k
+       |            FROM $rel GROUP BY $qi)
+       |      GROUP BY k)""".stripMargin
+  }
+
   /** Per-column profile: numeric columns report value stats, string
     * columns report length stats. Output (one row per column):
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val).

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Eval
+
+class EvalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("aucRankSum: perfect, random, inverted, and tied separations") {
+    import spark.implicits._
+    // Perfect: every positive above every negative.
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("s", "y")
+    assert(Eval.aucRankSum(perfect, "s", "y")
+      .as[(Long, Long, Option[Double])].head() == ((2L, 2L, Some(1.0))))
+
+    // Inverted: every positive below every negative → 0.
+    val inverted = Seq((0.1, 1L), (0.2, 1L), (0.8, 0L), (0.9, 0L))
+      .toDF("s", "y")
+    assert(Eval.aucRankSum(inverted, "s", "y")
+      .as[(Long, Long, Option[Double])].head()._3.contains(0.0))
+
+    // All tied on one score → exactly chance (tie term carries it all).
+    val tied = Seq((0.5, 1L), (0.5, 1L), (0.5, 0L), (0.5, 0L)).toDF("s", "y")
+    assert(Eval.aucRankSum(tied, "s", "y")
+      .as[(Long, Long, Option[Double])].head()._3.contains(0.5))
+
+    // Hand-worked mix: scores (pos: .9, .4), (neg: .6, .2), ties none.
+    // pairs: (.9 beats .6,.2)=2, (.4 beats .2)=1 → U=3 of 4 → 0.75.
+    val mixed = Seq((0.9, 1L), (0.4, 1L), (0.6, 0L), (0.2, 0L)).toDF("s", "y")
+    assert(Eval.aucRankSum(mixed, "s", "y")
+      .as[(Long, Long, Option[Double])].head()._3.contains(0.75))
+
+    // Single-class input → NULL auc, counts still reported.
+    val oneClass = Seq((0.9, 1L), (0.4, 1L)).toDF("s", "y")
+    assert(Eval.aucRankSum(oneClass, "s", "y")
+      .as[(Long, Long, Option[Double])].head() == ((2L, 0L, None)))
+  }
+
+  test("calibrationBins: integer-space bin edges, mean score and positive rate per bin") {
+    import spark.implicits._
+    // 0.35→bin 3; 0.30 sits ON the 3-edge → bin 3 (micro space: 300000*10//1e6=3);
+    // 0.999999→bin 9; 1.0 caps into bin 9.
+    val df = Seq((0.35, 1L), (0.3, 0L), (0.999999, 1L), (1.0, 1L))
+      .toDF("s", "y")
+    val out = Eval.calibrationBins(df, "s", "y", nBins = 10)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(3L) == ((2L, 0.325, 0.5)))
+    assert(out(9L) == ((2L, 1.0, 1.0)))   // (0.999999+1.0)/2 rounds to 1.0
+    assert(out.size == 2)
+  }
+}

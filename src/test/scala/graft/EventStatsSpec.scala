@@ -190,4 +190,22 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._4).toSeq == Seq(0.0, 0.0, 0.0, 1.2, 2.4))
     assert(out.map(_._5).toSeq == Seq(false, false, false, false, true))
   }
+
+  test("madOutliers: median/MAD flag the wild day the mean-based baseline would absorb") {
+    import spark.implicits._
+    // 'a': daily counts 1,1,2,2,100 -> med=2, dev=(1,1,0,0,98), mad=1
+    //      threshold 3*1.4826*1 = 4.4478 -> only the 98-dev day flags.
+    // 'b': constant 3,3,3 -> mad=0 -> threshold 0 -> nothing flags
+    //      (dev > 0 strict keeps the degenerate series quiet).
+    val rows =
+      (for (d <- 1 to 5; _ <- 1 to (Seq(1, 1, 2, 2, 100)(d - 1)))
+        yield ("a", ts(d))) ++
+      (for (d <- 1 to 3; _ <- 1 to 3) yield ("b", ts(d)))
+    val out = EventStats.madOutliers(rows.toDF("event_type", "ts"), "ts",
+        "event_type")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((5L, 2.0, 1.0, 1L)))
+    assert(out("b") == ((3L, 3.0, 0.0, 0L)))
+  }
 }

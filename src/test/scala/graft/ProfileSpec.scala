@@ -164,4 +164,21 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("a", "c")) == ((3L, None)))         // c constant → no variance
     assert(out(("c", "d"))._1 == 3L)                // null row excluded per pair
   }
+
+  test("kAnonymity: class-size histogram with NULL QIs forming their own class") {
+    import spark.implicits._
+    // classes: (a,x)×3, (a,y)×2, (b,x)×1, (NULL,x)×2  → k-hist: 1→1, 2→2, 3→1
+    val df = Seq(
+      (Some("a"), "x"), (Some("a"), "x"), (Some("a"), "x"),
+      (Some("a"), "y"), (Some("a"), "y"),
+      (Some("b"), "x"),
+      (None, "x"), (None, "x"))
+      .toDF("qi1", "qi2")
+    val out = Profile.kAnonymity(df, Seq("qi1", "qi2"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 0.125),
+      (2L, 2L, 4L, 0.5),
+      (3L, 1L, 3L, 0.375)))
+  }
 }
