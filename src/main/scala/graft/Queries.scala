@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Idf, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Idf, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1174,6 +1174,16 @@ object Queries {
       Some(Drift.duckSourceKl("documents", "text", "source",
         minCount = 5))),
 
+    // Clustering-quality silhouette (centroid-based, integer-exact)
+    // over the stored label assignment: centroids are k·dim driver
+    // metadata inlined as literals — one narrow codegen scoring pass,
+    // no k-way corpus join.
+    Entry("q_silhouette",
+      (s, d) => Similarity.silhouette(t(s, d, "embeddings"), "embedding",
+        "label"),
+      Some(Similarity.duckSilhouette("embeddings", "embedding", "vec_id",
+        "label", dim = 64))),
+
     // EMBEDDING-space drift: per-label centroid cosine against the
     // corpus centroid (the semantic sibling of q_source_drift — token
     // KL sees vocabulary shifts, centroid cosine sees meaning shifts).
@@ -1253,6 +1263,21 @@ object Queries {
       Some(s"""SELECT doc_id,
                       ${QualityFilters.duckClassifierScore} AS q_score,
                       CAST(${QualityFilters.duckClassifierScore} >= 0.5 AS BIGINT) AS q_keep
+               FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                     FROM documents) d""")),
+
+    // Flesch–Kincaid readability per document: three regex counts and
+    // one fixed double expression — narrow codegen projection, no
+    // shuffle, the curriculum difficulty signal.
+    Entry("q_readability",
+      (s, d) => {
+        val r = Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .withColumn("_r", TextAnalysis.readabilityOf(col("text"), col("_w")))
+        r.select(col("doc_id"), col("_r.n_words"), col("_r.n_sentences"),
+          col("_r.n_syllables"), col("_r.fk_grade"))
+      },
+      Some(s"""SELECT doc_id, ${TextAnalysis.duckReadability("text")}
                FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                      FROM documents) d""")),
 
@@ -1815,6 +1840,24 @@ object Queries {
         "event_type", win = 7),
       Some(EventStats.duckAnomalyZscores(EvOracle, "ts", "event_type",
         win = 7))),
+
+    // Weekly seasonality strength (day-of-week variance decomposition)
+    // per event type: one corpus exchange to daily counts, then a
+    // type-cardinality aggregate whose cross-dow folds are fixed
+    // 7-column chains (bit-deterministic doubles, no float groupBy).
+    Entry("q_seasonality",
+      (s, d) => EventStats.weeklySeasonality(t(s, d, "events"), "ts",
+        "event_type"),
+      Some(EventStats.duckWeeklySeasonality(EvOracle, "ts", "event_type"))),
+
+    // Kaplan–Meier survival over user lifetimes (censoring-aware
+    // retention): one user-keyed exchange; the KM estimator runs
+    // wholly on the duration histogram in log-space micro-nats.
+    Entry("q_survival",
+      (s, d) => Survival.kaplanMeier(t(s, d, "events"), "user_id", "ts",
+        horizonDays = 7),
+      Some(Survival.duckKaplanMeier(EvOracle, "user_id", "ts",
+        horizonDays = 7))),
 
     // Robust median/MAD outlier summary on the same daily series — the
     // heavy-tail-safe twin of the z-score gate (exact interpolated
@@ -2528,6 +2571,19 @@ object Queries {
               |${Triangles.duckCensusCtes("pairs", "item_a", "item_b")}
               |${Triangles.duckCensusSelect}""".stripMargin)),
 
+    // Per-node local clustering coefficients over the same graph —
+    // dense-pocket vs bridge nodes; wedge volume stays degree-ordered
+    // O(m^1.5), triangles explode to 3 member rows before the count.
+    Entry("q_local_cc",
+      (s, d) => Triangles.localCoefficients(
+        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minPairs = 2),
+        "item_a", "item_b"),
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |${Triangles.duckLocalCoefficientCtes("pairs", "item_a", "item_b")}
+              |${Triangles.duckLocalCoefficientSelect}""".stripMargin)),
+
     // PageRank gate: item centrality over the co-purchase graph.
     // Fixed-point BIGINT arithmetic end to end (integer sums commute),
     // so 5 synchronous iterations are bit-reproducible and oracle-
@@ -2547,6 +2603,29 @@ object Queries {
               |${PageRank.duckRankCtes("e", "src", "dst", iters = 5)}
               |SELECT node, round(CAST(r AS DOUBLE) / ${PageRank.DefaultScale}.0, 6) AS rank
               |FROM r5""".stripMargin)),
+
+    // Label-propagation communities on the weighted co-purchase graph:
+    // synchronous updates + min-label tie-break make the classically
+    // randomized algorithm bit-deterministic; 3 iterations, per-
+    // iteration shape is one src join + one (dst,label) agg + one
+    // neighbor-label-table top-1 window.
+    Entry("q_label_prop",
+      (s, d) => {
+        val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2)
+        val edges = pairs.select(col("item_a").as("src"),
+            col("item_b").as("dst"), col("pair_count").as("w"))
+          .union(pairs.select(col("item_b"), col("item_a"),
+            col("pair_count")))
+        LabelProp.communities(edges, "src", "dst", "w", iters = 3)
+      },
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |edges AS (SELECT item_a AS src, item_b AS dst, pair_count AS w
+              |          FROM pairs
+              |          UNION ALL SELECT item_b, item_a, pair_count FROM pairs),
+              |${LabelProp.duckCommunityCtes(iters = 3)}
+              |SELECT node, label AS community FROM lp3""".stripMargin)),
 
     // Incremental IVF gate: train on the first 400 vectors, append the
     // rest by frozen-centroid assignment (O(batch), no retraining, no
@@ -2618,6 +2697,20 @@ object Queries {
       Some(Profile.duckCorrMatrix("lineitem",
         Seq("l_quantity" -> 10000L, "l_extendedprice" -> 10L,
           "l_discount" -> 10000000L)))),
+
+    // Pairwise mutual information over lineitem's categorical columns:
+    // one scan to the full joint table, per-pair cells/marginals from
+    // that; micro-nat integer cell contributions keep the cross-cell
+    // sum order-independent.
+    Entry("q_feature_mi",
+      (s, d) => Profile.featureMi(
+        t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority"),
+          year(col("o_orderdate")).cast("int").as("o_year")),
+        Seq("o_orderstatus", "o_orderpriority", "o_year")),
+      Some(Profile.duckFeatureMi(
+        """(SELECT o_orderstatus, o_orderpriority,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders)""",
+        Seq("o_orderstatus", "o_orderpriority", "o_year")))),
 
     // K-anonymity gate: QI equivalence-class size distribution over
     // customer under a generalized account-balance bucket — the privacy
@@ -2692,6 +2785,22 @@ object Queries {
         "event_type", "value",
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackMs = 3L * 24 * 3600 * 1000))),
+
+    // Markov removal-effect attribution — the data-driven member of the
+    // attribution family: one user-keyed exchange builds the journey
+    // transition matrix ((channels+2)² rows — metadata), then exact
+    // fixed-point value iteration (driver-side BigInt ≡ oracle HUGEINT
+    // CTE chain) prices each channel by the conversion probability that
+    // dies with it.
+    Entry("q_attribution_markov",
+      (s, d) => Attribution.markovRemoval(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        iters = 12),
+      Some(Attribution.duckMarkovRemoval(EvOracle, "user_id", "ts",
+        "event_id", "event_type",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        iters = 12))),
 
     Entry("q_content_checksum",
       (s, d) => RowHash.contentChecksum(t(s, d, "orders"),

@@ -167,6 +167,36 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** READABILITY (Flesch–Kincaid grade) from three regex counts —
+    * the classic curriculum/difficulty signal for training-data mixes:
+    *
+    *   grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    *
+    * with the standard large-corpus heuristics: sentences = runs of
+    * `[.!?]`, syllables = vowel-group runs `[aeiouy]+` of the
+    * lowercased text (the classic approximation — hyphenation
+    * dictionaries don't distribute). Both divisors are clamped to ≥ 1
+    * so headline-ish fragments score instead of NULLing out.
+    *
+    * Codegen-friendly narrow projection (regexp_extract_all + size) —
+    * no UDF, no shuffle; doubles appear only in the one fixed final
+    * expression (6 dp-rounded), counts are exact BIGINTs.
+    * Returns (n_words, n_sentences, n_syllables, fk_grade) as a struct.
+    */
+  def readabilityOf(c: Column, w: Column): Column = {
+    val words = greatest(size(w).cast("long"), lit(1L))
+    val sents = greatest(
+      size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+    val sylls = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val grade = round(
+      lit(0.39) * (words.cast("double") / sents.cast("double")) +
+        lit(11.8) * (sylls.cast("double") / words.cast("double")) -
+        lit(15.59), 6)
+    struct(size(w).cast("long").as("n_words"), sents.as("n_sentences"),
+      sylls.as("n_syllables"), grade.as("fk_grade"))
+  }
+
   /** Rolling-hash document fingerprint: left fold of
     * `acc·31 + ascii(char) mod p` over the characters. `split(c, "")`
     * yields zero-width artifacts at the ends in some engines — the
@@ -182,6 +212,21 @@ object TextAnalysis {
   // Same formulas rendered for DuckDB. `w` must be bound in the enclosing
   // query as regexp_split_to_array(trim(text), '\s+') with the empty-text
   // guard — see duckTokensBind.
+
+  /** DuckDB twin of [[readabilityOf]]: a 4-column SELECT fragment
+    * (`w` bound in the enclosing query).
+    */
+  def duckReadability(col: String): String = {
+    val sents = s"greatest(CAST(len(regexp_extract_all($col, '[.!?]+')) AS BIGINT), 1)"
+    val sylls = s"CAST(len(regexp_extract_all(lower($col), '[aeiouy]+')) AS BIGINT)"
+    val words = "greatest(CAST(len(w) AS BIGINT), 1)"
+    s"""CAST(len(w) AS BIGINT) AS n_words,
+       |$sents AS n_sentences,
+       |$sylls AS n_syllables,
+       |round(0.39 * (CAST($words AS DOUBLE) / CAST($sents AS DOUBLE))
+       |      + 11.8 * (CAST($sylls AS DOUBLE) / CAST($words AS DOUBLE))
+       |      - 15.59, 6) AS fk_grade""".stripMargin
+  }
 
   /** Binds `w` (token array of `col`) for use by the other duck* snippets:
     * `FROM (SELECT *, ${duckTokensBind("text")} AS w FROM documents) d`.

@@ -510,6 +510,107 @@ object EventStats {
        |FROM scored
        |WHERE wn = $win AND sqrt((s2 - s1 * s1 / $win) / ${win - 1}) > 0.0""".stripMargin
 
+  /** WEEKLY SEASONALITY strength per event type — variance
+    * decomposition of the daily count series over day-of-week groups:
+    *
+    *   strength = SS_between / SS_total
+    *            = (Σ_d S_d²/n_d − S²/N) / (Σ n² − S²/N)
+    *
+    * 1.0 ⇒ the weekday fully determines the volume; 0 ⇒ no weekly
+    * pattern. `peak_dow` is the argmax of the per-dow mean (0 = Sunday,
+    * ties → earliest day).
+    *
+    * Scale shape: the event stream reduces map-side to (day × type)
+    * in ONE corpus exchange; everything after is a type-cardinality
+    * aggregate with SEVEN fixed conditional sums — the cross-dow
+    * reductions are left-associated 7-term column chains, not a
+    * float-order-dependent groupBy, so both engines fold identical
+    * doubles in identical order. Integer moments are exact BIGINTs
+    * (envelope: per-type daily counts < 2^26·√days keep Σn² inside
+    * 2^63; S_d < 2^53 keeps its double conversion exact — comfortably
+    * 10⁹ events/day/type).
+    * Output: (event_type, n_days, peak_dow, strength) — strength NULL
+    * for a constant series (zero total variance).
+    */
+  def weeklySeasonality(events: DataFrame, tsCol: String,
+                        typeCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+    val dows = 0 to 6
+    val aggs = Seq(
+      count(lit(1)).as("N"),
+      sum(col("n")).as("S"),
+      sum(col("n") * col("n")).as("SSx")) ++
+      dows.flatMap(d => Seq(
+        coalesce(sum(when(col("dow") === d, col("n"))), lit(0L)).as(s"s$d"),
+        count(when(col("dow") === d, lit(1))).as(s"c$d")))
+    val m = daily.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    def dbl(c: String) = col(c).cast("double")
+    val sb = dows.map(d =>
+        when(col(s"c$d") > 0, dbl(s"s$d") * dbl(s"s$d") / dbl(s"c$d"))
+          .otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    val s2n = dbl("S") * dbl("S") / dbl("N")
+    val st = dbl("SSx")
+    // peak: strict > keeps the EARLIEST dow on mean ties; absent dows
+    // score -1 (means are ≥ 0) so they can never win.
+    val means = dows.map(d =>
+      when(col(s"c$d") > 0, dbl(s"s$d") / dbl(s"c$d")).otherwise(lit(-1.0)))
+    val peak = dows.tail.foldLeft((means.head, lit(0).cast("int"))) {
+      case ((bestM, bestD), d) =>
+        (when(means(d) > bestM, means(d)).otherwise(bestM),
+          when(means(d) > bestM, lit(d).cast("int")).otherwise(bestD))
+    }._2
+    m.select(
+      col("event_type"), col("N").as("n_days"), peak.as("peak_dow"),
+      when(st - s2n > 0.0, round((sb - s2n) / (st - s2n), 6)).as("strength"))
+  }
+
+  /** DuckDB oracle twin of [[weeklySeasonality]] — same 7-column
+    * conditional sums, same left-associated double chains (DuckDB
+    * dayofweek is already 0 = Sunday).
+    */
+  def duckWeeklySeasonality(rel: String, tsCol: String,
+                            typeCol: String): String = {
+    val dows = 0 to 6
+    val sums = dows.map(d =>
+      s"""CAST(coalesce(sum(n) FILTER (WHERE dow = $d), 0) AS BIGINT) AS s$d,
+         |  CAST(count(*) FILTER (WHERE dow = $d) AS BIGINT) AS c$d""".stripMargin)
+      .mkString(",\n  ")
+    val sb = dows.map(d =>
+      s"CASE WHEN c$d > 0 THEN CAST(s$d AS DOUBLE) * CAST(s$d AS DOUBLE) " +
+        s"/ CAST(c$d AS DOUBLE) ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    val s2n = "CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / CAST(N AS DOUBLE)"
+    def mean(d: Int) =
+      s"CASE WHEN c$d > 0 THEN CAST(s$d AS DOUBLE) / CAST(c$d AS DOUBLE) ELSE -1.0 END"
+    // The same strict-> fold, rendered as one nested-CASE chain per level.
+    val peak = dows.tail.foldLeft((mean(0), "0")) { case ((bestM, bestD), d) =>
+      (s"CASE WHEN ${mean(d)} > ($bestM) THEN ${mean(d)} ELSE ($bestM) END",
+        s"CASE WHEN ${mean(d)} > ($bestM) THEN $d ELSE ($bestD) END")
+    }._2
+    s"""WITH daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+       |         count(*) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |dw AS (SELECT event_type, dayofweek(day) AS dow, n FROM daily),
+       |m AS (
+       |  SELECT event_type,
+       |  CAST(count(*) AS BIGINT) AS N,
+       |  CAST(sum(n) AS BIGINT) AS S,
+       |  CAST(sum(n * n) AS BIGINT) AS SSx,
+       |  $sums
+       |  FROM dw GROUP BY 1)
+       |SELECT event_type, N AS n_days,
+       |       CAST(($peak) AS INTEGER) AS peak_dow,
+       |       CASE WHEN CAST(SSx AS DOUBLE) - $s2n > 0.0
+       |            THEN round(($sb - $s2n) / (CAST(SSx AS DOUBLE) - $s2n), 6)
+       |       END AS strength
+       |FROM m""".stripMargin
+  }
+
   /** ROBUST (median/MAD) outlier summary over each type's daily count
     * series — the heavy-tail-safe twin of [[anomalyZscores]]: one wild
     * day inflates a mean/stddev baseline and masks itself, but barely

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Single-pass data profiling and expectation checking — the quality gate
@@ -118,6 +119,83 @@ object Profile {
     selects.mkString("\nUNION ALL\n")
   }
 
+  /** Pairwise MUTUAL INFORMATION over categorical columns — the
+    * dependence screen for discrete features ([[corrMatrix]] covers the
+    * numeric ones): MI(X;Y) = Σ_cells (c/N)·ln(c·N / (c_x·c_y)) in
+    * nats; 0 ⇔ independent, min(H(X),H(Y)) at full dependence.
+    *
+    * Scale shape: ONE corpus scan groups to the FULL JOINT table over
+    * all k columns (cardinality = product of category cardinalities —
+    * the caller's contract that these are category-like columns);
+    * every pair's cells and marginals re-aggregate from that tiny
+    * table (localCheckpoint-pinned so the corpus is not rescanned per
+    * pair). Marginals come from windows over the cells table —
+    * metadata scale by construction.
+    *
+    * Determinism: the cross-cell sum is over DOUBLES (ln has no exact
+    * form), so each cell's contribution is quantized to micro-nat
+    * BIGINTs first — identical per-cell doubles → identical integers →
+    * an order-independent integer sum; the quantization bias is
+    * ≤ cells/2·10⁻⁶ nats, below the 6-dp output rounding for sane
+    * cardinalities. NULL is its own category (group-by semantics).
+    *
+    * Output: (col_a, col_b, n_cells, mi_nats) per unordered pair.
+    */
+  def featureMi(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "featureMi: need at least two columns")
+    val base = df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint()
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    def d(c: Column) = c.cast("double")
+    val perPair = pairs.map { case (a, b) =>
+      val cells = base.groupBy(col(a), col(b)).agg(sum(col("_cnt")).as("c"))
+      val wa = Window.partitionBy(col(a))
+      val wb = Window.partitionBy(col(b))
+      val wn = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+      cells
+        .withColumn("cx", sum(col("c")).over(wa))
+        .withColumn("cy", sum(col("c")).over(wb))
+        .withColumn("N", sum(col("c")).over(wn))
+        .withColumn("_mic",
+          round(lit(1000000.0) * (d(col("c")) / d(col("N"))) *
+            log(d(col("c")) * d(col("N")) / (d(col("cx")) * d(col("cy")))), 0)
+            .cast("long"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("_mic")).as("_sm"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n_cells"),
+          round(d(col("_sm")) / 1000000.0, 6).as("mi_nats"))
+    }
+    perPair.reduceLeft(_ unionByName _)
+  }
+
+  /** DuckDB oracle twin of [[featureMi]]. */
+  def duckFeatureMi(rel: String, cols: Seq[String]): String = {
+    val groupCols = cols.mkString(", ")
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val branches = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |       CAST(count(*) AS BIGINT) AS n_cells,
+         |       round(CAST(CAST(sum(mic) AS HUGEINT) AS DOUBLE) / 1000000.0, 6)
+         |         AS mi_nats
+         |FROM (
+         |  SELECT CAST(round(1000000.0 * (CAST(c AS DOUBLE) / CAST(N AS DOUBLE))
+         |           * ln(CAST(c AS DOUBLE) * CAST(N AS DOUBLE)
+         |                / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))))
+         |         AS BIGINT) AS mic
+         |  FROM (
+         |    SELECT c,
+         |           sum(c) OVER (PARTITION BY $a) AS cx,
+         |           sum(c) OVER (PARTITION BY $b) AS cy,
+         |           sum(c) OVER () AS N
+         |    FROM (SELECT $a, $b, CAST(sum(_cnt) AS BIGINT) AS c
+         |          FROM base GROUP BY 1, 2)))""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT $groupCols, CAST(count(*) AS BIGINT) AS _cnt
+       |  FROM $rel GROUP BY $groupCols)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** K-ANONYMITY profile over a set of quasi-identifier expressions —
     * the privacy posture check a pipeline runs before releasing a
     * dataset: every row whose QI equivalence class has size k is
@@ -147,8 +225,7 @@ object Profile {
     val hist = classes.groupBy(col("k"))
       .agg(count(lit(1)).as("n_classes"))
       .withColumn("n_rows", col("k") * col("n_classes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val w = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     hist.withColumn("pct_rows",
       round(col("n_rows").cast("double") / sum("n_rows").over(w), 6))
   }

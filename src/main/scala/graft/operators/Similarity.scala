@@ -562,4 +562,117 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Simplified (centroid-based) SILHOUETTE per cluster — the quality
+    * audit for any assignment this engine produces ([[kmeansCells]],
+    * [[SemDedup]] cells, a stored label): for each point, a = squared
+    * distance to its OWN cluster centroid, b = the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. Negative mean ⇒ the
+    * cluster's points mostly sit closer to someone else's centroid
+    * (a mis-clustered or collapsed cell).
+    *
+    * Fully deterministic (unlike textbook silhouette over float
+    * means): vectors are micro-quantized to BIGINTs, each centroid
+    * component is the FLOOR-DIVIDED integer mean (the `(s − pmod)/n`
+    * spelling is an exact multiple of n, so truncating and flooring
+    * engines agree), distances are exact integer sums (envelope:
+    * dim·(2·scale·max|x|)² ≪ 2⁶³ — 64-dim unit vectors at scale 10⁶
+    * use 2.6·10¹⁴), and the per-point scores are micro-quantized
+    * before the per-cluster mean so the float sum never crosses rows.
+    *
+    * Scale shape: one (cell × component) aggregate for centroids
+    * (map-side combinable), centroids collected as k·dim driver
+    * METADATA and inlined as literals, then ONE narrow codegen pass
+    * scores every point (k-fold distance expression — no k× corpus
+    * fan-out join, no window), one final cell-cardinality aggregate.
+    *
+    * Output: (label, n, mean_silhouette), one row per cluster.
+    */
+  def silhouette(df: DataFrame, vecCol: String, labelCol: String,
+                 scale: Long = 1000000L): DataFrame = {
+    val q = Dedup.rebalance(df).select(
+      col(labelCol).cast("long").as("cell"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+        .as("_q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = q
+      .select(col("cell"), posexplode(col("_q")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m",
+        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    require(cents.length >= 2, "silhouette: need at least two clusters")
+    val dists = cents.map { case (c, cq) =>
+      struct(lit(c).as("cell"),
+        aggregate(
+          zip_with(col("_q"), typedlit(cq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+    }
+    val arr = array(dists: _*)
+    val a = element_at(
+      filter(arr, s => s.getField("cell") === col("cell")), 1).getField("d2")
+    val b = array_min(transform(
+      filter(arr, s => s.getField("cell") =!= col("cell")),
+      s => s.getField("d2")))
+    val scored = q.select(col("cell"),
+      when(greatest(a, b) > 0,
+        round(lit(1000000.0) * (b - a).cast("double")
+          / greatest(a, b).cast("double")).cast("long"))
+        .otherwise(lit(0L)).as("_s"))
+    val out = scored.groupBy(col("cell").as("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_s")).cast("double") / 1000000.0
+          / count(lit(1)).cast("double"), 6).as("mean_silhouette"))
+    q.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB oracle twin of [[silhouette]] — identical quantization,
+    * floor-divided centroid means, and micro-quantized scores; the
+    * points × centroids pairing is the oracle's readable spelling of
+    * the engine's inlined k-fold.
+    */
+  def duckSilhouette(tbl: String, vecCol: String, idCol: String,
+                     labelCol: String, dim: Int,
+                     scale: Long = 1000000L): String =
+    s"""WITH v AS (
+       |  SELECT $idCol AS id, CAST($labelCol AS BIGINT) AS cell,
+       |         list_transform(CAST($vecCol AS DOUBLE[]),
+       |           x -> CAST(round(x * $scale) AS BIGINT)) AS q
+       |  FROM $tbl),
+       |cent AS MATERIALIZED (
+       |  SELECT cell, list((s - ((s % n) + n) % n) // n ORDER BY i) AS cq
+       |  FROM (
+       |    SELECT cell, i, CAST(sum(q[i]) AS BIGINT) AS s,
+       |           CAST(count(*) AS BIGINT) AS n
+       |    FROM v, range(1, ${dim + 1}) t(i)
+       |    GROUP BY 1, 2)
+       |  GROUP BY cell),
+       |d AS (
+       |  SELECT v.id, v.cell AS own, c.cell AS cc,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])))
+       |           AS BIGINT) AS d2
+       |  FROM v, cent c),
+       |ab AS (
+       |  SELECT id, own,
+       |         min(CASE WHEN cc = own THEN d2 END) AS a,
+       |         min(CASE WHEN cc <> own THEN d2 END) AS b
+       |  FROM d GROUP BY 1, 2),
+       |sm AS (
+       |  SELECT own,
+       |         CASE WHEN greatest(a, b) > 0
+       |              THEN CAST(round(1000000.0 * CAST(b - a AS DOUBLE)
+       |                              / CAST(greatest(a, b) AS DOUBLE))
+       |                   AS BIGINT)
+       |              ELSE 0 END AS s
+       |  FROM ab)
+       |SELECT own AS label, CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(s) AS DOUBLE) / 1000000.0
+       |             / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+       |FROM sm GROUP BY 1""".stripMargin
 }

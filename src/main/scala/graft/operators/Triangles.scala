@@ -147,4 +147,84 @@ object Triangles {
 
   def duckCensus(edgesRel: String, srcCol: String, dstCol: String): String =
     s"WITH ${duckCensusCtes(edgesRel, srcCol, dstCol)}\n$duckCensusSelect"
+
+  /** PER-NODE triangle counts and LOCAL clustering coefficients —
+    * which nodes sit in dense pockets vs bridge sparse ones:
+    * c_v = 2·t_v / (deg_v·(deg_v−1)), NULL when deg < 2.
+    *
+    * Same degree-ordered wedge machinery as [[census]] (each wedge
+    * generated once from its pivot, closure is one equi-join); the
+    * only additions are carrying the pivot through the closure and
+    * exploding each found triangle to its THREE member nodes before a
+    * node-keyed count — volume 3·triangles, not wedge-scale.
+    * Output: (node, degree, n_triangles, local_cc).
+    */
+  def localCoefficients(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = {
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = ce.select(col("a").as("node"))
+      .union(ce.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = ce
+      .join(deg.select(col("node").as("a"), col("degree").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("_db")), "b")
+    val oriented = withDeg.select(
+      when(col("_da") < col("_db") ||
+        (col("_da") === col("_db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("_db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("_da").as("dv"))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"), col("_e.dv").as("dv"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("t_u"), col("x.v").as("v"), col("y.v").as("w"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val triNodes = wedges.join(closing, Seq("v", "w"))
+      .select(explode(array(col("t_u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(triNodes, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("local_cc"))
+  }
+
+  /** DuckDB oracle twin of [[localCoefficients]] — canonical x<y<z
+    * triples exploded to members, like [[duckCensus]]'s strategy-free
+    * spelling.
+    */
+  def duckLocalCoefficientCtes(edgesRel: String, srcCol: String,
+                               dstCol: String): String =
+    s"""ce AS MATERIALIZED (
+       |  SELECT DISTINCT least($srcCol, $dstCol) AS a,
+       |         greatest($srcCol, $dstCol) AS b
+       |  FROM $edgesRel WHERE $srcCol <> $dstCol),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+       |          (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+       |        GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM ce e1
+       |          JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+       |          JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+       |         (SELECT x AS node FROM tri UNION ALL
+       |          SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |       GROUP BY 1)""".stripMargin
+
+  val duckLocalCoefficientSelect: String =
+    s"""SELECT d.node, d.degree,
+       |       coalesce(tn.n_triangles, 0) AS n_triangles,
+       |       CASE WHEN d.degree >= 2
+       |            THEN round(2.0 * CAST(coalesce(tn.n_triangles, 0) AS DOUBLE)
+       |                       / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+       |            END AS local_cc
+       |FROM deg d LEFT JOIN tn ON tn.node = d.node""".stripMargin
 }

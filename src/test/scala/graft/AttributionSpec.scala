@@ -107,4 +107,51 @@ class AttributionSpec extends AnyFunSuite with SparkTestBase {
         "value", touchTypes = Seq("view"), convType = "view", lookbackMs = Day)
     }
   }
+
+  test("markovTransitions: journeys truncate at first conversion; empty-journey converters emit START→CONV") {
+    import spark.implicits._
+    // u1: A → conv (then a post-conversion B that must be ignored)
+    // u2: A, B → conv;  u3: B → null;  u4: conv with no touches
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "P"),
+      (1L, ts("2024-01-01 02:00:00"), 8L, "B"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "A"),
+      (2L, ts("2024-01-01 01:00:00"), 4L, "B"),
+      (2L, ts("2024-01-01 02:00:00"), 5L, "P"),
+      (3L, ts("2024-01-01 00:00:00"), 6L, "B"),
+      (4L, ts("2024-01-01 00:00:00"), 7L, "P"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Attribution.markovTransitions(df, "user_id", "ts", "event_id",
+        "event_type", Seq("A", "B"), "P")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      ("(start)", "A") -> 2L, ("(start)", "B") -> 1L,
+      ("(start)", "(conv)") -> 1L,
+      ("A", "(conv)") -> 1L, ("A", "B") -> 1L,
+      ("B", "(conv)") -> 1L, ("B", "(null)") -> 1L))
+  }
+
+  test("markovRemoval: hand-worked removal effects and normalized attribution") {
+    import spark.implicits._
+    // Same journeys as above. Exact absorption: v(B)=1/2, v(A)=3/4,
+    // p = (2·3/4 + 1/2 + 1)/4 = 3/4. Remove A → 3/8; remove B → 1/2.
+    // effects (3/8, 1/4) → removal (0.5, 1/3), attribution (0.6, 0.4).
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "P"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "A"),
+      (2L, ts("2024-01-01 01:00:00"), 4L, "B"),
+      (2L, ts("2024-01-01 02:00:00"), 5L, "P"),
+      (3L, ts("2024-01-01 00:00:00"), 6L, "B"),
+      (4L, ts("2024-01-01 00:00:00"), 7L, "P"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Attribution.markovRemoval(df, "user_id", "ts", "event_id",
+        "event_type", Seq("A", "B"), "P", iters = 8)
+      .as[(String, Double, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("A") == ((0.75, 0.375, Some(0.5), Some(0.6))))
+    assert(out("B") == ((0.75, 0.5, Some(0.333333), Some(0.4))))
+  }
 }

@@ -191,6 +191,23 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._5).toSeq == Seq(false, false, false, false, true))
   }
 
+  test("weeklySeasonality: dow-determined series scores 1.0; constant series NULL with peak dow 0") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday. 'w': day d count = (d mod 7) + 1 over two
+    // weeks — every dow constant across weeks (within-variance 0) →
+    // strength exactly 1.0, peak at dow 6 (count 7). 'c': constant 3 →
+    // SS_total = 0 → NULL strength, all means tie → earliest dow wins.
+    val rows =
+      (for (d <- 1 to 14; _ <- 1 to (d % 7) + 1) yield ("w", ts(d))) ++
+      (for (d <- 1 to 14; _ <- 1 to 3) yield ("c", ts(d)))
+    val out = EventStats.weeklySeasonality(rows.toDF("event_type", "ts"),
+        "ts", "event_type")
+      .as[(String, Long, Int, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("w") == ((14L, 6, Some(1.0))))
+    assert(out("c") == ((14L, 0, None)))
+  }
+
   test("madOutliers: median/MAD flag the wild day the mean-based baseline would absorb") {
     import spark.implicits._
     // 'a': daily counts 1,1,2,2,100 -> med=2, dev=(1,1,0,0,98), mad=1

@@ -740,6 +740,58 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"sketch-cell join must be broadcast:\n$plan")
   }
 
+  test("k-anonymity: QI classes partial-aggregate map-side; the percent window never sees the corpus") {
+    val qe = SparkEntry.queries("q_kanon")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString()
+    assert(plan.contains("partial_count"),
+      s"QI class counts must partial-aggregate map-side:\n$plan")
+    // The single-partition percent window is legal ONLY because it runs
+    // on the k-histogram: both aggregates must sit between scan and window.
+    assert(plan.indexOf("Window") < plan.indexOf("FileScan"),
+      s"the percent window must run above (after) both aggregates:\n$plan")
+  }
+
+  test("mad outliers: one corpus exchange to daily counts; no join in the engine plan") {
+    val plan = SparkEntry.queries("q_mad_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"join in the mad-outliers plan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"daily counts must partial-aggregate map-side:\n$plan")
+  }
+
+  test("auc: scores group map-side; the rank window runs above the score-cardinality aggregate") {
+    val plan = SparkEntry.queries("q_auc")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"join in the auc plan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-score class counts must partial-aggregate map-side:\n$plan")
+    // The single-partition cumulative window is legal ONLY on the
+    // distinct-score table — it must appear above the aggregate.
+    assert(plan.indexOf("Window") < plan.indexOf("FileScan"),
+      s"the cumulative window must run above the score aggregate:\n$plan")
+  }
+
+  test("label propagation: per-iteration shape is join + agg + bounded window — never cartesian") {
+    val plan = SparkEntry.queries("q_label_prop")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop stage in the label-propagation plan:\n$plan")
+  }
+
+  test("markov transitions: type filter reaches the scan; one user-keyed exchange family") {
+    // Gate the DISTRIBUTED half (markovRemoval's collect is the bounded
+    // (channels+2)^2 transition matrix — coordinator metadata).
+    val plan = graft.operators.Attribution.markovTransitions(
+        Tables.load(spark, sf, "events"), "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "signup"), "purchase")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [Or(In(event_type"),
+      s"the participating-type filter must reach the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian stage in the markov-transition plan:\n$plan")
+  }
+
   test("corr matrix: ONE scan and ONE aggregate for all pairs — no join, no per-pair pass") {
     // The whole point of the moment formulation: k·(k−1)/2 pair
     // correlations from a single map-side-combinable aggregate. A join

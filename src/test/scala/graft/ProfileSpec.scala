@@ -165,6 +165,20 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("c", "d"))._1 == 3L)                // null row excluded per pair
   }
 
+  test("featureMi: identical columns score ln 2, independent/constant pairs score 0") {
+    import spark.implicits._
+    // x = y (perfect dependence, uniform binary): MI = ln 2 — with the
+    // micro-nat quantization, 2·round(1e6·0.5·ln 2) = 693148 µnats.
+    val df = Seq(("a", "a", "k"), ("a", "a", "k"), ("b", "b", "k"),
+      ("b", "b", "k")).toDF("x", "y", "z")
+    val out = Profile.featureMi(df, Seq("x", "y", "z"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("x", "y")) == ((2L, 0.693148)))
+    assert(out(("x", "z")) == ((2L, 0.0)))
+    assert(out(("y", "z")) == ((2L, 0.0)))
+  }
+
   test("kAnonymity: class-size histogram with NULL QIs forming their own class") {
     import spark.implicits._
     // classes: (a,x)×3, (a,y)×2, (b,x)×1, (NULL,x)×2  → k-hist: 1→1, 2→2, 3→1

@@ -399,4 +399,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out(0L) == ((3L, 2L, 0.666667)))
     assert(out(1L) == ((3L, 3L, 1.0)))
   }
+
+  test("silhouette: separated clusters score 100/101, merged clusters score 0") {
+    import spark.implicits._
+    // Cluster 0 at x=0, cluster 1 at x=10, both spread ±1 on y →
+    // a = 1e12, b = 101e12 (µ-quantized ints), s = 100/101 exactly →
+    // round(1e6·0.990099..) = 990099 for every point.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val df = Seq(
+      (1L, v(0, 0), 0), (2L, v(0, 2), 0),
+      (3L, v(10, 0), 1), (4L, v(10, 2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.silhouette(df, "embedding", "label")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((2L, 0.990099)))
+    assert(out(1L) == ((2L, 0.990099)))
+
+    // Two "clusters" of identical coincident points: a = b = 0 → s
+    // pinned to 0 (not NULL, not NaN).
+    val merged = Seq((1L, v(-5, -5), 2), (2L, v(-5, -5), 3))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.silhouette(merged, "embedding", "label")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(2L) == ((1L, 0.0)) && m(3L) == ((1L, 0.0)))
+  }
 }

@@ -97,6 +97,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(edge.as[String].collect().forall(_ == ""))
   }
 
+  test("readability: hand-worked FK grade; empty text scores via the clamped divisors") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat sat. It ran!"), (2L, "")).toDF("doc_id", "text")
+    val out = docs
+      .withColumn("_w", TextAnalysis.tokens(col("text")))
+      .withColumn("_r", TextAnalysis.readabilityOf(col("text"), col("_w")))
+      .select(col("doc_id"), col("_r.n_words"), col("_r.n_sentences"),
+        col("_r.n_syllables"), col("_r.fk_grade"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // 5 tokens, 2 sentence runs, 5 vowel groups:
+    // 0.39*(5/2) + 11.8*(5/5) - 15.59 = -2.815
+    assert(out(1L) == ((5L, 2L, 5L, -2.815)))
+    // empty: 0 words (clamped to 1), 0 sentences (clamped), 0 syllables:
+    // 0.39*1 + 11.8*0 - 15.59 = -15.2
+    assert(out(2L) == ((0L, 1L, 0L, -15.2)))
+  }
+
   test("canonical fingerprint groups fuzzy-exact duplicates, min-id keeps") {
     import spark.implicits._
     val docs = Seq(

@@ -52,4 +52,21 @@ class TrianglesSpec extends AnyFunSuite with SparkTestBase {
     val single = census(Seq((1L, 2L)))
     assert(single == ((1L, 0L, 0L, None)))
   }
+
+  test("localCoefficients: K4-minus-an-edge plus a pendant, hand-counted per node") {
+    import spark.implicits._
+    // Edges: 1-2,1-3,1-4,2-3,2-4 (K4 minus 3-4) + pendant 1-5.
+    // Triangles (1,2,3),(1,2,4): t = (1:2, 2:2, 3:1, 4:1, 5:0);
+    // degrees (1:4, 2:3, 3:2, 4:2, 5:1).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (1L, 5L)).toDF("src", "dst")
+    val out = Triangles.localCoefficients(edges, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 2L, Some(0.333333))))  // 2·2/(4·3)
+    assert(out(2L) == ((3L, 2L, Some(0.666667))))  // 2·2/(3·2)
+    assert(out(3L) == ((2L, 1L, Some(1.0))))
+    assert(out(4L) == ((2L, 1L, Some(1.0))))
+    assert(out(5L) == ((1L, 0L, None)))            // deg < 2 → undefined
+  }
 }
