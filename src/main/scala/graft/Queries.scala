@@ -1783,6 +1783,33 @@ object Queries {
         BmTerms),
       Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
 
+    // Ranking-quality nDCG@20 of the BM25 ordering against AND-match
+    // binary relevance: ranks decided on the 6dp-rounded score (both
+    // engines order identical values), DCG/IDCG are integer lookups
+    // into inlined micro-discount tables — no cross-rank float sums.
+    Entry("q_ndcg",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sc = Bm25.score(docs, "text", "doc_id", BmTerms)
+          .select(col("doc_id"), col("bm25"))
+        val truth = docs
+          .withColumn("_w", TextAnalysis.tokens(lower(col("text"))))
+          .filter(BmTerms.map(tm =>
+            TextAnalysis.wordCountOf(col("_w"), tm) > 0).reduce(_ && _))
+          .select(col("doc_id"))
+        Eval.ndcgAtK(sc, "doc_id", "bm25", truth, "doc_id", k = 20)
+      },
+      Some(Eval.duckNdcgAtK(
+        s"SELECT doc_id, bm25 FROM (${Bm25.duckScore("documents", "text",
+          "doc_id", BmTerms)})",
+        "doc_id", "bm25",
+        s"""SELECT doc_id
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("lower(text)")} AS w
+                  FROM documents) d
+            WHERE ${BmTerms.map(tm =>
+              s"${TextAnalysis.duckWordCount(tm)} > 0").mkString(" AND ")}""",
+        "doc_id", k = 20))),
+
     // BM25 through a PERSISTENT INVERTED INDEX (the lexical sibling of
     // q_ann_pq_saved): term-sorted postings + doclen + df + stats built
     // once to parquet, then the query scored from the index WITHOUT
@@ -1849,6 +1876,20 @@ object Queries {
       (s, d) => EventStats.weeklySeasonality(t(s, d, "events"), "ts",
         "event_type"),
       Some(EventStats.duckWeeklySeasonality(EvOracle, "ts", "event_type"))),
+
+    // Theil–Sen robust trend per event type: median of all pairwise
+    // daily slopes — pairs and the exact median live on the days-sized
+    // series only.
+    Entry("q_theil_sen",
+      (s, d) => EventStats.theilSen(t(s, d, "events"), "ts", "event_type"),
+      Some(EventStats.duckTheilSen(EvOracle, "ts", "event_type"))),
+
+    // Benford first-digit audit on order amounts: integer-cents leading
+    // digits vs inlined micro-quantized Benford expectations, χ² from
+    // µ-quantized terms — one 9-group aggregate.
+    Entry("q_benford",
+      (s, d) => Profile.benford(t(s, d, "lineitem"), "l_extendedprice"),
+      Some(Profile.duckBenford("lineitem", "l_extendedprice"))),
 
     // Kaplan–Meier survival over user lifetimes (censoring-aware
     // retention): one user-keyed exchange; the KM estimator runs
@@ -2570,6 +2611,15 @@ object Queries {
                  "l_partkey", minPairs = 2)},
               |${Triangles.duckCensusCtes("pairs", "item_a", "item_b")}
               |${Triangles.duckCensusSelect}""".stripMargin)),
+
+    // Frequent triple itemsets (one Apriori level above pair lift):
+    // candidates generated on the frequent-PAIR table with all three
+    // sub-pairs pruned before touching the incidence; TakeOrdered top-k.
+    Entry("q_basket_triples",
+      (s, d) => MarketBasket.tripleCounts(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2, topK = 100),
+      Some(MarketBasket.duckTripleCounts("lineitem", "l_orderkey",
+        "l_partkey", minCount = 2, topK = 100))),
 
     // Per-node local clustering coefficients over the same graph —
     // dense-pocket vs bridge nodes; wedge volume stays degree-ordered

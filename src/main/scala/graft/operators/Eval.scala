@@ -86,6 +86,80 @@ object Eval {
        |       END AS auc
        |FROM terms""".stripMargin
 
+  /** Micro-quantized DCG discount table: disc(i) = round(10⁶ / log₂(i+1))
+    * for 1-based ranks, and its prefix sums (the IDCG of j all-relevant
+    * positions). Precomputed HERE, as plain integers, and inlined into
+    * BOTH engines — cross-rank float sums never happen at query time.
+    */
+  def discountMicros(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))))
+  def idcgMicros(k: Int): Seq[Long] = discountMicros(k).scanLeft(0L)(_ + _).tail
+
+  /** nDCG@k of a scored ranking against a binary-relevance truth set —
+    * the ranking-quality member of the eval family ([[aucRankSum]]
+    * measures separation, this measures ORDER quality with graded
+    * position discounts):
+    *
+    *   nDCG@k = Σ_{hits at rank i ≤ k} disc(i)  /  Σ_{i ≤ min(R,k)} disc(i)
+    *
+    * Ranks are assigned by (score DESC, id ASC) — the caller must
+    * 6 dp-round the score so both engines order identical values (raw
+    * engine doubles may differ in final bits and flip near-ties).
+    *
+    * Scale shape: top-k is TakeOrdered (never a global sort); the rank
+    * window runs on the k-row result only; the truth side enters as a
+    * broadcastable id set; DCG/IDCG are integer lookups into the
+    * inlined [[discountMicros]] tables with ONE final division.
+    * Output (one row): (k, n_rel, ndcg) — NULL when the truth set is
+    * empty.
+    */
+  def ndcgAtK(scored: DataFrame, idCol: String, scoreCol: String,
+              truth: DataFrame, truthIdCol: String, k: Int): DataFrame = {
+    val byRank = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val ranked = scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
+      .withColumn("_rank", row_number().over(byRank))
+    val disc = typedlit(discountMicros(k))
+    val hits = ranked
+      .join(truth.select(col(truthIdCol).as(idCol)), Seq(idCol), "left_semi")
+    val dcg = hits.agg(
+      coalesce(sum(element_at(disc, col("_rank").cast("int"))), lit(0L))
+        .as("_dcg"))
+    val nRel = truth.agg(count(lit(1)).as("n_rel"))
+    val idcg = typedlit(idcgMicros(k))
+    dcg.crossJoin(nRel).select(
+      lit(k).as("k"), col("n_rel"),
+      when(col("n_rel") > 0,
+        round(col("_dcg").cast("double")
+          / element_at(idcg, least(col("n_rel"), lit(k.toLong)).cast("int"))
+              .cast("double"), 6)).as("ndcg"))
+  }
+
+  /** DuckDB oracle twin of [[ndcgAtK]]: `scoredSql` selects (id, score)
+    * (score 6 dp-rounded), `truthSql` selects the relevant ids.
+    */
+  def duckNdcgAtK(scoredSql: String, idCol: String, scoreCol: String,
+                  truthSql: String, truthIdCol: String, k: Int): String = {
+    val disc = discountMicros(k).mkString("[", ", ", "]")
+    val idcg = idcgMicros(k).mkString("[", ", ", "]")
+    s"""WITH ranked AS (
+       |  SELECT $idCol AS id,
+       |         row_number() OVER (ORDER BY $scoreCol DESC, $idCol ASC) AS rank
+       |  FROM ($scoredSql)
+       |  ORDER BY $scoreCol DESC, $idCol ASC LIMIT $k),
+       |truth AS (SELECT $truthIdCol AS id FROM ($truthSql)),
+       |dcg AS (
+       |  SELECT CAST(coalesce(sum(($disc)[rank]), 0) AS BIGINT) AS dcg
+       |  FROM ranked WHERE id IN (SELECT id FROM truth)),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM truth)
+       |SELECT $k AS k, n_rel,
+       |       CASE WHEN n_rel > 0 THEN
+       |         round(CAST(dcg AS DOUBLE)
+       |               / CAST(($idcg)[CAST(least(n_rel, $k) AS INTEGER)]
+       |                      AS DOUBLE), 6)
+       |       END AS ndcg
+       |FROM dcg, nr""".stripMargin
+  }
+
   /** Calibration (reliability) bins: equal-width score bins, each
     * reporting its mean predicted score against its observed positive
     * rate — a well-calibrated classifier puts the two on the diagonal.

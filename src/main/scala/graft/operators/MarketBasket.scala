@@ -152,4 +152,64 @@ object MarketBasket {
        |ORDER BY CAST(pair_count * n AS DOUBLE)
        |         / CAST(ca.cnt * cb.cnt AS DOUBLE) DESC, item_a, item_b
        |LIMIT $topK""".stripMargin
+
+  /** Frequent TRIPLE itemsets — one Apriori level above [[pairLift]]:
+    * candidate (a < b < c) triples are generated ONLY where all three
+    * sub-pairs are already frequent (the Apriori downward-closure
+    * prune), then counted against the basket incidence.
+    *
+    * Scale shape: the wedge join (a,b)×(b,c) runs on the FREQUENT-PAIR
+    * table, not the incidence — candidate volume is bounded by
+    * frequent wedges, and the third-pair prune is an equi-join back to
+    * the same pair table before any basket data is touched. Support
+    * counting then joins the pruned candidates to per-basket
+    * incidence on (basket, item) equi-keys. Each stage is a shuffle
+    * equi-join; nothing is cubic in the incidence. Top-k is a
+    * TakeOrdered (count DESC, items ASC), never a global sort.
+    *
+    * Output: top `topK` rows of (item_a, item_b, item_c, triple_count),
+    * all triple_count ≥ minCount.
+    */
+  def tripleCounts(df: DataFrame, basketCol: String, itemCol: String,
+                   minCount: Long, topK: Int): DataFrame = {
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val fp = coPairsOf(items, minCount)
+      .select(col("item_a"), col("item_b"))
+    // Apriori candidates: (a,b) ∧ (b,c) frequent wedge + (a,c) frequent.
+    val cand = fp.as("p1").join(fp.as("p2"),
+        col("p1.item_b") === col("p2.item_a"))
+      .select(col("p1.item_a").as("a"), col("p1.item_b").as("b"),
+        col("p2.item_b").as("c"))
+      .join(fp.select(col("item_a").as("a"), col("item_b").as("c")),
+        Seq("a", "c"))
+    val inBasket = cand
+      .join(items.select(col("_b"), col("_i").as("a")), Seq("a"))
+      .join(items.select(col("_b"), col("_i").as("b")), Seq("_b", "b"))
+      .join(items.select(col("_b"), col("_i").as("c")), Seq("_b", "c"))
+    inBasket.groupBy(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"))
+      .agg(count(lit(1)).as("triple_count"))
+      .filter(col("triple_count") >= minCount)
+      .orderBy(col("triple_count").desc, col("item_a").asc,
+        col("item_b").asc, col("item_c").asc)
+      .limit(topK)
+  }
+
+  /** DuckDB oracle twin of [[tripleCounts]] — the strategy-free
+    * spelling (triple self-join of the incidence + HAVING); Apriori
+    * pruning is an execution strategy, not a semantics.
+    */
+  def duckTripleCounts(rel: String, basketCol: String, itemCol: String,
+                       minCount: Long, topK: Int): String =
+    s"""WITH items AS (SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $rel)
+       |SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+       |       CAST(count(*) AS BIGINT) AS triple_count
+       |FROM items x
+       |  JOIN items y ON y.b = x.b AND y.i > x.i
+       |  JOIN items z ON z.b = y.b AND z.i > y.i
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) >= $minCount
+       |ORDER BY triple_count DESC, item_a, item_b, item_c
+       |LIMIT $topK""".stripMargin
 }

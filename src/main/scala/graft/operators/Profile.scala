@@ -119,6 +119,106 @@ object Profile {
     selects.mkString("\nUNION ALL\n")
   }
 
+  /** Micro-quantized Benford expectations round(10⁶·log₁₀(1 + 1/d)) —
+    * precomputed integers inlined into BOTH engines so no runtime
+    * log10 has to agree across libms.
+    */
+  val BenfordMicros: Seq[Long] =
+    (1 to 9).map(d => math.round(1000000.0 * math.log10(1.0 + 1.0 / d)))
+
+  /** BENFORD first-digit audit over a monetary/measure column — the
+    * classic fabricated-data screen: organically grown magnitudes put
+    * ~30.1% of leading digits at 1 and only 4.6% at 9; uniform or
+    * hand-typed values don't. Reports the observed digit distribution
+    * against Benford expectation plus the χ² statistic.
+    *
+    * Determinism: values become integer CENTS (floor(|x|·100) — same
+    * IEEE multiply both engines), the leading digit comes from the
+    * INTEGER's decimal rendering (no float log10 at digit
+    * boundaries), expected probabilities are the inlined
+    * [[BenfordMicros]] integers, and the 9 χ² terms are µ-quantized
+    * before the cross-digit window sum. Zero-valued cents are excluded
+    * (no leading digit).
+    *
+    * Scale shape: one map-side-combinable 9-group aggregate; the
+    * digit-domain completion join and the χ² window run on 9 rows.
+    * Output: (digit, n_obs, p_obs, p_exp, chi2) — chi2 repeated per
+    * row; p_obs/chi2 NULL on an empty input.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(floor(abs(col(valueCol).cast("double")) * 100.0).cast("long")
+        .as("_cents"))
+      .filter(col("_cents") >= 1)
+      .select(substring(col("_cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val domain = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(typedlit(BenfordMicros), col("id").cast("int"))
+          .as("_pmic"))
+    val full = domain.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("_pmic"))
+    val w = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val withN = full.withColumn("_N", sum(col("n_obs")).over(w))
+    val e = (col("_N") * col("_pmic")).cast("double") / 1000000.0
+    val term = (col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e
+    withN
+      .withColumn("_tmic",
+        when(col("_N") > 0, round(lit(1000000.0) * term).cast("long")))
+      .select(col("digit"), col("n_obs"),
+        when(col("_N") > 0,
+          round(col("n_obs").cast("double") / col("_N").cast("double"), 6))
+          .as("p_obs"),
+        round(col("_pmic").cast("double") / 1000000.0, 6).as("p_exp"),
+        when(col("_N") > 0,
+          round(sum(col("_tmic")).over(w).cast("double") / 1000000.0, 6))
+          .as("chi2"))
+  }
+
+  /** DuckDB oracle twin of [[benford]]. */
+  def duckBenford(rel: String, valueCol: String): String = {
+    val pm = BenfordMicros.mkString("[", ", ", "]")
+    s"""WITH counts AS (
+       |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+       |           AS digit,
+       |         CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM (SELECT CAST(floor(abs(CAST($valueCol AS DOUBLE)) * 100.0)
+       |               AS BIGINT) AS cents FROM $rel)
+       |  WHERE cents >= 1 GROUP BY 1),
+       |full_d AS (
+       |  SELECT CAST(d.digit AS INTEGER) AS digit,
+       |         coalesce(c.n_obs, 0) AS n_obs,
+       |         ($pm)[d.digit] AS pmic
+       |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+       |  LEFT JOIN counts c ON c.digit = d.digit),
+       |wn AS (
+       |  SELECT digit, n_obs, pmic,
+       |         CAST(sum(n_obs) OVER () AS BIGINT) AS N
+       |  FROM full_d),
+       |tm AS (
+       |  SELECT digit, n_obs, pmic, N,
+       |         CASE WHEN N > 0 THEN CAST(round(1000000.0 *
+       |           ((CAST(n_obs AS DOUBLE)
+       |             - CAST(N * pmic AS DOUBLE) / 1000000.0)
+       |            * (CAST(n_obs AS DOUBLE)
+       |               - CAST(N * pmic AS DOUBLE) / 1000000.0)
+       |            / (CAST(N * pmic AS DOUBLE) / 1000000.0)))
+       |           AS BIGINT) END AS tmic
+       |  FROM wn)
+       |SELECT digit, n_obs,
+       |       CASE WHEN N > 0
+       |            THEN round(CAST(n_obs AS DOUBLE) / CAST(N AS DOUBLE), 6)
+       |       END AS p_obs,
+       |       round(CAST(pmic AS DOUBLE) / 1000000.0, 6) AS p_exp,
+       |       CASE WHEN N > 0
+       |            THEN round(CAST(CAST(sum(tmic) OVER () AS BIGINT)
+       |                   AS DOUBLE) / 1000000.0, 6) END AS chi2
+       |FROM tm""".stripMargin
+  }
+
   /** Pairwise MUTUAL INFORMATION over categorical columns — the
     * dependence screen for discrete features ([[corrMatrix]] covers the
     * numeric ones): MI(X;Y) = Σ_cells (c/N)·ln(c·N / (c_x·c_y)) in

@@ -36,6 +36,23 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Option[Double])].head() == ((2L, 0L, None)))
   }
 
+  test("ndcgAtK: hand-worked hits, perfect ordering, empty truth, out-of-k relevance") {
+    import spark.implicits._
+    val scored = Seq((1L, 4.0), (2L, 3.0), (3L, 2.0), (4L, 1.0)).toDF("id", "s")
+    def truthOf(ids: Long*) = ids.toDF("tid")
+    def run(truth: Seq[Long], k: Int) =
+      Eval.ndcgAtK(scored, "id", "s", truthOf(truth: _*), "tid", k)
+        .as[(Int, Long, Option[Double])].head()
+    // hits at ranks 1 and 3: dcg = 1000000+500000; idcg(R=2) = 1630930
+    assert(run(Seq(1L, 3L), 3) == ((3, 2L, Some(0.919721))))
+    // top-3 exactly the relevant set → 1.0
+    assert(run(Seq(1L, 2L, 3L), 3) == ((3, 3L, Some(1.0))))
+    // empty truth → NULL
+    assert(run(Seq(), 3) == ((3, 0L, None)))
+    // relevant docs outside the top-k (or unscored) → 0.0
+    assert(run(Seq(4L, 9L), 3) == ((3, 2L, Some(0.0))))
+  }
+
   test("calibrationBins: integer-space bin edges, mean score and positive rate per bin") {
     import spark.implicits._
     // 0.35→bin 3; 0.30 sits ON the 3-edge → bin 3 (micro space: 300000*10//1e6=3);

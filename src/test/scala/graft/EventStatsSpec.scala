@@ -191,6 +191,18 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._5).toSeq == Seq(false, false, false, false, true))
   }
 
+  test("theilSen: pairwise-slope median shrugs off the outlier day least-squares would chase") {
+    import spark.implicits._
+    // counts 1,2,3,4,100 over days 1..5: six of ten pairwise slopes
+    // are exactly 1 → median 1.0 despite the 25× final-day spike.
+    val rows = for (d <- 1 to 5;
+                    _ <- 1 to Seq(1, 2, 3, 4, 100)(d - 1)) yield ("g", ts(d))
+    val out = EventStats.theilSen(rows.toDF("event_type", "ts"), "ts",
+        "event_type")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("g", 5L, 10L, 1.0)))
+  }
+
   test("weeklySeasonality: dow-determined series scores 1.0; constant series NULL with peak dow 0") {
     import spark.implicits._
     // 2024-01-01 is a Monday. 'w': day d count = (d mod 7) + 1 over two

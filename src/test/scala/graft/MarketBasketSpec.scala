@@ -59,4 +59,21 @@ class MarketBasketSpec extends AnyFunSuite with SparkTestBase {
     // lift(400,500)=1*4/(1*1)=4.0 beats lift(100,200)=2*4/(3*2)=1.33
     assert(top1 == Seq((400L, 500L, 1L, 4.0)))
   }
+
+  test("tripleCounts: Apriori-pruned triples match brute-force supports, infrequent sub-pair blocks") {
+    import spark.implicits._
+    // b1={1,2,3} b2={1,2,3} b3={1,2,4} b4={1,2,3,4}:
+    // frequent pairs at min 2: (1,2)4 (1,3)3 (2,3)3 (1,4)2 (2,4)2 — NOT (3,4).
+    // triples: (1,2,3)→3 baskets, (1,2,4)→2; (1,3,4)/(2,3,4) blocked by (3,4).
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L))
+      .toDF("basket", "item")
+    val out = MarketBasket.tripleCounts(df, "basket", "item",
+        minCount = 2, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3L, 3L), (1L, 2L, 4L, 2L)))
+  }
 }

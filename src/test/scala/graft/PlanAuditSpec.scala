@@ -792,6 +792,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"cartesian stage in the markov-transition plan:\n$plan")
   }
 
+  test("basket triples and ndcg: top-k is TakeOrdered, never a global sort") {
+    val tri = SparkEntry.queries("q_basket_triples")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(tri.contains("TakeOrderedAndProject"),
+      s"triple top-k must be TakeOrdered:\n$tri")
+    val ndcg = SparkEntry.queries("q_ndcg")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(ndcg.contains("TakeOrderedAndProject"),
+      s"ndcg top-k must be TakeOrdered:\n$ndcg")
+    assert(!ndcg.contains("CartesianProduct"),
+      s"cartesian in the ndcg plan (1-row crossJoins must broadcast):\n$ndcg")
+  }
+
   test("corr matrix: ONE scan and ONE aggregate for all pairs — no join, no per-pair pass") {
     // The whole point of the moment formulation: k·(k−1)/2 pair
     // correlations from a single map-side-combinable aggregate. A join

@@ -165,6 +165,30 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("c", "d"))._1 == 3L)                // null row excluded per pair
   }
 
+  test("benford: integer-cents leading digits, zero excluded, χ² from the same µ-terms") {
+    import spark.implicits._
+    // cents: 100,100,100 → digit 1; 250 → 2; 999 → 9; 0.005 → 0 cents,
+    // excluded. N = 5.
+    val df = Seq(1.0, 1.0, 1.0, 2.5, 9.99, 0.005).toDF("v")
+    val out = Profile.benford(df, "v")
+      .as[(Int, Long, Option[Double], Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.size == 9)
+    assert(out(1)._1 == 3L && out(1)._2.contains(0.6))
+    assert(out(2)._1 == 1L && out(9)._1 == 1L && out(5)._1 == 0L)
+    assert(out(1)._3 == 0.30103)   // round(log10(2), 6)
+    // χ² mirrored independently from the published micro table:
+    val obs = Map(1 -> 3L, 2 -> 1L, 9 -> 1L).withDefaultValue(0L)
+    val tmics = (1 to 9).map { d =>
+      val e = (5L * Profile.BenfordMicros(d - 1)).toDouble / 1000000.0
+      math.round(1000000.0 * ((obs(d) - e) * (obs(d) - e) / e))
+    }
+    val expected = BigDecimal(tmics.sum.toDouble / 1000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1)._4.contains(expected))
+    assert(out.values.map(_._4).toSet.size == 1) // chi2 identical on all rows
+  }
+
   test("featureMi: identical columns score ln 2, independent/constant pairs score 0") {
     import spark.implicits._
     // x = y (perfect dependence, uniform binary): MI = ln 2 — with the
