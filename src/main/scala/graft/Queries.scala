@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Idf, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Hypothesis, Idf, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1512,6 +1512,17 @@ object Queries {
       (s, d) => Zipf.fit(t(s, d, "documents"), "text", topN = 30),
       Some(Zipf.duckFit("documents", "text", topN = 30))),
 
+    // Heaps'-law vocabulary growth over 10 id-range corpus prefixes —
+    // "how much new vocabulary does the next slice of crawl buy". The
+    // sequential new-word scan is replaced by one token-keyed MIN
+    // (first bucket) aggregate + a 10-row prefix sum; the ln-ln OLS
+    // runs as bucket-ordered left folds (the q_zipf_fit convention).
+    Entry("q_heaps_law",
+      (s, d) => Zipf.heapsFit(t(s, d, "documents"), "text", "doc_id",
+        nBuckets = 10),
+      Some(Zipf.duckHeapsFit("documents", "text", "doc_id",
+        nBuckets = 10))),
+
     // Corpus mean-IDF (rare-word) score per document: one term-key
     // exchange for document frequencies, term join back, per-doc
     // SORTED left fold so the double sum is order-deterministic.
@@ -1601,6 +1612,18 @@ object Queries {
       (s, d) => Multimodal.perceptualHash(
         Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id"),
       Some(Multimodal.duckPerceptualHash("documents", "text", "doc_id"))),
+
+    // Media near-dup: 32-bit perceptual hashes joined at hamming ≤ 3 via
+    // pigeonhole banding (4 exact 8-bit chunks — the SimHash machinery
+    // generalized by Dedup.hammingPairs); the oracle is the exact
+    // all-pairs hamming join, which the banded engine must reproduce
+    // row-for-row since chunk recall is exact.
+    Entry("q_mm_phash_dedup",
+      (s, d) => Multimodal.phashNearDup(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id",
+        maxHamming = 3),
+      Some(Multimodal.duckPhashNearDup("documents", "text", "doc_id",
+        maxHamming = 3))),
 
     // Bloom-filter semi-join pruning: 512-byte bitset over the filtered
     // customer keys prunes the orders scan with a narrow bit-test — no
@@ -1907,6 +1930,36 @@ object Queries {
       (s, d) => EventStats.madOutliers(t(s, d, "events"), "ts",
         "event_type"),
       Some(EventStats.duckMadOutliers(EvOracle, "ts", "event_type"))),
+
+    // Welch two-sample t-test: purchase vs click order values — the
+    // A/B-experiment decision statistic. One 6-sum map-side aggregate
+    // (exact DECIMAL sums of micro-units and their squares); t/df are
+    // one closed-form double expression mirrored op-for-op in the
+    // oracle.
+    Entry("q_ttest_welch",
+      (s, d) => Hypothesis.welchTTest(t(s, d, "events"), "value",
+        "event_type", "purchase", "click"),
+      Some(Hypothesis.duckWelchTTest(EvOracle, "value", "event_type",
+        "purchase", "click"))),
+
+    // Chi-squared independence (lang × source) with Cramér's V: absent
+    // contingency cells materialized by crossing the dimension-sized
+    // key sets; per-cell contributions re-quantize to micro-integers so
+    // the cross-cell sum is order-independent.
+    Entry("q_chi2",
+      (s, d) => Hypothesis.chiSquared(t(s, d, "documents"), "lang",
+        "source"),
+      Some(Hypothesis.duckChiSquared("documents", "lang", "source"))),
+
+    // Two-sample Kolmogorov–Smirnov: purchase vs view value
+    // distributions — all-integer ECDF gap (max |cumA·nB − cumB·nA| in
+    // exact DECIMAL) over the distinct-micro-value table, one final
+    // division.
+    Entry("q_ks_test",
+      (s, d) => Hypothesis.ksTest(t(s, d, "events"), "value",
+        "event_type", "purchase", "view"),
+      Some(Hypothesis.duckKsTest(EvOracle, "value", "event_type",
+        "purchase", "view"))),
 
     // Schema-on-read JSON property extraction + per-type aggregation
     // (from_json with a declared schema — codegen'd, no UDF).

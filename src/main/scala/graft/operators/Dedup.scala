@@ -839,9 +839,6 @@ object Dedup {
     // Collapse identical signatures (hamming 0) before chunk-bucketing —
     // the duplicate-cluster skew guard; see minhashLshPairs.
     val members = withSigGroups(sigs, col("sig"))
-    val within = withinGroupPairs(members, "sig")
-      .withColumn("hamming", lit(0L)) // identical signature ⇒ hamming 0
-    val reps = members.filter(col("id") === col("_rep"))
     val keysOfChunk = (i: Int) => {
       val w = math.min(width, 64 - i * width) // actual width of chunk i
       val mask = if (w == 64) -1L else (1L << w) - 1L
@@ -851,6 +848,56 @@ object Dedup {
     }
     val chunks = array((0 until nChunks).flatMap(i =>
       keysOfChunk(i).map(k => struct(lit(i).as("c"), k.as("k")))): _*)
+    pigeonholePairs(members, chunks, maxHamming, maxBucketSize)
+  }
+
+  /** Near-dup pairs at hamming ≤ `maxHamming` over a PRECOMPUTED ≤64-bit
+    * signature column — the generic engine behind [[simhashPairs]],
+    * exposed for other fingerprint producers (e.g.
+    * [[Multimodal.perceptualHash]]'s 32-bit media aHash): pigeonhole
+    * into `maxHamming + 1` exact bit-chunks (hamming ≤ r over the word
+    * ⇒ some chunk is bit-identical — candidate recall is EXACT),
+    * equi-join on (chunk, key), verify `bit_count(xor)`.
+    *
+    * Small-radius regime only: chunks must stay ≥ 4 bits wide or every
+    * bucket key collides into a handful of values and within-bucket
+    * pairing explodes — for wider radii over 64-bit signatures use
+    * [[simhashPairs]]'s multi-probe super-chunks.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, each pair once.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxHamming: Int,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"hammingPairs: bits=$bits out of range")
+    val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && bits / nChunks >= 4,
+      s"hammingPairs: radius $maxHamming needs chunks ≥ 4 bits over $bits-bit signatures")
+    val width = (bits + nChunks - 1) / nChunks
+    val s0 = rebalance(sigs).select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val members = withSigGroups(s0, col("sig"))
+    val chunks = array((0 until nChunks).map { i =>
+      val w = math.min(width, bits - i * width)
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(i).as("c"),
+        shiftright(col("sig"), i * width).bitwiseAND(mask).as("k"))
+    }: _*)
+    pigeonholePairs(members, chunks, maxHamming, maxBucketSize)
+  }
+
+  /** Shared back half of the pigeonhole-banded hamming join
+    * ([[simhashPairs]], [[hammingPairs]]): `members` carries
+    * (id, sig, _rep, _cnt) from [[withSigGroups]]; `chunks` is the
+    * per-row array of (chunk index, bucket key) structs. Identical-
+    * signature pairs come from the group structure (hamming 0, no
+    * join); only group REPRESENTATIVES enter the banded join, and
+    * verified rep pairs expand back through the membership table.
+    */
+  private def pigeonholePairs(members: DataFrame, chunks: Column,
+                              maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val within = withinGroupPairs(members, "sig")
+      .withColumn("hamming", lit(0L)) // identical signature ⇒ hamming 0
+    val reps = members.filter(col("id") === col("_rep"))
     val chunked = reps.select(col("id"), col("sig"), explode(chunks).as("ck"))
       .select(col("id"), col("sig"), col("ck.c").as("chunk"), col("ck.k").as("ckey"))
     val capped = capBuckets(chunked, Seq("chunk", "ckey"), maxBucketSize)

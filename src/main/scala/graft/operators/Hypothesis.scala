@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests over a (value, group) frame — the
+  * experiment-analysis side of the analytics surface: a data pipeline
+  * that ships A/B variants (or compares two crawl sources, two model
+  * checkpoints' scores, two time windows) needs the decision statistics
+  * next to the descriptive ones ([[EventStats]], [[Profile]]).
+  *
+  * Cross-engine determinism (the [[Eval]] posture, repo-wide): values
+  * micro-quantize to integers (`round(v·10⁶)`), every SUM runs exact
+  * (DECIMAL(38,0) / HUGEINT — value sums and sums-of-squares overflow
+  * BIGINT long before corpus scale), and doubles appear only in one
+  * final closed-form expression written in the SAME operation order in
+  * both engines — IEEE round-to-nearest then makes the bits identical.
+  *
+  * Scale shape, all three tests: ONE map-side-combinable aggregate at
+  * group (t-test), cell (chi-squared), or distinct-micro-value (KS)
+  * cardinality; nothing downstream touches corpus-sized data. The KS
+  * cumulative window runs on the distinct-value table only — the same
+  * "group first, window the group table" discipline as
+  * [[Eval.aucRankSum]].
+  */
+object Hypothesis {
+
+  private def d38(c: Column) = c.cast("decimal(38,0)")
+  private def dbl(c: Column) = c.cast("double")
+
+  /** Welch's unequal-variance two-sample t-test on `valueCol` between
+    * `groupCol` = `a` and `groupCol` = `b`:
+    *
+    *   t  = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+    *   df = (v_a/n_a + v_b/n_b)² /
+    *        ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))   (Welch 1947)
+    *
+    * with v the n−1 sample variance. Means and variances derive from
+    * exact micro-unit sums (S₁ = Σx, S₂ = Σx²): the micro scale cancels
+    * inside t and df, so 10⁶ appears only in the reported means.
+    *
+    * Output (one row): (n_a, n_b, mean_a, mean_b, t_stat, df_welch) —
+    * t/df NULL when either side has < 2 rows or both variances are 0.
+    */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+                 a: String, b: String): DataFrame = {
+    val micro = round(col(valueCol) * lit(1000000.0)).cast("long")
+    val sums = df
+      .filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("_g"), micro.as("_m"))
+      .groupBy()
+      .agg(
+        count(when(col("_g") === a, lit(1))).as("n_a"),
+        count(when(col("_g") === b, lit(1))).as("n_b"),
+        sum(when(col("_g") === a, d38(col("_m")))).as("_s1a"),
+        sum(when(col("_g") === b, d38(col("_m")))).as("_s1b"),
+        sum(when(col("_g") === a,
+          col("_m").cast("decimal(19,0)") * col("_m").cast("decimal(19,0)")))
+          .as("_s2a"),
+        sum(when(col("_g") === b,
+          col("_m").cast("decimal(19,0)") * col("_m").cast("decimal(19,0)")))
+          .as("_s2b"))
+    // One closed form over six exact sums; identical op order in the
+    // oracle ⇒ identical doubles.
+    val na = dbl(col("n_a")); val nb = dbl(col("n_b"))
+    val s1a = dbl(col("_s1a")); val s1b = dbl(col("_s1b"))
+    val va = (dbl(col("_s2a")) - s1a * s1a / na) / (na - lit(1.0))
+    val vb = (dbl(col("_s2b")) - s1b * s1b / nb) / (nb - lit(1.0))
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    sums.select(
+      col("n_a"), col("n_b"),
+      round(s1a / na / lit(1000000.0), 6).as("mean_a"),
+      round(s1b / nb / lit(1000000.0), 6).as("mean_b"),
+      when(ok && se2 > 0,
+        round((s1a / na - s1b / nb) / sqrt(se2), 6)).as("t_stat"),
+      when(ok && se2 > 0,
+        round(se2 * se2
+          / (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))), 6))
+        .as("df_welch"))
+  }
+
+  /** DuckDB oracle twin of [[welchTTest]]. `rel` is the relation (table
+    * or parenthesised subquery) carrying (valueCol, groupCol).
+    */
+  def duckWelchTTest(rel: String, valueCol: String, groupCol: String,
+                     a: String, b: String): String =
+    s"""WITH sums AS (
+       |  SELECT CAST(count(*) FILTER (WHERE g = '$a') AS BIGINT) AS n_a,
+       |         CAST(count(*) FILTER (WHERE g = '$b') AS BIGINT) AS n_b,
+       |         sum(CAST(m AS HUGEINT)) FILTER (WHERE g = '$a') AS s1a,
+       |         sum(CAST(m AS HUGEINT)) FILTER (WHERE g = '$b') AS s1b,
+       |         sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+       |           FILTER (WHERE g = '$a') AS s2a,
+       |         sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+       |           FILTER (WHERE g = '$b') AS s2b
+       |  FROM (SELECT $groupCol AS g,
+       |               CAST(round($valueCol * 1000000.0) AS BIGINT) AS m
+       |        FROM $rel WHERE $groupCol IN ('$a', '$b'))),
+       |f AS (
+       |  SELECT n_a, n_b,
+       |         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+       |         CAST(s1a AS DOUBLE) AS d1a, CAST(s1b AS DOUBLE) AS d1b,
+       |         CAST(s2a AS DOUBLE) AS d2a, CAST(s2b AS DOUBLE) AS d2b
+       |  FROM sums),
+       |v AS (
+       |  SELECT *,
+       |         ((d2a - d1a * d1a / na) / (na - 1.0)) / na AS sea,
+       |         ((d2b - d1b * d1b / nb) / (nb - 1.0)) / nb AS seb
+       |  FROM f)
+       |SELECT n_a, n_b,
+       |       round(d1a / na / 1000000.0, 6) AS mean_a,
+       |       round(d1b / nb / 1000000.0, 6) AS mean_b,
+       |       CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0 THEN
+       |         round((d1a / na - d1b / nb) / sqrt(sea + seb), 6)
+       |       END AS t_stat,
+       |       CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0 THEN
+       |         round((sea + seb) * (sea + seb)
+       |               / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
+       |       END AS df_welch
+       |FROM v""".stripMargin
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns, with Cramér's V effect size:
+    *
+    *   χ² = Σ_cells (o − e)²/e,   e = rT·cT/N
+    *      = Σ_cells (o·N − rT·cT)² / (N·rT·cT)
+    *
+    * The ABSENT cells of the contingency table contribute rT·cT/N each
+    * and are materialised by crossing the distinct row/column keys —
+    * both sides are group-by results (dimension-sized), so the cross is
+    * metadata scale. o·N − rT·cT is formed in DECIMAL(38,0)/HUGEINT
+    * (o·N reaches N² — past BIGINT long before 100 TB); its square
+    * would overflow even 38 digits, so each cell's contribution
+    * converts the exact difference to double ONCE, and the cell
+    * contributions re-quantize to micro-integers before the final sum —
+    * making the cross-cell total order-independent (float sums are not).
+    *
+    * Output (one row): (n, n_rows, n_cols, dof, chi2, cramers_v) —
+    * chi2/V NULL when the table is degenerate (single row or column).
+    */
+  def chiSquared(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    // Stage barrier: four downstream consumers (row totals, column
+    // totals, grand total, the cell join) would otherwise re-derive the
+    // corpus aggregate per branch where exchange reuse misses — the
+    // observed table is R×C-sized, so materializing it is free and
+    // pins the plan at ONE corpus scan (the Pipeline barrier pattern).
+    val obs = df.groupBy(col(rowCol).as("_r"), col(colCol).as("_c"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint()
+    val rt = obs.groupBy(col("_r")).agg(sum(col("_o")).as("_rt"))
+    val ct = obs.groupBy(col("_c")).agg(sum(col("_o")).as("_ct"))
+    val tot = obs.agg(sum(col("_o")).as("_n"),
+      count_distinct(col("_r")).as("n_rows"),
+      count_distinct(col("_c")).as("n_cols"))
+    val cells = rt.crossJoin(ct)
+      .join(obs, Seq("_r", "_c"), "left")
+      .select(col("_rt"), col("_ct"), coalesce(col("_o"), lit(0L)).as("_o"))
+      .crossJoin(tot)
+    val diff = dbl(d38(col("_o")) * d38(col("_n")) - d38(col("_rt")) * d38(col("_ct")))
+    val contrib = diff * diff / (dbl(col("_n")) * dbl(col("_rt")) * dbl(col("_ct")))
+    val chi2 = cells
+      .select(col("_n"), col("n_rows"), col("n_cols"),
+        round(contrib * lit(1000000.0)).cast("long").as("_cm"))
+      .groupBy(col("_n"), col("n_rows"), col("n_cols"))
+      .agg(sum(col("_cm")).as("_chi2m"))
+    val c2 = dbl(col("_chi2m")) / lit(1000000.0)
+    val minDim = dbl(least(col("n_rows"), col("n_cols")) - lit(1L))
+    val ok = col("n_rows") >= 2 && col("n_cols") >= 2
+    chi2.select(
+      col("_n").cast("long").as("n"), col("n_rows"), col("n_cols"),
+      ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+      when(ok, round(c2, 6)).as("chi2"),
+      when(ok, round(sqrt(c2 / (dbl(col("_n")) * minDim)), 6)).as("cramers_v"))
+  }
+
+  /** DuckDB oracle twin of [[chiSquared]]. */
+  def duckChiSquared(rel: String, rowCol: String, colCol: String): String =
+    s"""WITH obs AS (
+       |  SELECT $rowCol AS r, $colCol AS c, CAST(count(*) AS BIGINT) AS o
+       |  FROM $rel GROUP BY 1, 2),
+       |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM obs GROUP BY 1),
+       |ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM obs GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+       |               CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+       |        FROM obs),
+       |cells AS (
+       |  SELECT rt.rtot, ct.ctot, coalesce(obs.o, 0) AS o, tot.n,
+       |         tot.n_rows, tot.n_cols
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
+       |  CROSS JOIN tot),
+       |cm AS (
+       |  SELECT n, n_rows, n_cols,
+       |         CAST(round(
+       |           CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+       |                - CAST(rtot AS HUGEINT) * CAST(ctot AS HUGEINT) AS DOUBLE)
+       |           * CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+       |                - CAST(rtot AS HUGEINT) * CAST(ctot AS HUGEINT) AS DOUBLE)
+       |           / (CAST(n AS DOUBLE) * CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS cmicro
+       |  FROM cells),
+       |agg AS (
+       |  SELECT n, n_rows, n_cols, CAST(sum(cmicro) AS BIGINT) AS chi2m
+       |  FROM cm GROUP BY 1, 2, 3)
+       |SELECT n, n_rows, n_cols,
+       |       (n_rows - 1) * (n_cols - 1) AS dof,
+       |       CASE WHEN n_rows >= 2 AND n_cols >= 2 THEN
+       |         round(CAST(chi2m AS DOUBLE) / 1000000.0, 6) END AS chi2,
+       |       CASE WHEN n_rows >= 2 AND n_cols >= 2 THEN
+       |         round(sqrt(CAST(chi2m AS DOUBLE) / 1000000.0
+       |               / (CAST(n AS DOUBLE)
+       |                  * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))), 6)
+       |       END AS cramers_v
+       |FROM agg""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov test on `valueCol` between
+    * `groupCol` = `a` and `groupCol` = `b`:
+    *
+    *   D = max_v |F_a(v) − F_b(v)|
+    *
+    * computed ENTIRELY in integers: group to distinct micro values,
+    * cumulative counts over the value order, and the max of
+    * |cumA·n_b − cumB·n_a| (exact DECIMAL products — cum·n reaches N²)
+    * with ONE final division by n_a·n_b. The normalized statistic
+    * √(n_a·n_b/(n_a+n_b))·D follows for asymptotic p-value lookup.
+    *
+    * Output (one row): (n_a, n_b, d_stat, ks_stat) — NULL when either
+    * side is empty.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             a: String, b: String): DataFrame = {
+    val micro = round(col(valueCol) * lit(1000000.0)).cast("long")
+    val byVal = df
+      .filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("_g"), micro.as("_m"))
+      .groupBy(col("_m"))
+      .agg(
+        count(when(col("_g") === a, lit(1))).as("_ca"),
+        count(when(col("_g") === b, lit(1))).as("_cb"))
+    val upTo = Window.orderBy(col("_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val cum = byVal
+      .withColumn("_cuma", sum(col("_ca")).over(upTo))
+      .withColumn("_cumb", sum(col("_cb")).over(upTo))
+      .withColumn("_na", sum(col("_ca")).over(whole))
+      .withColumn("_nb", sum(col("_cb")).over(whole))
+    cum.agg(
+      max(col("_na")).as("n_a"),
+      max(col("_nb")).as("n_b"),
+      max(abs(d38(col("_cuma")) * d38(col("_nb"))
+        - d38(col("_cumb")) * d38(col("_na"))))
+        .as("_dnum"))
+      .select(
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(dbl(col("_dnum")) / (dbl(col("n_a")) * dbl(col("n_b"))), 6))
+          .as("d_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(dbl(col("_dnum")) / (dbl(col("n_a")) * dbl(col("n_b")))
+            * sqrt(dbl(col("n_a")) * dbl(col("n_b"))
+                   / (dbl(col("n_a")) + dbl(col("n_b")))), 6))
+          .as("ks_stat"))
+  }
+
+  /** DuckDB oracle twin of [[ksTest]]. */
+  def duckKsTest(rel: String, valueCol: String, groupCol: String,
+                 a: String, b: String): String =
+    s"""WITH byval AS (
+       |  SELECT m,
+       |         CAST(count(*) FILTER (WHERE g = '$a') AS BIGINT) AS ca,
+       |         CAST(count(*) FILTER (WHERE g = '$b') AS BIGINT) AS cb
+       |  FROM (SELECT $groupCol AS g,
+       |               CAST(round($valueCol * 1000000.0) AS BIGINT) AS m
+       |        FROM $rel WHERE $groupCol IN ('$a', '$b'))
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT sum(ca) OVER (ORDER BY m) AS cuma,
+       |         sum(cb) OVER (ORDER BY m) AS cumb,
+       |         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+       |  FROM byval),
+       |agg AS (
+       |  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |         max(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)
+       |                 - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))) AS dnum
+       |  FROM cum)
+       |SELECT n_a, n_b,
+       |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |         round(CAST(dnum AS DOUBLE)
+       |               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+       |       END AS d_stat,
+       |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |         round(CAST(dnum AS DOUBLE)
+       |               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       |               * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+       |       END AS ks_stat
+       |FROM agg""".stripMargin
+}

@@ -301,6 +301,32 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Media near-dup pairs: [[perceptualHash]] fingerprints joined at
+    * hamming ≤ `maxHamming` through [[Dedup.hammingPairs]]'s pigeonhole
+    * banding — the same banded-equi-join scale posture as text SimHash
+    * dedup, applied to opaque binary payloads. 32-bit signatures keep
+    * the exact-chunk regime honest up to radius 3 (4 chunks × 8 bits).
+    *
+    * Output: (idCol pair as id_a < id_b, hamming).
+    */
+  def phashNearDup(df: DataFrame, idCol: String, maxHamming: Int): DataFrame =
+    Dedup.hammingPairs(perceptualHash(df, idCol), idCol, "phash",
+      PhashBits, maxHamming)
+
+  /** DuckDB oracle twin of [[phashNearDup]]: the EXACT all-pairs
+    * hamming join over [[duckPerceptualHash]] fingerprints — candidate
+    * recall of the banded engine is exact by pigeonhole, so the two
+    * agree row-for-row (caller keeps the corpus slice small enough for
+    * the O(n²) oracle).
+    */
+  def duckPhashNearDup(tbl: String, textCol: String, idCol: String,
+                       maxHamming: Int): String =
+    s"""WITH ph AS (${duckPerceptualHash(tbl, textCol, idCol)})
+       |SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.$idCol < b.$idCol
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
+
   /** DuckDB oracle for [[perceptualHash]] over ASCII text (byte value =
     * char code, mirroring [[attachBinary]]'s UTF-8 payload).
     */

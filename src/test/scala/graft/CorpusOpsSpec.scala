@@ -541,4 +541,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     // train entities {1,2,4}, test entities {1,3,4}, leaky {1,4} -> 2/3
     assert(r == ((3L, 4L, 3L, 3L, 2L, Some(0.666667))))
   }
+
+  test("heapsFit: first-bucket vocab counting, 2-point fit, degenerate guard") {
+    import graft.operators.Zipf
+    // ids 0–4 → bucket 0 (2 tokens each: vocab {a, b});
+    // ids 5–9 → bucket 1 (3 tokens each: {a, c, d} — `a` NOT new).
+    // cum: (10, 2), (25, 4) → β = ln2/ln2.5, logK from the same line.
+    val docs = ((0L to 4L).map(i => (i, "a b"))
+      ++ (5L to 9L).map(i => (i, "a c d"))).toDF("doc_id", "text")
+    val rows = Zipf.heapsFit(docs, "text", "doc_id", nBuckets = 2)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 10L, 2L), (1L, 25L, 4L)))
+    assert(rows.forall(r => r._4.contains(0.756471) && r._5.contains(-1.048691)))
+
+    // Single document → one bucket → one fit point → NULL fit, curve kept.
+    val single = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val rs = Zipf.heapsFit(single, "text", "doc_id", nBuckets = 4)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(rs.length == 1 && rs.head._2 == 3L && rs.head._3 == 3L
+      && rs.head._4.isEmpty && rs.head._5.isEmpty)
+  }
 }

@@ -126,6 +126,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("hammingPairs: exact recall at radius, sig-group collapse, width guard") {
+    import spark.implicits._
+    // 8-bit signatures, radius 1 → two exact 4-bit chunks.
+    // sig(3) = sig(1) → group pair at hamming 0; 2 is 1 bit from the
+    // group; 4 (0xFF) is hamming 8/7 away — excluded.
+    val sigs = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 255L))
+      .toDF("doc_id", "fp")
+    val pairs = Dedup.hammingPairs(sigs, "doc_id", "fp",
+      bits = 8, maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L, 0L), (1L, 2L, 1L), (2L, 3L, 1L)))
+
+    // Distance exactly at the radius boundary is kept, one past is not:
+    // 0b11 is hamming 2 from 0b00 (16-bit sigs keep radius-2 chunks
+    // ≥ 4 bits wide).
+    val edge = Seq((1L, 0L), (2L, 3L)).toDF("doc_id", "fp")
+    assert(Dedup.hammingPairs(edge, "doc_id", "fp", bits = 16,
+      maxHamming = 2).count() == 1)
+    assert(Dedup.hammingPairs(edge, "doc_id", "fp", bits = 16,
+      maxHamming = 1).count() == 0)
+
+    // Chunks thinner than 4 bits are refused (use simhashPairs'
+    // multi-probe regime instead).
+    assertThrows[IllegalArgumentException] {
+      Dedup.hammingPairs(sigs, "doc_id", "fp", bits = 8, maxHamming = 3)
+    }
+  }
+
   test("resolvePairs keeps min-id per component and all unpaired rows") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")

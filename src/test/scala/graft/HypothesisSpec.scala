@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Hypothesis
+
+class HypothesisSpec extends AnyFunSuite with SparkTestBase {
+
+  test("welchTTest: hand-worked unequal-variance case, guards") {
+    import spark.implicits._
+    // a = [1,2,3] (mean 2, var 1); b = [2,4,6,8] (mean 5, var 20/3).
+    // se² = 1/3 + (20/3)/4 = 2 → t = −3/√2 = −2.121320
+    // df = 2² / ((1/3)²/2 + (5/3)²/3) = 4 / (1/18 + 25/27) = 4.075472
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.0, "b"), (4.0, "b"), (6.0, "b"), (8.0, "b"), (9.9, "zz"))
+      .toDF("v", "g")
+    val r = Hypothesis.welchTTest(df, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])].head()
+    assert(r._1 == 3L && r._2 == 4L)
+    assert(r._3 == 2.0 && r._4 == 5.0)
+    assert(r._5.contains(-2.12132))
+    assert(r._6.contains(4.075472))
+
+    // One side below 2 rows → NULL t/df, counts and means still out.
+    val tiny = Seq((1.0, "a"), (2.0, "b"), (3.0, "b")).toDF("v", "g")
+    val rt = Hypothesis.welchTTest(tiny, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])].head()
+    assert(rt._1 == 1L && rt._5.isEmpty && rt._6.isEmpty)
+
+    // Zero variance both sides → NULL t (se² = 0 guard).
+    val flat = Seq((2.0, "a"), (2.0, "a"), (5.0, "b"), (5.0, "b")).toDF("v", "g")
+    assert(Hypothesis.welchTTest(flat, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .head()._5.isEmpty)
+  }
+
+  test("chiSquared: balanced 2×2, absent cell contributes its expectation") {
+    import spark.implicits._
+    // 2×2 with all cells present: e = 15 everywhere, χ² = 4·(25/15) =
+    // 6.6̄ — each cell's 1.6̄ contribution micro-quantizes UP (1666667),
+    // so the order-independent total reads 6.666668 (±0.5e-6/cell by
+    // design; the oracle quantizes identically).
+    val full = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y"))
+      ++ Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val rf = Hypothesis.chiSquared(full, "r", "c")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(rf == ((60L, 2L, 2L, 1L, Some(6.666668), Some(0.333333))))
+
+    // (b, y) absent: its cell still contributes e = 2.5; the two 0.83̄
+    // cells quantize DOWN → 6.666666. V = √(χ²/N) = 0.577350.
+    val sparse = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", "y"))
+      ++ Seq.fill(10)(("b", "x"))).toDF("r", "c")
+    val rs = Hypothesis.chiSquared(sparse, "r", "c")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(rs == ((20L, 2L, 2L, 1L, Some(6.666666), Some(0.57735))))
+
+    // Degenerate (one column value) → NULL χ²/V, dims reported.
+    val degen = Seq(("a", "x"), ("b", "x")).toDF("r", "c")
+    val rd = Hypothesis.chiSquared(degen, "r", "c")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(rd._3 == 1L && rd._5.isEmpty && rd._6.isEmpty)
+  }
+
+  test("ksTest: hand-worked ECDF gap, disjoint supports, empty side") {
+    import spark.implicits._
+    // a = [1,2,3], b = [2,3,4]: max gap 1/3 at v ∈ {1,2,3};
+    // ks = (1/3)·√(9/6) = 0.408248.
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.0, "b"), (3.0, "b"), (4.0, "b")).toDF("v", "g")
+    val r = Hypothesis.ksTest(df, "v", "g", "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(r == ((3L, 3L, Some(0.333333), Some(0.408248))))
+
+    // Disjoint supports → D = 1.
+    val disj = Seq((1.0, "a"), (2.0, "b")).toDF("v", "g")
+    assert(Hypothesis.ksTest(disj, "v", "g", "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double])].head()._3.contains(1.0))
+
+    // Identical samples → D = 0.
+    val same = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b")).toDF("v", "g")
+    assert(Hypothesis.ksTest(same, "v", "g", "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double])].head()._3.contains(0.0))
+
+    // Empty b side → NULL statistics.
+    val one = Seq((1.0, "a")).toDF("v", "g")
+    val ro = Hypothesis.ksTest(one, "v", "g", "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(ro._3.isEmpty && ro._4.isEmpty)
+  }
+}

@@ -817,4 +817,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_"),
       s"pair moments must partial-aggregate map-side:\n$plan")
   }
+
+  test("welch t-test: ONE scan, ONE aggregate — no join, no window, map-side partials") {
+    val plan = SparkEntry.queries("q_ttest_welch")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"join in the t-test plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in the t-test plan:\n$plan")
+    val scans = "FileScan|BatchScan".r.findAllIn(plan).size
+    assert(scans == 1, s"t-test must read the table once, saw $scans scans:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the six sums must partial-aggregate map-side:\n$plan")
+  }
+
+  test("ks test: scores group map-side; both windows run above the distinct-value aggregate") {
+    val plan = SparkEntry.queries("q_ks_test")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"join in the ks plan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-value class counts must partial-aggregate map-side:\n$plan")
+    // Single-partition windows are legal ONLY on the distinct-value
+    // table — they must appear above the aggregate (the auc posture).
+    assert(plan.indexOf("Window") < plan.indexOf("FileScan"),
+      s"the cumulative window must run above the value aggregate:\n$plan")
+  }
+
+  test("phash near-dup: the fingerprint stage runs once; banded join, never cartesian") {
+    val qe = SparkEntry.queries("q_mm_phash_dedup")(spark, sf).queryExecution
+    qe.executedPlan.execute() // finalize AQE so reuse is visible
+    val plan = qe.executedPlan.toString()
+    val finalP = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan; case i => plan.substring(0, i)
+    }
+    assert(!finalP.contains("CartesianProduct") &&
+      !finalP.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop stage in the phash near-dup plan:\n$finalP")
+    // The mapPartitions fingerprint stage must be computed ONCE and its
+    // exchange reused by every consumer (within-group pairs, banding,
+    // membership expansion) — the minhash sig-reuse lesson.
+    val serializes = "SerializeFromObject".r.findAllIn(finalP).size
+    assert(serializes == 1,
+      s"expected one fingerprint evaluation, found $serializes:\n$finalP")
+  }
 }
