@@ -822,6 +822,19 @@ object Queries {
       Some(Dedup.duckEditVerifiedPairs("documents", "text", "doc_id",
         n = 3, candJaccard = 0.5, maxEditRatio = 0.3, maxDocId = 1000))),
 
+    // Jaro–Winkler-verified fuzzy dedup: the same LSH-candidate shape
+    // re-scored with the native graft_jaro_winkler expression, pinned
+    // bitwise to DuckDB's jaro_winkler_similarity (rapidfuzz lineage)
+    // — prefix/transposition-tolerant record-linkage next to the
+    // insert/delete-oriented q_dedup_edit.
+    Entry("q_dedup_jaro",
+      (s, d) => Dedup.jaroVerifiedPairs(
+        t(s, d, "documents").filter(col("doc_id") < 1000), "text", "doc_id",
+        n = 3, bands = 42, rowsPerBand = 3,
+        candJaccard = 0.5, minJw = 0.8),
+      Some(Dedup.duckJaroVerifiedPairs("documents", "text", "doc_id",
+        n = 3, candJaccard = 0.5, minJw = 0.8, maxDocId = 1000))),
+
     // SimHash near-dup detection: 64-bit signatures, pigeonhole chunk
     // buckets (maxHamming+1 chunks → exact candidate recall), signature
     // collapse + bucket cap. HARD oracle: candidates within hamming ≤ 10
@@ -1960,6 +1973,16 @@ object Queries {
         "event_type", "purchase", "view"),
       Some(Hypothesis.duckKsTest(EvOracle, "value", "event_type",
         "purchase", "view"))),
+
+    // CUPED variance reduction: per-user pre-period value (before the
+    // cutoff) as covariate for the post-period metric — θ, var(y),
+    // var(ŷ), and the removed-variance share, all from ONE 6-moment
+    // exact-DECIMAL aggregate over the user table.
+    Entry("q_cuped",
+      (s, d) => Hypothesis.cuped(t(s, d, "events"), "user_id", "ts",
+        "value", splitMs = EvCutoffMs),
+      Some(Hypothesis.duckCuped(EvOracle, "user_id", "ts", "value",
+        splitMs = EvCutoffMs))),
 
     // Schema-on-read JSON property extraction + per-type aggregation
     // (from_json with a declared schema — codegen'd, no UDF).

@@ -695,6 +695,51 @@ object Dedup {
        |      WHERE p.jaccard >= $candJaccard)
        |SELECT id_a, id_b, edit_ratio FROM v WHERE edit_ratio <= $maxEditRatio""".stripMargin
 
+  /** Jaro–Winkler-verified fuzzy dedup: LSH candidates (the
+    * [[editVerifiedPairs]] shape) re-scored with the native
+    * [[org.apache.spark.sql.graft.JaroWinkler]] expression and kept at
+    * `jw ≥ minJw` — the record-linkage metric biased toward prefix- and
+    * transposition-preserving noise (names, titles, codes), where
+    * normalized Levenshtein over- or under-penalizes.
+    *
+    * Scale shape: identical to [[editVerifiedPairs]] — the O(len²)-ish
+    * per-pair metric runs ONLY on hash-colliding candidates joined to
+    * the two narrow text relations, never all-pairs.
+    * Output: (id_a, id_b, jw).
+    */
+  def jaroVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int,
+                        candJaccard: Double, minJw: Double,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cand = minhashLshPairs(df, textCol, idCol, n, bands, rowsPerBand,
+      candJaccard, maxBucketSize)
+    val txt = rebalance(df).select(col(idCol).as("id"), col(textCol).as("_t"))
+    cand
+      .join(txt.select(col("id").as("id_a"), col("_t").as("_ta")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("_t").as("_tb")), "id_b")
+      .withColumn("jw", round(
+        org.apache.spark.sql.graft.JaroWinkler(col("_ta"), col("_tb")), 6))
+      .filter(col("jw") >= minJw)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
+
+  /** DuckDB oracle for [[jaroVerifiedPairs]] with docs bounded to
+    * `idCol < maxDocId`: exact pairwise ground truth at `candJaccard`
+    * (no LSH) re-scored with DuckDB's own `jaro_winkler_similarity` —
+    * the native expression is semantics-pinned to it bitwise, so a
+    * green gate proves both candidate recall AND metric parity.
+    */
+  def duckJaroVerifiedPairs(tbl: String, textCol: String, idCol: String,
+                            n: Int, candJaccard: Double, minJw: Double,
+                            maxDocId: Long): String =
+    s"""WITH ${duckPairCtes(tbl, textCol, idCol, n, s"$idCol < $maxDocId")},
+       |txt AS (SELECT $idCol AS id, $textCol AS t FROM $tbl WHERE $idCol < $maxDocId),
+       |v AS (SELECT p.id_a, p.id_b,
+       |             round(jaro_winkler_similarity(a.t, b.t), 6) AS jw
+       |      FROM p JOIN txt a ON p.id_a = a.id JOIN txt b ON p.id_b = b.id
+       |      WHERE p.jaccard >= $candJaccard)
+       |SELECT id_a, id_b, jw FROM v WHERE jw >= $minJw""".stripMargin
+
   /** Incremental (index) dedup: screen a NEW batch of documents against
     * an EXISTING corpus — the continuous-ingestion shape ("dedup the
     * daily crawl against the training set") where the corpus side is a

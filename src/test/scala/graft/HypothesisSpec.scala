@@ -61,6 +61,33 @@ class HypothesisSpec extends AnyFunSuite with SparkTestBase {
     assert(rd._3 == 1L && rd._5.isEmpty && rd._6.isEmpty)
   }
 
+  test("cuped: perfectly correlated covariate removes all variance; zero-variance guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def ev(rows: Seq[(Long, Long, Double)]) = rows
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"), col("value"))
+    // y = 2x exactly: θ = 2, var_y = 4, var_adj = 0, reduction = 1.
+    // pre events at t=5s (< 10s split), post at t=15s.
+    val perfect = ev(Seq(
+      (1L, 5L, 1.0), (1L, 15L, 2.0),
+      (2L, 5L, 2.0), (2L, 15L, 4.0),
+      (3L, 5L, 3.0), (3L, 15L, 6.0)))
+    val r = Hypothesis.cuped(perfect, "user_id", "ts", "value", splitMs = 10000L)
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(r == ((3L, Some(2.0), Some(4.0), Some(0.0), Some(1.0))))
+
+    // Constant covariate → var(x) = 0: θ/adjustment NULL, var_y kept.
+    val flat = ev(Seq(
+      (1L, 5L, 1.0), (1L, 15L, 1.0),
+      (2L, 5L, 1.0), (2L, 15L, 3.0)))
+    val rf = Hypothesis.cuped(flat, "user_id", "ts", "value", splitMs = 10000L)
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(rf == ((2L, None, Some(2.0), None, None)))
+  }
+
   test("ksTest: hand-worked ECDF gap, disjoint supports, empty side") {
     import spark.implicits._
     // a = [1,2,3], b = [2,3,4]: max gap 1/3 at v ∈ {1,2,3};

@@ -144,4 +144,33 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].head()
     assert(sig == 0L)
   }
+
+  test("JaroWinkler: DuckDB-pinned hand values, empty/null edges, codegen == interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.JaroWinkler
+    // Hand values read from DuckDB's jaro_winkler_similarity — the
+    // semantics pin (empty→0, 0.7 boost threshold, ⌊t/2⌋, prefix ≤ 4).
+    val cases = Seq(
+      ("martha", "marhta", 0.961111), ("dixon", "dicksonx", 0.813333),
+      ("dwayne", "duane", 0.84), ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0), ("a", "b", 0.0),
+      ("ab", "ba", 0.0), // window 0: adjacent transposition never matches
+      ("crate", "trace", 0.733333), // jaro > 0.7 but prefix 0 → no boost
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6), // prefix 4 but jaro ≤ 0.7 → NO boost
+      ("aaaaaabc", "aaaaaabd", 0.95)) // prefix capped at 4
+    val got = cases.toDF("a", "b", "exp")
+      .select(round(JaroWinkler(col("a"), col("b")), 6).as("jw"), col("exp"))
+      .as[(Double, Double)].collect()
+    got.zip(cases).foreach { case ((jw, exp), c) =>
+      assert(jw == exp, s"case $c: got $jw") }
+
+    // Null propagates; codegen (DataFrame path above) agrees with the
+    // interpreted eval entry point.
+    val nulls = Seq((Some("ab"), None: Option[String])).toDF("a", "b")
+      .select(JaroWinkler(col("a"), col("b")).as("jw"))
+    assert(nulls.filter(col("jw").isNull).count() == 1)
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(JaroWinkler.compute(UTF8String.fromString("martha"),
+      UTF8String.fromString("marhta")) == 0.9611111111111111)
+  }
 }
