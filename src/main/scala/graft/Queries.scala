@@ -1984,6 +1984,25 @@ object Queries {
       Some(Hypothesis.duckCuped(EvOracle, "user_id", "ts", "value",
         splitMs = EvCutoffMs))),
 
+    // Difference-in-differences over the deterministic 50/50 user
+    // split: treated-group post−pre change net of the control group's —
+    // four cells from ONE ungrouped exact-DECIMAL aggregate.
+    Entry("q_did",
+      (s, d) => Hypothesis.diffInDiff(t(s, d, "events"), "user_id", "ts",
+        "value", splitMs = EvCutoffMs),
+      Some(Hypothesis.duckDiffInDiff(EvOracle, "user_id", "ts", "value",
+        splitMs = EvCutoffMs))),
+
+    // Sample-ratio-mismatch: distinct users per assignment bucket vs
+    // uniform, goodness-of-fit χ² flagged at the χ²₁(α=0.001) critical
+    // value — the assignment-health check that gates every experiment
+    // read.
+    Entry("q_srm",
+      (s, d) => Hypothesis.srmCheck(t(s, d, "events"), "user_id",
+        nBuckets = 2, crit = 10.828),
+      Some(Hypothesis.duckSrmCheck(EvOracle, "user_id",
+        nBuckets = 2, crit = 10.828))),
+
     // Schema-on-read JSON property extraction + per-type aggregation
     // (from_json with a declared schema — codegen'd, no UDF).
     Entry("q_event_props",

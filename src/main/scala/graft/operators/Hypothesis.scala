@@ -367,6 +367,171 @@ object Hypothesis {
        |         round((covn * covn / varxn) / varyn, 6) END AS var_reduction
        |FROM v""".stripMargin
 
+  /** Difference-in-differences over a deterministic 50/50 unit split:
+    * the causal-inference counterpart of [[welchTTest]] when treatment
+    * rolls out at `splitMs` — the estimate is the post−pre change of
+    * the treated group NET of the control group's change,
+    *
+    *   DiD = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre),
+    *
+    * which cancels shared time trends a naive pre/post diff absorbs.
+    * Group assignment is [[Splits.bucketOf]](unit, 2) — the repo's
+    * cross-engine deterministic hash split — so both engines agree on
+    * membership without a stored assignment table.
+    *
+    * ONE ungrouped aggregate: 4 cell counts + 4 exact DECIMAL µ-sums;
+    * the four means and the DiD are one mirrored closed form.
+    *
+    * Output (one row): (n_treat_pre, n_treat_post, n_ctrl_pre,
+    * n_ctrl_post, mean_treat_pre, mean_treat_post, mean_ctrl_pre,
+    * mean_ctrl_post, did) — did NULL when any cell is empty.
+    */
+  def diffInDiff(df: DataFrame, unitCol: String, tsCol: String,
+                 valueCol: String, splitMs: Long): DataFrame = {
+    val micro = round(col(valueCol) * lit(1000000.0)).cast("long")
+    val treat = Splits.bucketOf(col(unitCol), 2) === 0
+    val pre = unix_micros(col(tsCol)) < splitMs * 1000L
+    def cell(c: Column) = (count(when(c, lit(1))), sum(when(c, d38(micro))))
+    val (ntp, stp) = cell(treat && pre)
+    val (nto, sto) = cell(treat && !pre)
+    val (ncp, scp) = cell(!treat && pre)
+    val (nco, sco) = cell(!treat && !pre)
+    val sums = df.filter(col(unitCol).isNotNull).agg(
+      ntp.as("n_treat_pre"), nto.as("n_treat_post"),
+      ncp.as("n_ctrl_pre"), nco.as("n_ctrl_post"),
+      stp.as("_stp"), sto.as("_sto"), scp.as("_scp"), sco.as("_sco"))
+    def mean(s: String, n: String) =
+      dbl(col(s)) / dbl(col(n)) / lit(1000000.0)
+    val allCells = col("n_treat_pre") > 0 && col("n_treat_post") > 0 &&
+      col("n_ctrl_pre") > 0 && col("n_ctrl_post") > 0
+    sums.select(
+      col("n_treat_pre"), col("n_treat_post"),
+      col("n_ctrl_pre"), col("n_ctrl_post"),
+      when(col("n_treat_pre") > 0,
+        round(mean("_stp", "n_treat_pre"), 6)).as("mean_treat_pre"),
+      when(col("n_treat_post") > 0,
+        round(mean("_sto", "n_treat_post"), 6)).as("mean_treat_post"),
+      when(col("n_ctrl_pre") > 0,
+        round(mean("_scp", "n_ctrl_pre"), 6)).as("mean_ctrl_pre"),
+      when(col("n_ctrl_post") > 0,
+        round(mean("_sco", "n_ctrl_post"), 6)).as("mean_ctrl_post"),
+      when(allCells,
+        round((mean("_sto", "n_treat_post") - mean("_stp", "n_treat_pre"))
+          - (mean("_sco", "n_ctrl_post") - mean("_scp", "n_ctrl_pre")), 6))
+        .as("did"))
+  }
+
+  /** DuckDB oracle twin of [[diffInDiff]]. */
+  def duckDiffInDiff(rel: String, unitCol: String, tsCol: String,
+                     valueCol: String, splitMs: Long): String = {
+    val treat = s"(${Splits.duckBucket(unitCol, 2)}) = 0"
+    s"""WITH b AS (
+       |  SELECT CAST(round($valueCol * 1000000.0) AS BIGINT) AS m,
+       |         $treat AS treat,
+       |         epoch_us($tsCol) < ${splitMs}000 AS pre
+       |  FROM $rel WHERE $unitCol IS NOT NULL),
+       |sums AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE treat AND pre) AS BIGINT) AS n_treat_pre,
+       |    CAST(count(*) FILTER (WHERE treat AND NOT pre) AS BIGINT) AS n_treat_post,
+       |    CAST(count(*) FILTER (WHERE NOT treat AND pre) AS BIGINT) AS n_ctrl_pre,
+       |    CAST(count(*) FILTER (WHERE NOT treat AND NOT pre) AS BIGINT) AS n_ctrl_post,
+       |    sum(CAST(m AS HUGEINT)) FILTER (WHERE treat AND pre) AS stp,
+       |    sum(CAST(m AS HUGEINT)) FILTER (WHERE treat AND NOT pre) AS sto,
+       |    sum(CAST(m AS HUGEINT)) FILTER (WHERE NOT treat AND pre) AS scp,
+       |    sum(CAST(m AS HUGEINT)) FILTER (WHERE NOT treat AND NOT pre) AS sco
+       |  FROM b)
+       |SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+       |  CASE WHEN n_treat_pre > 0 THEN round(CAST(stp AS DOUBLE)
+       |    / CAST(n_treat_pre AS DOUBLE) / 1000000.0, 6) END AS mean_treat_pre,
+       |  CASE WHEN n_treat_post > 0 THEN round(CAST(sto AS DOUBLE)
+       |    / CAST(n_treat_post AS DOUBLE) / 1000000.0, 6) END AS mean_treat_post,
+       |  CASE WHEN n_ctrl_pre > 0 THEN round(CAST(scp AS DOUBLE)
+       |    / CAST(n_ctrl_pre AS DOUBLE) / 1000000.0, 6) END AS mean_ctrl_pre,
+       |  CASE WHEN n_ctrl_post > 0 THEN round(CAST(sco AS DOUBLE)
+       |    / CAST(n_ctrl_post AS DOUBLE) / 1000000.0, 6) END AS mean_ctrl_post,
+       |  CASE WHEN n_treat_pre > 0 AND n_treat_post > 0
+       |        AND n_ctrl_pre > 0 AND n_ctrl_post > 0 THEN
+       |    round((CAST(sto AS DOUBLE) / CAST(n_treat_post AS DOUBLE) / 1000000.0
+       |           - CAST(stp AS DOUBLE) / CAST(n_treat_pre AS DOUBLE) / 1000000.0)
+       |          - (CAST(sco AS DOUBLE) / CAST(n_ctrl_post AS DOUBLE) / 1000000.0
+       |             - CAST(scp AS DOUBLE) / CAST(n_ctrl_pre AS DOUBLE) / 1000000.0), 6)
+       |  END AS did
+       |FROM sums""".stripMargin
+  }
+
+  /** Sample-ratio-mismatch (SRM) check — the experiment-health gate
+    * every A/B platform runs before reading results: distinct UNITS per
+    * assignment bucket vs the uniform expectation n/k, goodness-of-fit
+    *
+    *   χ² = Σ_{b=0..k−1} (o_b − n/k)²/(n/k) = Σ (o_b·k − n)² / (n·k),
+    *
+    * flagged when χ² exceeds the caller's critical value (pass the
+    * χ²_{k−1} quantile for the chosen α — e.g. 10.828 at α=0.001,
+    * k=2). A fired SRM means the assignment/logging pipeline is biased
+    * and every downstream metric is suspect. All k buckets contribute,
+    * absent ones at o=0 (the [[chiSquared]] spine discipline); per-
+    * bucket terms µ-requantize so the sum is order-independent.
+    *
+    * Scale shape: one unit-distinct aggregate (map-side combinable) to
+    * k rows, then a k-row spine join.
+    *
+    * Output (one row): (n_units, n_buckets, dof, chi2, srm).
+    */
+  def srmCheck(df: DataFrame, unitCol: String, nBuckets: Int,
+               crit: Double): DataFrame = {
+    require(nBuckets >= 2, "srmCheck: need at least two buckets")
+    val byB = df.filter(col(unitCol).isNotNull)
+      .select(col(unitCol)).distinct()
+      .groupBy(Splits.bucketOf(col(unitCol), nBuckets).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val spine = df.sparkSession.range(nBuckets).select(col("id").as("_b"))
+    val cells = spine.join(byB, Seq("_b"), "left")
+      .select(coalesce(col("_o"), lit(0L)).as("_o"))
+      .crossJoin(byB.agg(sum(col("_o")).as("_n")))
+    val diff = dbl(d38(col("_o")) * lit(nBuckets.toLong) - d38(col("_n")))
+    val contrib = diff * diff / (dbl(col("_n")) * lit(nBuckets.toDouble))
+    cells
+      .select(col("_n"),
+        round(contrib * lit(1000000.0)).cast("long").as("_cm"))
+      .groupBy(col("_n"))
+      .agg(sum(col("_cm")).as("_chi2m"))
+      .select(
+        col("_n").as("n_units"),
+        lit(nBuckets.toLong).as("n_buckets"),
+        lit(nBuckets - 1L).as("dof"),
+        round(dbl(col("_chi2m")) / lit(1000000.0), 6).as("chi2"),
+        (dbl(col("_chi2m")) / lit(1000000.0) > crit).as("srm"))
+  }
+
+  /** DuckDB oracle twin of [[srmCheck]]. */
+  def duckSrmCheck(rel: String, unitCol: String, nBuckets: Int,
+                   crit: Double): String =
+    s"""WITH u AS (SELECT DISTINCT $unitCol AS uid FROM $rel
+       |           WHERE $unitCol IS NOT NULL),
+       |byb AS (SELECT ${Splits.duckBucket("uid", nBuckets)} AS b,
+       |               CAST(count(*) AS BIGINT) AS o
+       |        FROM u GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM byb),
+       |cells AS (
+       |  SELECT coalesce(byb.o, 0) AS o, tot.n
+       |  FROM range(0, $nBuckets) r(b) LEFT JOIN byb ON byb.b = r.b
+       |  CROSS JOIN tot),
+       |cm AS (
+       |  SELECT n, CAST(round(
+       |    CAST(CAST(o AS HUGEINT) * $nBuckets - CAST(n AS HUGEINT) AS DOUBLE)
+       |    * CAST(CAST(o AS HUGEINT) * $nBuckets - CAST(n AS HUGEINT) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * ${nBuckets.toDouble})
+       |    * 1000000.0) AS BIGINT) AS cmicro
+       |  FROM cells),
+       |agg AS (SELECT n, CAST(sum(cmicro) AS BIGINT) AS chi2m FROM cm GROUP BY 1)
+       |SELECT n AS n_units,
+       |       CAST($nBuckets AS BIGINT) AS n_buckets,
+       |       CAST(${nBuckets - 1} AS BIGINT) AS dof,
+       |       round(CAST(chi2m AS DOUBLE) / 1000000.0, 6) AS chi2,
+       |       CAST(chi2m AS DOUBLE) / 1000000.0 > $crit AS srm
+       |FROM agg""".stripMargin
+
   /** DuckDB oracle twin of [[ksTest]]. */
   def duckKsTest(rel: String, valueCol: String, groupCol: String,
                  a: String, b: String): String =

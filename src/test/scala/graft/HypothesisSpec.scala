@@ -88,6 +88,67 @@ class HypothesisSpec extends AnyFunSuite with SparkTestBase {
     assert(rf == ((2L, None, Some(2.0), None, None)))
   }
 
+  test("diffInDiff: cells partition rows, did matches the four recomputed means") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.operators.Splits
+    // Assignment is the deterministic hash split — discover each id's
+    // arm, then hand-build a frame with a known per-cell structure.
+    val ids = (1L to 40L)
+    val arm = Seq(ids: _*).toDF("id")
+      .select(col("id"), Splits.bucketOf(col("id"), 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val treated = ids.filter(arm(_) == 0L).take(3)
+    val control = ids.filter(arm(_) == 1L).take(3)
+    assert(treated.size == 3 && control.size == 3)
+    // treat: pre 1.0, post 3.0 (lift 2); control: pre 1.0, post 1.5
+    // (trend 0.5) → DiD = 1.5.
+    val rows = treated.flatMap(u => Seq((u, 5L, 1.0), (u, 15L, 3.0))) ++
+      control.flatMap(u => Seq((u, 5L, 1.0), (u, 15L, 1.5)))
+    val df = rows.toDF("user_id", "sec", "value")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"), col("value"))
+    val r = Hypothesis.diffInDiff(df, "user_id", "ts", "value", splitMs = 10000L)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Double], Option[Double])].head()
+    assert(r == ((3L, 3L, 3L, 3L, Some(1.0), Some(3.0), Some(1.0),
+      Some(1.5), Some(1.5))))
+
+    // An empty cell (no control-post rows) → NULL did, cells reported.
+    val partial = (treated.map(u => (u, 5L, 1.0))
+      ++ treated.map(u => (u, 15L, 3.0)) ++ control.map(u => (u, 5L, 1.0)))
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"), col("value"))
+    val rp = Hypothesis.diffInDiff(partial, "user_id", "ts", "value",
+      splitMs = 10000L)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Double], Option[Double])].head()
+    assert(rp._4 == 0L && rp._9.isEmpty)
+  }
+
+  test("srmCheck: balanced split passes, one-armed assignment fires") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Splits
+    val ids = (1L to 200L)
+    val arm = Seq(ids: _*).toDF("id")
+      .select(col("id"), Splits.bucketOf(col("id"), 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // Exactly balanced by construction: 10 units per arm → χ² = 0.
+    val bal = (ids.filter(arm(_) == 0L).take(10)
+      ++ ids.filter(arm(_) == 1L).take(10)).toDF("user_id")
+    val rb = Hypothesis.srmCheck(bal, "user_id", nBuckets = 2, crit = 10.828)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(rb == ((20L, 2L, 1L, 0.0, false)))
+
+    // Every unit in one arm: χ² = n = 20 > 10.828 → SRM fires. Repeated
+    // events per unit must not inflate the count (distinct units).
+    val one = ids.filter(arm(_) == 0L).take(20)
+    val oneArm = (one ++ one).toDF("user_id") // duplicate rows
+    val ro = Hypothesis.srmCheck(oneArm, "user_id", nBuckets = 2, crit = 10.828)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(ro == ((20L, 2L, 1L, 20.0, true)))
+  }
+
   test("ksTest: hand-worked ECDF gap, disjoint supports, empty side") {
     import spark.implicits._
     // a = [1,2,3], b = [2,3,4]: max gap 1/3 at v ∈ {1,2,3};
