@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Hypothesis, Idf, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Hypothesis, Idf, KCore, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1944,6 +1944,16 @@ object Queries {
         "event_type"),
       Some(EventStats.duckMadOutliers(EvOracle, "ts", "event_type"))),
 
+    // Exact per-type trimmed/winsorized means at 5% — robust location
+    // next to q_mad_outliers' robust dispersion: integer partial-
+    // inclusion at the cut ranks over the per-type distinct-value
+    // table, no float rank interpolation.
+    Entry("q_trimmed",
+      (s, d) => EventStats.trimmedStats(t(s, d, "events"), "event_type",
+        "value", trimPct = 5),
+      Some(EventStats.duckTrimmedStats(EvOracle, "event_type", "value",
+        trimPct = 5))),
+
     // Welch two-sample t-test: purchase vs click order values — the
     // A/B-experiment decision statistic. One 6-sum map-side aggregate
     // (exact DECIMAL sums of micro-units and their squares); t/df are
@@ -2754,6 +2764,25 @@ object Queries {
     // randomized algorithm bit-deterministic; 3 iterations, per-
     // iteration shape is one src join + one (dst,label) agg + one
     // neighbor-label-table top-1 window.
+    // k-core extraction over the co-purchase graph: 12 fixed peel
+    // rounds (covers the measured sf0.01 peel depth of 10; peeling is
+    // monotone, so extra rounds are no-ops and the unrolled oracle
+    // computes the identical prefix regardless of convergence).
+    Entry("q_kcore",
+      (s, d) => {
+        val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2)
+        val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+          .union(pairs.select(col("item_b"), col("item_a")))
+        KCore.coreMembers(edges, "src", "dst", k = 3, iters = 12)
+      },
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |e AS (SELECT item_a AS src, item_b AS dst FROM pairs
+              |      UNION ALL SELECT item_b, item_a FROM pairs),
+              |${KCore.duckCoreCtes("e", k = 3, iters = 12)}
+              |${KCore.duckCoreSelect(k = 3, iters = 12)}""".stripMargin)),
+
     Entry("q_label_prop",
       (s, d) => {
         val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),

@@ -772,4 +772,121 @@ object EventStats {
        |       min(k) AS min_k, max(k) AS max_k,
        |       round(CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE), 6) AS avg_k
        |FROM p GROUP BY 1""".stripMargin
+
+  /** Exact per-group trimmed and winsorized means — the robust location
+    * estimates a heavy-tailed metric needs next to [[madOutliers]]'s
+    * dispersion view: trim drops the lowest/highest `trimPct`% of rows,
+    * winsorize CLAMPS them to the cut values instead.
+    *
+    * Entirely integer arithmetic on the per-(group, distinct-µ-value)
+    * count table: with cumulative row ranges [cb, cb+c) per value and
+    * tl = ⌊n·trimPct/100⌋ rows trimmed per side, each value contributes
+    * `overlap([cb, cb+c), [tl, n−tl))` rows to the trimmed sum — exact
+    * partial inclusion at the cut boundaries, no float rank
+    * interpolation, identical in both engines. The winsorized sum adds
+    * tl copies of each cut value. ONE final double division per mean.
+    *
+    * Scale shape: one map-side-combinable (group, value) aggregate;
+    * the cumulative window runs per group over its distinct values
+    * only (the [[Eval.aucRankSum]] discipline).
+    *
+    * Output: (groupCol, n, trim_n, lo_cut, hi_cut, mean, trimmed_mean,
+    * winsorized_mean) — robust means NULL when the trim empties the
+    * middle (n ≤ 2·tl).
+    */
+  def trimmedStats(df: DataFrame, groupCol: String, valueCol: String,
+                   trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"trimPct=$trimPct out of [0,50)")
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val micro = round(col(valueCol) * lit(1000000.0)).cast("long")
+    val byVal = df
+      .groupBy(col(groupCol).as("g"), micro.as("_m"))
+      .agg(count(lit(1)).as("_c"))
+    val before = Window.partitionBy(col("g")).orderBy(col("_m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byVal
+      .withColumn("_cb", coalesce(sum(col("_c")).over(before), lit(0L)))
+    val agg = cum
+      .groupBy(col("g"))
+      .agg(sum(col("_c")).as("n"), sum(d38(col("_m")) * d38(col("_c"))).as("_s"),
+        // deferred: per-value overlap with the kept rank range needs n,
+        // so collect the tiny (value, count, cumBefore) triple list and
+        // fold — distinct-values-sized per group, the days-series
+        // pattern.
+        sort_array(collect_list(struct(col("_m"), col("_c"), col("_cb"))))
+          .as("_l"))
+      .withColumn("_tl", expr(s"(n * $trimPct) div 100"))
+    val kept = (s: org.apache.spark.sql.Column) => {
+      val lo = greatest(s.getField("_cb"), col("_tl"))
+      val hi = least(s.getField("_cb") + s.getField("_c"), col("n") - col("_tl"))
+      greatest(hi - lo, lit(0L))
+    }
+    val folded = agg
+      .withColumn("_ts", aggregate(col("_l"), lit(0L).cast("decimal(38,0)"),
+        (acc, s) => acc + d38(s.getField("_m")) * d38(kept(s))))
+      .withColumn("_lo", aggregate(col("_l"), lit(null).cast("long"),
+        (acc, s) => coalesce(acc,
+          when(s.getField("_cb") + s.getField("_c") > col("_tl"),
+            s.getField("_m")))))
+      .withColumn("_hi", aggregate(col("_l"), lit(null).cast("long"),
+        (acc, s) => coalesce(
+          when(s.getField("_cb") < col("n") - col("_tl"), s.getField("_m")),
+          acc)))
+    val trimN = col("n") - lit(2L) * col("_tl")
+    val ok = trimN > 0
+    folded.select(
+      col("g").as(groupCol), col("n"), trimN.as("trim_n"),
+      when(ok, round(col("_lo").cast("double") / 1e6, 6)).as("lo_cut"),
+      when(ok, round(col("_hi").cast("double") / 1e6, 6)).as("hi_cut"),
+      round(col("_s").cast("double") / col("n").cast("double") / 1e6, 6)
+        .as("mean"),
+      when(ok, round(col("_ts").cast("double") / trimN.cast("double") / 1e6, 6))
+        .as("trimmed_mean"),
+      when(ok, round(
+        (col("_ts").cast("double")
+          + col("_tl").cast("double") * col("_lo").cast("double")
+          + col("_tl").cast("double") * col("_hi").cast("double"))
+          / col("n").cast("double") / 1e6, 6)).as("winsorized_mean"))
+  }
+
+  /** DuckDB oracle twin of [[trimmedStats]]. */
+  def duckTrimmedStats(rel: String, groupCol: String, valueCol: String,
+                       trimPct: Int): String =
+    s"""WITH byval AS (
+       |  SELECT $groupCol AS g, CAST(round($valueCol * 1000000.0) AS BIGINT) AS m,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM $rel GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, m, c,
+       |         coalesce(sum(c) OVER (PARTITION BY g ORDER BY m
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |         sum(c) OVER (PARTITION BY g) AS n
+       |  FROM byval),
+       |t AS (SELECT *, (n * $trimPct) // 100 AS tl,
+       |             greatest(least(cb + c, n - (n * $trimPct) // 100)
+       |                      - greatest(cb, (n * $trimPct) // 100), 0) AS kc
+       |      FROM cum),
+       |agg AS (
+       |  SELECT g, CAST(max(n) AS BIGINT) AS n, CAST(max(tl) AS BIGINT) AS tl,
+       |         sum(CAST(m AS HUGEINT) * CAST(c AS HUGEINT)) AS s,
+       |         sum(CAST(m AS HUGEINT) * CAST(kc AS HUGEINT)) AS ts,
+       |         min(m) FILTER (WHERE cb + c > tl) AS lo,
+       |         max(m) FILTER (WHERE cb < n - tl) AS hi
+       |  FROM t GROUP BY 1)
+       |SELECT g AS $groupCol, n, n - 2 * tl AS trim_n,
+       |       CASE WHEN n - 2 * tl > 0 THEN
+       |         round(CAST(lo AS DOUBLE) / 1e6, 6) END AS lo_cut,
+       |       CASE WHEN n - 2 * tl > 0 THEN
+       |         round(CAST(hi AS DOUBLE) / 1e6, 6) END AS hi_cut,
+       |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+       |       CASE WHEN n - 2 * tl > 0 THEN
+       |         round(CAST(ts AS DOUBLE) / CAST(n - 2 * tl AS DOUBLE) / 1e6, 6)
+       |       END AS trimmed_mean,
+       |       CASE WHEN n - 2 * tl > 0 THEN
+       |         round((CAST(ts AS DOUBLE)
+       |                + CAST(tl AS DOUBLE) * CAST(lo AS DOUBLE)
+       |                + CAST(tl AS DOUBLE) * CAST(hi AS DOUBLE))
+       |               / CAST(n AS DOUBLE) / 1e6, 6)
+       |       END AS winsorized_mean
+       |FROM agg""".stripMargin
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition (fixed-round peeling) — the graph-density
+  * member of the graph family next to [[Triangles]] and [[LabelProp]]:
+  * the k-core is the maximal subgraph where every node keeps degree
+  * ≥ k, the standard "dense cohesive region" extraction (spam rings,
+  * power-user cliques, co-purchase cores) that percolates OUT low-
+  * engagement periphery a plain degree filter would keep (dropping a
+  * node can drag its neighbors below k — peeling is inherently
+  * iterative).
+  *
+  * Fixed `iters` peel rounds (the [[LabelProp.communities]] posture:
+  * data-independent round count so the oracle can unroll the exact
+  * same computation): each round computes surviving degrees and
+  * semi-join-filters both edge endpoints against the ≥ k survivors.
+  * Peeling is monotone — once stable, further rounds are no-ops — so
+  * `iters` only needs to cover the peel DEPTH (longest chain of
+  * cascading removals), not the node count.
+  *
+  * Input edges must be SYMMETRIC (both directions present, the
+  * [[PageRank.ranks]] convention); self-loops and duplicate edges are
+  * dropped. Scale shape per round: one map-side-combinable degree
+  * aggregate + two semi joins against the (node-sized, typically
+  * broadcastable) survivor set; lineage is checkpoint-cut per round
+  * like every iterative operator here.
+  *
+  * Output: (node, degree) for k-core members, degree = within-core
+  * degree after `iters` rounds.
+  */
+object KCore {
+
+  def coreMembers(edges: DataFrame, srcCol: String, dstCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"kCore: bad k=$k")
+    require(iters >= 1, s"kCore: bad iters=$iters")
+    var e = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s") =!= col("_d"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val keep = e.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k)
+        .select(col("_s").as("_keep"))
+      e = e
+        .join(keep.select(col("_keep").as("_s")), Seq("_s"), "left_semi")
+        .join(keep.select(col("_keep").as("_d")), Seq("_d"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("_s").as("node")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
+
+  /** DuckDB CTE chain for [[coreMembers]] (the [[PageRank.duckRankCtes]]
+    * convention: caller embeds it in a WITH and appends
+    * [[duckCoreSelect]]): the identical peel unrolled as `iters` CTE
+    * rounds over `edgesRel` (columns `src`, `dst`, symmetric).
+    */
+  def duckCoreCtes(edgesRel: String, k: Int, iters: Int): String = {
+    // AS MATERIALIZED: every round references the previous one three
+    // times (degree count + both endpoint joins) — inlined, the
+    // expansion is 3^iters re-reads of the base scan and DuckDB runs
+    // out of file handles before it runs out of patience.
+    val e0 =
+      s"""ke0 AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM $edgesRel WHERE src <> dst)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""kk$i AS MATERIALIZED (
+         |  SELECT src FROM ke${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |ke$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM ke${i - 1} e
+         |  JOIN kk$i a ON e.src = a.src
+         |  JOIN kk$i b ON e.dst = b.src)""".stripMargin
+    }
+    (e0 +: rounds).mkString(",\n")
+  }
+
+  /** Final SELECT over [[duckCoreCtes]]'s last round. */
+  def duckCoreSelect(k: Int, iters: Int): String =
+    s"""SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM ke$iters GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+}

@@ -237,4 +237,31 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("a") == ((5L, 2.0, 1.0, 1L)))
     assert(out("b") == ((3L, 3.0, 0.0, 0L)))
   }
+
+  test("trimmedStats: partial inclusion at cut ranks, outlier clamping, trim 0") {
+    import spark.implicits._
+    // [1,1,1,2,3,4,100] at 20% → tl=1, kept ranks [1,6):
+    // trimmed = (1·2 + 2 + 3 + 4)/5 = 2.2 (the duplicate value 1 is
+    // PARTIALLY kept — 2 of its 3 rows); winsorized = (11 + 1 + 4)/7;
+    // the 100 outlier clamps to hi_cut 4.
+    val df = (Seq(1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _))
+      ++ Seq(5.0).map(("b", _))).toDF("g", "v")
+    val r = graft.operators.EventStats.trimmedStats(df, "g", "v", trimPct = 20)
+      .as[(String, Long, Long, Option[Double], Option[Double], Double,
+           Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("a") == (("a", 7L, 5L, Some(1.0), Some(4.0), 16.0,
+      Some(2.2), Some(2.285714))))
+    // Single row: tl = 0, every estimate collapses to the value.
+    assert(r("b") == (("b", 1L, 1L, Some(5.0), Some(5.0), 5.0,
+      Some(5.0), Some(5.0))))
+
+    // trim 0 keeps everything: all three means equal.
+    val rz = graft.operators.EventStats.trimmedStats(df, "g", "v", trimPct = 0)
+      .as[(String, Long, Long, Option[Double], Option[Double], Double,
+           Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(rz("a")._6 == 16.0 && rz("a")._7.contains(16.0)
+      && rz("a")._8.contains(16.0))
+  }
 }

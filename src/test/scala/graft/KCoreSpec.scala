@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.KCore
+
+class KCoreSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("coreMembers: pendant chain peels off, the clique survives with core degrees") {
+    // 4-clique {1,2,3,4} + chain 4–5–6. k=3: 5 and 6 drop in round 1,
+    // node 4's degree falls back to 3 and the clique is stable.
+    val edges = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val core = KCore.coreMembers(edges, "src", "dst", k = 3, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("coreMembers: peeling cascades — a path dissolves round by round at k=2") {
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // Round 1 drops the endpoints; the output's own ≥ k filter then
+    // hides the now-deficient 2 and 4 (it reports CURRENT core
+    // candidates, matching the oracle's final HAVING) — only 3 shows.
+    val r1 = KCore.coreMembers(path, "src", "dst", k = 2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(3L -> 2L))
+    // By round 3 the cascade has consumed everything: a plain degree
+    // filter would wrongly keep {2,3,4}.
+    assert(KCore.coreMembers(path, "src", "dst", k = 2, iters = 3).count() == 0)
+  }
+
+  test("coreMembers: self-loops and duplicate edges don't inflate degrees") {
+    val edges = sym((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L))
+      .union(Seq((1L, 1L)).toDF("src", "dst"))
+    val core = KCore.coreMembers(edges, "src", "dst", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+}
