@@ -1944,6 +1944,16 @@ object Queries {
         "event_type"),
       Some(EventStats.duckMadOutliers(EvOracle, "ts", "event_type"))),
 
+    // Holt double-exponential smoothing: per-type level + trend with a
+    // one-step-ahead forecast — the capacity-planning line next to
+    // q_ewma's level-only tracker; day-sorted left fold, op order
+    // mirrored in the recursive-CTE oracle.
+    Entry("q_holt",
+      (s, d) => EventStats.holtDaily(t(s, d, "events"), "ts",
+        "event_type", alpha = 0.5, beta = 0.3),
+      Some(EventStats.duckHoltDaily(EvOracle, "ts", "event_type",
+        alpha = 0.5, beta = 0.3))),
+
     // Exact per-type trimmed/winsorized means at 5% — robust location
     // next to q_mad_outliers' robust dispersion: integer partial-
     // inclusion at the cut ranks over the per-type distinct-value
@@ -2764,6 +2774,32 @@ object Queries {
     // randomized algorithm bit-deterministic; 3 iterations, per-
     // iteration shape is one src join + one (dst,label) agg + one
     // neighbor-label-table top-1 window.
+    // Personalized PageRank (random walk with restart) from the two
+    // smallest co-purchase nodes — "customers who bought X…"
+    // relatedness; same fixed-point integer iteration as q_pagerank
+    // with teleport mass restricted to the seed set.
+    Entry("q_ppr",
+      (s, d) => {
+        val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2)
+        val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+          .union(pairs.select(col("item_b"), col("item_a")))
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst"))).distinct()
+          .orderBy(col("node")).limit(2)
+        PageRank.personalized(edges, "src", "dst", seeds, "node", iters = 4)
+      },
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |e AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM pairs
+              |      UNION ALL SELECT item_b, item_a FROM pairs),
+              |sd AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+              |       ORDER BY 1 LIMIT 2),
+              |${PageRank.duckPersonalizedCtes("e", "src", "dst",
+                 "SELECT node FROM sd", iters = 4)}
+              |SELECT node, round(CAST(r AS DOUBLE) / ${PageRank.DefaultScale}.0, 6) AS rank
+              |FROM pr4""".stripMargin)),
+
     // k-core extraction over the co-purchase graph: 12 fixed peel
     // rounds (covers the measured sf0.01 peel depth of 10; peeling is
     // monotone, so extra rounds are no-ops and the unrolled oracle
@@ -2894,6 +2930,15 @@ object Queries {
         Seq("c_nationkey", "c_mktsegment", "floor(c_acctbal / 1000)")),
       Some(Profile.duckKAnonymity("customer",
         Seq("c_nationkey", "c_mktsegment", "floor(c_acctbal / 1000)")))),
+
+    // l-diversity gate next to q_kanon: per-QI-class distinct sensitive
+    // values (market segment as the sensitive attribute) — l=1 classes
+    // are the homogeneity-attack risk mass a k-only report misses.
+    Entry("q_ldiversity",
+      (s, d) => Profile.lDiversity(t(s, d, "customer"),
+        Seq("c_nationkey", "floor(c_acctbal / 1000)"), "c_mktsegment"),
+      Some(Profile.duckLDiversity("customer",
+        Seq("c_nationkey", "floor(c_acctbal / 1000)"), "c_mktsegment"))),
 
     // CUSUM change-point gate: fixed-point integer sequential test over
     // per-type daily volume (accumulates small persistent drifts the

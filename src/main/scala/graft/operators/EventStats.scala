@@ -400,6 +400,95 @@ object EventStats {
        |       round(ewma, 6) AS ewma
        |FROM f""".stripMargin
 
+  /** Holt double-exponential smoothing over the per-type daily series —
+    * the FORECASTING member next to [[ewmaDaily]] (which tracks level
+    * only and lags every trend): level and trend co-evolve,
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * seeded l_1 = x_1, b_1 = 0; the one-step-ahead forecast from day t
+    * is l_t + b_t — the "what should tomorrow's volume be" line that
+    * capacity alerts compare against.
+    *
+    * Cross-engine determinism: the recurrence is a LEFT FOLD over each
+    * type's day-sorted series with the identical double operation
+    * order in the oracle's recursive CTE (the [[ewmaDaily]] posture);
+    * missing days are ABSENT, not zero-filled.
+    *
+    * Scale shape: one (type, day) map-side exchange, then a per-type
+    * fold over its tiny day series.
+    * Output: (event_type, day, n, level, trend, forecast).
+    */
+  def holtDaily(events: DataFrame, tsCol: String, typeCol: String,
+                alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"holtDaily: bad alpha=$alpha / beta=$beta")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_y"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("_d").as("_day"),
+        col("_y").as("_n")))).as("_s"))
+    val init = struct(lit(Double.NaN).as("pl"), lit(0.0).as("pb"),
+      array().cast("array<struct<l:double,b:double>>").as("out"))
+    val folded = series.withColumn("_st",
+      aggregate(col("_s"), init, (s, e) => {
+        val x = e.getField("_n").cast("double")
+        val first = isnan(s.getField("pl"))
+        val l = when(first, x)
+          .otherwise(lit(alpha) * x
+            + lit(1.0 - alpha) * (s.getField("pl") + s.getField("pb")))
+        val b = when(first, lit(0.0))
+          .otherwise(lit(beta) * (l - s.getField("pl"))
+            + lit(1.0 - beta) * s.getField("pb"))
+        struct(l.as("pl"), b.as("pb"),
+          concat(s.getField("out"),
+            array(struct(l.as("l"), b.as("b")))).as("out"))
+      }))
+    folded
+      .select(col("event_type"),
+        explode(arrays_zip(col("_s"), col("_st.out"))).as("_z"))
+      .select(col("event_type"), col("_z._s._day").as("day"),
+        col("_z._s._n").as("n"),
+        round(col("_z.out.l"), 6).as("level"),
+        round(col("_z.out.b"), 6).as("trend"),
+        // forecast from the ROUNDED level/trend: the raw l+b can land
+        // exactly on a 0.5e-6 boundary where the two engines' round()
+        // disagree by 1 ulp; a sum of two 6-dp values never does.
+        round(round(col("_z.out.l"), 6) + round(col("_z.out.b"), 6), 6)
+          .as("forecast"))
+  }
+
+  /** DuckDB oracle twin of [[holtDaily]] — the identical double
+    * recurrence as a recursive CTE over each type's day rank (the new
+    * level expression is inlined into the trend update so both engines
+    * evaluate the same operations in the same order).
+    */
+  def duckHoltDaily(rel: String, tsCol: String, typeCol: String,
+                    alpha: Double, beta: Double): String = {
+    val lNew = s"$alpha * CAST(r.n AS DOUBLE) + ${1.0 - alpha} * (f.l + f.b)"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+       |         count(*) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |        ORDER BY day ASC) AS rk FROM daily),
+       |f AS (
+       |  SELECT event_type, day, n, rk,
+       |         CAST(n AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+       |  FROM r WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.day, r.n, r.rk,
+       |         $lNew,
+       |         $beta * (($lNew) - f.l) + ${1.0 - beta} * f.b
+       |  FROM f JOIN r ON r.event_type = f.event_type AND r.rk = f.rk + 1)
+       |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       |       round(l, 6) AS level, round(b, 6) AS trend,
+       |       round(round(l, 6) + round(b, 6), 6) AS forecast
+       |FROM f""".stripMargin
+  }
+
   /** FIRST-ORDER TRANSITION MATRIX over per-user event sequences: for
     * each ordered pair of event types, how often does `from` lead
     * directly to `to`, and with what conditional probability — the

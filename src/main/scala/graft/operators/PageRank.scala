@@ -81,6 +81,99 @@ object PageRank {
       round(col("_r").cast("double") / lit(scale.toDouble), 6).as("rank"))
   }
 
+  /** PERSONALIZED PageRank: teleport mass restarts at the `seeds` set
+    * instead of uniformly — rank becomes "relatedness to the seeds"
+    * (random walk with restart), the item-to-item recommendation
+    * primitive ("customers who bought X…") next to [[ranks]]' global
+    * centrality. Same fixed-point integer arithmetic, same
+    * per-iteration join/agg shape; the only changes are the start
+    * vector (scale div |seeds| on seeds, 0 elsewhere) and the teleport
+    * term (seeds only). Seeds outside the graph are ignored; the seed
+    * count enters the plan as a broadcast 1-row aggregate, never
+    * driver-side.
+    *
+    * Output: (node, rank) over ALL graph nodes (unreached nodes rank
+    * 0 — the caller top-k's per use case).
+    */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, iters: Int,
+                   dampPct: Long = 85L, scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 0 && dampPct >= 0 && dampPct <= 100,
+      s"personalized: bad iters=$iters / dampPct=$dampPct")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct()
+    val seed = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    val flagged = nodes
+      .join(seed.withColumn("_s", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("_s").isNotNull.as("_isSeed"))
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("_src").as("node"))
+      .agg(count(lit(1)).as("_outdeg")).localCheckpoint()
+    val ns = seed.agg(count(lit(1)).as("_ns"))
+    def teleport(mass: String) =
+      when(col("_isSeed"), expr(s"($mass) div _ns")).otherwise(lit(0L))
+    var ranks = flagged.crossJoin(broadcast(ns))
+      .select(col("node"), teleport(s"$scale").as("_r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "_src"), "_src")
+        .join(outdeg.withColumnRenamed("node", "_src"), "_src")
+        .groupBy(col("_dst").as("node"))
+        .agg(sum(expr("_r div _outdeg")).as("_in"))
+      ranks = flagged.crossJoin(broadcast(ns))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (teleport(s"($scale * ${100 - dampPct}) div 100")
+            + expr(s"($dampPct * coalesce(_in, 0L)) div 100")).as("_r"))
+    }
+    ranks.select(col("node"),
+      round(col("_r").cast("double") / lit(scale.toDouble), 6).as("rank"))
+  }
+
+  /** DuckDB CTE chain for [[personalized]] (the [[duckRankCtes]]
+    * convention): `seedsRel` exposes a `node` column; declares
+    * `${p}pnodes`, `${p}pseed`, `${p}pdeg`, `${p}pns`,
+    * `${p}pr0` … `${p}pr{iters}`.
+    */
+  def duckPersonalizedCtes(edgesRel: String, srcCol: String, dstCol: String,
+                           seedsRel: String, iters: Int,
+                           dampPct: Long = 85L, scale: Long = DefaultScale,
+                           p: String = ""): String = {
+    val tele = s"(($scale * ${100 - dampPct}) // 100) // ns.n"
+    val iterCtes = (1 to iters).map { k =>
+      s"""${p}pr$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CASE WHEN n.isseed THEN $tele ELSE 0 END
+         |         + CAST(($dampPct * COALESCE(s.i, 0)) // 100 AS BIGINT) AS r
+         |  FROM ${p}pnodes n CROSS JOIN ${p}pns ns
+         |  LEFT JOIN (SELECT e.$dstCol AS node, sum(r.r // d.outdeg) AS i
+         |             FROM $edgesRel e
+         |               JOIN ${p}pr${k - 1} r ON r.node = e.$srcCol
+         |               JOIN ${p}pdeg d ON d.node = e.$srcCol
+         |             GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }
+    (Seq(
+      s"""${p}pseed AS MATERIALIZED (
+         |  SELECT DISTINCT s.node FROM ($seedsRel) s
+         |  WHERE s.node IN (SELECT $srcCol FROM $edgesRel
+         |                   UNION SELECT $dstCol FROM $edgesRel))""".stripMargin,
+      s"""${p}pnodes AS MATERIALIZED (
+         |  SELECT node, node IN (SELECT node FROM ${p}pseed) AS isseed FROM
+         |  (SELECT DISTINCT $srcCol AS node FROM $edgesRel
+         |   UNION SELECT DISTINCT $dstCol FROM $edgesRel))""".stripMargin,
+      s"""${p}pdeg AS MATERIALIZED (
+         |  SELECT $srcCol AS node, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM $edgesRel GROUP BY 1)""".stripMargin,
+      s"${p}pns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ${p}pseed)",
+      s"""${p}pr0 AS (
+         |  SELECT node, CASE WHEN isseed THEN $scale // ns.n ELSE 0 END AS r
+         |  FROM ${p}pnodes CROSS JOIN ${p}pns ns)""".stripMargin
+    ) ++ iterCtes).mkString(",\n")
+  }
+
   /** DuckDB CTE chain for [[ranks]] over an edge relation (must expose
     * `srcCol`, `dstCol`): declares `${p}nodes`, `${p}deg`, `${p}nn`,
     * `${p}r0` … `${p}r{iters}` — read

@@ -342,6 +342,60 @@ object Profile {
        |      GROUP BY k)""".stripMargin
   }
 
+  /** Distinct-l-diversity next to [[kAnonymity]]: a k-anonymous class
+    * is still attack-open when everyone in it SHARES the sensitive
+    * value (homogeneity attack — "all 7 people in this class have the
+    * same diagnosis"), so the release gate also needs, per QI
+    * equivalence class, how many DISTINCT sensitive values it holds.
+    * Reported as the l-histogram: classes and rows per diversity level
+    * (l=1 classes are fully homogeneous — the risk mass).
+    *
+    * Scale shape: one (QI, sensitive) map-side exchange collapses the
+    * corpus, a second (QI) aggregate derives per-class (size, l), then
+    * the histogram and its percent window run on l-cardinality rows.
+    *
+    * Output: (l, n_classes, n_rows, pct_rows) per observed diversity.
+    */
+  def lDiversity(df: DataFrame, qiExprs: Seq[String],
+                 sensitiveExpr: String): DataFrame = {
+    require(qiExprs.nonEmpty, "lDiversity: need at least one quasi-identifier")
+    // Alias the QI expressions at the FIRST grouping: the second stage
+    // groups the aggregated frame, where the base columns behind a
+    // generalization like floor(c_acctbal/1000) no longer exist.
+    val qiCols = qiExprs.zipWithIndex.map { case (e, i) => expr(e).as(s"_qi$i") }
+    val pairs = df.groupBy(qiCols :+ expr(sensitiveExpr).as("_sv"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val classes = pairs
+      .groupBy(qiExprs.indices.map(i => col(s"_qi$i")): _*)
+      .agg(count(lit(1)).as("l"), sum(col("_c")).as("_rows"))
+    val hist = classes.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("_rows")).as("n_rows"))
+    val w = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    hist.withColumn("pct_rows",
+      round(col("n_rows").cast("double") / sum("n_rows").over(w), 6))
+  }
+
+  /** DuckDB oracle twin of [[lDiversity]] (QI expressions aliased at
+    * the first grouping, same reason as the engine side).
+    */
+  def duckLDiversity(rel: String, qiExprs: Seq[String],
+                     sensitiveExpr: String): String = {
+    val aliased = qiExprs.zipWithIndex
+      .map { case (e, i) => s"$e AS _qi$i" }.mkString(", ")
+    val names = qiExprs.indices.map(i => s"_qi$i").mkString(", ")
+    s"""SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+       |       CAST(sum(rows) AS BIGINT) AS n_rows,
+       |       round(CAST(sum(rows) AS DOUBLE)
+       |             / sum(sum(rows)) OVER (), 6) AS pct_rows
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS l,
+       |             CAST(sum(c) AS BIGINT) AS rows
+       |      FROM (SELECT $aliased, $sensitiveExpr AS _sv,
+       |                   CAST(count(*) AS BIGINT) AS c
+       |            FROM $rel GROUP BY $names, _sv)
+       |      GROUP BY $names)
+       |GROUP BY l""".stripMargin
+  }
+
   /** Per-column profile: numeric columns report value stats, string
     * columns report length stats. Output (one row per column):
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val).

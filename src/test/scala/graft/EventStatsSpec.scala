@@ -238,6 +238,26 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("b") == ((3L, 3.0, 0.0, 0L)))
   }
 
+  test("holtDaily: hand recurrence — level+trend co-evolve, forecast leads the trend") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // Daily counts 10, 20, 20 (α=0.5, β=0.3):
+    //   d1: l=10, b=0;  d2: l=15, b=1.5;  d3: l=18.25, b=2.025.
+    val rows = (1 to 10).map(i => ("a", s"2024-01-01 00:$i:00")) ++
+      (1 to 20).map(i => ("a", s"2024-01-02 00:$i:00")) ++
+      (1 to 20).map(i => ("a", s"2024-01-03 00:$i:00"))
+    val df = rows.toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val out = graft.operators.EventStats
+      .holtDaily(df, "ts", "event_type", alpha = 0.5, beta = 0.3)
+      .as[(String, java.sql.Date, Long, Double, Double, Double)]
+      .collect().sortBy(_._2.toString)
+    assert(out.map(r => (r._3, r._4, r._5, r._6)).toSeq == Seq(
+      (10L, 10.0, 0.0, 10.0),
+      (20L, 15.0, 1.5, 16.5),
+      (20L, 18.25, 2.025, 20.275)))
+  }
+
   test("trimmedStats: partial inclusion at cut ranks, outlier clamping, trim 0") {
     import spark.implicits._
     // [1,1,1,2,3,4,100] at 20% → tl=1, kept ranks [1,6):

@@ -46,4 +46,24 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     // mass conservation to quantization error
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
+
+  test("personalized: teleport mass restarts at the seed only; non-seeds start cold") {
+    import spark.implicits._
+    // Star 1↔2, 1↔3; seed {2}. r0: all mass on 2. One iteration:
+    // node 1 receives 0.85·(2's mass); 2 keeps only its 0.15 teleport;
+    // 3 got nothing yet (its only in-edge is from cold node 1).
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(2L).toDF("node")
+    val got = graft.operators.PageRank
+      .personalized(edges, "src", "dst", seeds, "node", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.85, 2L -> 0.15, 3L -> 0.0))
+    // Seeds outside the graph are ignored (never divide the teleport).
+    val gotGhost = graft.operators.PageRank
+      .personalized(edges, "src", "dst", Seq(2L, 99L).toDF("node"), "node",
+        iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(gotGhost == Map(1L -> 0.85, 2L -> 0.15, 3L -> 0.0))
+  }
 }

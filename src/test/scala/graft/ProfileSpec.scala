@@ -219,4 +219,15 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       (2L, 2L, 4L, 0.5),
       (3L, 1L, 3L, 0.375)))
   }
+
+  test("lDiversity: homogeneous classes surface at l=1 regardless of their k") {
+    import spark.implicits._
+    // class 1: sensitive {x,x,y} → l=2 over 3 rows; class 2: {x,x} →
+    // l=1 (k-anonymous at k=2 but fully homogeneous); class 3: {z} → l=1.
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "x"),
+      (3L, "z")).toDF("qi", "sv")
+    val out = graft.operators.Profile.lDiversity(df, Seq("qi"), "sv")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 3L, 0.5), (2L, 1L, 3L, 0.5)))
+  }
 }
