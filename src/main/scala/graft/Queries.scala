@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Funnel, Hybrid, Hypothesis, Idf, KCore, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Features, Funnel, Hybrid, Hypothesis, Idf, KCore, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1943,6 +1943,25 @@ object Queries {
       (s, d) => EventStats.madOutliers(t(s, d, "events"), "ts",
         "event_type"),
       Some(EventStats.duckMadOutliers(EvOracle, "ts", "event_type"))),
+
+    // Leave-one-out target encoding of event_type against value — the
+    // self-leak-free categorical encoder: per-category exact DECIMAL
+    // sums broadcast back, one row-side division.
+    Entry("q_target_encode",
+      (s, d) => Features.targetEncodeLoo(t(s, d, "events"), "event_id",
+        "event_type", "value"),
+      Some(Features.duckTargetEncodeLoo(EvOracle, "event_id",
+        "event_type", "value"))),
+
+    // Split-conformal calibration audit: q̂ as an exact integer-rank
+    // order statistic of hash-split calibration residuals, coverage of
+    // ±q̂ on the held-out rows — both computed on the distinct-residual
+    // table after one corpus exchange.
+    Entry("q_conformal",
+      (s, d) => Eval.conformalCoverage(t(s, d, "events"), "event_id",
+        "event_type", "value", calPct = 50, alphaPct = 10),
+      Some(Eval.duckConformalCoverage(EvOracle, "event_id",
+        "event_type", "value", calPct = 50, alphaPct = 10))),
 
     // Holt double-exponential smoothing: per-type level + trend with a
     // one-step-ahead forecast — the capacity-planning line next to

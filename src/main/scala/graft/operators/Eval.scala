@@ -194,6 +194,123 @@ object Eval {
           / count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
 
+  /** Split-conformal interval calibration and its coverage audit — the
+    * uncertainty-quantification member of the eval family: on a
+    * deterministic hash-split calibration set, fit each group's
+    * constant predictor (its calibration mean) and take
+    *
+    *   q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest |residual|,
+    *
+    * then report what fraction of the held-out rows fall within ±q̂ —
+    * split conformal's guarantee is coverage ≥ 1−α regardless of the
+    * predictor, and THIS operator is the audit that checks it on real
+    * data.
+    *
+    * Exactness: predictions are one double expression from exact
+    * per-group DECIMAL sums; residuals micro-requantize to integers, so
+    * the order statistic is an exact integer-rank lookup (no float
+    * percentile interpolation) and coverage is a count ratio. The rank
+    * clamps to n_cal when ⌈(n+1)(1−α)⌉ exceeds it (tiny calibration
+    * sets — the textbook case yields q̂ = ∞; the clamp keeps the audit
+    * finite and is reported as-is).
+    *
+    * Scale shape: one group-cardinality aggregate for the predictor
+    * (broadcast back), then ONE corpus exchange to the distinct-
+    * residual table — the quantile window and the coverage sum both
+    * run there (the [[aucRankSum]] discipline).
+    *
+    * Output (one row): (n_cal, n_eval, rank_k, q_hat, coverage).
+    */
+  def conformalCoverage(df: DataFrame, idCol: String, groupCol: String,
+                        valueCol: String, calPct: Int,
+                        alphaPct: Int): DataFrame = {
+    require(calPct > 0 && calPct < 100, s"conformalCoverage: calPct=$calPct")
+    require(alphaPct > 0 && alphaPct < 100, s"conformalCoverage: alphaPct=$alphaPct")
+    val micro = round(col(valueCol) * lit(1000000.0)).cast("long")
+    val base = df.select(col(idCol).as("_id"), col(groupCol).as("_g"),
+      micro.as("_m"),
+      (Splits.bucketOf(col(idCol), 100) < calPct).as("_cal"))
+    val pred = base.filter(col("_cal"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_m").cast("decimal(38,0)")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("_g"),
+        (col("_s").cast("double") / col("_n").cast("double")).as("_p"))
+    val resid = base.join(broadcast(pred), Seq("_g"))
+      .select(col("_cal"),
+        round(abs(col("_m").cast("double") - col("_p"))).cast("long")
+          .as("_r"))
+      .groupBy(col("_r"))
+      .agg(count(when(col("_cal"), lit(1))).as("_cc"),
+        count(when(!col("_cal"), lit(1))).as("_ce"))
+    val upTo = Window.orderBy(col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val cum = resid
+      .withColumn("_cum", sum(col("_cc")).over(upTo))
+      .withColumn("_ncal", sum(col("_cc")).over(whole))
+      .withColumn("_neval", sum(col("_ce")).over(whole))
+      .withColumn("_k",
+        least(expr(s"((_ncal + 1) * ${100 - alphaPct} + 99) div 100"),
+          col("_ncal")))
+    val qhat = cum.filter(col("_cum") >= col("_k"))
+      .agg(min(col("_r")).as("_q"),
+        max(col("_ncal")).as("n_cal"), max(col("_neval")).as("n_eval"),
+        max(col("_k")).as("rank_k"))
+    val cov = cum.crossJoin(broadcast(qhat.select(col("_q"))))
+      .agg(sum(when(col("_r") <= col("_q"), col("_ce"))
+        .otherwise(lit(0L))).as("_cov"))
+    qhat.crossJoin(cov).select(
+      col("n_cal"), col("n_eval"), col("rank_k"),
+      round(col("_q").cast("double") / 1e6, 6).as("q_hat"),
+      when(col("n_eval") > 0,
+        round(col("_cov").cast("double") / col("n_eval").cast("double"), 6))
+        .as("coverage"))
+  }
+
+  /** DuckDB oracle twin of [[conformalCoverage]]. */
+  def duckConformalCoverage(rel: String, idCol: String, groupCol: String,
+                            valueCol: String, calPct: Int,
+                            alphaPct: Int): String =
+    s"""WITH base AS (
+       |  SELECT $groupCol AS g,
+       |         CAST(round($valueCol * 1000000.0) AS BIGINT) AS m,
+       |         (${Splits.duckBucket(idCol, 100)}) < $calPct AS cal
+       |  FROM $rel),
+       |pred AS (
+       |  SELECT g, CAST(sum(CAST(m AS HUGEINT)) AS DOUBLE)
+       |            / CAST(count(*) AS DOUBLE) AS p
+       |  FROM base WHERE cal GROUP BY 1),
+       |resid AS (
+       |  SELECT CAST(round(abs(CAST(m AS DOUBLE) - p)) AS BIGINT) AS r,
+       |         CAST(count(*) FILTER (WHERE cal) AS BIGINT) AS cc,
+       |         CAST(count(*) FILTER (WHERE NOT cal) AS BIGINT) AS ce
+       |  FROM base JOIN pred USING (g) GROUP BY 1),
+       |cum AS (
+       |  SELECT r, ce,
+       |         sum(cc) OVER (ORDER BY r) AS cum,
+       |         sum(cc) OVER () AS ncal, sum(ce) OVER () AS neval
+       |  FROM resid),
+       |k AS (
+       |  SELECT *, least(((ncal + 1) * ${100 - alphaPct} + 99) // 100, ncal)
+       |            AS rk
+       |  FROM cum),
+       |qhat AS (
+       |  SELECT min(r) AS q, CAST(max(ncal) AS BIGINT) AS n_cal,
+       |         CAST(max(neval) AS BIGINT) AS n_eval,
+       |         CAST(max(rk) AS BIGINT) AS rank_k
+       |  FROM k WHERE cum >= rk),
+       |cov AS (
+       |  SELECT CAST(sum(CASE WHEN k.r <= qhat.q THEN k.ce ELSE 0 END)
+       |              AS BIGINT) AS c
+       |  FROM k CROSS JOIN qhat)
+       |SELECT n_cal, n_eval, rank_k,
+       |       round(CAST(q AS DOUBLE) / 1e6, 6) AS q_hat,
+       |       CASE WHEN n_eval > 0 THEN
+       |         round(CAST(c AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+       |       END AS coverage
+       |FROM qhat CROSS JOIN cov""".stripMargin
+
   /** DuckDB oracle twin of [[calibrationBins]]. */
   def duckCalibrationBins(innerSql: String, scoreCol: String,
                           labelCol: String, nBins: Int = 10): String =

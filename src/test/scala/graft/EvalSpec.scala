@@ -53,6 +53,41 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(run(Seq(4L, 9L), 3) == ((3, 2L, Some(0.0))))
   }
 
+  test("targetEncodeLoo: self-excluded means, singleton category is NULL") {
+    import spark.implicits._
+    import graft.operators.Features
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 7.0)).toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(df, "id", "cat", "y")
+      .as[(Long, String, Option[Double])].collect().map(r => r._1 -> r._3).toMap
+    // cat a sums to 6: each row sees the other two's mean.
+    assert(out == Map(1L -> Some(2.5), 2L -> Some(2.0), 3L -> Some(1.5),
+      4L -> None))
+  }
+
+  test("conformalCoverage: zero-residual calibration, rank clamp, held-out coverage") {
+    import spark.implicits._
+    import graft.operators.{Eval, Splits}
+    import org.apache.spark.sql.functions.col
+    // Discover hash-split membership, then hand-build: 5 calibration
+    // rows all exactly at the predictor (residual 0 → q̂ = 0; the rank
+    // ⌈6·0.9⌉ = 6 clamps to n_cal = 5), 4 eval rows of which 3 sit on
+    // the prediction → coverage 0.75.
+    val ids = (1L to 60L)
+    val bucket = Seq(ids: _*).toDF("id")
+      .select(col("id"), Splits.bucketOf(col("id"), 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val cal = ids.filter(bucket(_) < 50).take(5)
+    val eval_ = ids.filter(bucket(_) >= 50).take(4)
+    assert(cal.size == 5 && eval_.size == 4)
+    val rows = cal.map((_, "g", 10.0)) ++
+      eval_.take(3).map((_, "g", 10.0)) ++ eval_.drop(3).map((_, "g", 12.0))
+    val r = Eval.conformalCoverage(rows.toDF("id", "g", "y"), "id", "g", "y",
+      calPct = 50, alphaPct = 10)
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    assert(r == ((5L, 4L, 5L, 0.0, Some(0.75))))
+  }
+
   test("calibrationBins: integer-space bin edges, mean score and positive rate per bin") {
     import spark.implicits._
     // 0.35→bin 3; 0.30 sits ON the 3-edge → bin 3 (micro space: 300000*10//1e6=3);
