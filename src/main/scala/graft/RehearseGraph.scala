@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{PageRank, Triangles}
+import graft.operators.{KCore, PageRank, Triangles}
 
 /** Scale-rehearsal probe for the graph family (BASELINE.md round 11):
   * triangle census and fixed-point PageRank on a synthetic edge list
@@ -53,6 +53,22 @@ object RehearseGraph {
     }
     println(s"""{"probe":"pagerank5","edges":$m,"nodes":$nodes,""" +
       s""""rank_rows":$nRanks,"sec":${f"$tPr%.2f"}}""")
+    // Symmetrize for the round-11 additions (both expect undirected
+    // input): k-core peel depth is bounded, PPR is per-iteration linear
+    // like pagerank — both should track m, hub notwithstanding.
+    val sym = edges.union(edges.select(col("dst"), col("src"))).localCheckpoint()
+    val (nCore, tKc) = time {
+      KCore.coreMembers(sym, "src", "dst", k = 8, iters = 6).count()
+    }
+    println(s"""{"probe":"kcore8x6","edges":$m,"nodes":$nodes,""" +
+      s""""core_nodes":$nCore,"sec":${f"$tKc%.2f"}}""")
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(4)
+    val (nPpr, tPpr) = time {
+      PageRank.personalized(sym, "src", "dst", seeds, "node", iters = 4).count()
+    }
+    println(s"""{"probe":"ppr4","edges":$m,"nodes":$nodes,""" +
+      s""""rank_rows":$nPpr,"sec":${f"$tPpr%.2f"}}""")
     spark.stop()
   }
 }
