@@ -243,6 +243,10 @@ object Eval {
       .groupBy(col("_r"))
       .agg(count(when(col("_cal"), lit(1))).as("_cc"),
         count(when(!col("_cal"), lit(1))).as("_ce"))
+      // Barrier: the q̂ lookup and the coverage sum both derive from
+      // this distinct-residual table — pin it (it is residual-
+      // cardinality-sized) so the corpus join runs once.
+      .localCheckpoint()
     val upTo = Window.orderBy(col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy()

@@ -481,10 +481,14 @@ object Hypothesis {
   def srmCheck(df: DataFrame, unitCol: String, nBuckets: Int,
                crit: Double): DataFrame = {
     require(nBuckets >= 2, "srmCheck: need at least two buckets")
+    // Barrier: the bucket table (nBuckets rows) feeds both the spine
+    // join and the grand total — pin it so the corpus distinct runs
+    // once (the chiSquared pattern).
     val byB = df.filter(col(unitCol).isNotNull)
       .select(col(unitCol)).distinct()
       .groupBy(Splits.bucketOf(col(unitCol), nBuckets).as("_b"))
       .agg(count(lit(1)).as("_o"))
+      .localCheckpoint()
     val spine = df.sparkSession.range(nBuckets).select(col("id").as("_b"))
     val cells = spine.join(byB, Seq("_b"), "left")
       .select(coalesce(col("_o"), lit(0L)).as("_o"))

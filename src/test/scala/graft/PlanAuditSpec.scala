@@ -841,6 +841,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"the cumulative window must run above the value aggregate:\n$plan")
   }
 
+  test("experiment aggregates (cuped/did/holt): ONE scan, no join, no window") {
+    for (q <- Seq("q_cuped", "q_did", "q_holt")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("Join"), s"join in the $q plan:\n$plan")
+      assert(!plan.contains("Window"), s"window in the $q plan:\n$plan")
+      val scans = "FileScan|BatchScan".r.findAllIn(plan).size
+      assert(scans == 1, s"$q must read the table once, saw $scans:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$q sums must partial-aggregate map-side:\n$plan")
+    }
+  }
+
+  test("trimmed means: no join; the cut-rank window runs above the distinct-value aggregate") {
+    val plan = SparkEntry.queries("q_trimmed")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"join in the trimmed plan:\n$plan")
+    assert(plan.indexOf("Window") < plan.indexOf("FileScan"),
+      s"the per-group window must run above the value aggregate:\n$plan")
+  }
+
+  test("target encoding: the category stats join back by BROADCAST — the corpus is never shuffled by category") {
+    val qe = SparkEntry.queries("q_target_encode")(spark, sf).queryExecution
+    qe.executedPlan.execute()
+    val plan = qe.executedPlan.toString()
+    val finalP = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan; case i => plan.substring(0, i)
+    }
+    assert(finalP.contains("BroadcastHashJoin"),
+      s"category join must broadcast:\n$finalP")
+    assert(!finalP.contains("SortMergeJoin") && !finalP.contains("ShuffledHashJoin"),
+      s"corpus shuffled by category:\n$finalP")
+  }
+
+  test("iterative graph ops (kcore/ppr): never cartesian") {
+    for (q <- Seq("q_kcore", "q_ppr")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian stage in the $q plan:\n$plan")
+    }
+  }
+
   test("phash near-dup: the fingerprint stage runs once; banded join, never cartesian") {
     val qe = SparkEntry.queries("q_mm_phash_dedup")(spark, sf).queryExecution
     qe.executedPlan.execute() // finalize AQE so reuse is visible
