@@ -1327,6 +1327,23 @@ object Queries {
             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                   FROM documents) d""", "q_score", "keep", nBins = 10))),
 
+    // Brier score + Murphy decomposition over the same integer-edged
+    // bins as q_calibration: proper-scoring-rule view (reliability /
+    // resolution / uncertainty) of the quality classifier — exact µ²
+    // Brier sum, µ-requantized cross-bin terms.
+    Entry("q_brier",
+      (s, d) => Eval.brierDecomposition(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+            QualityFilters.keepOf(col("_w")).as("keep")),
+        "q_score", "keep", nBins = 10),
+      Some(Eval.duckBrierDecomposition(
+        s"""SELECT ${QualityFilters.duckClassifierScore} AS q_score,
+                   ${QualityFilters.duckKeep} AS keep
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "q_score", "keep", nBins = 10))),
+
     // Curriculum quality binning: per-language equal-depth NTILE deciles
     // of the classifier score (score DESC, id ASC — deterministic bin
     // membership). One narrow scoring projection + one language-keyed
@@ -2914,6 +2931,17 @@ object Queries {
         "l_orderkey", "l_partkey", minPairs = 2, topK = 100),
       Some(MarketBasket.duckPairLift("lineitem", "l_orderkey", "l_partkey",
         minPairs = 2, topK = 100))),
+
+    // Directional association rules on top of the co-occurrence pairs:
+    // X→Y confidence (integer-gated at 10% — the sf0.01 basket mix
+    // tops out at 14%), support, lift — the actionable counterpart of
+    // symmetric q_basket_lift.
+    Entry("q_basket_rules",
+      (s, d) => MarketBasket.associationRules(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minPairs = 2, minConfPct = 10,
+        topK = 100),
+      Some(MarketBasket.duckAssociationRules("lineitem", "l_orderkey",
+        "l_partkey", minPairs = 2, minConfPct = 10, topK = 100))),
 
     // Correlation-matrix gate: pairwise Pearson r over lineitem's
     // numeric columns from quantized exact-integer moments, one scan

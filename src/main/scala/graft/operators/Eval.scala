@@ -194,6 +194,116 @@ object Eval {
           / count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
 
+  /** Brier score with Murphy's three-part decomposition — the PROPER
+    * scoring rule next to [[aucRankSum]] (rank quality) and
+    * [[calibrationBins]] (the reliability diagram): over the same
+    * integer-edged bins,
+    *
+    *   brier       = Σ(p−y)²/N
+    *   reliability = Σ_k n_k(p̄_k − ȳ_k)²/N   (miscalibration — lower better)
+    *   resolution  = Σ_k n_k(ȳ_k − ȳ)²/N     (discrimination — higher better)
+    *   uncertainty = ȳ(1−ȳ)
+    *
+    * with brier ≈ reliability − resolution + uncertainty (exact when
+    * scores are constant within bins).
+    *
+    * Exactness: the raw Brier sum is exact DECIMAL micro² arithmetic;
+    * the per-bin decomposition terms are one double expression from
+    * exact per-bin sums, µ-requantized before the cross-bin total so
+    * the sum is order-independent (the chiSquared discipline).
+    *
+    * Scale shape: ONE map-side-combinable nBins-cardinality aggregate;
+    * everything downstream runs on the bins table.
+    *
+    * Output (one row): (n, brier, reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+                         labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "brierDecomposition: need at least two bins")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val micro = round(col(scoreCol) * lit(1000000.0)).cast("long")
+    val bin = least(
+      floor((micro * lit(nBins.toLong)).cast("double") / 1000000.0).cast("long"),
+      lit(nBins - 1L))
+    val bins = scored
+      .select(micro.as("_p"), col(labelCol).cast("long").as("_y"), bin.as("_b"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"),
+        sum(d38(col("_p"))).as("_sp"),
+        sum(col("_y")).as("_sy"),
+        sum((col("_p") - col("_y") * lit(1000000L)).cast("decimal(19,0)")
+          * (col("_p") - col("_y") * lit(1000000L)).cast("decimal(19,0)"))
+          .as("_sq"))
+      .localCheckpoint() // nBins rows; totals + per-bin terms both read it
+    val tot = bins.agg(sum(col("_n")).as("n"), sum(col("_sy")).as("_ty"),
+      sum(col("_sq")).as("_tsq"))
+    val nd = col("n").cast("double")
+    val ybar = col("_ty").cast("double") / nd
+    val withTot = bins.crossJoin(broadcast(tot))
+    val pk = col("_sp").cast("double") / col("_n").cast("double") / lit(1000000.0)
+    val yk = col("_sy").cast("double") / col("_n").cast("double")
+    val contrib = (m: Column) =>
+      round(col("_n").cast("double") * m * m / nd * lit(1000000.0)).cast("long")
+    val terms = withTot
+      .select(col("n"), col("_ty"), col("_tsq"),
+        contrib(pk - yk).as("_relm"), contrib(yk - ybar).as("_resm"))
+      .groupBy(col("n"), col("_ty"), col("_tsq"))
+      .agg(sum(col("_relm")).as("_rel"), sum(col("_resm")).as("_res"))
+    terms.select(
+      col("n"),
+      round(col("_tsq").cast("double") / nd / lit(1.0e12), 6).as("brier"),
+      round(col("_rel").cast("double") / lit(1.0e6), 6).as("reliability"),
+      round(col("_res").cast("double") / lit(1.0e6), 6).as("resolution"),
+      round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"))
+  }
+
+  /** DuckDB oracle twin of [[brierDecomposition]]. */
+  def duckBrierDecomposition(innerSql: String, scoreCol: String,
+                             labelCol: String, nBins: Int = 10): String =
+    s"""WITH rows_ AS (
+       |  SELECT CAST(round($scoreCol * 1000000.0) AS BIGINT) AS p,
+       |         CAST($labelCol AS BIGINT) AS y
+       |  FROM ($innerSql)),
+       |bins AS (
+       |  SELECT least((p * $nBins) // 1000000, ${nBins - 1}) AS b,
+       |         CAST(count(*) AS BIGINT) AS nk,
+       |         sum(CAST(p AS HUGEINT)) AS sp,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         sum(CAST(p - y * 1000000 AS HUGEINT)
+       |             * CAST(p - y * 1000000 AS HUGEINT)) AS sq
+       |  FROM rows_ GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+       |               CAST(sum(sy) AS BIGINT) AS ty,
+       |               sum(sq) AS tsq
+       |        FROM bins),
+       |terms AS (
+       |  SELECT n, ty, tsq,
+       |    CAST(round(CAST(nk AS DOUBLE)
+       |      * (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / 1000000.0
+       |         - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+       |      * (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / 1000000.0
+       |         - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+       |      / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS relm,
+       |    CAST(round(CAST(nk AS DOUBLE)
+       |      * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+       |         - CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+       |         - CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS resm
+       |  FROM bins CROSS JOIN tot),
+       |agg AS (SELECT n, ty, tsq,
+       |               CAST(sum(relm) AS BIGINT) AS rel,
+       |               CAST(sum(resm) AS BIGINT) AS res
+       |        FROM terms GROUP BY 1, 2, 3)
+       |SELECT n,
+       |       round(CAST(tsq AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e12, 6) AS brier,
+       |       round(CAST(rel AS DOUBLE) / 1.0e6, 6) AS reliability,
+       |       round(CAST(res AS DOUBLE) / 1.0e6, 6) AS resolution,
+       |       round((CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))
+       |             * (1.0 - CAST(ty AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       |         AS uncertainty
+       |FROM agg""".stripMargin
+
   /** Split-conformal interval calibration and its coverage audit — the
     * uncertainty-quantification member of the eval family: on a
     * deterministic hash-split calibration set, fit each group's

@@ -131,6 +131,84 @@ object MarketBasket {
        |SELECT item, neighbor, pair_count AS inter, round(j, 6) AS jaccard, rank
        |FROM r WHERE rank <= $topK""".stripMargin
 
+  /** DIRECTIONAL association rules from the co-occurrence pairs: each
+    * qualifying pair emits both X→Y and Y→X with
+    *
+    *   support    = pair/n_baskets,  confidence = pair/count(X),
+    *   lift       = pair·n_baskets / (count(X)·count(Y))
+    *
+    * — [[pairLift]] measures symmetric affinity; rules add the
+    * DIRECTION a merchandiser acts on ("X buyers also buy Y" is
+    * worthless when Y is in every basket, which is exactly what a high
+    * confidence with lift ≈ 1 says). Kept at `minConfPct`% confidence,
+    * top-k by (confidence, lift) with id tie-breaks; exact integers
+    * until one double division per measure.
+    *
+    * Scale shape: the [[coPairs]] basket self-join (the family's one
+    * exchange), two broadcast item-frequency joins, TakeOrdered top-k.
+    * Output: (antecedent, consequent, pair_count, support, confidence,
+    * lift).
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairs: Long, minConfPct: Int, topK: Int): DataFrame = {
+    require(minConfPct >= 0 && minConfPct <= 100,
+      s"associationRules: bad minConfPct=$minConfPct")
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val nb = items.agg(count_distinct(col("_b")).as("_n"))
+    val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
+    val pairs = coPairsOf(items, minPairs)
+    val rules = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("pair_count"))
+      .union(pairs.select(col("item_b"), col("item_a"), col("pair_count")))
+    rules
+      .join(broadcast(itemCounts.select(col("_i").as("antecedent"),
+        col("_cnt").as("_ca"))), "antecedent")
+      .join(broadcast(itemCounts.select(col("_i").as("consequent"),
+        col("_cnt").as("_cb"))), "consequent")
+      .crossJoin(broadcast(nb))
+      // integer confidence gate: pair·100 ≥ minConf·count(X) — no float
+      // threshold roulette at the cut
+      .filter(col("pair_count") * 100 >= lit(minConfPct.toLong) * col("_ca"))
+      .withColumn("_conf", col("pair_count").cast("double") / col("_ca").cast("double"))
+      .withColumn("_lift", (col("pair_count") * col("_n")).cast("double")
+        / (col("_ca") * col("_cb")).cast("double"))
+      .orderBy(col("_conf").desc, col("_lift").desc,
+        col("antecedent").asc, col("consequent").asc)
+      .limit(topK)
+      .select(col("antecedent"), col("consequent"), col("pair_count"),
+        round(col("pair_count").cast("double") / col("_n").cast("double"), 6)
+          .as("support"),
+        round(col("_conf"), 6).as("confidence"),
+        round(col("_lift"), 6).as("lift"))
+  }
+
+  /** DuckDB oracle twin of [[associationRules]]. */
+  def duckAssociationRules(rel: String, basketCol: String, itemCol: String,
+                           minPairs: Long, minConfPct: Int, topK: Int): String =
+    s"""WITH ${duckCoPairCtes(rel, basketCol, itemCol, minPairs)},
+       |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+       |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+       |rules AS (SELECT item_a AS antecedent, item_b AS consequent, pair_count
+       |          FROM pairs
+       |          UNION ALL
+       |          SELECT item_b, item_a, pair_count FROM pairs),
+       |sc AS (SELECT r.antecedent, r.consequent, r.pair_count, nb.n,
+       |              ca.cnt AS cca, cb.cnt AS ccb,
+       |              CAST(r.pair_count AS DOUBLE) / CAST(ca.cnt AS DOUBLE) AS conf,
+       |              CAST(r.pair_count * nb.n AS DOUBLE)
+       |              / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+       |       FROM rules r JOIN ic ca ON ca.i = r.antecedent
+       |                    JOIN ic cb ON cb.i = r.consequent
+       |                    CROSS JOIN nb
+       |       WHERE r.pair_count * 100 >= $minConfPct * ca.cnt)
+       |SELECT antecedent, consequent, pair_count,
+       |       round(CAST(pair_count AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+       |       round(conf, 6) AS confidence, round(lift, 6) AS lift
+       |FROM sc
+       |ORDER BY conf DESC, lift DESC, antecedent ASC, consequent ASC
+       |LIMIT $topK""".stripMargin
+
   /** DuckDB oracle twin of [[pairLift]] — same exact-integer moments,
     * one double division, identical ordering.
     */

@@ -53,6 +53,40 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(run(Seq(4L, 9L), 3) == ((3, 2L, Some(0.0))))
   }
 
+  test("brierDecomposition: hand bins satisfy brier = rel − res + unc") {
+    import spark.implicits._
+    // Two bins of two rows: (0.8,1)(0.8,1) and (0.2,0)(0.2,1).
+    // brier = (3·0.04 + 0.64)/4 = 0.19; rel = 0.02+0.045 = 0.065;
+    // res = 0.03125·2 = 0.0625; unc = 0.75·0.25 = 0.1875 — identity holds.
+    val df = Seq((0.8, 1L), (0.8, 1L), (0.2, 0L), (0.2, 1L)).toDF("s", "y")
+    val r = Eval.brierDecomposition(df, "s", "y", nBins = 2)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r == ((4L, 0.19, 0.065, 0.0625, 0.1875)))
+    assert(math.abs(r._2 - (r._3 - r._4 + r._5)) < 1e-9)
+  }
+
+  test("associationRules: direction matters — confidence differs, lift doesn't") {
+    import spark.implicits._
+    import graft.operators.MarketBasket
+    // b1{x,y} b2{x,y} b3{x} b4{x} b5{y,z}: pair (x,y)=2; x in 4, y in 3.
+    // x→y conf 0.5; y→x conf 2/3; lift both 2·5/12.
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (4L, "x"), (5L, "y"), (5L, "z")).toDF("b", "i")
+    val out = MarketBasket.associationRules(df, "b", "i",
+      minPairs = 2, minConfPct = 50, topK = 10)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set(("x", "y"), ("y", "x")))
+    assert(out(("x", "y"))._5 == 0.5 && out(("y", "x"))._5 == 0.666667)
+    assert(out(("x", "y"))._6 == 0.833333 && out(("y", "x"))._6 == 0.833333)
+    assert(out(("x", "y"))._4 == 0.4) // support 2/5
+    // 67% floor cuts the weaker direction (integer gate: 2·100 ≥ 67·3).
+    val strict = MarketBasket.associationRules(df, "b", "i",
+      minPairs = 2, minConfPct = 60, topK = 10)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(strict.map(r => (r._1, r._2)).toSet == Set(("y", "x")))
+  }
+
   test("targetEncodeLoo: self-excluded means, singleton category is NULL") {
     import spark.implicits._
     import graft.operators.Features
