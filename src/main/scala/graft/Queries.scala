@@ -1344,6 +1344,24 @@ object Queries {
             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                   FROM documents) d""", "q_score", "keep", nBins = 10))),
 
+    // Paired-rater agreement between the two quality filters (Gopher
+    // rules vs classifier@0.5): Cohen's κ + McNemar over one exact
+    // contingency aggregate — the swap-my-filter audit.
+    Entry("q_agreement",
+      (s, d) => Eval.agreementStats(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.keepOf(col("_w")).as("keep_a"),
+            (QualityFilters.classifierScoreOf(col("_w")) >= 0.5)
+              .cast("long").as("keep_b")),
+        "keep_a", "keep_b"),
+      Some(Eval.duckAgreementStats(
+        s"""SELECT ${QualityFilters.duckKeep} AS keep_a,
+                   CAST(${QualityFilters.duckClassifierScore} >= 0.5
+                        AS BIGINT) AS keep_b
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "keep_a", "keep_b"))),
+
     // Curriculum quality binning: per-language equal-depth NTILE deciles
     // of the classifier score (score DESC, id ASC — deterministic bin
     // membership). One narrow scoring projection + one language-keyed

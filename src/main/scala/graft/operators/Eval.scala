@@ -194,6 +194,81 @@ object Eval {
           / count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
 
+  /** Paired-rater agreement: Cohen's κ and McNemar's test between two
+    * binary verdict columns over the same rows — the "do my two
+    * labelers / filter versions actually agree, and is their
+    * disagreement symmetric?" audit that precedes swapping one quality
+    * filter for another:
+    *
+    *   κ = (p_o − p_e)/(1 − p_e)  (chance-corrected agreement)
+    *   McNemar χ² = (b − c)²/(b + c)  over the discordant cells
+    *     (significant ⇒ the two raters' MARGINAL rates differ — one
+    *     filter is systematically stricter, not just noisier).
+    *
+    * Pure contingency counts from ONE map-side aggregate; κ and χ² are
+    * each one closed-form double expression from the four exact cells.
+    *
+    * Output (one row): (n, both_pos, both_neg, only_a, only_b, kappa,
+    * mcnemar_chi2) — κ NULL when p_e = 1 (degenerate margins), χ²
+    * NULL when there are no discordant pairs.
+    */
+  def agreementStats(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    val cells = df.agg(
+      count(lit(1)).as("n"),
+      count(when(a === 1 && b === 1, lit(1))).as("both_pos"),
+      count(when(a === 0 && b === 0, lit(1))).as("both_neg"),
+      count(when(a === 1 && b === 0, lit(1))).as("only_a"),
+      count(when(a === 0 && b === 1, lit(1))).as("only_b"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    val po = (d(col("both_pos")) + d(col("both_neg"))) / nd
+    // marginal positive rates of each rater
+    val pa = (d(col("both_pos")) + d(col("only_a"))) / nd
+    val pb = (d(col("both_pos")) + d(col("only_b"))) / nd
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    val disc = col("only_a") + col("only_b")
+    cells.select(
+      col("n"), col("both_pos"), col("both_neg"), col("only_a"), col("only_b"),
+      when(col("n") > 0 && pe =!= 1.0,
+        round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"),
+      when(disc > 0,
+        round(d(col("only_a") - col("only_b"))
+          * d(col("only_a") - col("only_b")) / d(disc), 6)).as("mcnemar_chi2"))
+  }
+
+  /** DuckDB oracle twin of [[agreementStats]]. */
+  def duckAgreementStats(innerSql: String, aCol: String,
+                         bCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(*) FILTER (WHERE $aCol = 1 AND $bCol = 1) AS BIGINT) AS both_pos,
+       |         CAST(count(*) FILTER (WHERE $aCol = 0 AND $bCol = 0) AS BIGINT) AS both_neg,
+       |         CAST(count(*) FILTER (WHERE $aCol = 1 AND $bCol = 0) AS BIGINT) AS only_a,
+       |         CAST(count(*) FILTER (WHERE $aCol = 0 AND $bCol = 1) AS BIGINT) AS only_b
+       |  FROM ($innerSql)),
+       |f AS (
+       |  SELECT *,
+       |         (CAST(both_pos AS DOUBLE) + CAST(both_neg AS DOUBLE))
+       |           / CAST(n AS DOUBLE) AS po,
+       |         (CAST(both_pos AS DOUBLE) + CAST(only_a AS DOUBLE))
+       |           / CAST(n AS DOUBLE) AS pa,
+       |         (CAST(both_pos AS DOUBLE) + CAST(only_b AS DOUBLE))
+       |           / CAST(n AS DOUBLE) AS pb
+       |  FROM cells)
+       |SELECT n, both_pos, both_neg, only_a, only_b,
+       |       CASE WHEN n > 0
+       |             AND pa * pb + (1.0 - pa) * (1.0 - pb) <> 1.0 THEN
+       |         round((po - (pa * pb + (1.0 - pa) * (1.0 - pb)))
+       |               / (1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb))), 6)
+       |       END AS kappa,
+       |       CASE WHEN only_a + only_b > 0 THEN
+       |         round(CAST(only_a - only_b AS DOUBLE)
+       |               * CAST(only_a - only_b AS DOUBLE)
+       |               / CAST(only_a + only_b AS DOUBLE), 6)
+       |       END AS mcnemar_chi2
+       |FROM f""".stripMargin
+
   /** Brier score with Murphy's three-part decomposition — the PROPER
     * scoring rule next to [[aucRankSum]] (rank quality) and
     * [[calibrationBins]] (the reliability diagram): over the same

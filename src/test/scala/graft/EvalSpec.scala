@@ -87,6 +87,30 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(strict.map(r => (r._1, r._2)).toSet == Set(("y", "x")))
   }
 
+  test("agreementStats: hand kappa + mcnemar, perfect and degenerate raters") {
+    import spark.implicits._
+    // 40/40 concordant, 15 vs 5 discordant: po=0.8, pe=0.495,
+    // κ = 0.305/0.505; McNemar = 10²/20 = 5.
+    val rows = Seq.fill(40)((1L, 1L)) ++ Seq.fill(40)((0L, 0L)) ++
+      Seq.fill(15)((1L, 0L)) ++ Seq.fill(5)((0L, 1L))
+    val r = Eval.agreementStats(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head()
+    assert(r == ((100L, 40L, 40L, 15L, 5L, Some(0.60396), Some(5.0))))
+
+    // Perfect mixed-margin agreement → κ = 1, no discordants → NULL χ².
+    val perfect = (Seq.fill(3)((1L, 1L)) ++ Seq.fill(2)((0L, 0L))).toDF("a", "b")
+    val rp = Eval.agreementStats(perfect, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(rp._6.contains(1.0) && rp._7.isEmpty)
+
+    // Both raters constant-positive: pe = 1 → κ undefined (NULL).
+    val const = Seq.fill(4)((1L, 1L)).toDF("a", "b")
+    assert(Eval.agreementStats(const, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head()._6.isEmpty)
+  }
+
   test("targetEncodeLoo: self-excluded means, singleton category is NULL") {
     import spark.implicits._
     import graft.operators.Features
