@@ -1948,6 +1948,16 @@ object Queries {
         "event_type"),
       Some(EventStats.duckWeeklySeasonality(EvOracle, "ts", "event_type"))),
 
+    // Partial autocorrelation (Durbin–Levinson) of the per-type daily
+    // series at lags 1..5: stationary ACF from exact integer moments,
+    // recursion unrolled with identical sum order in both engines —
+    // the AR-order diagnostic next to q_event_acf.
+    Entry("q_pacf",
+      (s, d) => EventStats.dailyPacf(t(s, d, "events"), "ts",
+        "event_type", maxLag = 5),
+      Some(EventStats.duckDailyPacf(EvOracle, "ts", "event_type",
+        maxLag = 5))),
+
     // Theil–Sen robust trend per event type: median of all pairwise
     // daily slopes — pairs and the exact median live on the days-sized
     // series only.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -99,6 +99,165 @@ object EventStats {
       when(dx > 0L && dy > 0L,
         round(num / sqrt(dx.cast("double") * dy.cast("double")), 6))
         .as("acf"))
+  }
+
+  /** Partial autocorrelation (PACF) of the per-type daily series via
+    * Durbin–Levinson — the AR-order diagnostic next to [[dailyAcf]]:
+    * ACF says "lag-k days correlate", PACF says whether lag k carries
+    * signal AFTER lags 1..k−1 are regressed out (the plot an analyst
+    * reads to pick an AR(p) order for the volume series).
+    *
+    * Definitions: the series is the type's PRESENT days in day order
+    * (missing days absent — the [[dailyAcf]] convention), indexed by
+    * rank; the stationary ACF uses the GLOBAL mean and denominator,
+    *   r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²,
+    * expanded to exact DECIMAL integer moments (n²Σxy − nS(H+T) +
+    * (n−k)S² over n²Σx² − nS²) with ONE double division per lag; the
+    * Durbin–Levinson recursion then runs UNROLLED with left-to-right
+    * sum order, mirrored token-for-token in the oracle's CTE ladder,
+    * so every double matches bitwise.
+    *
+    * Scale shape: one (type, day) exchange, then per-type folds over
+    * the tiny day array (the [[cusumDaily]] posture). NULL pacf where
+    * the recursion is undefined (n ≤ k, zero variance, or a degenerate
+    * level denominator).
+    *
+    * Output: (event_type, lag, acf, pacf) for lag ∈ [1, maxLag].
+    */
+  def dailyPacf(events: DataFrame, tsCol: String, typeCol: String,
+                maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"dailyPacf: bad maxLag=$maxLag")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_y"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("_d").as("_day"),
+        col("_y").as("_n")))).as("_s"))
+      .select(col("event_type"),
+        transform(col("_s"), s => s.getField("_n")).as("_xs"))
+      .withColumn("_n", size(col("_xs")).cast("long"))
+    def el(i: Column) = element_at(col("_xs"), i.cast("int"))
+    def sumRange(lo: Column, hi: Column, f: Column => Column): Column =
+      when(hi >= lo,
+        aggregate(sequence(lo.cast("int"), hi.cast("int")),
+          lit(0L).cast("decimal(38,0)"), (acc, i) => acc + f(i)))
+        .otherwise(lit(0L).cast("decimal(38,0)"))
+    val n = col("_n")
+    val s1 = sumRange(lit(1L), n, i => d38(el(i)))
+    val sxx = sumRange(lit(1L), n, i => d38(el(i)) * d38(el(i)))
+    val base = series
+      .withColumn("_S", s1).withColumn("_sxx", sxx)
+      .withColumn("_den",
+        (d38(n) * d38(n) * col("_sxx") - d38(n) * col("_S") * col("_S"))
+          .cast("double"))
+    // exact-moment ACF per lag (NULL when n ≤ k or zero variance)
+    val withR = (1 to maxLag).foldLeft(base) { (df, k) =>
+      val sxy = sumRange(lit(1L), n - k, i => d38(el(i)) * d38(el(i + k)))
+      val h = sumRange(lit(1L), n - k, i => d38(el(i)))
+      val t = sumRange(lit(k + 1L), n, i => d38(el(i)))
+      df.withColumn(s"_r$k",
+        when(n > k && col("_den") > 0.0,
+          (d38(n) * d38(n) * sxy - d38(n) * col("_S") * (h + t)
+            + d38(n - k) * col("_S") * col("_S")).cast("double")
+            / col("_den")))
+    }
+    // Durbin–Levinson, unrolled: php(level)(j) — left-to-right sums.
+    val r = (k: Int) => col(s"_r$k")
+    var phi = Map.empty[(Int, Int), Column]
+    var out = withR
+    for (k <- 1 to maxLag) {
+      val pkk =
+        if (k == 1) r(1)
+        else {
+          val num = (1 until k).foldLeft(r(k)) { (acc, j) =>
+            acc - phi((k - 1, j)) * r(k - j) }
+          val den2 = (1 until k).foldLeft(lit(1.0)) { (acc, j) =>
+            acc - phi((k - 1, j)) * r(j) }
+          when(den2 =!= 0.0, num / den2)
+        }
+      out = out.withColumn(s"_p${k}_$k", pkk)
+      phi += ((k, k) -> col(s"_p${k}_$k"))
+      for (j <- 1 until k) {
+        out = out.withColumn(s"_p${k}_$j",
+          phi((k - 1, j)) - col(s"_p${k}_$k") * phi((k - 1, k - j)))
+        phi += ((k, j) -> col(s"_p${k}_$j"))
+      }
+    }
+    val rows = array((1 to maxLag).map(k => struct(
+      lit(k.toLong).as("lag"),
+      round(r(k), 6).as("acf"),
+      round(phi((k, k)), 6).as("pacf"))): _*)
+    out.select(col("event_type"), explode(rows).as("_o"))
+      .select(col("event_type"), col("_o.lag"), col("_o.acf"),
+        col("_o.pacf"))
+  }
+
+  /** DuckDB oracle twin of [[dailyPacf]]: the same exact moments from a
+    * rank-offset self-join, the same unrolled recursion as a CTE
+    * ladder (one level per lag, identical sum order).
+    */
+  def duckDailyPacf(rel: String, tsCol: String, typeCol: String,
+                    maxLag: Int): String = {
+    val rCols = (1 to maxLag).map { k =>
+      s"""CASE WHEN n > $k AND den > 0.0 THEN
+         |  CAST(n * n * coalesce(sxy$k, 0) - n * s * coalesce(ht$k, 0)
+         |       + (n - $k) * s * s AS DOUBLE) / den
+         |END AS r$k""".stripMargin
+    }.mkString(",\n")
+    val momCols = (1 to maxLag).flatMap { k =>
+      Seq(
+        s"sum(a.y * b.y) FILTER (WHERE b.rk - a.rk = $k) AS sxy$k",
+        s"sum(a.y + b.y) FILTER (WHERE b.rk - a.rk = $k) AS ht$k")
+    }.mkString(",\n")
+    val levels = (1 to maxLag).map { k =>
+      val prev = if (k == 1) "rs" else s"lvl${k - 1}"
+      def numExpr = (1 until k).foldLeft(s"r$k") { (acc, j) =>
+        s"$acc - p${k - 1}_$j * r${k - j}" }
+      def denExpr = (1 until k).foldLeft("1.0") { (acc, j) =>
+        s"$acc - p${k - 1}_$j * r$j" }
+      val pkkExpr =
+        if (k == 1) "r1"
+        else s"CASE WHEN ($denExpr) <> 0.0 THEN ($numExpr) / ($denExpr) END"
+      val pkk = s"$pkkExpr AS p${k}_$k"
+      // p{k}_j can't reference its sibling alias p{k}_k in the same
+      // SELECT — re-inline the pkk expression (same doubles).
+      val pjs = (1 until k).map { j =>
+        s"p${k - 1}_$j - ($pkkExpr) * p${k - 1}_${k - j} AS p${k}_$j"
+      }
+      val cols = (pkk +: pjs).mkString(",\n")
+      s"lvl$k AS (SELECT *, $cols FROM $prev)"
+    }.mkString(",\n")
+    val outRows = (1 to maxLag).map { k =>
+      s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+         |  round(r$k, 6) AS acf, round(p${k}_$k, 6) AS pacf
+         |FROM lvl$maxLag""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS y
+       |  FROM $rel GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |         ORDER BY day ASC) AS rk FROM daily),
+       |base AS (
+       |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+       |         sum(CAST(y AS HUGEINT)) AS s,
+       |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sxx
+       |  FROM rk GROUP BY 1),
+       |mom AS (
+       |  SELECT a.event_type,
+       |         $momCols
+       |  FROM rk a JOIN rk b ON b.event_type = a.event_type
+       |        AND b.rk > a.rk AND b.rk - a.rk <= $maxLag
+       |  GROUP BY 1),
+       |rs AS (
+       |  SELECT base.event_type,
+       |         $rCols
+       |  FROM base LEFT JOIN mom ON mom.event_type = base.event_type
+       |  CROSS JOIN LATERAL (SELECT CAST(n * n * sxx - n * s * s AS DOUBLE)
+       |                      AS den) d),
+       |$levels
+       |$outRows""".stripMargin
   }
 
   /** LEAD-LAG CROSS-CORRELATION between two event types' daily series:

@@ -258,6 +258,40 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
       (20L, 18.25, 2.025, 20.275)))
   }
 
+  test("dailyPacf: hand Durbin–Levinson on a period-4 series; short-series guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // Daily counts 10,20,30,20,10,20,30,20,10,20 (period 4): strong
+    // negative lag-2 structure. Hand-run of the exact-moment recursion:
+    // acf = (−0.002041, −0.8, −0.006122); pacf = (−0.002041,
+    // −0.800007, −0.029706).
+    val counts = Seq(10, 20, 30, 20, 10, 20, 30, 20, 10, 20)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => ("a", f"2024-01-${d + 1}%02d 00:${i % 60}%02d:${i / 60}%02d"))
+    }
+    val df = rows.toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val out = graft.operators.EventStats.dailyPacf(df, "ts", "event_type",
+      maxLag = 3)
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (1L, Some(-0.002041), Some(-0.002041)),
+      (2L, Some(-0.8), Some(-0.800007)),
+      (3L, Some(-0.006122), Some(-0.029706))))
+
+    // Two days only: lag 1 defined, lags ≥ 2 NULL (n ≤ k).
+    val short = Seq(("b", "2024-01-01 00:00:00"), ("b", "2024-01-02 00:00:00"),
+      ("b", "2024-01-02 00:01:00")).toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val so = graft.operators.EventStats.dailyPacf(short, "ts", "event_type",
+      maxLag = 3)
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._2)
+    // n=2, counts (1,2): r1 = (4·2 − 2·3·3 + 1·9)/(4·5 − 2·9) = −0.5.
+    assert(so(0)._3.contains(-0.5) && so(1)._3.isEmpty && so(2)._4.isEmpty)
+  }
+
   test("trimmedStats: partial inclusion at cut ranks, outlier clamping, trim 0") {
     import spark.implicits._
     // [1,1,1,2,3,4,100] at 20% → tl=1, kept ranks [1,6):
