@@ -2077,6 +2077,16 @@ object Queries {
       Some(Hypothesis.duckDiffInDiff(EvOracle, "user_id", "ts", "value",
         splitMs = EvCutoffMs))),
 
+    // Stratified ATT: treated-vs-control post-period means matched
+    // within pre-activity log₂ strata, weighted by the treated share —
+    // the observational-matching member of the causal family (common
+    // support enforced, off-support mass reported).
+    Entry("q_att",
+      (s, d) => Hypothesis.stratifiedAtt(t(s, d, "events"), "user_id",
+        "ts", "value", splitMs = EvCutoffMs),
+      Some(Hypothesis.duckStratifiedAtt(EvOracle, "user_id", "ts",
+        "value", splitMs = EvCutoffMs))),
+
     // Sample-ratio-mismatch: distinct users per assignment bucket vs
     // uniform, goodness-of-fit χ² flagged at the χ²₁(α=0.001) critical
     // value — the assignment-health check that gates every experiment

@@ -460,6 +460,120 @@ object Hypothesis {
        |FROM sums""".stripMargin
   }
 
+  /** Stratified average-treatment-effect-on-the-treated (ATT) — the
+    * observational-matching member of the causal family ([[diffInDiff]]
+    * nets out time trends, [[cuped]] shrinks variance, THIS one nets
+    * out selection on an observed confounder): units stratify by their
+    * PRE-period activity (⌊log₂(1+count)⌋ — integer buckets, no
+    * quantile estimation), and within each stratum the treated/control
+    * post-period means are compared; the ATT weights each stratum's
+    * difference by its share of the TREATED population,
+    *
+    *   ATT = Σ_k (n_treat,k / n_treat,cs) · (ȳ_treat,k − ȳ_ctrl,k),
+    *
+    * over common-support strata only (both arms present); off-support
+    * treated units are counted and reported, not silently absorbed.
+    *
+    * Exactness: per-(stratum, arm) exact DECIMAL µ-sums; each
+    * stratum's weighted difference µ-requantizes before the
+    * cross-stratum total (the [[chiSquared]] order-independence
+    * discipline).
+    *
+    * Scale shape: one unit-keyed aggregate (pre-count + post-sum per
+    * unit), one stratum-cardinality aggregate, everything downstream on
+    * ≤ ~40 stratum rows.
+    *
+    * Output (one row): (n_treat, n_ctrl, n_strata, n_common,
+    * treat_off_support, att) — att NULL when no common-support stratum
+    * exists.
+    */
+  def stratifiedAtt(df: DataFrame, unitCol: String, tsCol: String,
+                    valueCol: String, splitMs: Long): DataFrame = {
+    val micro = round(col(valueCol) * lit(1000000.0)).cast("long")
+    val pre = unix_micros(col(tsCol)) < splitMs * 1000L
+    val units = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol))
+      .agg(count(when(pre, lit(1))).as("_npre"),
+        coalesce(sum(when(!pre, micro)), lit(0L)).as("_y"))
+      .select(
+        (Splits.bucketOf(col(unitCol), 2) === 0).as("_treat"),
+        floor(log2(col("_npre").cast("double") + lit(1.0))).cast("long")
+          .as("_k"),
+        col("_y"))
+    val strata = units.groupBy(col("_k"))
+      .agg(
+        count(when(col("_treat"), lit(1))).as("_nt"),
+        count(when(!col("_treat"), lit(1))).as("_nc"),
+        sum(when(col("_treat"), d38(col("_y")))).as("_st"),
+        sum(when(!col("_treat"), d38(col("_y")))).as("_sc"))
+      .localCheckpoint() // stratum-cardinality; three consumers below
+    val tot = strata.agg(
+      sum(col("_nt")).as("n_treat"), sum(col("_nc")).as("n_ctrl"),
+      count(lit(1)).as("n_strata"),
+      count(when(col("_nt") > 0 && col("_nc") > 0, lit(1))).as("n_common"),
+      sum(when(col("_nc") === 0, col("_nt")).otherwise(lit(0L)))
+        .as("treat_off_support"),
+      sum(when(col("_nt") > 0 && col("_nc") > 0, col("_nt"))
+        .otherwise(lit(0L))).as("_ntcs"))
+    val diff = (dbl(col("_st")) / dbl(col("_nt")) / lit(1000000.0)
+      - dbl(col("_sc")) / dbl(col("_nc")) / lit(1000000.0))
+    val terms = strata.crossJoin(broadcast(tot))
+      .filter(col("_nt") > 0 && col("_nc") > 0)
+      .select(round(dbl(col("_nt")) / dbl(col("_ntcs")) * diff
+        * lit(1000000.0)).cast("long").as("_am"))
+      .agg(sum(col("_am")).as("_attm"))
+    tot.crossJoin(terms).select(
+      col("n_treat"), col("n_ctrl"), col("n_strata"), col("n_common"),
+      col("treat_off_support"),
+      when(col("n_common") > 0,
+        round(dbl(col("_attm")) / lit(1000000.0), 6)).as("att"))
+  }
+
+  /** DuckDB oracle twin of [[stratifiedAtt]]. */
+  def duckStratifiedAtt(rel: String, unitCol: String, tsCol: String,
+                        valueCol: String, splitMs: Long): String =
+    s"""WITH units AS (
+       |  SELECT $unitCol AS u,
+       |         CAST(count(*) FILTER (WHERE epoch_us($tsCol) < ${splitMs}000)
+       |              AS BIGINT) AS npre,
+       |         coalesce(sum(CAST(round($valueCol * 1000000.0) AS BIGINT))
+       |           FILTER (WHERE NOT epoch_us($tsCol) < ${splitMs}000), 0) AS y
+       |  FROM $rel WHERE $unitCol IS NOT NULL GROUP BY 1),
+       |lab AS (
+       |  SELECT (${Splits.duckBucket("u", 2)}) = 0 AS treat,
+       |         CAST(floor(log2(CAST(npre AS DOUBLE) + 1.0)) AS BIGINT) AS k,
+       |         y
+       |  FROM units),
+       |strata AS (
+       |  SELECT k,
+       |         CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS nt,
+       |         CAST(count(*) FILTER (WHERE NOT treat) AS BIGINT) AS nc,
+       |         sum(CAST(y AS HUGEINT)) FILTER (WHERE treat) AS st,
+       |         sum(CAST(y AS HUGEINT)) FILTER (WHERE NOT treat) AS sc
+       |  FROM lab GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(nt) AS BIGINT) AS n_treat,
+       |         CAST(sum(nc) AS BIGINT) AS n_ctrl,
+       |         CAST(count(*) AS BIGINT) AS n_strata,
+       |         CAST(count(*) FILTER (WHERE nt > 0 AND nc > 0) AS BIGINT)
+       |           AS n_common,
+       |         CAST(coalesce(sum(nt) FILTER (WHERE nc = 0), 0) AS BIGINT)
+       |           AS treat_off_support,
+       |         CAST(coalesce(sum(nt) FILTER (WHERE nt > 0 AND nc > 0), 0)
+       |              AS BIGINT) AS ntcs
+       |  FROM strata),
+       |terms AS (
+       |  SELECT CAST(sum(CAST(round(
+       |    CAST(nt AS DOUBLE) / CAST(ntcs AS DOUBLE)
+       |    * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 1000000.0
+       |       - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) / 1000000.0)
+       |    * 1000000.0) AS BIGINT)) AS BIGINT) AS attm
+       |  FROM strata CROSS JOIN tot WHERE nt > 0 AND nc > 0)
+       |SELECT n_treat, n_ctrl, n_strata, n_common, treat_off_support,
+       |       CASE WHEN n_common > 0 THEN
+       |         round(CAST(attm AS DOUBLE) / 1000000.0, 6) END AS att
+       |FROM tot CROSS JOIN terms""".stripMargin
+
   /** Sample-ratio-mismatch (SRM) check — the experiment-health gate
     * every A/B platform runs before reading results: distinct UNITS per
     * assignment bucket vs the uniform expectation n/k, goodness-of-fit

@@ -125,6 +125,31 @@ class HypothesisSpec extends AnyFunSuite with SparkTestBase {
     assert(rp._4 == 0L && rp._9.isEmpty)
   }
 
+  test("stratifiedAtt: stratum-weighted diff, off-support treated reported not absorbed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.operators.Splits
+    val ids = (1L to 60L)
+    val arm = Seq(ids: _*).toDF("id")
+      .select(col("id"), Splits.bucketOf(col("id"), 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val Seq(t1, t2, t3) = ids.filter(arm(_) == 0L).take(3).toSeq
+    val Seq(c1, c2) = ids.filter(arm(_) == 1L).take(2).toSeq
+    // strata by pre-count: k=1 (npre=1): t1 post 10 vs c1 post 6;
+    // k=2 (npre=3): t2 post 20 vs c2 post 8; k=3 (npre=7): t3 ONLY —
+    // off support. ATT = ½·4 + ½·12 = 8.
+    def unit(u: Long, npre: Int, post: Double) =
+      (1 to npre).map(i => (u, 5L + i, 1.0)) :+ ((u, 20000L, post))
+    val rows = unit(t1, 1, 10.0) ++ unit(c1, 1, 6.0) ++
+      unit(t2, 3, 20.0) ++ unit(c2, 3, 8.0) ++ unit(t3, 7, 99.0)
+    val df = rows.toDF("user_id", "sec", "value")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"), col("value"))
+    val r = Hypothesis.stratifiedAtt(df, "user_id", "ts", "value",
+      splitMs = 10000000L)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(r == ((3L, 2L, 3L, 2L, 1L, Some(8.0))))
+  }
+
   test("srmCheck: balanced split passes, one-armed assignment fires") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
