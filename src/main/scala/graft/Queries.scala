@@ -1311,6 +1311,22 @@ object Queries {
             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                   FROM documents) d""", "q_score", "keep"))),
 
+    // PR-AUC (threshold-step average precision) on the same scored
+    // frame as q_auc — the imbalanced-class metric; per-threshold
+    // terms nano-requantized before the cross-step sum.
+    Entry("q_pr_auc",
+      (s, d) => Eval.averagePrecision(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+            QualityFilters.keepOf(col("_w")).as("keep")),
+        "q_score", "keep"),
+      Some(Eval.duckAveragePrecision(
+        s"""SELECT ${QualityFilters.duckClassifierScore} AS q_score,
+                   ${QualityFilters.duckKeep} AS keep
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "q_score", "keep"))),
+
     // Classifier evaluation, calibration: equal-width reliability bins
     // (mean predicted score vs observed positive rate), bin membership
     // decided in integer micro-score space — one nBins-cardinality agg.

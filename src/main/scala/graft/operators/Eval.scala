@@ -194,6 +194,86 @@ object Eval {
           / count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
 
+  /** Average precision (PR-AUC) — the imbalanced-class companion of
+    * [[aucRankSum]]: ROC-AUC stays optimistic when positives are rare
+    * (a quality classifier passing 2% of a crawl), the
+    * precision-recall view does not. Threshold-step formulation
+    * (scikit's convention, no interpolation):
+    *
+    *   AP = Σ_thresholds (R_i − R_{i−1}) · P_i
+    *
+    * descending over DISTINCT scores, P = cumP/(cumP+cumN),
+    * R = cumP/n_pos — ties collapse into one threshold step, so the
+    * result is tie-stable by construction.
+    *
+    * Scale shape: the [[aucRankSum]] discipline — one map-side
+    * score-grouped aggregate, cumulative windows on the distinct-score
+    * table only. Per-threshold terms are exact-integer ratios combined
+    * in ONE double expression and µ-requantized before the cross-step
+    * sum (order-independent).
+    *
+    * Output (one row): (n_pos, n_neg, pr_auc) — NULL when either class
+    * is empty.
+    */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val byScore = scored.groupBy(col(scoreCol).as("s")).agg(
+      count(when(col(labelCol) === 1, lit(1))).as("p"),
+      count(when(col(labelCol) === 0, lit(1))).as("n"))
+    val upTo = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val cum = byScore
+      .withColumn("_cp", sum(col("p")).over(upTo))
+      .withColumn("_cn", sum(col("n")).over(upTo))
+      .withColumn("_np", sum(col("p")).over(whole))
+      .withColumn("_nn", sum(col("n")).over(whole))
+    def d(c: Column) = c.cast("double")
+    // ΔR·P per threshold: p_i/n_pos · cumP/(cumP+cumN) — zero-Δ steps
+    // contribute zero; µ-quantize (1e9 — AP sums ≤ 1, so nano-units
+    // keep 9 digits) then integer-sum.
+    val term = (d(col("p")) / d(col("_np"))
+      * (d(col("_cp")) / (d(col("_cp")) + d(col("_cn")))))
+    cum
+      .select(col("_np").as("n_pos"), col("_nn").as("n_neg"),
+        round(term * lit(1.0e9)).cast("long").as("_tm"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("_tm")).as("_apm"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(dbl2(col("_apm")) / lit(1.0e9), 6)).as("pr_auc"))
+  }
+
+  private def dbl2(c: Column) = c.cast("double")
+
+  /** DuckDB oracle twin of [[averagePrecision]]. */
+  def duckAveragePrecision(innerSql: String, scoreCol: String,
+                           labelCol: String): String =
+    s"""WITH by_score AS (
+       |  SELECT $scoreCol AS s,
+       |         CAST(count(*) FILTER (WHERE $labelCol = 1) AS BIGINT) AS p,
+       |         CAST(count(*) FILTER (WHERE $labelCol = 0) AS BIGINT) AS n
+       |  FROM ($innerSql) GROUP BY 1),
+       |cum AS (
+       |  SELECT p,
+       |         sum(p) OVER (ORDER BY s DESC) AS cp,
+       |         sum(n) OVER (ORDER BY s DESC) AS cn,
+       |         sum(p) OVER () AS np, sum(n) OVER () AS nn
+       |  FROM by_score),
+       |terms AS (
+       |  SELECT CAST(max(np) AS BIGINT) AS n_pos,
+       |         CAST(max(nn) AS BIGINT) AS n_neg,
+       |         CAST(sum(CAST(round(
+       |           CAST(p AS DOUBLE) / CAST(np AS DOUBLE)
+       |           * (CAST(cp AS DOUBLE)
+       |              / (CAST(cp AS DOUBLE) + CAST(cn AS DOUBLE)))
+       |           * 1.0e9) AS BIGINT)) AS BIGINT) AS apm
+       |  FROM cum)
+       |SELECT n_pos, n_neg,
+       |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |         round(CAST(apm AS DOUBLE) / 1.0e9, 6) END AS pr_auc
+       |FROM terms""".stripMargin
+
   /** Paired-rater agreement: Cohen's κ and McNemar's test between two
     * binary verdict columns over the same rows — the "do my two
     * labelers / filter versions actually agree, and is their

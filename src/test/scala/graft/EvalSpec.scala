@@ -53,6 +53,26 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(run(Seq(4L, 9L), 3) == ((3, 2L, Some(0.0))))
   }
 
+  test("averagePrecision: threshold steps, perfect ranking, tie collapse, one-class guard") {
+    import spark.implicits._
+    // Steps at 0.9 (R 0→.5, P 1) and 0.7 (R .5→1, P 2/3): AP = 0.833333.
+    val mixed = Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L)).toDF("s", "y")
+    assert(Eval.averagePrecision(mixed, "s", "y")
+      .as[(Long, Long, Option[Double])].head() == ((2L, 2L, Some(0.833333))))
+    // Perfect ranking → 1.0.
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L)).toDF("s", "y")
+    assert(Eval.averagePrecision(perfect, "s", "y")
+      .as[(Long, Long, Option[Double])].head()._3.contains(1.0))
+    // All tied: ONE threshold step → AP = prevalence (2/4).
+    val tied = Seq((0.5, 1L), (0.5, 1L), (0.5, 0L), (0.5, 0L)).toDF("s", "y")
+    assert(Eval.averagePrecision(tied, "s", "y")
+      .as[(Long, Long, Option[Double])].head()._3.contains(0.5))
+    // Single-class input → NULL.
+    val oneClass = Seq((0.9, 1L), (0.4, 1L)).toDF("s", "y")
+    assert(Eval.averagePrecision(oneClass, "s", "y")
+      .as[(Long, Long, Option[Double])].head()._3.isEmpty)
+  }
+
   test("brierDecomposition: hand bins satisfy brier = rel − res + unc") {
     import spark.implicits._
     // Two bins of two rows: (0.8,1)(0.8,1) and (0.2,0)(0.2,1).
