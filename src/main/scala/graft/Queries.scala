@@ -2644,6 +2644,16 @@ object Queries {
         topV = 20),
       Some(Profile.duckOovRate("documents", "text", "doc_id", topV = 20))),
 
+    // Vocabulary coverage CURVE: token-mass coverage of the top-k vocab
+    // at a k grid — the tokenizer-budget planning view whose knee
+    // answers "how big a vocab do I need"; cumulative sums on the
+    // vocab-sized rank table only.
+    Entry("q_vocab_coverage",
+      (s, d) => Profile.vocabCoverage(t(s, d, "documents"), "text",
+        "doc_id", ks = Seq(5, 20, 100, 1000)),
+      Some(Profile.duckVocabCoverage("documents", "text", "doc_id",
+        ks = Seq(5, 20, 100, 1000)))),
+
     // Per-source redundancy report: per source, the fraction of its
     // docs byte-identical (md5) to an earlier doc anywhere in the
     // corpus — the mixture-weight discount signal.

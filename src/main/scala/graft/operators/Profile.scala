@@ -674,6 +674,73 @@ object Profile {
     *
     * Output: (idCol, n_tokens, n_oov, oov_rate).
     */
+  /** Vocabulary coverage curve: what fraction of the corpus's token
+    * MASS the top-k most frequent terms cover, for each k in `ks` —
+    * the tokenizer-budget planning view next to [[oovRate]]'s single
+    * cut ("how big must the vocab be before OOV is negligible"; the
+    * knee of this curve IS the budget answer).
+    *
+    * Deterministic ranks: (count DESC, term ASC) — the [[oovRate]]
+    * vocabulary order. Exact integers until the one division per
+    * point; cumulative sums run on the vocab-sized rank table (the
+    * global sort of the VOCABULARY is the accepted posture here, never
+    * of the corpus).
+    *
+    * Output: one row per k — (k, vocab_size, covered_tokens,
+    * total_tokens, coverage); k larger than the vocabulary covers
+    * everything.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, idCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"vocabCoverage: bad ks=$ks")
+    val counts = Dedup.rebalance(docs)
+      .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val byRank = Window.orderBy(col("_c").desc, col("_w").asc)
+    val upTo = byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = counts
+      .withColumn("_rk", row_number().over(byRank).cast("long"))
+      .withColumn("_cum", sum(col("_c")).over(upTo))
+      .withColumn("_tot", sum(col("_c")).over(whole))
+      .withColumn("_v", count(lit(1)).over(whole))
+    val kRows = ks.distinct.sorted.map { k =>
+      ranked.filter(col("_rk") <= k)
+        .groupBy()
+        .agg(max(col("_cum")).as("covered_tokens"),
+          max(col("_tot")).as("total_tokens"), max(col("_v")).as("vocab_size"))
+        .select(lit(k.toLong).as("k"), col("vocab_size"),
+          col("covered_tokens"), col("total_tokens"),
+          round(col("covered_tokens").cast("double")
+            / col("total_tokens").cast("double"), 6).as("coverage"))
+    }
+    kRows.reduce(_.unionAll(_))
+  }
+
+  /** DuckDB oracle twin of [[vocabCoverage]]. */
+  def duckVocabCoverage(tbl: String, textCol: String, idCol: String,
+                        ks: Seq[Int]): String = {
+    val kList = ks.distinct.sorted.mkString(", ")
+    s"""WITH d AS (SELECT ${graft.functions.TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl),
+       |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+       |      FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+       |r AS (SELECT c,
+       |             row_number() OVER (ORDER BY c DESC, t ASC) AS rk,
+       |             sum(c) OVER (ORDER BY c DESC, t ASC) AS cum,
+       |             sum(c) OVER () AS tot, count(*) OVER () AS v
+       |      FROM c)
+       |SELECT CAST(k AS BIGINT) AS k,
+       |       CAST(max(v) AS BIGINT) AS vocab_size,
+       |       CAST(max(cum) AS BIGINT) AS covered_tokens,
+       |       CAST(max(tot) AS BIGINT) AS total_tokens,
+       |       round(CAST(max(cum) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+       |         AS coverage
+       |FROM r CROSS JOIN (SELECT unnest([$kList]) AS k) ks
+       |WHERE rk <= k GROUP BY k""".stripMargin
+  }
+
   def oovRate(docs: DataFrame, textCol: String, idCol: String,
               topV: Int): DataFrame = {
     val words = Dedup.rebalance(docs).select(col(idCol),

@@ -220,6 +220,19 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       (3L, 1L, 3L, 0.375)))
   }
 
+  test("vocabCoverage: rank-cut token mass per k; over-budget k covers all") {
+    import spark.implicits._
+    // corpus "a a a b b c": ranks a(3) b(2) c(1), 6 tokens.
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.operators.Profile
+      .vocabCoverage(docs, "text", "doc_id", ks = Seq(1, 2, 10))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 6L, 0.5),
+      (2L, 3L, 5L, 6L, 0.833333),
+      (10L, 3L, 6L, 6L, 1.0)))
+  }
+
   test("lDiversity: homogeneous classes surface at l=1 regardless of their k") {
     import spark.implicits._
     // class 1: sensitive {x,x,y} → l=2 over 3 rows; class 2: {x,x} →
