@@ -1311,6 +1311,16 @@ object Queries {
             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                   FROM documents) d""", "q_score", "keep"))),
 
+    // Fisher class-separability of the labeled embeddings: between- vs
+    // within-class sum-of-squares trace ratio from ONE (class·dim)
+    // exact aggregate — "are these labels linearly separable in this
+    // space" before training a probe.
+    Entry("q_separability",
+      (s, d) => Similarity.classSeparability(t(s, d, "embeddings"),
+        "embedding", "label"),
+      Some(Similarity.duckClassSeparability("embeddings", "embedding",
+        "label"))),
+
     // PR-AUC (threshold-step average precision) on the same scored
     // frame as q_auc — the imbalanced-class metric; per-threshold
     // terms nano-requantized before the cross-step sum.

@@ -675,4 +675,118 @@ object Similarity {
        |       round(CAST(sum(s) AS DOUBLE) / 1000000.0
        |             / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
        |FROM sm GROUP BY 1""".stripMargin
+
+  /** Fisher class-separability of a labeled embedding table — the
+    * supervised embedding-quality diagnostic next to [[silhouette]]'s
+    * unsupervised one: the trace ratio
+    *
+    *   fisher = Σ_dims between_j / Σ_dims within_j,
+    *   between_j = Σ_c S_cj²/n_c − S_j²/N,   within_j = Q_j − Σ_c S_cj²/n_c
+    *
+    * (between/within sum-of-squares of the class means vs the residual
+    * spread). High ratio ⇒ labels are linearly separable in this
+    * embedding space — the screening check before training a probe on
+    * it.
+    *
+    * Exactness: µ-quantized vectors, exact DECIMAL (sum, sumsq) per
+    * (class, dim); each S²/n and Q term converts to value² as one
+    * double and µ-requantizes before any cross-class/cross-dim total —
+    * and within/between REUSE the same quantized Σ S²/n, so the
+    * decomposition between + within = total holds exactly in the
+    * quantized space.
+    *
+    * Scale shape: ONE (class·dim)-cardinality map-side exchange;
+    * everything downstream runs on that table.
+    *
+    * Output (one row): (n, n_classes, dim, between_ss, within_ss,
+    * fisher_ratio) — SS in value² units, ratio NULL when within = 0.
+    */
+  def classSeparability(df: DataFrame, vecCol: String, labelCol: String,
+                        scale: Long = 1000000L): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val q = Dedup.rebalance(df).select(
+      col(labelCol).cast("long").as("_c"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+        .as("_q"))
+    val grouped = q
+      .select(col("_c"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+      .groupBy(col("_c"), col("_pos"))
+      .agg(count(lit(1)).as("_n"), sum(d38(col("_v"))).as("_s"),
+        sum(col("_v").cast("decimal(19,0)") * col("_v").cast("decimal(19,0)"))
+          .as("_qq"))
+      .localCheckpoint() // class·dim rows; three consumers below
+    val sc = lit(scale.toDouble) * lit(scale.toDouble)
+    def micro(c: Column) = round(c * lit(1000000.0)).cast("long")
+    // per-(class,dim) S²/n in value², µ-requantized — shared by both SS
+    val perCell = grouped.select(col("_c"), col("_pos"), col("_n"),
+      col("_s"), col("_qq"),
+      micro(col("_s").cast("double") * col("_s").cast("double")
+        / col("_n").cast("double") / sc).as("_s2nm"))
+    val perDim = perCell.groupBy(col("_pos"))
+      .agg(sum(col("_n")).as("_nj"), sum(col("_s")).as("_sj"),
+        sum(col("_qq")).as("_qj"), sum(col("_s2nm")).as("_cellm"))
+      .select(col("_pos"), col("_nj"), col("_cellm"),
+        micro(col("_sj").cast("double") * col("_sj").cast("double")
+          / col("_nj").cast("double") / sc).as("_gm"),
+        micro(col("_qj").cast("double") / sc).as("_qm"))
+    val nClasses = grouped.select(col("_c")).distinct()
+      .agg(count(lit(1)).as("n_classes"))
+    val tot = perDim.agg(
+      max(col("_nj")).as("n"), count(lit(1)).as("dim"),
+      sum(col("_cellm") - col("_gm")).as("_bm"),
+      sum(col("_qm") - col("_cellm")).as("_wm"))
+    tot.crossJoin(broadcast(nClasses)).select(
+      col("n"), col("n_classes"), col("dim"),
+      round(col("_bm").cast("double") / 1.0e6, 6).as("between_ss"),
+      round(col("_wm").cast("double") / 1.0e6, 6).as("within_ss"),
+      when(col("_wm") > 0,
+        round(col("_bm").cast("double") / col("_wm").cast("double"), 6))
+        .as("fisher_ratio"))
+  }
+
+  /** DuckDB oracle twin of [[classSeparability]]. */
+  def duckClassSeparability(rel: String, vecCol: String, labelCol: String,
+                            scale: Long = 1000000L): String = {
+    val sc = s"(${scale}.0 * ${scale}.0)"
+    s"""WITH v AS (
+       |  SELECT CAST($labelCol AS BIGINT) AS c,
+       |         generate_subscripts($vecCol, 1) AS pos,
+       |         CAST(round(CAST(unnest($vecCol) AS DOUBLE) * $scale)
+       |              AS BIGINT) AS q
+       |  FROM $rel),
+       |g AS (
+       |  SELECT c, pos, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(q AS HUGEINT)) AS s,
+       |         sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS qq
+       |  FROM v GROUP BY 1, 2),
+       |cell AS (
+       |  SELECT c, pos, n, s, qq,
+       |         CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |                    / CAST(n AS DOUBLE) / $sc * 1000000.0)
+       |              AS BIGINT) AS s2nm
+       |  FROM g),
+       |dims AS (
+       |  SELECT pos, CAST(sum(n) AS BIGINT) AS nj,
+       |         CAST(sum(s2nm) AS BIGINT) AS cellm,
+       |         CAST(round(CAST(sum(s) AS DOUBLE) * CAST(sum(s) AS DOUBLE)
+       |                    / CAST(sum(n) AS DOUBLE) / $sc * 1000000.0)
+       |              AS BIGINT) AS gm,
+       |         CAST(round(CAST(sum(qq) AS DOUBLE) / $sc * 1000000.0)
+       |              AS BIGINT) AS qm
+       |  FROM cell GROUP BY 1),
+       |nc AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_classes FROM g),
+       |tot AS (
+       |  SELECT CAST(max(nj) AS BIGINT) AS n,
+       |         CAST(count(*) AS BIGINT) AS dim,
+       |         CAST(sum(cellm - gm) AS BIGINT) AS bm,
+       |         CAST(sum(qm - cellm) AS BIGINT) AS wm
+       |  FROM dims)
+       |SELECT n, n_classes, dim,
+       |       round(CAST(bm AS DOUBLE) / 1.0e6, 6) AS between_ss,
+       |       round(CAST(wm AS DOUBLE) / 1.0e6, 6) AS within_ss,
+       |       CASE WHEN wm > 0 THEN
+       |         round(CAST(bm AS DOUBLE) / CAST(wm AS DOUBLE), 6)
+       |       END AS fisher_ratio
+       |FROM tot CROSS JOIN nc""".stripMargin
+  }
 }

@@ -423,4 +423,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(m(2L) == ((1L, 0.0)) && m(3L) == ((1L, 0.0)))
   }
+
+  test("classSeparability: hand 1-d Fisher ratio; zero-within guard") {
+    import spark.implicits._
+    // class 0: {0, 2} (mean 1), class 1: {1, 3} (mean 2), grand 1.5:
+    // between = 2·1² + 2·2² − 4·1.5² = 1; within = 14 − (2 + 8) = 4.
+    val df = Seq((0, Seq(0.0f)), (0, Seq(2.0f)), (1, Seq(1.0f)),
+      (1, Seq(3.0f))).toDF("label", "embedding")
+    val r = Similarity.classSeparability(df, "embedding", "label")
+      .as[(Long, Long, Long, Double, Double, Option[Double])].head()
+    assert(r == ((4L, 2L, 1L, 1.0, 4.0, Some(0.25))))
+
+    // Point classes: within = 0 → ratio NULL, between kept.
+    val sep = Seq((0, Seq(0.0f)), (0, Seq(0.0f)), (1, Seq(2.0f)),
+      (1, Seq(2.0f))).toDF("label", "embedding")
+    val rs = Similarity.classSeparability(sep, "embedding", "label")
+      .as[(Long, Long, Long, Double, Double, Option[Double])].head()
+    assert(rs._4 == 4.0 && rs._5 == 0.0 && rs._6.isEmpty)
+  }
 }
