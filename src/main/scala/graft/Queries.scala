@@ -1974,6 +1974,14 @@ object Queries {
         "event_type"),
       Some(EventStats.duckWeeklySeasonality(EvOracle, "ts", "event_type"))),
 
+    // Circadian concentration per type: mean resultant length of the
+    // hour-of-day distribution via inlined µ-quantized trig tables (no
+    // query-time trig, no libm divergence) + integer-argmax peak hour.
+    Entry("q_circadian",
+      (s, d) => EventStats.circadianProfile(t(s, d, "events"), "ts",
+        "event_type"),
+      Some(EventStats.duckCircadianProfile(EvOracle, "ts", "event_type"))),
+
     // Partial autocorrelation (Durbin–Levinson) of the per-type daily
     // series at lags 1..5: stationary ACF from exact integer moments,
     // recursion unrolled with identical sum order in both engines —

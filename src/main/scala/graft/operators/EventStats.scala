@@ -101,6 +101,93 @@ object EventStats {
         .as("acf"))
   }
 
+  /** Circadian profile per event type — circular statistics over the
+    * hour-of-day distribution: the mean resultant length
+    *
+    *   R = |Σ_h n_h·e^{i·2πh/24}| / n ∈ [0, 1]
+    *
+    * measures how CONCENTRATED activity is around one time of day
+    * (R→1: single rush hour; R→0: uniform or multi-modal) — the
+    * seasonality diagnostic a flat hour histogram hides (two opposite
+    * peaks also score 0, correctly: there is no single phase).
+    *
+    * Determinism: cos/sin of the 24 hour angles are µ-QUANTIZED
+    * LITERAL TABLES precomputed here and inlined into BOTH engines
+    * (the [[Eval.discountMicros]] pattern) — no trig at query time, so
+    * no libm divergence; Σ n_h·cos_µ is exact DECIMAL, and R is one
+    * √-quotient. The peak hour is the argmax of the integer histogram
+    * (ties → earliest hour).
+    *
+    * Scale shape: one (type, hour) map-side exchange (≤ 24·types
+    * rows); everything downstream on that table.
+    * Output: (event_type, n, peak_hour, peak_n, resultant).
+    */
+  def circadianProfile(events: DataFrame, tsCol: String,
+                       typeCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cosU = EventStats.hourCosMicros
+    val sinU = EventStats.hourSinMicros
+    val byHour = events
+      .groupBy(col(typeCol).as("event_type"),
+        hour(col(tsCol)).cast("int").as("_h"))
+      .agg(count(lit(1)).as("_n"))
+    val cosT = typedlit(cosU)
+    val sinT = typedlit(sinU)
+    val agg = byHour.groupBy(col("event_type"))
+      .agg(sum(col("_n")).as("n"),
+        sum(d38(col("_n")) * d38(element_at(cosT, col("_h") + 1)))
+          .as("_c"),
+        sum(d38(col("_n")) * d38(element_at(sinT, col("_h") + 1)))
+          .as("_s"),
+        max(struct(col("_n").as("_pn"), (-col("_h")).as("_nh"))).as("_pk"))
+    agg.select(col("event_type"), col("n"),
+      (-col("_pk._nh")).cast("long").as("peak_hour"),
+      col("_pk._pn").as("peak_n"),
+      round(
+        sqrt(col("_c").cast("double") * col("_c").cast("double")
+          + col("_s").cast("double") * col("_s").cast("double"))
+          / col("n").cast("double") / 1.0e6, 6).as("resultant"))
+  }
+
+  /** µ-quantized cos/sin tables for the 24 hour angles (1-indexed for
+    * element_at/list indexing) — computed ONCE here, inlined into both
+    * engines.
+    */
+  private[graft] val hourCosMicros: Seq[Long] = (0 until 24).map(h =>
+    math.round(1.0e6 * math.cos(2.0 * math.Pi * h / 24.0)))
+  private[graft] val hourSinMicros: Seq[Long] = (0 until 24).map(h =>
+    math.round(1.0e6 * math.sin(2.0 * math.Pi * h / 24.0)))
+
+  /** DuckDB oracle twin of [[circadianProfile]]. The peak tie-break is
+    * one integer max_by key — n majors, (23−h) minors, earliest hour
+    * wins ties; 24 < 100 so the hour term never outvotes a count step.
+    * (Oracle SQL is newline-collapsed by Queries.normalize, so `--`
+    * comments are forbidden here.)
+    */
+  def duckCircadianProfile(rel: String, tsCol: String,
+                           typeCol: String): String = {
+    val cos = hourCosMicros.mkString("[", ", ", "]")
+    val sin = hourSinMicros.mkString("[", ", ", "]")
+    s"""WITH byh AS (
+       |  SELECT $typeCol AS event_type,
+       |         CAST(hour($tsCol) AS INT) AS h,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+       |         sum(CAST(n AS HUGEINT) * ($cos)[h + 1]) AS c,
+       |         sum(CAST(n AS HUGEINT) * ($sin)[h + 1]) AS s,
+       |         max_by(h, CAST(n AS HUGEINT) * 100 + (23 - h)) AS peak_hour,
+       |         max(n) AS peak_n
+       |  FROM byh GROUP BY 1)
+       |SELECT event_type, n, CAST(peak_hour AS BIGINT) AS peak_hour,
+       |       CAST(peak_n AS BIGINT) AS peak_n,
+       |       round(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+       |                  + CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       |             / CAST(n AS DOUBLE) / 1.0e6, 6) AS resultant
+       |FROM agg""".stripMargin
+  }
+
   /** Partial autocorrelation (PACF) of the per-type daily series via
     * Durbin–Levinson — the AR-order diagnostic next to [[dailyAcf]]:
     * ACF says "lag-k days correlate", PACF says whether lag k carries

@@ -258,6 +258,22 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
       (20L, 18.25, 2.025, 20.275)))
   }
 
+  test("circadianProfile: rush hour scores 1, opposite peaks score 0, ties pick the earliest hour") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val rows =
+      (1 to 4).map(i => ("a", s"2024-01-0$i 06:00:00")) ++      // one rush hour
+      Seq(("b", "2024-01-01 00:00:00"), ("b", "2024-01-01 12:00:00"),
+          ("b", "2024-01-02 00:30:00"), ("b", "2024-01-02 12:30:00")) // antipodal
+    val df = rows.toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val out = graft.operators.EventStats.circadianProfile(df, "ts", "event_type")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 4L, 6L, 4L, 1.0)))
+    // two exactly opposite peaks cancel: R = 0; peak ties → hour 0.
+    assert(out("b") == (("b", 4L, 0L, 2L, 0.0)))
+  }
+
   test("dailyPacf: hand Durbin–Levinson on a period-4 series; short-series guard") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, to_timestamp}
