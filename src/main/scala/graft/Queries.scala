@@ -2147,6 +2147,33 @@ object Queries {
       Some(Dsir.duckImportanceWeights("documents", "text", "doc_id",
         targetPred = "lang = 'en'"))),
 
+    // Effective sample size of the DSIR weights (Kish (Σw)²/Σw²): the
+    // weight-degeneracy audit — ESS/n → 0 means the resampled corpus
+    // is effectively a handful of documents.
+    Entry("q_ess",
+      (s, d) => Dsir.effectiveSampleSize(
+        Dsir.importanceWeights(t(s, d, "documents"), "text", "doc_id",
+          targetPred = "lang = 'en'"), "logw"),
+      Some(Dsir.duckEffectiveSampleSize(
+        Dsir.duckImportanceWeights("documents", "text", "doc_id",
+          targetPred = "lang = 'en'"), "logw"))),
+
+    // Max-F1 operating point of the quality classifier against the
+    // Gopher label: threshold sweep on the distinct-score table,
+    // µ-quantized-F1 argmax with a stricter-threshold tie-break.
+    Entry("q_best_f1",
+      (s, d) => Eval.bestF1(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+            QualityFilters.keepOf(col("_w")).as("keep")),
+        "q_score", "keep"),
+      Some(Eval.duckBestF1(
+        s"""SELECT ${QualityFilters.duckClassifierScore} AS q_score,
+                   ${QualityFilters.duckKeep} AS keep
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "q_score", "keep"))),
+
     // Gumbel-top-k importance resampling (DSIR's selection step):
     // deterministic weighted sample ∝ exp(logw), planned as a
     // distributed TakeOrdered — no normalization pass, no global sort.

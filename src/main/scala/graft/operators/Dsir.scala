@@ -184,4 +184,62 @@ object Dsir {
        |FROM raw JOIN wt USING (bucket)
        |GROUP BY raw.$idCol""".stripMargin
   }
+
+  /** Effective sample size of an importance-weighted corpus — the
+    * degeneracy audit for [[importanceWeights]]: resampling by weights
+    * whose mass concentrates on a few documents silently shrinks the
+    * corpus to those few;
+    *
+    *   ESS = (Σw)² / Σw²  ∈ [1, n]
+    *
+    * (Kish). ESS/n ≈ 1 means weighting is mild; ESS/n → 0 means the
+    * target distribution is effectively a handful of documents and the
+    * DSIR cut needs loosening. Weights are exp(logw − max logw) —
+    * max-normalized so the exponent is ∈ (−∞, 0] and never overflows —
+    * and µ-quantize per doc before the exact DECIMAL sums (zero-weight
+    * docs after quantization contribute nothing, correctly).
+    *
+    * Scale shape: one 1-row max aggregate broadcast back, one map-side
+    * 2-sum aggregate. Output (one row): (n, ess, ess_ratio).
+    */
+  def effectiveSampleSize(weights: DataFrame, logwCol: String): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = weights.agg(max(col(logwCol)).as("_m"))
+    val wq = weights.crossJoin(broadcast(m))
+      .select(round(exp(col(logwCol) - col("_m")) * lit(1000000.0))
+        .cast("long").as("_w"))
+    wq.agg(count(lit(1)).as("n"),
+        sum(d38(col("_w"))).as("_s"),
+        sum(col("_w").cast("decimal(19,0)") * col("_w").cast("decimal(19,0)"))
+          .as("_s2"))
+      .select(col("n"),
+        when(col("_s2") > 0,
+          round(col("_s").cast("double") * col("_s").cast("double")
+            / col("_s2").cast("double"), 6)).as("ess"),
+        when(col("_s2") > 0,
+          round(col("_s").cast("double") * col("_s").cast("double")
+            / col("_s2").cast("double") / col("n").cast("double"), 6))
+          .as("ess_ratio"))
+  }
+
+  /** DuckDB oracle twin of [[effectiveSampleSize]]. */
+  def duckEffectiveSampleSize(innerSql: String, logwCol: String): String =
+    s"""WITH w AS (
+       |  SELECT CAST(round(exp($logwCol - (SELECT max($logwCol)
+       |                                    FROM ($innerSql)))
+       |                    * 1000000.0) AS BIGINT) AS wq
+       |  FROM ($innerSql)),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             sum(CAST(wq AS HUGEINT)) AS s,
+       |             sum(CAST(wq AS HUGEINT) * CAST(wq AS HUGEINT)) AS s2
+       |      FROM w)
+       |SELECT n,
+       |       CASE WHEN s2 > 0 THEN
+       |         round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |               / CAST(s2 AS DOUBLE), 6) END AS ess,
+       |       CASE WHEN s2 > 0 THEN
+       |         round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |               / CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |       END AS ess_ratio
+       |FROM s""".stripMargin
 }

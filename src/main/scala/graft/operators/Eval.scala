@@ -194,6 +194,101 @@ object Eval {
           / count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
 
+  /** Best-F1 operating point — the threshold sweep that turns a scored
+    * classifier into a DECISION rule: at every distinct score s
+    * (predict positive when score ≥ s), precision/recall/F1 from the
+    * descending cumulative counts; report the maximizing threshold.
+    *
+    *   F1 = 2·cumP / (cumP + cumN + n_pos)
+    *
+    * (algebraically 2PR/(P+R) collapsed to one integer fraction); the
+    * argmax compares the µ-QUANTIZED ratio — both engines quantize the
+    * same exact-integer fraction identically — with equal-F1 ties
+    * breaking to the HIGHER threshold, the stricter rule.
+    *
+    * Scale shape: the [[aucRankSum]] discipline — one score-grouped
+    * aggregate, cumulative window on the distinct-score table, one
+    * max_by.
+    *
+    * Output (one row): (n_pos, n_neg, threshold, precision, recall,
+    * f1) — NULL row values when there are no positives.
+    */
+  def bestF1(scored: DataFrame, scoreCol: String,
+             labelCol: String): DataFrame = {
+    val byScore = scored.groupBy(col(scoreCol).as("s")).agg(
+      count(when(col(labelCol) === 1, lit(1))).as("p"),
+      count(when(col(labelCol) === 0, lit(1))).as("n"))
+    val upTo = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val cum = byScore
+      .withColumn("_cp", sum(col("p")).over(upTo))
+      .withColumn("_cn", sum(col("n")).over(upTo))
+      .withColumn("_np", sum(col("p")).over(whole))
+      .withColumn("_nn", sum(col("n")).over(whole))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    // exact-fraction argmax: maximize cumP/(cumP+cumN+nPos) — compare
+    // via the µ-quantized ratio (monotone, 6-dp-stable) with the
+    // threshold itself as the tie-break (encoded in the ordered struct)
+    val f1m = round(d(lit(2) * col("_cp"))
+      / d(col("_cp") + col("_cn") + col("_np")) * lit(1000000.0))
+      .cast("long")
+    val best = cum
+      .select(col("s"), col("_cp"), col("_cn"), col("_np"), col("_nn"),
+        f1m.as("_f1m"))
+      .groupBy()
+      .agg(max(struct(col("_f1m"), col("s").as("_s"), col("_cp").as("_bcp"),
+        col("_cn").as("_bcn"), col("_np").as("_bnp"), col("_nn").as("_bnn")))
+        .as("_b"))
+    best.select(
+      col("_b._bnp").as("n_pos"), col("_b._bnn").as("n_neg"),
+      when(col("_b._bnp") > 0, col("_b._s")).as("threshold"),
+      when(col("_b._bnp") > 0,
+        round(d38(col("_b._bcp")).cast("double")
+          / d38(col("_b._bcp") + col("_b._bcn")).cast("double"), 6))
+        .as("precision"),
+      when(col("_b._bnp") > 0,
+        round(d38(col("_b._bcp")).cast("double")
+          / d38(col("_b._bnp")).cast("double"), 6)).as("recall"),
+      when(col("_b._bnp") > 0,
+        round(col("_b._f1m").cast("double") / lit(1000000.0), 6)).as("f1"))
+  }
+
+  /** DuckDB oracle twin of [[bestF1]]. */
+  def duckBestF1(innerSql: String, scoreCol: String,
+                 labelCol: String): String =
+    s"""WITH by_score AS (
+       |  SELECT $scoreCol AS s,
+       |         CAST(count(*) FILTER (WHERE $labelCol = 1) AS BIGINT) AS p,
+       |         CAST(count(*) FILTER (WHERE $labelCol = 0) AS BIGINT) AS n
+       |  FROM ($innerSql) GROUP BY 1),
+       |cum AS (
+       |  SELECT s,
+       |         sum(p) OVER (ORDER BY s DESC) AS cp,
+       |         sum(n) OVER (ORDER BY s DESC) AS cn,
+       |         sum(p) OVER () AS np, sum(n) OVER () AS nn
+       |  FROM by_score),
+       |f AS (
+       |  SELECT s, cp, cn, np, nn,
+       |         CAST(round(CAST(2 * cp AS DOUBLE)
+       |                    / CAST(cp + cn + np AS DOUBLE) * 1000000.0)
+       |              AS BIGINT) AS f1m
+       |  FROM cum),
+       |b AS (
+       |  SELECT * FROM f ORDER BY f1m DESC, s DESC LIMIT 1)
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |       CASE WHEN np > 0 THEN s END AS threshold,
+       |       CASE WHEN np > 0 THEN
+       |         round(CAST(cp AS DOUBLE) / CAST(cp + cn AS DOUBLE), 6)
+       |       END AS precision,
+       |       CASE WHEN np > 0 THEN
+       |         round(CAST(cp AS DOUBLE) / CAST(np AS DOUBLE), 6)
+       |       END AS recall,
+       |       CASE WHEN np > 0 THEN
+       |         round(CAST(f1m AS DOUBLE) / 1000000.0, 6) END AS f1
+       |FROM b""".stripMargin
+
   /** Average precision (PR-AUC) — the imbalanced-class companion of
     * [[aucRankSum]]: ROC-AUC stays optimistic when positives are rare
     * (a quality classifier passing 2% of a crawl), the

@@ -73,6 +73,42 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Option[Double])].head()._3.isEmpty)
   }
 
+  test("bestF1: threshold sweep picks the max-F1 cut; degenerate guards") {
+    import spark.implicits._
+    // F1 by threshold: 0.9→⅔, 0.8→0.5, 0.7→0.8 (best), 0.6→⅔.
+    val mixed = Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L)).toDF("s", "y")
+    val r = Eval.bestF1(mixed, "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+           Option[Double])].head()
+    assert(r == ((2L, 2L, Some(0.7), Some(0.666667), Some(1.0), Some(0.8))))
+    // All positives: the lowest threshold reaches F1 = 1.
+    val allPos = Seq((0.9, 1L), (0.5, 1L)).toDF("s", "y")
+    val rp = Eval.bestF1(allPos, "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+           Option[Double])].head()
+    assert(rp == ((2L, 0L, Some(0.5), Some(1.0), Some(1.0), Some(1.0))))
+    // No positives → NULL operating point.
+    val none = Seq((0.9, 0L)).toDF("s", "y")
+    assert(Eval.bestF1(none, "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+           Option[Double])].head()._6.isEmpty)
+  }
+
+  test("effectiveSampleSize: uniform weights keep the corpus, a spike collapses it") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val uniform = Seq(0.0, 0.0, 0.0, 0.0).toDF("logw")
+    assert(Dsir.effectiveSampleSize(uniform, "logw")
+      .as[(Long, Option[Double], Option[Double])].head()
+      == ((4L, Some(4.0), Some(1.0))))
+    // One dominant weight (e^0 vs e^-20 ≈ 0 after µ-quantization):
+    // ESS collapses to ~1 of 2.
+    val spike = Seq(0.0, -20.0).toDF("logw")
+    val rs = Dsir.effectiveSampleSize(spike, "logw")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(rs == ((2L, Some(1.0), Some(0.5))))
+  }
+
   test("brierDecomposition: hand bins satisfy brier = rel − res + unc") {
     import spark.implicits._
     // Two bins of two rows: (0.8,1)(0.8,1) and (0.2,0)(0.2,1).
