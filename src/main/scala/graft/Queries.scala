@@ -3130,6 +3130,19 @@ object Queries {
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackMs = 3L * 24 * 3600 * 1000))),
 
+    // TIME-DECAY multi-touch attribution (12 h half-life): weight
+    // 10⁶ >> ⌊Δt/halfLife⌋ — exact integer halving, no pow(); shares
+    // are the same fixed-point micro-credits as the linear gate.
+    Entry("q_attribution_decay",
+      (s, d) => Attribution.timeDecayTouch(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackMs = 3L * 24 * 3600 * 1000, halfLifeMs = 12L * 3600 * 1000),
+      Some(Attribution.duckTimeDecayTouch(EvOracle, "user_id", "ts",
+        "event_id", "event_type", "value",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackMs = 3L * 24 * 3600 * 1000, halfLifeMs = 12L * 3600 * 1000))),
+
     // Exact phrase search gate: consecutive in-order token match via
     // aligned-anchor bitmask aggregation — one explode (query-term
     // postings only), one (doc, anchor) aggregate, no join chain.

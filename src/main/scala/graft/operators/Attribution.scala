@@ -158,6 +158,111 @@ object Attribution {
        |FROM (SELECT * FROM att UNION ALL SELECT * FROM none)""".stripMargin
   }
 
+  /** TIME-DECAY multi-touch attribution — the remaining standard model
+    * next to [[lastTouch]] (all credit to recency), [[linearTouch]]
+    * (equal credit), and [[markovRemoval]] (counterfactual credit):
+    * each in-window touch earns weight halved per elapsed half-life,
+    * and the conversion value splits ∝ weight.
+    *
+    * EXACT halving, no pow(): the weight is the integer
+    * `10⁶ >> ⌊Δt/halfLife⌋` (zero beyond 20 half-lives — 10⁶ < 2²⁰ —
+    * with an explicit clamp: a raw shift would wrap at 64 on both
+    * JVMs and C++), so shares are pure BIGINT products and floor
+    * divisions like [[linearTouch]]'s micro-credits. Touches whose
+    * weight quantizes to zero are EXCLUDED from attribution (they
+    * carry no credit and would only pad the touch counts).
+    *
+    * Scale shape: identical to [[linearTouch]] — the bucketed interval
+    * join, one per-conversion window for Σw, map-side final rollup.
+    * Output: (touch_type, conversions, attributed_value) + '(none)'.
+    */
+  def timeDecayTouch(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String, typeCol: String, valueCol: String,
+                     touchTypes: Seq[String], convType: String,
+                     lookbackMs: Long, halfLifeMs: Long): DataFrame = {
+    require(!touchTypes.contains(convType),
+      s"timeDecayTouch: convType '$convType' must not be a touch type")
+    require(halfLifeMs > 0, s"timeDecayTouch: bad halfLifeMs=$halfLifeMs")
+    val lookbackUs = lookbackMs * 1000L
+    val halfLifeUs = halfLifeMs * 1000L
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_tus"),
+        col(typeCol).as("touch_type"))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("_u"), col(idCol).as("_cid"),
+        unix_micros(col(tsCol)).as("_cus"),
+        floor(col(valueCol) * 1e6).cast("long").as("_vmic"))
+    val windows = conv.select(col("_u"), col("_cid"), col("_vmic"),
+      (col("_cus") - lookbackUs).as("_start"), (col("_cus") + 1L).as("_end"))
+    val joined = RangeJoin.bucketedIntervalJoin(
+      touches, "_tus", windows, "_start", "_end",
+      bucketUs = lookbackUs + 1L, keys = Seq("_u"))
+    val k = expr(s"((_end - 1) - _tus) div ${halfLifeUs}L")
+    val weighted = joined
+      .withColumn("_w",
+        when(k >= 20L, lit(0L))
+          .otherwise(call_function("shiftright", lit(1000000L), k.cast("int"))))
+      .filter(col("_w") > 0L)
+    val w = Window.partitionBy(col("_cid"))
+    val shares = weighted
+      .withColumn("_sw", sum(col("_w")).over(w))
+      .select(col("_cid"), col("touch_type"),
+        expr("(_vmic * _w) div _sw").as("_share"))
+    val attributed = shares.groupBy(col("touch_type"))
+      .agg(count_distinct(col("_cid")).as("conversions"),
+        sum(col("_share")).as("_mic"))
+    val none = conv.join(shares.select("_cid").distinct(),
+        Seq("_cid"), "left_anti")
+      .agg(count(lit(1)).as("conversions"), sum(col("_vmic")).as("_mic"))
+      .select(lit("(none)").as("touch_type"), col("conversions"), col("_mic"))
+      .filter(col("conversions") > 0L)
+    attributed.unionByName(none)
+      .select(col("touch_type"), col("conversions"),
+        round(col("_mic").cast("double") / 1e6, 6).as("attributed_value"))
+  }
+
+  /** DuckDB oracle twin of [[timeDecayTouch]]. */
+  def duckTimeDecayTouch(rel: String, userCol: String, tsCol: String,
+                         idCol: String, typeCol: String, valueCol: String,
+                         touchTypes: Seq[String], convType: String,
+                         lookbackMs: Long, halfLifeMs: Long): String = {
+    val inList = touchTypes.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val conv = s"'${convType.replace("'", "''")}'"
+    val lookbackUs = lookbackMs * 1000L
+    val halfLifeUs = halfLifeMs * 1000L
+    s"""WITH tch AS (SELECT $userCol AS u, epoch_us($tsCol) AS tus,
+       |                    $typeCol AS touch_type
+       |             FROM $rel WHERE $typeCol IN ($inList)),
+       |cv AS (SELECT $userCol AS u, $idCol AS cid, epoch_us($tsCol) AS cus,
+       |              CAST(floor($valueCol * 1e6) AS BIGINT) AS vmic
+       |       FROM $rel WHERE $typeCol = $conv),
+       |j AS (SELECT cv.cid, cv.vmic, tch.touch_type,
+       |             (cv.cus - tch.tus) // $halfLifeUs AS k
+       |      FROM tch JOIN cv ON tch.u = cv.u
+       |        AND tch.tus >= cv.cus - $lookbackUs AND tch.tus <= cv.cus),
+       |wj AS (SELECT cid, vmic, touch_type,
+       |              CASE WHEN k >= 20 THEN CAST(0 AS BIGINT)
+       |                   ELSE CAST(1000000 AS BIGINT) >> CAST(k AS INT)
+       |              END AS w
+       |       FROM j),
+       |wk AS (SELECT * FROM wj WHERE w > 0),
+       |sh AS (SELECT cid, touch_type,
+       |              (vmic * w) // (sum(w) OVER (PARTITION BY cid)) AS share
+       |       FROM wk),
+       |att AS (SELECT touch_type,
+       |               CAST(count(DISTINCT cid) AS BIGINT) AS conversions,
+       |               CAST(sum(share) AS BIGINT) AS mic
+       |        FROM sh GROUP BY 1),
+       |none AS (SELECT '(none)' AS touch_type,
+       |                CAST(count(*) AS BIGINT) AS conversions,
+       |                CAST(sum(vmic) AS BIGINT) AS mic
+       |         FROM cv WHERE cid NOT IN (SELECT cid FROM sh)
+       |         HAVING count(*) > 0)
+       |SELECT touch_type, conversions,
+       |       round(CAST(mic AS DOUBLE) / 1e6, 6) AS attributed_value
+       |FROM (SELECT * FROM att UNION ALL SELECT * FROM none)""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[lastTouch]] — identical running-last window
     * and window-bound arithmetic (epoch_ms ↔ unix_millis).
     */

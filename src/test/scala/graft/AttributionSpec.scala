@@ -69,6 +69,39 @@ class AttributionSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("timeDecayTouch: credit halves per half-life; zero-weight touches drop") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Timestamp, Long, String, Double)],
+            halfLifeMs: Long) = {
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      Attribution.timeDecayTouch(df, "user_id", "ts", "event_id",
+          "event_type", "value", touchTypes = Seq("view", "click"),
+          convType = "purchase", lookbackMs = 40L * Day,
+          halfLifeMs = halfLifeMs)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    // view at Δ=0 (w=10⁶), click one half-life earlier (w=5·10⁵):
+    // 10.0 splits 2:1 with the linear gate's micro-floor (⅓ loses 1µ).
+    val hl = 12L * 3600 * 1000
+    val out = run(Seq(
+      (1L, ts("2024-01-02 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 12:00:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-02 00:00:00"), 3L, "purchase", 10.0)), hl)
+    assert(out == Map("view" -> ((1L, 6.666666)), "click" -> ((1L, 3.333333))))
+
+    // A touch 20+ half-lives back weighs 0 and is DROPPED — the lone
+    // remaining touch takes everything; a fully-stale journey is (none).
+    val stale = run(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0), // 24 HLs back
+      (1L, ts("2024-01-31 00:00:00"), 2L, "view", 0.0),
+      (1L, ts("2024-01-31 00:00:00"), 3L, "purchase", 4.0),
+      (2L, ts("2024-01-01 00:00:00"), 4L, "view", 0.0),
+      (2L, ts("2024-01-31 00:00:00"), 5L, "purchase", 2.0)),
+      halfLifeMs = 3600L * 1000)
+    assert(stale == Map("view" -> ((1L, 4.0)), "(none)" -> ((1L, 2.0))))
+  }
+
   test("linearTouch splits credit evenly across in-window touches") {
     val out = runLinear(Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
