@@ -1353,6 +1353,16 @@ object Queries {
             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                   FROM documents) d""", "q_score", "keep", nBins = 10))),
 
+    // Jensen–Shannon divergence between the en and es slices' unigram
+    // distributions — symmetric, bounded source-similarity (KL drift
+    // explodes on one-sided tokens; the JSD midpoint absorbs them);
+    // count-cross-product ratios into one ln, nano-requantized terms.
+    Entry("q_jsd",
+      (s, d) => Entropy.jsDivergence(t(s, d, "documents"), "text",
+        predA = "lang = 'en'", predB = "lang = 'es'"),
+      Some(Entropy.duckJsDivergence("documents", "text",
+        predA = "lang = 'en'", predB = "lang = 'es'"))),
+
     // Brier score + Murphy decomposition over the same integer-edged
     // bins as q_calibration: proper-scoring-rule view (reliability /
     // resolution / uncertainty) of the quality classifier — exact µ²

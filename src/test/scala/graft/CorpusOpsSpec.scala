@@ -542,6 +542,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r == ((3L, 4L, 3L, 3L, 2L, Some(0.666667))))
   }
 
+  test("jsDivergence: one-sided tokens stay finite; identical slices score 0") {
+    import graft.operators.Entropy
+    // A: "x x y" (n=3), B: "x z" (n=2): y and z are one-sided — KL
+    // would be infinite, JSD's midpoint keeps them at (c/n)·ln2.
+    val docs = Seq((1L, "en", "x x y"), (2L, "es", "x z"),
+      (3L, "zh", "ignored entirely")).toDF("doc_id", "lang", "text")
+    val r = Entropy.jsDivergence(docs, "text",
+      predA = "lang = 'en'", predB = "lang = 'es'")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(r == ((3L, 2L, 3L, Some(0.294784), Some(0.425284))))
+
+    // Identical distributions → 0.
+    val same = Seq((1L, "en", "x y"), (2L, "es", "x y"))
+      .toDF("doc_id", "lang", "text")
+    assert(Entropy.jsDivergence(same, "text", "lang = 'en'", "lang = 'es'")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .head()._4.contains(0.0))
+
+    // Empty side → NULL.
+    val one = Seq((1L, "en", "x")).toDF("doc_id", "lang", "text")
+    assert(Entropy.jsDivergence(one, "text", "lang = 'en'", "lang = 'es'")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .head()._4.isEmpty)
+  }
+
   test("heapsFit: first-bucket vocab counting, 2-point fit, degenerate guard") {
     import graft.operators.Zipf
     // ids 0–4 → bucket 0 (2 tokens each: vocab {a, b});
