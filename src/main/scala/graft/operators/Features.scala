@@ -28,7 +28,10 @@ object Features {
     *
     * Scale shape: one map-side-combinable category aggregate
     * (category-cardinality output) broadcast-joined back to the rows —
-    * the corpus is touched once and never shuffled by category.
+    * the corpus is touched once and never shuffled by category. The
+    * broadcast hint is right while the category table fits an executor
+    * (≲10⁷ categories × 24 B); past that, drop the hint and let AQE
+    * pick the shuffle join — the LOO arithmetic is unchanged.
     *
     * Output: (idCol, catCol, loo).
     */
