@@ -703,6 +703,21 @@ object Queries {
     // Pair resolution: near-dup pairs → connected components → keep the
     // min-id representative per cluster (the actual dedup). Oracle is a
     // recursive-CTE transitive closure over the same exact pairs.
+    // Near-dup cluster-size histogram on the q_dedup_resolve scope —
+    // the aggressiveness audit: how much cluster mass resolution is
+    // about to collapse (singletons included, so Σ size·n = corpus).
+    Entry("q_dedup_hist_sizes",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.5, maxDocId = 500)
+        Dedup.clusterSizeHistogram(docs.filter(col("doc_id") < 500),
+          pairs, "doc_id")
+      },
+      Some(Dedup.duckClusterSizeHistogram(
+        "(SELECT * FROM documents WHERE doc_id < 500)", "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocId = 500))),
+
     Entry("q_dedup_resolve",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -1120,6 +1120,67 @@ object Dedup {
        |WHERE d.$idCol NOT IN (SELECT id FROM cc WHERE id <> lbl)""".stripMargin
   }
 
+  /** Near-dup CLUSTER-SIZE HISTOGRAM — the dedup aggressiveness audit
+    * next to [[resolvePairs]]: resolution reports the survivors, this
+    * reports the cluster mass being collapsed (a long tail of pairs is
+    * routine crawling noise; a 5 000-member cluster is a template
+    * farm — and the rows this histogram says you are about to drop is
+    * the number the health report should show BEFORE the drop).
+    * Unpaired docs appear as size-1 clusters, so Σ size·n_clusters
+    * equals the corpus row count — conservation a reviewer can check.
+    *
+    * Scale shape: the same O(log n) component labels, one label-keyed
+    * count (component-cardinality), a histogram aggregate over it, and
+    * one anti-join count for the singleton row.
+    *
+    * Output: (cluster_size, n_clusters), cluster_size ≥ 1.
+    */
+  def clusterSizeHistogram(df: DataFrame, pairs: DataFrame, idCol: String,
+                           maxIters: Int = 50): DataFrame = {
+    val labels = connectedComponents(pairs, maxIters)
+    val hist = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = df
+      .join(labels.select(col("id")), df(idCol) === col("id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    // components always have ≥ 2 members (every labeled id came from a
+    // pair), so the singleton row never collides with the histogram.
+    hist.unionByName(singles)
+  }
+
+  /** DuckDB oracle for [[clusterSizeHistogram]] over
+    * [[ngramJaccardPairs]] candidates (the q_dedup_resolve scope rule).
+    */
+  def duckClusterSizeHistogram(tbl: String, textCol: String, idCol: String,
+                               n: Int, threshold: Double,
+                               maxDocId: Long): String = {
+    val pairsSql = duckNgramJaccardPairs(tbl, textCol, idCol, n, threshold, maxDocId)
+    s"""WITH pairs AS ($pairsSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |cc AS (
+       |  WITH RECURSIVE reach(id, lbl) AS (
+       |    SELECT src, src FROM e
+       |    UNION
+       |    SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.id)
+       |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |hist AS (
+       |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size
+       |        FROM cc GROUP BY 1)
+       |  GROUP BY 1),
+       |singles AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |         CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM $tbl WHERE $idCol NOT IN (SELECT id FROM cc)
+       |  HAVING count(*) > 0)
+       |SELECT * FROM hist UNION ALL SELECT * FROM singles""".stripMargin
+  }
+
   /** QUALITY-AWARE cluster resolution — [[resolvePairs]] with the
     * keep-BEST policy instead of keep-min-id: within every near-dup
     * cluster the survivor is the member with the highest `scoreCol`

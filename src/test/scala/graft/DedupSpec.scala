@@ -154,6 +154,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("clusterSizeHistogram: component sizes + singletons conserve the corpus") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    // chain 1-2-3 (size 3), pair 10-11 (size 2), singleton 20.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val hist = Dedup.clusterSizeHistogram(docs, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+    assert(hist.map { case (s, n) => s * n }.sum == 6L) // conservation
+    // No pairs at all: everything is a singleton.
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusterSizeHistogram(docs, none, "doc_id")
+      .as[(Long, Long)].collect().toMap == Map(1L -> 6L))
+  }
+
   test("resolvePairs keeps min-id per component and all unpaired rows") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
