@@ -1433,6 +1433,16 @@ object Queries {
       Some(Curriculum.duckDomainCap("documents", "text", "doc_id",
         "source", cap = 12))),
 
+    // Dynamic per-domain quality threshold: keep the TOP 30% of every
+    // source by classifier score (the proportional twin of
+    // q_domain_cap's fixed quota) — exact integer-rank cut, rank and
+    // domain size from the SAME single window exchange.
+    Entry("q_quality_topp",
+      (s, d) => Curriculum.qualityTopPercent(t(s, d, "documents"),
+        "text", "doc_id", "source", pct = 30),
+      Some(Curriculum.duckQualityTopPercent("documents", "text", "doc_id",
+        "source", pct = 30))),
+
     // Benchmark decontamination: training docs sharing word 3-grams with
     // the held-out eval split (doc_id % 97 = 0). Eval grams broadcast;
     // the corpus side stays narrow until the per-doc count agg.
@@ -2056,6 +2066,15 @@ object Queries {
         "event_type", "value"),
       Some(Features.duckTargetEncodeLoo(EvOracle, "event_id",
         "event_type", "value"))),
+
+    // Regression-eval metrics (RMSE/MAE/R² = ANOVA η²) of the
+    // per-type conditional-mean predictor — the in-sample fit audit of
+    // q_target_encode's encoder: exact µ-integer moments per type,
+    // category-sorted left folds for the handful of group terms.
+    Entry("q_reg_metrics",
+      (s, d) => Eval.regressionMetrics(t(s, d, "events"),
+        "event_type", "value"),
+      Some(Eval.duckRegressionMetrics(EvOracle, "event_type", "value"))),
 
     // Split-conformal calibration audit: q̂ as an exact integer-rank
     // order statistic of hash-split calibration residuals, coverage of
@@ -3120,6 +3139,16 @@ object Queries {
         Seq("c_nationkey", "floor(c_acctbal / 1000)"), "c_mktsegment"),
       Some(Profile.duckLDiversity("customer",
         Seq("c_nationkey", "floor(c_acctbal / 1000)"), "c_mktsegment"))),
+
+    // ε-DP released counts — the privacy family's PUBLICATION gate
+    // (q_kanon/q_ldiversity measure risk; this masks it): per-nation
+    // customer counts + deterministic inverse-CDF Laplace(1/ε), one
+    // map-side key aggregate and a narrow noise projection.
+    Entry("q_dp_counts",
+      (s, d) => Profile.dpNoisedCounts(t(s, d, "customer"),
+        "c_nationkey", epsilon = 0.5),
+      Some(Profile.duckDpNoisedCounts("customer", "c_nationkey",
+        epsilon = 0.5))),
 
     // CUSUM change-point gate: fixed-point integer sequential test over
     // per-type daily volume (accumulates small persistent drifts the

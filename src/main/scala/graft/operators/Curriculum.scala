@@ -253,4 +253,55 @@ object Curriculum {
        |           ORDER BY ${QualityFilters.duckClassifierScore} DESC, $idCol ASC) AS BIGINT) AS d_rank
        |  FROM d) r
        |WHERE d_rank <= $cap""".stripMargin
+
+  /** Dynamic per-domain quality threshold: keep the TOP `pct`% of each
+    * domain's documents by the model-based quality score — the
+    * proportional twin of [[domainCap]] (a fixed quota starves big
+    * domains and barely trims small ones; a global score threshold
+    * lets one high-scoring domain dominate). Keeping a fixed fraction
+    * per domain is the crawl-curation rule the quality-classifier
+    * pipelines apply ("keep the best X% of every host").
+    *
+    * The cut is an exact integer rank test — rank ≤ ceil(pct·n/100)
+    * with the usual (score DESC, id ASC) tie-break — not a float
+    * percentile threshold, so membership is bit-deterministic and the
+    * boundary document is unambiguous. Both the rank and the domain
+    * size come from the SAME domain-keyed window, so the whole
+    * operator is one narrow scoring projection + ONE exchange; at
+    * crawl scale the window key (host) is high-cardinality and a
+    * mega-domain's partition holds only its own rows.
+    *
+    * Output: (idCol, domainCol, q_score, d_rank, d_n) for kept rows.
+    */
+  def qualityTopPercent(docs: DataFrame, textCol: String, idCol: String,
+                        domainCol: String, pct: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("q_score").desc, col(idCol).asc)
+    val wAll = Window.partitionBy(col(domainCol))
+    docs
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), col(domainCol),
+        QualityFilters.classifierScoreOf(col("_w")).as("q_score"))
+      .withColumn("d_rank", row_number().over(w).cast("long"))
+      .withColumn("d_n", count(lit(1L)).over(wAll))
+      // rank ≤ ceil(pct·n/100), all-integer: 100·rank ≤ pct·n + 99
+      .filter(col("d_rank") * 100L <= col("d_n") * pct + 99L)
+  }
+
+  /** DuckDB oracle for [[qualityTopPercent]] — same score, same
+    * integer-rank cut.
+    */
+  def duckQualityTopPercent(tbl: String, textCol: String, idCol: String,
+                            domainCol: String, pct: Int): String =
+    s"""WITH d AS (SELECT $idCol, $domainCol,
+       |                  ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl)
+       |SELECT * FROM (
+       |  SELECT $idCol, $domainCol,
+       |         ${QualityFilters.duckClassifierScore} AS q_score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY $domainCol
+       |           ORDER BY ${QualityFilters.duckClassifierScore} DESC, $idCol ASC) AS BIGINT) AS d_rank,
+       |         CAST(COUNT(*) OVER (PARTITION BY $domainCol) AS BIGINT) AS d_n
+       |  FROM d) r
+       |WHERE d_rank * 100 <= d_n * $pct + 99""".stripMargin
 }

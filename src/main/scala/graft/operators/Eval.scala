@@ -688,4 +688,108 @@ object Eval {
        |             $labelCol
        |      FROM ($innerSql))
        |GROUP BY 1""".stripMargin
+
+  /** Regression-evaluation metrics (RMSE / MAE / R²) for the
+    * per-category conditional-mean predictor — the regression twin of
+    * the classifier gates above, and the in-sample fit audit of
+    * [[Features.targetEncodeLoo]]'s encoder: "how much of the target's
+    * variance does this categorical feature explain" (this R² is
+    * exactly one-way-ANOVA η²).
+    *
+    * Exactness discipline: the target is µ-quantized once
+    * (vµ = round(v·10⁶), an exact BIGINT), and everything summed
+    * ACROSS ROWS is an exact DECIMAL integer — per-category
+    * n_g, Σvµ, Σvµ², and the MAE numerator Σ|n_g·vµ − Σvµ| (the
+    * residual |v − mean_g| scaled by n_g, so it needs no float mean) —
+    * making every partial-agg order irrelevant. Only the final
+    * per-category terms (SSE_g = Σvµ² − (Σvµ)²/n_g, MAE_g = aµ_g/n_g)
+    * are doubles, reduced with the repo's category-sorted left fold so
+    * both engines add the handful of group terms in the same order.
+    *
+    * Scale shape: one category-keyed exchange for the moments, the
+    * tiny stats table broadcast back for the MAE pass, then one
+    * category-keyed re-aggregation — category cardinality (event
+    * types, languages, domains-after-bucketing) is bounded, so the
+    * fold list is metadata-sized. Output 1 row:
+    * (n, n_groups, mean, rmse, mae, r2).
+    */
+  def regressionMetrics(df: DataFrame, catCol: String,
+                        valCol: String): DataFrame = {
+    val vmu = round(col(valCol) * 1e6).cast("decimal(38,0)")
+    val rows = df.select(col(catCol).as("_g"), vmu.as("_v"))
+    val stats = rows.groupBy(col("_g")).agg(
+      count(lit(1L)).as("_ng"),
+      sum(col("_v")).as("_sg"),
+      sum(col("_v") * col("_v")).as("_qg"))
+    val perGroup = rows
+      .join(broadcast(stats), "_g")
+      .groupBy(col("_g")).agg(
+        first(col("_ng")).as("_ng"),
+        first(col("_sg")).as("_sg"),
+        first(col("_qg")).as("_qg"),
+        sum(abs(col("_v") * col("_ng").cast("decimal(38,0)") - col("_sg")))
+          .as("_ag"))
+    def fold(l: Column, f: Column => Column): Column =
+      aggregate(l, lit(0.0), (acc, s) => acc + f(s))
+    def d(c: Column) = c.cast("double")
+    val folded = perGroup
+      .agg(sort_array(collect_list(struct(col("_g"), col("_ng"), col("_sg"),
+        col("_qg"), col("_ag")))).as("_l"),
+        count(lit(1L)).as("n_groups"),
+        sum(col("_ng")).as("n"),
+        sum(col("_sg")).as("_s"),
+        sum(col("_qg")).as("_q"))
+      .withColumn("_sse", fold(col("_l"), s =>
+        d(s.getField("_qg")) -
+          d(s.getField("_sg")) * d(s.getField("_sg")) / d(s.getField("_ng"))))
+      .withColumn("_mae", fold(col("_l"), s =>
+        d(s.getField("_ag")) / d(s.getField("_ng"))))
+    val nD = d(col("n"))
+    val sst = d(col("_q")) - d(col("_s")) * d(col("_s")) / nD
+    folded.select(
+      col("n"), col("n_groups"),
+      round(d(col("_s")) / nD / 1e6, 6).as("mean"),
+      round(sqrt(col("_sse") / nD) / 1e6, 6).as("rmse"),
+      round(col("_mae") / nD / 1e6, 6).as("mae"),
+      round(lit(1.0) - col("_sse") / sst, 6).as("r2"))
+  }
+
+  /** DuckDB oracle twin of [[regressionMetrics]] — same µ-quantized
+    * exact moments, same category-sorted left folds, same final
+    * arithmetic.
+    */
+  def duckRegressionMetrics(rel: String, catCol: String,
+                            valCol: String): String = {
+    def fold(expr: String): String =
+      s"""list_reduce(list_prepend(0.0, list($expr ORDER BY g)),
+         |            (acc, x) -> acc + x)""".stripMargin
+    s"""WITH rows_q AS (
+       |  SELECT $catCol AS g,
+       |         CAST(round($valCol * 1000000.0) AS HUGEINT) AS v
+       |  FROM $rel),
+       |st AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+       |         sum(v) AS sg, sum(v * v) AS qg
+       |  FROM rows_q GROUP BY g),
+       |pg AS (
+       |  SELECT r.g, any_value(st.ng) AS ng, any_value(st.sg) AS sg,
+       |         any_value(st.qg) AS qg,
+       |         sum(abs(r.v * st.ng - st.sg)) AS ag
+       |  FROM rows_q r JOIN st ON r.g = st.g GROUP BY r.g),
+       |f AS (
+       |  SELECT count(*) AS n_groups,
+       |         CAST(sum(ng) AS BIGINT) AS n,
+       |         sum(sg) AS s, sum(qg) AS q,
+       |         ${fold("CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)")} AS sse,
+       |         ${fold("CAST(ag AS DOUBLE) / CAST(ng AS DOUBLE)")} AS mae_s
+       |  FROM pg)
+       |SELECT n, CAST(n_groups AS BIGINT) AS n_groups,
+       |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+       |       round(sqrt(sse / CAST(n AS DOUBLE)) / 1e6, 6) AS rmse,
+       |       round(mae_s / CAST(n AS DOUBLE) / 1e6, 6) AS mae,
+       |       round(1.0 - sse / (CAST(q AS DOUBLE)
+       |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |               / CAST(n AS DOUBLE)), 6) AS r2
+       |FROM f""".stripMargin
+  }
 }

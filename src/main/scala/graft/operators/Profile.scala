@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextAnalysis
+
 /** Single-pass data profiling and expectation checking — the quality gate
   * a training-data pipeline runs before committing a corpus snapshot
   * ("row count sane? key unique? null fractions in bounds? value ranges
@@ -817,4 +819,64 @@ object Profile {
        |       round(CAST(count(CASE WHEN $idCol > first_id THEN 1 END) AS DOUBLE)
        |             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
        |FROM f GROUP BY $srcCol""".stripMargin
+
+  /** ε-differentially-private released counts — the publication side of
+    * the privacy family ([[kAnonymity]]/[[lDiversity]] measure
+    * re-identification risk; this MASKS it): per-key counts with
+    * Laplace(1/ε) noise, the standard DP mechanism for count queries
+    * (sensitivity 1 — each row contributes to exactly one key).
+    *
+    * The noise draw is DETERMINISTIC — inverse-CDF over a uniform
+    * derived from the repo's cross-engine Rabin–Karp fingerprint of
+    * (salt, key):
+    *   u = (fp + 0.5) / FpMod ∈ (0,1),
+    *   noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)
+    * so releases are reproducible across runs and engines and the gate
+    * can hash-compare them. (A production release would swap the
+    * fingerprint for a keyed PRF over a secret salt — same shape, same
+    * plan; determinism-for-replayability is the repo-wide sampling
+    * convention, see [[Splits.bucketOf]].)
+    *
+    * Scale shape: ONE map-side-combined key aggregate, then the noise
+    * is a narrow per-group projection — no second exchange, no state.
+    * Released counts are clamped at 0 and the true count is NOT in the
+    * output (that's the point); the ε and per-key noise magnitude are
+    * derivable by the auditor from the public salt.
+    *
+    * Output: (key, released_n) — released_n = max(0, n + round(noise)).
+    */
+  def dpNoisedCounts(df: DataFrame, keyExpr: String, epsilon: Double,
+                     salt: String = "dp"): DataFrame = {
+    val u = (TextAnalysis.fingerprint(
+      concat_ws(":", lit(salt), col("_k").cast("string")))
+      .cast("double") + lit(0.5)) / lit(TextAnalysis.FpMod.toDouble)
+    val centered = u - lit(0.5)
+    val noise = -(lit(1.0) / epsilon) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.select(expr(keyExpr).as("_k"))
+      .groupBy(col("_k")).agg(count(lit(1L)).as("_n"))
+      .select(col("_k").as("key"),
+        greatest(lit(0L), col("_n") + round(noise).cast("long"))
+          .as("released_n"))
+  }
+
+  /** DuckDB oracle twin of [[dpNoisedCounts]] — same fingerprint
+    * uniform, same inverse-CDF Laplace, same clamp.
+    */
+  def duckDpNoisedCounts(rel: String, keyExpr: String, epsilon: Double,
+                         salt: String = "dp"): String = {
+    val fp = TextAnalysis.duckFingerprint(s"'$salt:' || CAST(k AS VARCHAR)")
+    s"""WITH c AS (SELECT $keyExpr AS k, CAST(count(*) AS BIGINT) AS n
+       |           FROM $rel GROUP BY 1),
+       |u AS (SELECT k, n,
+       |             (CAST($fp AS DOUBLE) + 0.5) / ${TextAnalysis.FpMod}.0 - 0.5
+       |               AS cu
+       |      FROM c)
+       |SELECT k AS key,
+       |       greatest(CAST(0 AS BIGINT),
+       |                n + CAST(round(-(1.0 / $epsilon) * sign(cu)
+       |                                * ln(1.0 - 2.0 * abs(cu)))
+       |                         AS BIGINT)) AS released_n
+       |FROM u""".stripMargin
+  }
 }

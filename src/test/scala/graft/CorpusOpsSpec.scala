@@ -588,4 +588,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rs.length == 1 && rs.head._2 == 3L && rs.head._3 == 3L
       && rs.head._4.isEmpty && rs.head._5.isEmpty)
   }
+
+  test("qualityTopPercent: ceil(pct·n/100) kept per domain, rank-dense") {
+    val docs = (1L to 30L).map { i =>
+      val dom = if (i <= 20) "big" else "small"
+      (i, dom, ("w" + i.toString + " the and of common words here") * (1 + (i % 3).toInt))
+    }.toDF("doc_id", "source", "text")
+    val kept = Curriculum.qualityTopPercent(docs, "text", "doc_id",
+      "source", pct = 30).collect()
+    val byDom = kept.groupBy(_.getString(1))
+    // ceil(0.3·20)=6, ceil(0.3·10)=3 — proportional, unlike domainCap.
+    assert(byDom("big").length == 6 && byDom("small").length == 3)
+    assert(byDom("big").map(_.getLong(3)).sorted.toSeq == (1L to 6L))
+    // d_n carries the domain size for auditability.
+    assert(byDom("big").forall(_.getLong(4) == 20L)
+      && byDom("small").forall(_.getLong(4) == 10L))
+
+    // Boundary: pct=100 keeps everything; pct=1 keeps exactly 1 per domain.
+    assert(Curriculum.qualityTopPercent(docs, "text", "doc_id", "source",
+      pct = 100).count() == 30L)
+    val one = Curriculum.qualityTopPercent(docs, "text", "doc_id", "source",
+      pct = 1).collect()
+    assert(one.groupBy(_.getString(1)).values.forall(_.length == 1))
+  }
 }

@@ -215,4 +215,28 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(9L) == ((2L, 1.0, 1.0)))   // (0.999999+1.0)/2 rounds to 1.0
     assert(out.size == 2)
   }
+
+  test("regressionMetrics: hand-worked ANOVA fit; perfect and useless features") {
+    import spark.implicits._
+    // groups: a→{1,3} (mean 2), b→{5} (mean 5); grand mean 3.
+    // SSE = 1+1+0 = 2; SST = 4+0+4 = 8 → R² = 0.75;
+    // RMSE = √(2/3) = 0.816497; MAE = (1+1+0)/3 = 0.666667.
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("g", "v")
+    val r = Eval.regressionMetrics(df, "g", "v")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r == ((3L, 2L, 3.0, 0.816497, 0.666667, 0.75)))
+
+    // Perfect feature: one value per group → SSE 0, R² 1.
+    val perfect = Seq(("a", 2.0), ("b", 7.0)).toDF("g", "v")
+    val rp = Eval.regressionMetrics(perfect, "g", "v")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(rp._4 == 0.0 && rp._5 == 0.0 && rp._6 == 1.0)
+
+    // Useless feature: identical group distributions → R² 0 here
+    // (group means equal the grand mean).
+    val none = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    assert(Eval.regressionMetrics(none, "g", "v")
+      .as[(Long, Long, Double, Double, Double, Double)].head()._6 == 0.0)
+  }
 }

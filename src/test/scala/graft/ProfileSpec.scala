@@ -243,4 +243,29 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, 2L, 3L, 0.5), (2L, 1L, 3L, 0.5)))
   }
+
+  test("dpNoisedCounts: deterministic, clamped at zero, ε controls noise") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => ("k" + (i % 4))).toDF("k")
+
+    def run(eps: Double, salt: String = "dp") =
+      graft.operators.Profile.dpNoisedCounts(df, "k", eps, salt)
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+
+    // Reproducible release: the draw is a pure function of (salt, key).
+    val a = run(0.5)
+    assert(a == run(0.5))
+    // Non-negative by construction even at privacy-heavy ε.
+    val tight = run(0.02)
+    assert(tight.forall(_._2 >= 0L))
+    // The noise actually perturbs: at ε=0.02 (noise scale 50) at least
+    // one of the 4 true counts (all exactly 10) must move.
+    assert(tight.exists(_._2 != 10L))
+    // A different salt is a different release.
+    assert(run(0.5) != run(0.5, salt = "dp2") ||
+      run(0.02) != run(0.02, salt = "dp2"))
+    // Looser ε=5 (noise scale 0.2): every released count within 1 of
+    // the true 10 — utility returns as ε grows.
+    assert(run(5.0).forall(r => math.abs(r._2 - 10L) <= 1L))
+  }
 }
