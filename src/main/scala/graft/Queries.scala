@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Features, Funnel, Hybrid, Hypothesis, Idf, KCore, LabelProp, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Features, Funnel, Hybrid, Hypothesis, Idf, KCore, LabelProp, LinkPred, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -2915,6 +2915,24 @@ object Queries {
                  "l_partkey", minPairs = 2)},
               |${Triangles.duckCensusCtes("pairs", "item_a", "item_b")}
               |${Triangles.duckCensusSelect}""".stripMargin)),
+
+    // Adamic–Adar link prediction over the co-purchase graph: top
+    // NON-edges by Σ 1/ln(deg) over shared neighbors — the
+    // "customers who bought both…" recommender next to q_item_neighbors'
+    // observed-pair similarity. Per-pivot weights µ-quantized once so
+    // the pair sum is order-independent; hub pivots are capped (the
+    // wedge-volume skew guard).
+    Entry("q_adamic_adar",
+      (s, d) => LinkPred.adamicAdar(
+        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minPairs = 2).select(col("item_a"), col("item_b")),
+        "item_a", "item_b", topK = 50),
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |aa AS (
+              |${LinkPred.duckAdamicAdar("pairs", "item_a", "item_b", topK = 50)}
+              |)
+              |SELECT * FROM aa""".stripMargin)),
 
     // Frequent triple itemsets (one Apriori level above pair lift):
     // candidates generated on the frequent-PAIR table with all three

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Common-neighbor link prediction over an undirected graph —
+  * Adamic–Adar scoring of NON-edges ("customers who bought both X and Y
+  * also bought…", entity-resolution candidate pairs, knowledge-graph
+  * completion): a candidate pair (v, w) scores Σ_z 1/ln(deg z) over
+  * their shared neighbors z, so rare shared neighbors count for more
+  * than promiscuous hubs (Adamic & Adar 2003).
+  *
+  * Scale shape: candidate pairs come from per-pivot neighbor-pair
+  * fan-out — Σ deg(z)² wedges, the same volume class as the naive
+  * neighbor self-join triangle counters avoid. Unlike triangle
+  * counting, link prediction NEEDS every wedge at every pivot (the
+  * degree-ordered trim would drop candidate pairs), so the skew guard
+  * is a pivot-degree CAP instead: pivots with deg > maxPivotDeg are
+  * excluded from wedge generation. That cap is principled, not just
+  * protective — a hub shared by everyone contributes at most
+  * 1/ln(maxPivotDeg) ≈ noise per pair while generating deg² of the
+  * total wedge volume, so the dropped mass is the least informative
+  * signal on the graph (the repo-wide cap-drop posture; the drop is
+  * observable as `n_capped_pivots` via [[Pipeline.healthReport]]-style
+  * auditing if needed). With the cap, wedge volume is ≤ n·maxPivotDeg²
+  * and every stage is an equi-join / hash aggregate.
+  *
+  * Determinism: each pivot's contribution is µ-quantized ONCE
+  * (aaµ = round(10⁶/ln deg), an exact BIGINT), so the per-pair sum is
+  * order-independent and oracle-hash-exact; common-neighbor counts are
+  * exact integers. Existing edges are removed with an anti-join. Top-k
+  * is (score DESC, v ASC, w ASC) — fully tie-broken.
+  *
+  * Output: top-k rows (item_a, item_b, common_n, aa_score).
+  */
+object LinkPred {
+
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 topK: Int, maxPivotDeg: Int = 1000): DataFrame = {
+    // canonical undirected edges a < b, deduped
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // full adjacency (both directions) + pivot degrees
+    val adj = ce.select(col("a").as("z"), col("b").as("n"))
+      .union(ce.select(col("b"), col("a")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    // µ-quantized pivot weight; deg 1 pivots have no pairs, deg > cap
+    // pivots are the skew guard's drop set
+    val pivots = adj.join(
+      deg.filter(col("deg") >= 2L && col("deg") <= maxPivotDeg)
+        .withColumn("aamu",
+          round(lit(1e6) / log(col("deg").cast("double"))).cast("long")),
+      "z")
+    // neighbor pairs per pivot (v < w), then the pair-keyed aggregate
+    val cand = pivots.as("x").join(pivots.as("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("item_a"), col("y.n").as("item_b"),
+        col("x.aamu").as("aamu"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("common_n"), sum(col("aamu")).as("_s"))
+    // non-edges only: the prediction target is absent links
+    cand.join(ce, cand("item_a") === ce("a") && cand("item_b") === ce("b"),
+        "left_anti")
+      .orderBy(col("_s").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+      .select(col("item_a"), col("item_b"), col("common_n"),
+        round(col("_s").cast("double") / 1e6, 6).as("aa_score"))
+  }
+
+  /** DuckDB oracle CTEs for [[adamicAdar]] over an edge relation named
+    * `edgesRel` (same canonicalization, same µ-quantized weights, same
+    * cap, same tie-broken top-k).
+    */
+  def duckAdamicAdar(edgesRel: String, srcCol: String, dstCol: String,
+                     topK: Int, maxPivotDeg: Int = 1000): String =
+    s"""WITH ce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+       |                   greatest($srcCol, $dstCol) AS b
+       |            FROM $edgesRel WHERE $srcCol <> $dstCol),
+       |adj AS (SELECT a AS z, b AS n FROM ce
+       |        UNION ALL SELECT b, a FROM ce),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+       |piv AS (SELECT adj.z, adj.n,
+       |               CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE)))
+       |                    AS BIGINT) AS aamu
+       |        FROM adj JOIN deg ON adj.z = deg.z
+       |        WHERE deg >= 2 AND deg <= $maxPivotDeg),
+       |cand AS (
+       |  SELECT x.n AS item_a, y.n AS item_b,
+       |         CAST(count(*) AS BIGINT) AS common_n,
+       |         CAST(sum(x.aamu) AS BIGINT) AS s
+       |  FROM piv x JOIN piv y ON x.z = y.z AND x.n < y.n
+       |  GROUP BY 1, 2),
+       |ne AS (SELECT cand.* FROM cand
+       |       ANTI JOIN ce ON cand.item_a = ce.a AND cand.item_b = ce.b)
+       |SELECT item_a, item_b, common_n,
+       |       round(CAST(s AS DOUBLE) / 1e6, 6) AS aa_score
+       |FROM ne
+       |ORDER BY s DESC, item_a ASC, item_b ASC
+       |LIMIT $topK""".stripMargin
+}

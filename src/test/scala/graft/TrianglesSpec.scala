@@ -69,4 +69,42 @@ class TrianglesSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) == ((2L, 1L, Some(1.0))))
     assert(out(5L) == ((1L, 0L, None)))            // deg < 2 → undefined
   }
+
+  test("adamicAdar: hand-scored square+pendant; edges excluded; hub cap drops pivots") {
+    import spark.implicits._
+    // Square 1-2-4-3-1 plus pendant 5 on node 1.
+    // Degrees: 1→3 (2,3,5), 2→2, 3→2, 4→2, 5→1.
+    // Non-edge scores: (1,4): via {2,3} = 2/ln2 = 2.88539;
+    //                  (2,3): via {1,4} = 1/ln3 + 1/ln2 = 2.352934;
+    //                  (2,5) and (3,5): via {1} = 1/ln3 = 0.910239.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val out = graft.operators.LinkPred
+      .adamicAdar(edges, "src", "dst", topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, 2.88539),
+      (2L, 3L, 2L, 2.352934),
+      (2L, 5L, 1L, 0.910239),
+      (3L, 5L, 1L, 0.910239)))
+    // No existing edge ever appears as a prediction.
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    assert(out.forall(r => !edgeSet.contains((r._1, r._2))))
+
+    // Hub cap: maxPivotDeg=2 drops node 1 as a pivot — (1,4) keeps its
+    // pivots 2 and 3, (2,3) falls to the 1/ln2 of pivot 4 alone, and
+    // the pendant pairs (which exist only through the hub) vanish.
+    val capped = graft.operators.LinkPred
+      .adamicAdar(edges, "src", "dst", topK = 10, maxPivotDeg = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped == Seq(
+      (1L, 4L, 2L, 2.88539),
+      (2L, 3L, 1L, 1.442695)))
+
+    // topK truncates deterministically on the (score, a, b) order.
+    assert(graft.operators.LinkPred
+      .adamicAdar(edges, "src", "dst", topK = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq ==
+      Seq((1L, 4L, 2L, 2.88539)))
+  }
 }
