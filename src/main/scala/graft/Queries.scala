@@ -2146,6 +2146,16 @@ object Queries {
       Some(Hypothesis.duckCuped(EvOracle, "user_id", "ts", "value",
         splitMs = EvCutoffMs))),
 
+    // Poisson-bootstrap CI for the mean account balance: 40 replicates
+    // from ONE pass with 80 running sums (deterministic per-row
+    // Poisson(1) weights — no row duplication, no corpus shuffle);
+    // CI bounds are exact order statistics of µ-integer replicate means.
+    Entry("q_bootstrap_ci",
+      (s, d) => Hypothesis.poissonBootstrap(t(s, d, "customer"),
+        "c_custkey", "c_acctbal", reps = 40, alphaPct = 5),
+      Some(Hypothesis.duckPoissonBootstrap("customer", "c_custkey",
+        "c_acctbal", reps = 40, alphaPct = 5))),
+
     // Difference-in-differences over the deterministic 50/50 user
     // split: treated-group post−pre change net of the control group's —
     // four cells from ONE ungrouped exact-DECIMAL aggregate.

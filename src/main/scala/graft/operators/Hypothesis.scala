@@ -683,4 +683,144 @@ object Hypothesis {
        |                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
        |       END AS ks_stat
        |FROM agg""".stripMargin
+
+  /** Cumulative Poisson(1) CDF thresholds (e⁻¹·Σ 1/k!), shared by both
+    * engines: a uniform u maps to the smallest k with u < P(≤k), capped
+    * at 7 (P > 7 ≈ 1e-5 — one resample weight in ~10⁵ truncated by at
+    * most its tail excess).
+    */
+  private val PoissonCdf: Seq[(Double, Int)] = {
+    val e1 = math.exp(-1.0)
+    Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24, 163.0 / 60, 1957.0 / 720)
+      .map(_ * e1).zipWithIndex
+  }
+
+  /** Poisson bootstrap confidence interval for the mean of `valCol` —
+    * the uncertainty quantification that actually distributes: the
+    * classical bootstrap draws n-out-of-n WITH replacement, which
+    * requires global coordination, but Poisson(1) per-row weights
+    * approximate the same resample independently per row (the standard
+    * large-scale trick), so all `reps` replicates come from ONE
+    * map-side-combinable pass with 2·reps running sums and nothing
+    * else — no row duplication, no shuffle of the corpus, no state.
+    *
+    * The weights are DETERMINISTIC (the repo-wide replayable-sampling
+    * convention, [[Splits.bucketOf]]):
+    * u = [[graft.functions.TextAnalysis.mixedUniform]](salt, id·reps+b)
+    * → inverse-CDF Poisson(1), so the released interval is a pure
+    * function of the data and the salt, reproducible across engines —
+    * which is what makes it oracle-gateable at all. (The avalanche mix
+    * matters: the raw rolling fingerprint clusters for consecutive
+    * inputs, which starved every replicate to weight 0.)
+    *
+    * Determinism discipline: per-replicate weighted sums are exact
+    * DECIMAL micro-integers; each replicate mean is µ-quantized to a
+    * BIGINT; the CI bounds are exact order statistics of those
+    * integers at ranks ⌈B·α/200⌉ and ⌈B·(1−α/200)⌉; the bootstrap SE
+    * folds the (m_b − m_full) deltas in b-order (identical fold order
+    * both engines). A replicate that drew zero total weight (possible
+    * only for tiny n) contributes the full-sample mean — deterministic
+    * and information-free, keeping the order-statistic ranks fixed.
+    *
+    * Output 1 row: (n, reps, mean, se_boot, ci_lo, ci_hi).
+    */
+  def poissonBootstrap(df: DataFrame, idCol: String, valCol: String,
+                       reps: Int = 40, alphaPct: Int = 5,
+                       salt: String = "boot"): DataFrame = {
+    require(reps >= 4 && reps <= 256, s"poissonBootstrap: reps=$reps")
+    require(alphaPct >= 1 && alphaPct < 100, s"poissonBootstrap: alphaPct=$alphaPct")
+    import graft.functions.TextAnalysis
+    val vmu = round(dbl(col(valCol)) * 1e6).cast("decimal(38,0)")
+    val base = df.select(col(idCol).cast("long").as("_id"), vmu.as("_v"))
+    def cOf(b: Int): Column = {
+      val u = TextAnalysis.mixedUniform(concat_ws(":", lit(salt),
+        (col("_id") * reps + b).cast("string")))
+      PoissonCdf.foldRight(lit(7L)) { case ((t, k), els) =>
+        when(u < t, lit(k.toLong)).otherwise(els)
+      }
+    }
+    val allAggs = Seq(count(lit(1L)).as("n"), sum(col("_v")).as("_tot")) ++
+      (0 until reps).flatMap { b =>
+        Seq(sum(d38(cOf(b)) * col("_v")).as(s"_s$b"),
+          sum(cOf(b)).as(s"_c$b"))
+      }
+    val agged = base.agg(allAggs.head, allAggs.tail: _*)
+    val mFull = round(dbl(col("_tot")) / dbl(col("n"))).cast("long")
+    val ms = array((0 until reps).map { b =>
+      when(col(s"_c$b") === 0L, col("_mf"))
+        .otherwise(round(dbl(col(s"_s$b")) / dbl(col(s"_c$b"))).cast("long"))
+    }: _*)
+    def fold(l: Column, f: Column => Column): Column =
+      aggregate(l, lit(0.0), (acc, x) => acc + f(x))
+    val loRank = math.max(1, math.ceil(reps * alphaPct / 200.0).toInt)
+    val hiRank = math.min(reps, math.ceil(reps * (1.0 - alphaPct / 200.0)).toInt)
+    val bD = reps.toDouble
+    agged
+      .withColumn("_mf", mFull)
+      .withColumn("_ms", ms)
+      .withColumn("_sd", fold(col("_ms"), m => dbl(m - col("_mf"))))
+      .withColumn("_sd2", fold(col("_ms"),
+        m => dbl(m - col("_mf")) * dbl(m - col("_mf"))))
+      .select(col("n"), lit(reps.toLong).as("reps"),
+        round(dbl(col("_tot")) / dbl(col("n")) / 1e6, 6).as("mean"),
+        round(sqrt((lit(bD) * col("_sd2") - col("_sd") * col("_sd"))
+          / lit(bD * (bD - 1.0))) / 1e6, 6).as("se_boot"),
+        round(dbl(element_at(sort_array(col("_ms")), loRank)) / 1e6, 6)
+          .as("ci_lo"),
+        round(dbl(element_at(sort_array(col("_ms")), hiRank)) / 1e6, 6)
+          .as("ci_hi"))
+  }
+
+  /** DuckDB oracle twin of [[poissonBootstrap]] — same fingerprint
+    * uniforms, same CDF thresholds, same µ-integer replicate means,
+    * same ranks and b-ordered folds. The oracle materializes the
+    * n×reps draw table (fine at gate scale) where the engine keeps it
+    * as running sums.
+    */
+  def duckPoissonBootstrap(rel: String, idCol: String, valCol: String,
+                           reps: Int = 40, alphaPct: Int = 5,
+                           salt: String = "boot"): String = {
+    import graft.functions.TextAnalysis
+    val cdfCase = PoissonCdf.map { case (t, k) =>
+      s"WHEN u < $t THEN $k" }.mkString(" ")
+    val uExpr = TextAnalysis.duckMixedUniform(
+      s"'$salt:' || CAST(id * $reps + b AS VARCHAR)")
+    val loRank = math.max(1, math.ceil(reps * alphaPct / 200.0).toInt)
+    val hiRank = math.min(reps, math.ceil(reps * (1.0 - alphaPct / 200.0)).toInt)
+    def foldDm(expr: String): String =
+      s"""list_reduce(list_prepend(0.0, list($expr ORDER BY b)),
+         |            (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id,
+       |         CAST(round(CAST($valCol AS DOUBLE) * 1000000.0) AS HUGEINT) AS v
+       |  FROM $rel),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s FROM base),
+       |mf AS (SELECT CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |              AS BIGINT) AS mf FROM tot),
+       |draws AS (
+       |  SELECT b, v,
+       |         CASE $cdfCase ELSE 7 END AS c
+       |  FROM (SELECT b, v, $uExpr AS u
+       |        FROM base CROSS JOIN (SELECT range AS b FROM range(0, $reps)))),
+       |rm AS (SELECT b, sum(c * v) AS s, CAST(sum(c) AS BIGINT) AS c
+       |       FROM draws GROUP BY b),
+       |m AS (SELECT b,
+       |             CASE WHEN c = 0 THEN (SELECT mf FROM mf)
+       |                  ELSE CAST(round(CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+       |                            AS BIGINT) END AS m
+       |      FROM rm),
+       |f AS (SELECT ${foldDm("CAST(m - (SELECT mf FROM mf) AS DOUBLE)")} AS sd,
+       |             ${foldDm("CAST(m - (SELECT mf FROM mf) AS DOUBLE) * CAST(m - (SELECT mf FROM mf) AS DOUBLE)")} AS sd2
+       |      FROM m),
+       |ci AS (SELECT
+       |        (SELECT m FROM m ORDER BY m LIMIT 1 OFFSET ${loRank - 1}) AS lo,
+       |        (SELECT m FROM m ORDER BY m LIMIT 1 OFFSET ${hiRank - 1}) AS hi)
+       |SELECT n, CAST($reps AS BIGINT) AS reps,
+       |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+       |       round(sqrt(($reps.0 * sd2 - sd * sd)
+       |             / (${reps}.0 * ${(reps - 1)}.0)) / 1e6, 6) AS se_boot,
+       |       round(CAST(lo AS DOUBLE) / 1e6, 6) AS ci_lo,
+       |       round(CAST(hi AS DOUBLE) / 1e6, 6) AS ci_hi
+       |FROM tot CROSS JOIN f CROSS JOIN ci""".stripMargin
+  }
 }

@@ -826,11 +826,11 @@ object Profile {
     * Laplace(1/ε) noise, the standard DP mechanism for count queries
     * (sensitivity 1 — each row contributes to exactly one key).
     *
-    * The noise draw is DETERMINISTIC — inverse-CDF over a uniform
-    * derived from the repo's cross-engine Rabin–Karp fingerprint of
-    * (salt, key):
-    *   u = (fp + 0.5) / FpMod ∈ (0,1),
-    *   noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)
+    * The noise draw is DETERMINISTIC — inverse-CDF over
+    * [[TextAnalysis.mixedUniform]] of (salt, key) (the avalanche-mixed
+    * cross-engine uniform; the raw rolling fingerprint clusters for
+    * similar keys, which would bias every draw to the same side):
+    *   u ∈ (0,1),  noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)
     * so releases are reproducible across runs and engines and the gate
     * can hash-compare them. (A production release would swap the
     * fingerprint for a keyed PRF over a secret salt — same shape, same
@@ -847,9 +847,8 @@ object Profile {
     */
   def dpNoisedCounts(df: DataFrame, keyExpr: String, epsilon: Double,
                      salt: String = "dp"): DataFrame = {
-    val u = (TextAnalysis.fingerprint(
+    val u = TextAnalysis.mixedUniform(
       concat_ws(":", lit(salt), col("_k").cast("string")))
-      .cast("double") + lit(0.5)) / lit(TextAnalysis.FpMod.toDouble)
     val centered = u - lit(0.5)
     val noise = -(lit(1.0) / epsilon) * signum(centered) *
       log(lit(1.0) - lit(2.0) * abs(centered))
@@ -865,12 +864,10 @@ object Profile {
     */
   def duckDpNoisedCounts(rel: String, keyExpr: String, epsilon: Double,
                          salt: String = "dp"): String = {
-    val fp = TextAnalysis.duckFingerprint(s"'$salt:' || CAST(k AS VARCHAR)")
+    val uExpr = TextAnalysis.duckMixedUniform(s"'$salt:' || CAST(k AS VARCHAR)")
     s"""WITH c AS (SELECT $keyExpr AS k, CAST(count(*) AS BIGINT) AS n
        |           FROM $rel GROUP BY 1),
-       |u AS (SELECT k, n,
-       |             (CAST($fp AS DOUBLE) + 0.5) / ${TextAnalysis.FpMod}.0 - 0.5
-       |               AS cu
+       |u AS (SELECT k, n, $uExpr - 0.5 AS cu
        |      FROM c)
        |SELECT k AS key,
        |       greatest(CAST(0 AS BIGINT),

@@ -200,4 +200,32 @@ class HypothesisSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Option[Double], Option[Double])].head()
     assert(ro._3.isEmpty && ro._4.isEmpty)
   }
+
+  test("poissonBootstrap: deterministic, ordered CI brackets the mean, width shrinks with n") {
+    import spark.implicits._
+    // a spread-out but well-behaved sample: v = 10 + (i mod 37)
+    def sample(n: Int) =
+      (1 to n).map(i => (i.toLong, 10.0 + (i % 37))).toDF("id", "v")
+
+    val r = Hypothesis.poissonBootstrap(sample(200), "id", "v").as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r._1 == 200L && r._2 == 40L)
+    // CI is ordered and brackets the point estimate.
+    assert(r._5 <= r._3 && r._3 <= r._6 && r._5 < r._6)
+    assert(r._4 > 0.0)
+    // Pure function of (data, salt): re-running gives identical bits.
+    assert(Hypothesis.poissonBootstrap(sample(200), "id", "v").as[(Long, Long, Double, Double, Double, Double)].head() == r)
+    // A different salt moves the draw but not the point estimate.
+    val r2 = Hypothesis.poissonBootstrap(sample(200), "id", "v",
+      salt = "boot2").as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r2._3 == r._3 && (r2._5 != r._5 || r2._6 != r._6))
+
+    // 16× more data → the CI tightens (≈4× in theory; assert 2× margin).
+    val big = Hypothesis.poissonBootstrap(sample(3200), "id", "v").as[(Long, Long, Double, Double, Double, Double)].head()
+    assert((big._6 - big._5) * 2.0 < (r._6 - r._5))
+
+    // Degenerate data: constant column → zero-width CI at the constant.
+    val const = (1 to 50).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val rc = Hypothesis.poissonBootstrap(const, "id", "v").as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(rc._3 == 5.0 && rc._5 == 5.0 && rc._6 == 5.0 && rc._4 == 0.0)
+  }
 }
