@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 import graft.functions.{Embeddings, QualityFilters, Redaction, TextAnalysis}
-import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Features, Funnel, Hybrid, Hypothesis, Idf, KCore, LabelProp, LinkPred, MarketBasket, Mmr, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
+import graft.operators.{AsofJoin, Attribution, BloomPrune, Bm25, Bpe, ChangeLog, ContentChunks, ChunkDedup, Collocations, Curriculum, Decontaminate, Dedup, Dsir, Entropy, Eval, EventStats, Features, Funnel, Hybrid, Hypothesis, Idf, KCore, LabelProp, LinkPred, MarketBasket, Mmr, Outliers, PageRank, Multimodal, Novelty, Packing, Perplexity, Phrase, Pipeline, Pq, Profile, RangeJoin, Retention, Rfm, Rolling, RowHash, SemDedup, Sessionize, SharedSubstrings, Similarity, SortedNeighborhood, Sketches, SkewJoin, Drift, DupSpan, Pca, Splits, Survival, Sync, SyncMode, TfidfSim, Triangles, Winnow, Zipf}
 import graft.sinks.{FileSink, SinkSpec}
 import graft.sources.SqlSource
 import graft.streaming.StreamSync
@@ -1796,6 +1796,16 @@ object Queries {
     // corpus-profiling stat sheet). Exact `percentile` sorts within
     // each group; fine at lang cardinality. Both engines interpolate
     // lower + frac·(higher − lower); round(6) seals the last ulp.
+    // TOKEN-weighted quality quantiles per language — the median TOKEN's
+    // quality, not the median document's (doc-weighted stats mislead
+    // when length correlates with quality). All-integer weighted-rank
+    // cuts over one lang-keyed cumulative window.
+    Entry("q_token_quantiles",
+      (s, d) => Profile.tokenWeightedQuantiles(t(s, d, "documents"),
+        "text", "doc_id", "lang"),
+      Some(Profile.duckTokenWeightedQuantiles("documents", "text",
+        "doc_id", "lang"))),
+
     Entry("q_len_quantiles",
       (s, d) => t(s, d, "documents").groupBy(col("lang"))
         .agg(
@@ -2057,6 +2067,21 @@ object Queries {
       (s, d) => EventStats.madOutliers(t(s, d, "events"), "ts",
         "event_type"),
       Some(EventStats.duckMadOutliers(EvOracle, "ts", "event_type"))),
+
+    // Bivariate Mahalanobis outliers: line items whose (quantity,
+    // price) pair is jointly impossible even when each axis is
+    // unremarkable — closed-form 2×2 Σ⁻¹ so both engines mirror the
+    // expression bit-for-bit; one 6-number moment aggregate broadcast
+    // back, narrow scoring, TakeOrdered top-k.
+    Entry("q_mahalanobis",
+      (s, d) => Outliers.mahalanobis2(
+        t(s, d, "lineitem").select(
+          (col("l_orderkey") * 8L + col("l_linenumber")).as("line_id"),
+          col("l_quantity"), col("l_extendedprice")),
+        "line_id", "l_quantity", "l_extendedprice", topK = 100),
+      Some(Outliers.duckMahalanobis2(
+        "(SELECT l_orderkey * 8 + l_linenumber AS line_id, l_quantity, l_extendedprice FROM lineitem)",
+        "line_id", "l_quantity", "l_extendedprice", topK = 100))),
 
     // Leave-one-out target encoding of event_type against value — the
     // self-leak-free categorical encoder: per-category exact DECIMAL

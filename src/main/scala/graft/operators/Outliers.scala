@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multivariate (bivariate) Mahalanobis outlier scoring — the
+  * correlation-aware tier of the robust-outlier family:
+  * [[EventStats.madOutliers]] flags univariate extremes and
+  * [[Profile.correlationMatrix]] measures the dependence, but a row can
+  * be unremarkable on every axis and still be impossible JOINTLY (a
+  * 2-unit order priced like a 200-unit one). The squared Mahalanobis
+  * distance d² = (x−µ)ᵀ Σ⁻¹ (x−µ) scores exactly that, in the metric of
+  * the data's own covariance.
+  *
+  * Bivariate is the shipped, oracle-gated case: Σ⁻¹ has a closed form
+  * ((1/det)·adjugate), so BOTH engines evaluate the identical
+  * operation-ordered double expression — no matrix solver whose
+  * elimination order could differ in the last ulp. (The same moments +
+  * broadcast pattern extends to general d with a driver-side inversion
+  * of the d×d Gram — see [[Pca]], which already does exactly that for
+  * eigenvectors; kept out of the gate because a generic solver is not
+  * bit-mirrorable in SQL.)
+  *
+  * Exactness discipline: both coordinates are µ-quantized once and the
+  * five moments (Σx, Σy, Σx², Σy², Σxy) are exact DECIMAL integer sums
+  * — partial-agg order irrelevant; means/variances/covariance and the
+  * per-row d² are doubles in one mirrored expression; the top-k order
+  * key is the µ-quantized d² with the id as tie-break.
+  *
+  * Scale shape: ONE map-side-combinable moment aggregate (a 6-number
+  * result broadcast back via crossJoin — no driver round-trip), then a
+  * narrow codegen scoring projection and a TakeOrdered top-k. Nothing
+  * shuffles corpus-sized data.
+  *
+  * Output: top-k rows (idCol, xCol, yCol, md2), md2 DESC.
+  */
+object Outliers {
+
+  def mahalanobis2(df: DataFrame, idCol: String, xCol: String,
+                   yCol: String, topK: Int): DataFrame = {
+    def mu(c: String) = round(col(c).cast("double") * 1e6).cast("decimal(38,0)")
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      mu(xCol).as("_x"), mu(yCol).as("_y"))
+    val moments = base.agg(
+      count(lit(1L)).as("_n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val scored = base.crossJoin(broadcast(moments))
+    val nD = d(col("_n"))
+    // population covariance in µ² units; d² is scale-invariant, so the
+    // µ scale cancels and no unit back-conversion is needed
+    val mx = d(col("_sx")) / nD
+    val my = d(col("_sy")) / nD
+    val vx = d(col("_sxx")) / nD - mx * mx
+    val vy = d(col("_syy")) / nD - my * my
+    val cxy = d(col("_sxy")) / nD - mx * my
+    val det = vx * vy - cxy * cxy
+    val dx = d(col("_x")) - mx
+    val dy = d(col("_y")) - my
+    val md2 = (dx * (vy * dx - cxy * dy) + dy * (vx * dy - cxy * dx)) / det
+    scored
+      .select(col("_id"), col("_x"), col("_y"),
+        when(det <= 0.0, lit(null).cast("long"))
+          .otherwise(round(md2 * 1e6).cast("long")).as("_m"))
+      .orderBy(col("_m").desc_nulls_last, col("_id").asc)
+      .limit(topK)
+      .select(col("_id").as(idCol),
+        round(d(col("_x")) / 1e6, 6).as(xCol),
+        round(d(col("_y")) / 1e6, 6).as(yCol),
+        round(d(col("_m")) / 1e6, 6).as("md2"))
+  }
+
+  /** DuckDB oracle twin of [[mahalanobis2]] — same exact moments, same
+    * mirrored closed-form expression, same µ-quantized order key.
+    */
+  def duckMahalanobis2(rel: String, idCol: String, xCol: String,
+                       yCol: String, topK: Int): String =
+    s"""WITH base AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id,
+       |         CAST(round(CAST($xCol AS DOUBLE) * 1000000.0) AS HUGEINT) AS x,
+       |         CAST(round(CAST($yCol AS DOUBLE) * 1000000.0) AS HUGEINT) AS y
+       |  FROM $rel),
+       |mo AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+       |         CAST(sum(y * y) AS DOUBLE) AS syy,
+       |         CAST(sum(x * y) AS DOUBLE) AS sxy
+       |  FROM base),
+       |st AS (
+       |  SELECT n, sx / n AS mx, sy / n AS my,
+       |         sxx / n - (sx / n) * (sx / n) AS vx,
+       |         syy / n - (sy / n) * (sy / n) AS vy,
+       |         sxy / n - (sx / n) * (sy / n) AS cxy
+       |  FROM mo),
+       |sc AS (
+       |  SELECT id, x, y,
+       |         CASE WHEN (vx * vy - cxy * cxy) <= 0.0 THEN NULL
+       |              ELSE CAST(round(
+       |                ((CAST(x AS DOUBLE) - mx)
+       |                   * (vy * (CAST(x AS DOUBLE) - mx)
+       |                      - cxy * (CAST(y AS DOUBLE) - my))
+       |                 + (CAST(y AS DOUBLE) - my)
+       |                   * (vx * (CAST(y AS DOUBLE) - my)
+       |                      - cxy * (CAST(x AS DOUBLE) - mx)))
+       |                / (vx * vy - cxy * cxy) * 1000000.0) AS BIGINT) END AS m
+       |  FROM base CROSS JOIN st)
+       |SELECT id AS $idCol,
+       |       round(CAST(x AS DOUBLE) / 1e6, 6) AS $xCol,
+       |       round(CAST(y AS DOUBLE) / 1e6, 6) AS $yCol,
+       |       round(CAST(m AS DOUBLE) / 1e6, 6) AS md2
+       |FROM sc
+       |ORDER BY m DESC NULLS LAST, id ASC
+       |LIMIT $topK""".stripMargin
+}

@@ -820,6 +820,82 @@ object Profile {
        |             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
        |FROM f GROUP BY $srcCol""".stripMargin
 
+  /** TOKEN-weighted quality quantiles per group — "what quality is the
+    * median TOKEN trained on", not the median document: doc-weighted
+    * quantiles mislead exactly when length and quality correlate (one
+    * 50k-token boilerplate dump outweighs a hundred clean paragraphs in
+    * the loss, but counts once in a per-doc histogram). Each document
+    * contributes its token count as weight; the weighted quantile is
+    * the smallest score whose cumulative token mass reaches q·total.
+    *
+    * Exactness: scores are µ-quantized integers (the 6-dp classifier
+    * contract), weights are exact token counts, and the quantile rule
+    * is all-integer (4·cum ≥ tot / 2·cum ≥ tot / 4·cum ≥ 3·tot for
+    * p25/p50/p75) over a fully tie-broken (score, id) cumulative order
+    * — no float rank interpolation anywhere.
+    *
+    * Scale shape: one narrow scoring projection, ONE group-keyed window
+    * exchange (cumulative weight), one aggregate on the same partition
+    * — the q_quality_bins discipline. For UNGROUPED corpus-wide
+    * quantiles at 100 TB prefer the GK sketch ([[Sketches]], gated by
+    * q_quantile_sketch); the windowed exact form is for per-group
+    * reporting where the group key carries the parallelism.
+    *
+    * Output per group: (groupCol, n_docs, total_tokens, p25, p50, p75).
+    */
+  def tokenWeightedQuantiles(docs: DataFrame, textCol: String,
+                             idCol: String, groupCol: String): DataFrame = {
+    import graft.functions.QualityFilters
+    val scored = docs
+      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
+      .select(col(groupCol), col(idCol).as("_id"),
+        round(QualityFilters.classifierScoreOf(col("_w")) * 1e6)
+          .cast("long").as("_v"),
+        size(col("_w")).cast("long").as("_tw"))
+    val cumW = Window.partitionBy(col(groupCol))
+      .orderBy(col("_v").asc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = scored.withColumn("_cw", sum(col("_tw")).over(cumW))
+      .withColumn("_tot",
+        sum(col("_tw")).over(Window.partitionBy(col(groupCol))))
+    def q(numer: Int, denom: Int) =
+      min(when(col("_cw") * denom >= col("_tot") * numer, col("_v")))
+    cum.groupBy(col(groupCol))
+      .agg(count(lit(1L)).as("n_docs"),
+        sum(col("_tw")).as("total_tokens"),
+        round(q(1, 4).cast("double") / 1e6, 6).as("p25"),
+        round(q(1, 2).cast("double") / 1e6, 6).as("p50"),
+        round(q(3, 4).cast("double") / 1e6, 6).as("p75"))
+  }
+
+  /** DuckDB oracle twin of [[tokenWeightedQuantiles]]. */
+  def duckTokenWeightedQuantiles(tbl: String, textCol: String,
+                                 idCol: String, groupCol: String): String = {
+    import graft.functions.QualityFilters
+    def q(numer: Int, denom: Int) =
+      s"min(CASE WHEN cw * $denom >= tot * $numer THEN v END)"
+    s"""WITH d AS (SELECT $groupCol, $idCol AS id,
+       |                  ${TextAnalysis.duckTokensBind(textCol)} AS w
+       |           FROM $tbl),
+       |sc AS (SELECT $groupCol, id,
+       |              CAST(round(${QualityFilters.duckClassifierScore}
+       |                         * 1000000.0) AS BIGINT) AS v,
+       |              CAST(len(w) AS BIGINT) AS tw
+       |       FROM d),
+       |cum AS (SELECT $groupCol, v, tw,
+       |               sum(tw) OVER (PARTITION BY $groupCol
+       |                             ORDER BY v ASC, id ASC
+       |                             ROWS UNBOUNDED PRECEDING) AS cw,
+       |               sum(tw) OVER (PARTITION BY $groupCol) AS tot
+       |        FROM sc)
+       |SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(tw) AS BIGINT) AS total_tokens,
+       |       round(CAST(${q(1, 4)} AS DOUBLE) / 1e6, 6) AS p25,
+       |       round(CAST(${q(1, 2)} AS DOUBLE) / 1e6, 6) AS p50,
+       |       round(CAST(${q(3, 4)} AS DOUBLE) / 1e6, 6) AS p75
+       |FROM cum GROUP BY $groupCol""".stripMargin
+  }
+
   /** ε-differentially-private released counts — the publication side of
     * the privacy family ([[kAnonymity]]/[[lDiversity]] measure
     * re-identification risk; this MASKS it): per-key counts with

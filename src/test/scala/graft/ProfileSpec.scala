@@ -268,4 +268,43 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     // the true 10 — utility returns as ε grows.
     assert(run(5.0).forall(r => math.abs(r._2 - 10L) <= 1L))
   }
+
+  test("tokenWeightedQuantiles: token mass pins the quantiles, not doc counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{QualityFilters, TextAnalysis}
+    // group g: one LONG document vs three short ones — by docs the
+    // short kind is the 75% majority; by tokens the long doc dominates.
+    val longText = ("sustained analysis of measured outcomes across " +
+      "several independent trials ") * 30
+    val shortText = "ok ok ok"
+    val docs = (Seq((1L, "g", longText)) ++
+      (2L to 4L).map(i => (i, "g", shortText)))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Profile
+      .tokenWeightedQuantiles(docs, "text", "doc_id", "lang")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    // the long doc's own score — computed through the same public API
+    val longScore = docs.filter(col("doc_id") === 1L)
+      .select(QualityFilters.classifierScoreOf(
+        TextAnalysis.tokens(col("text"))).as("s"))
+      .as[Double].head()
+    val shortScore = docs.filter(col("doc_id") === 2L)
+      .select(QualityFilters.classifierScoreOf(
+        TextAnalysis.tokens(col("text"))).as("s"))
+      .as[Double].head()
+    assert(out._2 == 4L)
+    // the long doc carries ~98% of the token mass → every quantile
+    // lands on ITS score (a doc-weighted p50 would pick the short one)
+    assert(out._4 == longScore && out._5 == longScore && out._6 == longScore)
+    assert(longScore != shortScore)
+    // ordering invariant on a mixed group
+    val mixed = (1L to 9L).map(i =>
+      (i, "m", ("tok" + i.toString + " word other lex entry") * (1 + i.toInt % 4)))
+      .toDF("doc_id", "lang", "text")
+    val m = graft.operators.Profile
+      .tokenWeightedQuantiles(mixed, "text", "doc_id", "lang")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(m._4 <= m._5 && m._5 <= m._6)
+  }
 }
