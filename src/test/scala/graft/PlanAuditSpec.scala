@@ -901,4 +901,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(serializes == 1,
       s"expected one fingerprint evaluation, found $serializes:\n$finalP")
   }
+
+  test("quality top-p% / token quantiles: rank and group totals share ONE window exchange") {
+    for (q <- Seq("q_quality_topp", "q_token_quantiles")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("Join"), s"join crept into the $q plan:\n$plan")
+      // rank + per-group total must come from the same hash-partitioned
+      // exchange: one shuffle total (plus none for the final agg, which
+      // reuses the window partitioning)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected ONE group-keyed exchange in $q, found $exchanges:\n$plan")
+    }
+  }
+
+  test("regression metrics: the MAE pass joins category stats by BROADCAST") {
+    val qe = SparkEntry.queries("q_reg_metrics")(spark, sf).queryExecution
+    qe.executedPlan.execute()
+    val plan = qe.executedPlan.toString()
+    val finalP = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan; case i => plan.substring(0, i)
+    }
+    assert(finalP.contains("BroadcastHashJoin"),
+      s"category stats must broadcast back:\n$finalP")
+    assert(!finalP.contains("SortMergeJoin") && !finalP.contains("ShuffledHashJoin"),
+      s"corpus shuffled by category in q_reg_metrics:\n$finalP")
+  }
+
+  test("poisson bootstrap: all replicates from ONE scan and ONE aggregate — no join, no window") {
+    val plan = SparkEntry.queries("q_bootstrap_ci")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"join in the bootstrap plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in the bootstrap plan:\n$plan")
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE scan, found $scans:\n$plan")
+  }
+
+  test("mahalanobis: moments broadcast back; top-k is TakeOrdered, never a global sort") {
+    val qe = SparkEntry.queries("q_mahalanobis")(spark, sf).queryExecution
+    qe.executedPlan.execute()
+    val plan = qe.executedPlan.toString()
+    val finalP = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan; case i => plan.substring(0, i)
+    }
+    assert(finalP.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$finalP")
+    assert(!finalP.contains("SortMergeJoin") && !finalP.contains("ShuffledHashJoin"),
+      s"the 1-row moment frame must broadcast:\n$finalP")
+  }
+
+  test("adamic-adar: equi-join wedges, no cartesian/nested-loop; top-k is TakeOrdered") {
+    val plan = SparkEntry.queries("q_adamic_adar")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop stage in the adamic-adar plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$plan")
+  }
 }
