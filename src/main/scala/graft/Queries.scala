@@ -2884,6 +2884,26 @@ object Queries {
         "doc_id", "lang"),
       Some(Curriculum.duckScoreNormalize("documents", "text", "doc_id", "lang"))),
 
+    // Cross-source QUANTILE normalization: each doc's score mapped to
+    // the POOLED distribution's value at its within-source percentile
+    // (q_score_normalize maps to uniform; this maps source→pooled so
+    // every source's normalized histogram matches). 100-point grid:
+    // all-integer buckets from one source-keyed window, pooled order
+    // statistics from the distinct-value table, broadcast bucket join.
+    Entry("q_quantile_norm",
+      (s, d) => Features.quantileNormalize(
+        t(s, d, "documents")
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            QualityFilters.classifierScoreOf(col("_w")).as("q_score")),
+        "doc_id", "source", "q_score"),
+      Some(Features.duckQuantileNormalize(
+        s"""(SELECT doc_id, source,
+                    ${QualityFilters.duckClassifierScore} AS q_score
+             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                   FROM documents) d0)""",
+        "doc_id", "source", "q_score"))),
+
     // Lead-lag cross-correlation gate: does the view series predict the
     // purchase series, and at what day offset?
     Entry("q_event_xcorr",

@@ -216,6 +216,43 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("quantileNormalize: hot source mapped onto the pooled distribution") {
+    import spark.implicits._
+    import graft.operators.Features
+    // Source "hot" scores 10× source "cold" but both are the same shape;
+    // after normalization equal within-source ranks share the same value.
+    val hot = (1L to 10L).map(i => (i, "hot", i * 10.0))
+    val cold = (11L to 20L).map(i => (i, "cold", (i - 10) * 1.0))
+    val df = (hot ++ cold).toDF("id", "src", "s")
+    val out = Features.quantileNormalize(df, "id", "src", "s", grid = 100)
+      .as[(Long, String, Double, Long, Double)].collect()
+    assert(out.length == 20)
+    val byId = out.map(r => r._1 -> r).toMap
+    // same within-source rank → same bucket → same pooled value
+    for (k <- 1L to 10L)
+      assert(byId(k)._4 == byId(k + 10L)._4 && byId(k)._5 == byId(k + 10L)._5)
+    // normalization preserves within-source order
+    val hotSorted = out.filter(_._2 == "hot").sortBy(_._3).map(_._5)
+    assert(hotSorted.sliding(2).forall(p => p(0) <= p(1)))
+    // normalized values come from the POOLED value set
+    val pooled = df.as[(Long, String, Double)].collect().map(_._3).toSet
+    assert(out.forall(r => pooled.contains(r._5)))
+    // the pooled max maps to itself (top bucket → rank-N order statistic)
+    assert(out.map(_._5).max == 100.0)
+
+    // unbalanced groups: a 3-row source against a 10-row source still
+    // lands every row in [1, grid] with a defined pooled value
+    val tiny = Seq((100L, "tiny", 0.5), (101L, "tiny", 55.0),
+      (102L, "tiny", 200.0))
+    val out2 = Features.quantileNormalize((hot ++ tiny).toDF("id", "src", "s"),
+      "id", "src", "s", grid = 100)
+      .as[(Long, String, Double, Long, Double)].collect()
+    assert(out2.length == 13)
+    assert(out2.forall(r => r._4 >= 1L && r._4 <= 100L))
+    // tiny's max (200, its rank-3/3 = bucket 100) → pooled max 200
+    assert(out2.find(_._1 == 102L).get._5 == 200.0)
+  }
+
   test("regressionMetrics: hand-worked ANOVA fit; perfect and useless features") {
     import spark.implicits._
     // groups: a→{1,3} (mean 2), b→{5} (mean 5); grand mean 3.
