@@ -610,6 +610,23 @@ object Queries {
       Some(Bpe.duckTokenCounts("documents", "text", "doc_id",
         k = 6, maxWordLen = 20))),
 
+    // Tokenizer FERTILITY per language (BPE tokens per word) — the
+    // multilingual-equity metric: which languages pay more context
+    // window per sentence under this tokenizer. Reuses the per-JVM
+    // persisted merge artifact (the q_bpe_saved path), so the gate
+    // measures the apply+aggregate cost only.
+    Entry("q_fertility",
+      (s, d) => {
+        val dir = artifactDir(s"bpe|$d|k=6") { dir =>
+          Bpe.saveMerges(
+            Bpe.learnMerges(t(s, d, "documents"), "text", k = 6, maxWordLen = 20), dir)
+        }
+        Bpe.fertilityByGroup(t(s, d, "documents"), "text", "doc_id",
+          "lang", Bpe.loadMerges(s, dir))
+      },
+      Some(Bpe.duckFertilityByGroup("documents", "text", "doc_id", "lang",
+        k = 6, maxWordLen = 20))),
+
     // BPE tokenization from PERSISTED merges — the amortized tokenizer
     // path (learn once offline, tokenize every batch): merges learned
     // + saved once per JVM (artifactCache), then loaded from parquet
@@ -2988,6 +3005,22 @@ object Queries {
               |${LinkPred.duckAdamicAdar("pairs", "item_a", "item_b", topK = 50)}
               |)
               |SELECT * FROM aa""".stripMargin)),
+
+    // Exact 2-hop reachability per item over the same graph — the
+    // neighborhood-growth profile (radius-2 prefix of the HyperANF
+    // neighborhood function; the HLL-register variant is the >2-radius
+    // scale path). Same pivot-degree skew guard as q_adamic_adar.
+    Entry("q_two_hop",
+      (s, d) => LinkPred.twoHopReach(
+        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minPairs = 2).select(col("item_a"), col("item_b")),
+        "item_a", "item_b"),
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |th AS (
+              |${LinkPred.duckTwoHopReach("pairs", "item_a", "item_b")}
+              |)
+              |SELECT * FROM th""".stripMargin)),
 
     // Frequent triple itemsets (one Apriori level above pair lift):
     // candidates generated on the frequent-PAIR table with all three

@@ -242,4 +242,50 @@ object Bpe {
        |FROM dw JOIN wt USING (word)
        |GROUP BY $idCol""".stripMargin
   }
+
+  /** Tokenizer FERTILITY per group (tokens emitted per word) — the
+    * standard multilingual-tokenizer equity metric: a tokenizer trained
+    * on one language's distribution fragments the others into more
+    * pieces, so their documents cost more context window and more
+    * FLOPs per sentence. Reported per language (or source/domain) as
+    * Σ bpe_tokens / Σ words over the group, next to the doc volumes.
+    *
+    * Scale shape: the token pass is [[tokenCountsWithMerges]] (merge
+    * application on the word-TYPE table, the q_bpe_tokenize shape);
+    * the group label joins back by the doc id — one id-keyed equi-join
+    * + one group-cardinality aggregate. (A production pipeline would
+    * carry the group column through the token pass and skip the join;
+    * kept separate here so the tokenizer path stays single-purpose.)
+    *
+    * Output per group: (groupCol, n_docs, n_words, n_tokens, fertility).
+    */
+  def fertilityByGroup(docs: DataFrame, textCol: String, idCol: String,
+                       groupCol: String,
+                       merges: Seq[(String, String)]): DataFrame =
+    tokenCountsWithMerges(docs, textCol, idCol, merges)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1L)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_tokens").cast("double")
+            / col("n_words").cast("double"), 6)).as("fertility"))
+
+  /** DuckDB oracle twin of [[fertilityByGroup]] over the learn-and-apply
+    * pipeline (same oracle CTEs as q_bpe_tokenize, grouped by the dim).
+    */
+  def duckFertilityByGroup(tbl: String, textCol: String, idCol: String,
+                           groupCol: String, k: Int,
+                           maxWordLen: Int): String =
+    s"""WITH pd AS (${duckTokenCounts(tbl, textCol, idCol, k, maxWordLen)})
+       |SELECT d.$groupCol, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(pd.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |       CASE WHEN sum(pd.n_words) <> 0 THEN
+       |         round(CAST(sum(pd.n_bpe_tokens) AS DOUBLE)
+       |               / CAST(sum(pd.n_words) AS DOUBLE), 6) END AS fertility
+       |FROM pd JOIN $tbl d USING ($idCol)
+       |GROUP BY d.$groupCol""".stripMargin
 }

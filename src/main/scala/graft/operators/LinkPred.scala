@@ -100,4 +100,70 @@ object LinkPred {
        |FROM ne
        |ORDER BY s DESC, item_a ASC, item_b ASC
        |LIMIT $topK""".stripMargin
+
+  /** Exact 2-hop reachability per node — the neighborhood-growth
+    * profile ("how much of the graph is two links away"): per node the
+    * count of DISTINCT nodes at distance ≤ 2, next to its direct
+    * degree. The ratio n_2hop/deg separates tree-like sparseness from
+    * dense community pockets, and the distribution is the radius-2
+    * prefix of the neighborhood function (effective-diameter
+    * analysis).
+    *
+    * Scale shape: wedge fan-out capped by the same pivot-degree guard
+    * as [[adamicAdar]] (an uncapped hub makes Σ deg² of 2-hop pairs),
+    * then ONE distinct over (node, reached) and a count — all
+    * equi-joins and hash aggregates. Exact distinct is the gate
+    * semantics; at radius > 2 or web scale the production path swaps
+    * the distinct for per-node HLL registers merged along edges
+    * (HyperANF, Boldi et al. 2011) — the registers are the
+    * [[Sketches]] machinery this repo already gates.
+    *
+    * Output: (node, degree, n_2hop) — n_2hop counts distance ≤ 2,
+    * self excluded.
+    */
+  def twoHopReach(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxPivotDeg: Int = 1000): DataFrame = {
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = ce.select(col("a").as("z"), col("b").as("n"))
+      .union(ce.select(col("b"), col("a")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("degree"))
+    val pivots = adj.join(
+      deg.filter(col("degree") <= maxPivotDeg), "z")
+    val twoHop = pivots.as("x").join(pivots.as("y"),
+        col("x.z") === col("y.z") && col("x.n") =!= col("y.n"))
+      .select(col("x.n").as("node"), col("y.n").as("reached"))
+    val reach = adj.select(col("z").as("node"), col("n").as("reached"))
+      .union(twoHop)
+      .distinct()
+      .groupBy(col("node")).agg(count(lit(1)).as("n_2hop"))
+    deg.select(col("z").as("node"), col("degree"))
+      .join(reach, Seq("node"))
+  }
+
+  /** DuckDB oracle twin of [[twoHopReach]]. */
+  def duckTwoHopReach(edgesRel: String, srcCol: String, dstCol: String,
+                      maxPivotDeg: Int = 1000): String =
+    s"""WITH ce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+       |                   greatest($srcCol, $dstCol) AS b
+       |            FROM $edgesRel WHERE $srcCol <> $dstCol),
+       |adj AS (SELECT a AS z, b AS n FROM ce
+       |        UNION ALL SELECT b, a FROM ce),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS degree
+       |        FROM adj GROUP BY z),
+       |piv AS (SELECT adj.z, adj.n FROM adj JOIN deg ON adj.z = deg.z
+       |        WHERE degree <= $maxPivotDeg),
+       |reach AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_2hop FROM (
+       |    SELECT DISTINCT node, reached FROM (
+       |      SELECT z AS node, n AS reached FROM adj
+       |      UNION ALL
+       |      SELECT x.n AS node, y.n AS reached
+       |      FROM piv x JOIN piv y ON x.z = y.z AND x.n <> y.n))
+       |  GROUP BY node)
+       |SELECT deg.z AS node, degree, n_2hop
+       |FROM deg JOIN reach ON deg.z = reach.node""".stripMargin
 }

@@ -60,4 +60,26 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq
     assert(got == Seq((1L, "aa", 3L), (2L, "aaaa", 1L)))
   }
+
+  test("fertilityByGroup: tokens-per-word ratio per group; merges lower it") {
+    import spark.implicits._
+    // No merges: every word splits to characters → fertility = mean
+    // word length. g1: "aa bb" → 4 tokens / 2 words = 2.0;
+    // g2: "abcd" → 4/1 = 4.0.
+    val docs = Seq((1L, "g1", "aa bb"), (2L, "g2", "abcd"))
+      .toDF("doc_id", "lang", "text")
+    val out = Bpe.fertilityByGroup(docs, "text", "doc_id", "lang", Seq.empty)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("g1") == (("g1", 1L, 2L, 4L, 2.0)))
+    assert(out("g2") == (("g2", 1L, 1L, 4L, 4.0)))
+
+    // A merge tuned to g1's vocabulary ("a"+"a") lowers ONLY g1's
+    // fertility — the per-language tokenizer-equity signal.
+    val merged = Bpe.fertilityByGroup(docs, "text", "doc_id", "lang",
+      Seq(("a", "a")))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(merged("g1") == 1.5 && merged("g2") == 4.0)
+  }
 }

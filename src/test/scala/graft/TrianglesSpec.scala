@@ -107,4 +107,25 @@ class TrianglesSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq ==
       Seq((1L, 4L, 2L, 2.88539)))
   }
+
+  test("twoHopReach: hand-counted square+pendant; pivot cap trims hub-mediated reach") {
+    import spark.implicits._
+    // Square 1-2-4-3-1 + pendant 5 on node 1 (same graph as adamicAdar).
+    // reach≤2: 1→{2,3,5,4}=4; 2→{1,4,3,5}=4; 3→{1,4,2,5}=4;
+    //          4→{2,3,1}=3;   5→{1,2,3}=3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val out = graft.operators.LinkPred.twoHopReach(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ((3L, 4L)), 2L -> ((2L, 4L)), 3L -> ((2L, 4L)),
+      4L -> ((2L, 3L)), 5L -> ((1L, 3L))))
+
+    // cap=2 drops node 1 (deg 3) as a PIVOT: 5 loses its only 2-hop
+    // path (reach falls to its direct edge), 2 loses the via-1 routes.
+    val capped = graft.operators.LinkPred
+      .twoHopReach(edges, "src", "dst", maxPivotDeg = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(capped(5L) == 1L && capped(2L) == 3L && capped(4L) == 3L)
+  }
 }
