@@ -1412,6 +1412,25 @@ object Queries {
             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                   FROM documents) d""", "q_score", "keep", nBins = 10))),
 
+    // Isotonic (PAV) calibration of the classifier score against the
+    // Gopher keep decision — the MONOTONE calibrated curve next to
+    // q_calibration's raw per-bin rates, via the minimax
+    // characterization (max-min of µ-quantized interval averages) so
+    // no sequential PAV loop exists in either engine; everything after
+    // the one corpus pass is grid-sized metadata.
+    Entry("q_isotonic",
+      (s, d) => Eval.isotonicCalibration(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+            QualityFilters.keepOf(col("_w")).as("keep")),
+        "q_score", "keep", grid = 100),
+      Some(Eval.duckIsotonicCalibration(
+        s"""SELECT ${QualityFilters.duckClassifierScore} AS q_score,
+                   ${QualityFilters.duckKeep} AS keep
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "q_score", "keep", grid = 100))),
+
     // Paired-rater agreement between the two quality filters (Gopher
     // rules vs classifier@0.5): Cohen's κ + McNemar over one exact
     // contingency aggregate — the swap-my-filter audit.
@@ -2187,6 +2206,17 @@ object Queries {
         "value", splitMs = EvCutoffMs),
       Some(Hypothesis.duckCuped(EvOracle, "user_id", "ts", "value",
         splitMs = EvCutoffMs))),
+
+    // Simpson's-paradox audit: pooled vs within-language association
+    // between a source slice and a length outcome — the
+    // aggregation-bias alarm for observational corpus comparisons
+    // (exact 2×2×S cells from ONE stratum aggregate; µ-quantized
+    // mirrored diffs; sign-flip census vs the pooled direction).
+    Entry("q_simpson",
+      (s, d) => Hypothesis.simpsonAudit(t(s, d, "documents"), "lang",
+        "source < 'src2'", "n_chars > 900"),
+      Some(Hypothesis.duckSimpsonAudit("documents", "lang",
+        "source < 'src2'", "n_chars > 900"))),
 
     // Poisson-bootstrap CI for the mean account balance: 40 replicates
     // from ONE pass with 80 running sums (deterministic per-row

@@ -299,25 +299,41 @@ object TextAnalysis {
   val MixA2 = 784588716L
   val MixC2 = 997L
 
-  /** Uniform draw in (0,1), a pure cross-engine function of the input
-    * string: fingerprint → two quadratic mixing rounds → (z+0.5)/FpMod.
+  /** Replicate stepping prime for [[mixToUniform]] callers that derive
+    * MANY uniforms from one fingerprint (u_b over (h + b·MixStep) mod
+    * FpMod): one string fold per row instead of one per (row,
+    * replicate) — the cost that matters when B ≈ 40 draws/row.
     */
-  def mixedUniform(c: Column): Column = {
-    val fp = fingerprint(c)
-    val z1 = (fp * fp + fp * MixA1 + MixC1) % FpMod
+  val MixStep = 15485863L
+
+  /** The two quadratic mixing rounds over an already-hashed value in
+    * [0, FpMod): x → x² + a·x + c (mod FpMod), twice, → (z+0.5)/FpMod
+    * ∈ (0,1). All intermediates < 2.2e18 — 64-bit-safe.
+    */
+  def mixToUniform(x: Column): Column = {
+    val z1 = (x * x + x * MixA1 + MixC1) % FpMod
     val z2 = (z1 * z1 + z1 * MixA2 + MixC2) % FpMod
     (z2.cast("double") + lit(0.5)) / lit(FpMod.toDouble)
   }
 
-  /** DuckDB twin of [[mixedUniform]] — the same two quadratic rounds
-    * over [[duckFingerprint]]; each round binds its input once via the
-    * single-element-list lambda idiom (`list_transform([x], …)[1]`), so
-    * the fingerprint fold is evaluated exactly once.
+  /** Uniform draw in (0,1), a pure cross-engine function of the input
+    * string: fingerprint → two quadratic mixing rounds → (z+0.5)/FpMod.
     */
-  def duckMixedUniform(col: String): String =
+  def mixedUniform(c: Column): Column = mixToUniform(fingerprint(c))
+
+  /** DuckDB twin of [[mixToUniform]] over an already-hashed expression;
+    * each round binds its input once via the single-element-list lambda
+    * idiom (`list_transform([x], …)[1]`), so `hashed` is evaluated
+    * exactly once.
+    */
+  def duckMixToUniform(hashed: String): String =
     s"""((CAST(list_transform(
-       |    list_transform([${duckFingerprint(col)}],
+       |    list_transform([$hashed],
        |                   x -> (x * x + x * $MixA1 + $MixC1) % $FpMod),
        |    y -> (y * y + y * $MixA2 + $MixC2) % $FpMod)[1]
        |  AS DOUBLE) + 0.5) / $FpMod.0)""".stripMargin
+
+  /** DuckDB twin of [[mixedUniform]]. */
+  def duckMixedUniform(col: String): String =
+    duckMixToUniform(duckFingerprint(col))
 }

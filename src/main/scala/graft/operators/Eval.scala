@@ -689,6 +689,104 @@ object Eval {
        |      FROM ($innerSql))
        |GROUP BY 1""".stripMargin
 
+  /** Isotonic (monotone) calibration of a score against a binary
+    * outcome — the PAV-fit answer to "what keep-probability does a raw
+    * classifier score s actually correspond to": unlike the per-bin
+    * empirical rates of [[calibrationBins]], the isotonic fit is the
+    * least-squares MONOTONE curve, so downstream thresholding inherits
+    * a guarantee (higher score never maps to lower calibrated
+    * probability) and noisy neighboring bins stop flapping.
+    *
+    * Computed on a fixed `grid` of score buckets via the minimax
+    * characterization of isotonic regression (Robertson–Wright–Dykstra):
+    *
+    *   iso_i = max_{j ≤ i} min_{k ≥ i} avg(y over buckets j..k)
+    *
+    * — no sequential pool-adjacent-violators loop, so it's expressible
+    * as joins/aggregates in BOTH engines identically. Interval averages
+    * come from exact integer prefix sums and are µ-quantized ONCE; the
+    * max-min runs over those integers, so the fit is bit-deterministic.
+    *
+    * Scale shape: ONE corpus pass collapses everything to ≤ grid
+    * buckets; the prefix window, the O(grid²) interval table, and the
+    * O(grid³) max-min joins are all metadata-sized (grid=100 →
+    * ~1.7e5 joined rows) and independent of corpus size. The interval
+    * self-join is non-equi by construction — bounded, deliberate, and
+    * the reason the grid is fixed.
+    *
+    * Output per non-empty bucket: (bucket, n, pos_rate, iso_rate),
+    * iso_rate monotone non-decreasing in bucket.
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String, grid: Int = 100): DataFrame = {
+    require(grid >= 2 && grid <= 1000, s"isotonicCalibration: grid=$grid")
+    val bucket = least(
+      expr(s"(CAST(round($scoreCol * 1000000.0) AS BIGINT) * $grid) DIV 1000000"),
+      lit((grid - 1).toLong))
+    val cells = scored
+      .select(bucket.as("bucket"), col(labelCol).cast("long").as("_y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1L)).as("_w"), sum(col("_y")).as("_p"))
+    val ord = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("_cw", sum(col("_w")).over(ord))
+      .withColumn("_cp", sum(col("_p")).over(ord))
+    val lo = ranked.select(col("bucket").as("_j"),
+      (col("_cw") - col("_w")).as("_wj"), (col("_cp") - col("_p")).as("_pj"))
+    val hi = ranked.select(col("bucket").as("_k"),
+      col("_cw").as("_wk"), col("_cp").as("_pk"))
+    val ivals = lo.join(hi, col("_j") <= col("_k"))
+      .select(col("_j"), col("_k"),
+        round((col("_pk") - col("_pj")).cast("double")
+          / (col("_wk") - col("_wj")).cast("double") * 1e6)
+          .cast("long").as("_a"))
+    ranked.select(col("bucket"), col("_w"), col("_p"))
+      .join(ivals, col("_j") <= col("bucket") && col("bucket") <= col("_k"))
+      .groupBy(col("bucket"), col("_w"), col("_p"), col("_j"))
+      .agg(min(col("_a")).as("_mn"))
+      .groupBy(col("bucket"), col("_w"), col("_p"))
+      .agg(max(col("_mn")).as("_iso"))
+      .select(col("bucket"), col("_w").as("n"),
+        round(col("_p").cast("double") / col("_w").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("_iso").cast("double") / 1e6, 6).as("iso_rate"))
+  }
+
+  /** DuckDB oracle twin of [[isotonicCalibration]] — same buckets,
+    * same prefix sums, same µ-quantized interval averages, same
+    * max-min.
+    */
+  def duckIsotonicCalibration(innerSql: String, scoreCol: String,
+                              labelCol: String, grid: Int = 100): String =
+    s"""WITH cells AS (
+       |  SELECT least((CAST(round($scoreCol * 1000000.0) AS BIGINT)
+       |                * $grid) // 1000000, ${grid - 1}) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS w,
+       |         CAST(sum($labelCol) AS BIGINT) AS p
+       |  FROM ($innerSql) GROUP BY 1),
+       |ranked AS (
+       |  SELECT bucket, w, p,
+       |         sum(w) OVER (ORDER BY bucket ASC
+       |                      ROWS UNBOUNDED PRECEDING) AS cw,
+       |         sum(p) OVER (ORDER BY bucket ASC
+       |                      ROWS UNBOUNDED PRECEDING) AS cp
+       |  FROM cells),
+       |iv AS (
+       |  SELECT l.bucket AS j, h.bucket AS k,
+       |         CAST(round(CAST(h.cp - (l.cp - l.p) AS DOUBLE)
+       |                    / CAST(h.cw - (l.cw - l.w) AS DOUBLE)
+       |                    * 1000000.0) AS BIGINT) AS a
+       |  FROM ranked l JOIN ranked h ON l.bucket <= h.bucket),
+       |mn AS (
+       |  SELECT r.bucket, r.w, r.p, iv.j, min(iv.a) AS mn
+       |  FROM ranked r JOIN iv ON iv.j <= r.bucket AND r.bucket <= iv.k
+       |  GROUP BY r.bucket, r.w, r.p, iv.j)
+       |SELECT bucket, w AS n,
+       |       round(CAST(p AS DOUBLE) / CAST(w AS DOUBLE), 6) AS pos_rate,
+       |       round(CAST(max(mn) AS DOUBLE) / 1e6, 6) AS iso_rate
+       |FROM mn GROUP BY bucket, w, p""".stripMargin
+
   /** Regression-evaluation metrics (RMSE / MAE / R²) for the
     * per-category conditional-mean predictor — the regression twin of
     * the classifier gates above, and the in-sample fit audit of

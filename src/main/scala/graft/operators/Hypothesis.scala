@@ -684,6 +684,121 @@ object Hypothesis {
        |       END AS ks_stat
        |FROM agg""".stripMargin
 
+  /** Simpson's-paradox audit: the pooled association between a binary
+    * exposure and a binary outcome vs the SAME association within each
+    * stratum — the aggregation-bias alarm every observational corpus
+    * comparison needs ("source A keeps more docs than B overall, but
+    * loses to B inside every language" means the pooled number is
+    * composition, not quality). Reports the pooled rate difference,
+    * the stratum-size-weighted mean of within-stratum differences (the
+    * crude standardized estimate), the extreme stratum differences,
+    * and how many strata DISAGREE in sign with the pooled difference —
+    * paradox = pooled and weighted estimates on opposite sides of 0,
+    * or a majority of flipped strata.
+    *
+    * Exactness: everything is exact integer 2×2×S cell counts from ONE
+    * map-side stratum aggregate; each difference is µ-quantized from
+    * one mirrored double expression; the weighted mean's numerator is
+    * an exact Σ n_s·diffµ_s integer. Strata where either arm is empty
+    * carry no within-stratum difference (excluded from the weighted
+    * mean and flip counts, reported in n_undefined).
+    *
+    * Output 1 row: (n, n_strata, n_undefined, pooled_diff,
+    * weighted_diff, min_stratum_diff, max_stratum_diff, n_sign_flips).
+    */
+  def simpsonAudit(df: DataFrame, strataCol: String, exposedPred: String,
+                   outcomePred: String): DataFrame = {
+    val e = expr(exposedPred)
+    val y = expr(outcomePred)
+    // ONE corpus pass to the stratum table; the pooled totals ride a
+    // partition-less window over those ≤|strata| rows, so the flip
+    // census sees the pooled sign without a second corpus aggregate.
+    val cells = df.groupBy(col(strataCol).as("_s")).agg(
+      count(when(e, lit(1))).as("_na"),
+      count(when(e && y, lit(1))).as("_pa"),
+      count(when(!e, lit(1))).as("_nb"),
+      count(when(!e && y, lit(1))).as("_pb"))
+    val defined = col("_na") > 0L && col("_nb") > 0L
+    val diffMu = round((dbl(col("_pa")) / dbl(col("_na"))
+      - dbl(col("_pb")) / dbl(col("_nb"))) * 1e6).cast("long")
+    val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTot = cells
+      .withColumn("_d", when(defined, diffMu))
+      .withColumn("_tna", sum(col("_na")).over(w))
+      .withColumn("_tpa", sum(col("_pa")).over(w))
+      .withColumn("_tnb", sum(col("_nb")).over(w))
+      .withColumn("_tpb", sum(col("_pb")).over(w))
+      .withColumn("_pool", when(col("_tna") > 0L && col("_tnb") > 0L,
+        round((dbl(col("_tpa")) / dbl(col("_tna"))
+          - dbl(col("_tpb")) / dbl(col("_tnb"))) * 1e6).cast("long")))
+    withTot.agg(
+        sum(col("_na") + col("_nb")).as("n"),
+        count(lit(1L)).as("n_strata"),
+        count(when(col("_d").isNull, lit(1))).as("n_undefined"),
+        min(col("_pool")).as("_pl"),
+        sum(when(col("_d").isNotNull, col("_na") + col("_nb"))).as("_wn"),
+        sum(col("_d") * (col("_na") + col("_nb"))).as("_wd"),
+        min(col("_d")).as("_mn"), max(col("_d")).as("_mx"),
+        count(when(col("_d").isNotNull && col("_pool").isNotNull &&
+          ((col("_d") > 0L && col("_pool") < 0L) ||
+            (col("_d") < 0L && col("_pool") > 0L)), lit(1)))
+          .as("n_sign_flips"))
+      .select(col("n"), col("n_strata"), col("n_undefined"),
+        round(dbl(col("_pl")) / 1e6, 6).as("pooled_diff"),
+        when(col("_wn") > 0L,
+          round(dbl(col("_wd")) / dbl(col("_wn")) / 1e6, 6))
+          .as("weighted_diff"),
+        round(dbl(col("_mn")) / 1e6, 6).as("min_stratum_diff"),
+        round(dbl(col("_mx")) / 1e6, 6).as("max_stratum_diff"),
+        col("n_sign_flips"))
+  }
+
+  /** DuckDB oracle twin of [[simpsonAudit]]. */
+  def duckSimpsonAudit(rel: String, strataCol: String, exposedPred: String,
+                       outcomePred: String): String =
+    s"""WITH cells AS (
+       |  SELECT $strataCol AS s,
+       |         CAST(count(*) FILTER (WHERE $exposedPred) AS BIGINT) AS na,
+       |         CAST(count(*) FILTER (WHERE ($exposedPred) AND ($outcomePred)) AS BIGINT) AS pa,
+       |         CAST(count(*) FILTER (WHERE NOT ($exposedPred)) AS BIGINT) AS nb,
+       |         CAST(count(*) FILTER (WHERE NOT ($exposedPred) AND ($outcomePred)) AS BIGINT) AS pb
+       |  FROM $rel GROUP BY 1),
+       |d AS (
+       |  SELECT *, CASE WHEN na > 0 AND nb > 0 THEN
+       |    CAST(round((CAST(pa AS DOUBLE) / CAST(na AS DOUBLE)
+       |                - CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE))
+       |               * 1000000.0) AS BIGINT) END AS dm
+       |  FROM cells),
+       |a AS (
+       |  SELECT CAST(sum(na + nb) AS BIGINT) AS n,
+       |         CAST(count(*) AS BIGINT) AS n_strata,
+       |         CAST(count(*) FILTER (WHERE dm IS NULL) AS BIGINT) AS n_undefined,
+       |         sum(na) AS tna, sum(pa) AS tpa, sum(nb) AS tnb, sum(pb) AS tpb,
+       |         CAST(sum(na + nb) FILTER (WHERE dm IS NOT NULL) AS BIGINT) AS wn,
+       |         sum(dm * (na + nb)) AS wd,
+       |         min(dm) AS mn, max(dm) AS mx
+       |  FROM d),
+       |p AS (
+       |  SELECT a.*, CASE WHEN tna > 0 AND tnb > 0 THEN
+       |    CAST(round((CAST(tpa AS DOUBLE) / CAST(tna AS DOUBLE)
+       |                - CAST(tpb AS DOUBLE) / CAST(tnb AS DOUBLE))
+       |               * 1000000.0) AS BIGINT) END AS pool
+       |  FROM a),
+       |fl AS (
+       |  SELECT CAST(count(*) FILTER (WHERE dm IS NOT NULL AND pool IS NOT NULL
+       |           AND ((dm > 0 AND pool < 0) OR (dm < 0 AND pool > 0)))
+       |         AS BIGINT) AS n_sign_flips
+       |  FROM d CROSS JOIN p)
+       |SELECT n, n_strata, n_undefined,
+       |       round(CAST(pool AS DOUBLE) / 1e6, 6) AS pooled_diff,
+       |       CASE WHEN wn > 0 THEN
+       |         round(CAST(wd AS DOUBLE) / CAST(wn AS DOUBLE) / 1e6, 6)
+       |       END AS weighted_diff,
+       |       round(CAST(mn AS DOUBLE) / 1e6, 6) AS min_stratum_diff,
+       |       round(CAST(mx AS DOUBLE) / 1e6, 6) AS max_stratum_diff,
+       |       n_sign_flips
+       |FROM p CROSS JOIN fl""".stripMargin
+
   /** Cumulative Poisson(1) CDF thresholds (e⁻¹·Σ 1/k!), shared by both
     * engines: a uniform u maps to the smallest k with u < P(≤k), capped
     * at 7 (P > 7 ≈ 1e-5 — one resample weight in ~10⁵ truncated by at
@@ -705,13 +820,16 @@ object Hypothesis {
     * else — no row duplication, no shuffle of the corpus, no state.
     *
     * The weights are DETERMINISTIC (the repo-wide replayable-sampling
-    * convention, [[Splits.bucketOf]]):
-    * u = [[graft.functions.TextAnalysis.mixedUniform]](salt, id·reps+b)
-    * → inverse-CDF Poisson(1), so the released interval is a pure
-    * function of the data and the salt, reproducible across engines —
-    * which is what makes it oracle-gateable at all. (The avalanche mix
-    * matters: the raw rolling fingerprint clusters for consecutive
-    * inputs, which starved every replicate to weight 0.)
+    * convention, [[Splits.bucketOf]]): ONE fingerprint per row
+    * (h = fp(salt:id)), then replicate b draws
+    * u_b = [[graft.functions.TextAnalysis.mixToUniform]]((h + b·MixStep)
+    * mod FpMod) → inverse-CDF Poisson(1) — B cheap quadratic remixes
+    * per row instead of B string folds, and the released interval stays
+    * a pure function of the data and the salt, reproducible across
+    * engines. (The avalanche mix matters twice here: the raw rolling
+    * fingerprint clusters for consecutive inputs — it starved every
+    * replicate to weight 0 — and a LINEAR remix would leave replicates
+    * b and b+1 rank-correlated.)
     *
     * Determinism discipline: per-replicate weighted sums are exact
     * DECIMAL micro-integers; each replicate mean is µ-quantized to a
@@ -731,10 +849,15 @@ object Hypothesis {
     require(alphaPct >= 1 && alphaPct < 100, s"poissonBootstrap: alphaPct=$alphaPct")
     import graft.functions.TextAnalysis
     val vmu = round(dbl(col(valCol)) * 1e6).cast("decimal(38,0)")
+    // ONE string fingerprint per row; each replicate re-mixes it with a
+    // prime step through the quadratic scrambler — B cheap integer
+    // rounds instead of B string folds per row (and B× smaller codegen)
     val base = df.select(col(idCol).cast("long").as("_id"), vmu.as("_v"))
+      .withColumn("_h", TextAnalysis.fingerprint(
+        concat_ws(":", lit(salt), col("_id").cast("string"))))
     def cOf(b: Int): Column = {
-      val u = TextAnalysis.mixedUniform(concat_ws(":", lit(salt),
-        (col("_id") * reps + b).cast("string")))
+      val u = TextAnalysis.mixToUniform(
+        (col("_h") + lit(b * TextAnalysis.MixStep)) % TextAnalysis.FpMod)
       PoissonCdf.foldRight(lit(7L)) { case ((t, k), els) =>
         when(u < t, lit(k.toLong)).otherwise(els)
       }
@@ -783,8 +906,8 @@ object Hypothesis {
     import graft.functions.TextAnalysis
     val cdfCase = PoissonCdf.map { case (t, k) =>
       s"WHEN u < $t THEN $k" }.mkString(" ")
-    val uExpr = TextAnalysis.duckMixedUniform(
-      s"'$salt:' || CAST(id * $reps + b AS VARCHAR)")
+    val uExpr = TextAnalysis.duckMixToUniform(
+      s"(h + b * ${TextAnalysis.MixStep}) % ${TextAnalysis.FpMod}")
     val loRank = math.max(1, math.ceil(reps * alphaPct / 200.0).toInt)
     val hiRank = math.min(reps, math.ceil(reps * (1.0 - alphaPct / 200.0)).toInt)
     def foldDm(expr: String): String =
@@ -792,7 +915,9 @@ object Hypothesis {
          |            (acc, x) -> acc + x)""".stripMargin
     s"""WITH base AS (
        |  SELECT CAST($idCol AS BIGINT) AS id,
-       |         CAST(round(CAST($valCol AS DOUBLE) * 1000000.0) AS HUGEINT) AS v
+       |         CAST(round(CAST($valCol AS DOUBLE) * 1000000.0) AS HUGEINT) AS v,
+       |         ${TextAnalysis.duckFingerprint(
+                    s"'$salt:' || CAST(CAST($idCol AS BIGINT) AS VARCHAR)")} AS h
        |  FROM $rel),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s FROM base),
        |mf AS (SELECT CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
@@ -801,7 +926,8 @@ object Hypothesis {
        |  SELECT b, v,
        |         CASE $cdfCase ELSE 7 END AS c
        |  FROM (SELECT b, v, $uExpr AS u
-       |        FROM base CROSS JOIN (SELECT range AS b FROM range(0, $reps)))),
+       |        FROM (SELECT v, h FROM base)
+       |        CROSS JOIN (SELECT range AS b FROM range(0, $reps)))),
        |rm AS (SELECT b, sum(c * v) AS s, CAST(sum(c) AS BIGINT) AS c
        |       FROM draws GROUP BY b),
        |m AS (SELECT b,

@@ -216,6 +216,35 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("isotonicCalibration: PAV pooling of a violating middle bucket; monotone output") {
+    import spark.implicits._
+    // buckets (by score): 20→rate 0.8, 60→rate 0.2, 80→rate 0.6.
+    // PAV pools (0.8, 0.2) → 0.5; 0.5 ≤ 0.6 keeps the last → [0.5, 0.5, 0.6].
+    def rows(s: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((s, 1L)) ++ Seq.fill(neg)((s, 0L))
+    val df = (rows(0.2, 4, 1) ++ rows(0.6, 1, 4) ++ rows(0.8, 3, 2))
+      .toDF("s", "y")
+    val out = Eval.isotonicCalibration(df, "s", "y")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (20L, 5L, 0.8, 0.5), (60L, 5L, 0.2, 0.5), (80L, 5L, 0.6, 0.6)))
+
+    // Already-monotone rates pass through unchanged.
+    val mono = (rows(0.2, 1, 4) ++ rows(0.6, 3, 2) ++ rows(0.8, 4, 1))
+      .toDF("s", "y")
+    val om = Eval.isotonicCalibration(mono, "s", "y")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(om.forall(r => r._3 == r._4))
+
+    // The fit is monotone for ANY input (the guarantee thresholds need).
+    val noisy = (1 to 200).map(i =>
+      ((i % 17).toDouble / 17.0, (i % 3 == 0).compareTo(false).toLong))
+      .toDF("s", "y")
+    val on = Eval.isotonicCalibration(noisy, "s", "y")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).map(_._4)
+    assert(on.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("quantileNormalize: hot source mapped onto the pooled distribution") {
     import spark.implicits._
     import graft.operators.Features

@@ -201,6 +201,34 @@ class HypothesisSpec extends AnyFunSuite with SparkTestBase {
     assert(ro._3.isEmpty && ro._4.isEmpty)
   }
 
+  test("simpsonAudit: the classic reversal — every stratum favors A, the pool favors B") {
+    import spark.implicits._
+    // Kidney-stone layout. Small: A 81/87 vs B 234/270; Large: A 192/263
+    // vs B 55/80 — A wins both strata, B wins pooled (273/350 vs 289/350).
+    def arm(s: String, e: Boolean, pos: Int, neg: Int) =
+      Seq.fill(pos)((s, e, true)) ++ Seq.fill(neg)((s, e, false))
+    val df = (arm("small", true, 81, 6) ++ arm("small", false, 234, 36) ++
+      arm("large", true, 192, 71) ++ arm("large", false, 55, 25))
+      .toDF("stratum", "exposed", "cured")
+    val r = Hypothesis.simpsonAudit(df, "stratum", "exposed", "cured")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Double], Long)].head()
+    assert(r._1 == 700L && r._2 == 2L && r._3 == 0L)
+    assert(r._4.contains(-0.045714))            // pooled favors B
+    assert(r._5.contains(0.053671))             // strata favor A
+    assert(r._6.contains(0.042538) && r._7.contains(0.064368))
+    assert(r._8 == 2L)                          // both strata flip
+
+    // A one-armed stratum is undefined, excluded from the weighted
+    // mean and flips, and counted.
+    val partial = (arm("s1", true, 3, 1) ++ arm("s1", false, 1, 3) ++
+      arm("s2", true, 5, 0)).toDF("stratum", "exposed", "cured")
+    val rp = Hypothesis.simpsonAudit(partial, "stratum", "exposed", "cured")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Double], Long)].head()
+    assert(rp._2 == 2L && rp._3 == 1L && rp._5.contains(0.5) && rp._8 == 0L)
+  }
+
   test("poissonBootstrap: deterministic, ordered CI brackets the mean, width shrinks with n") {
     import spark.implicits._
     // a spread-out but well-behaved sample: v = 10 + (i mod 37)
