@@ -1238,6 +1238,16 @@ object Queries {
       (s, d) => Drift.embeddingDrift(t(s, d, "embeddings"), "embedding", "label"),
       Some(Drift.duckEmbeddingDrift("embeddings", "embedding", "label", dim = 64))),
 
+    // Pairwise group-centroid cosine matrix — the semantic-redundancy
+    // map between slices (merge/downweight candidates; uniformly-low
+    // rows are semantic outliers). One corpus pass to (group, dim)
+    // exact sums; the 45-pair join runs on the groups-sized frame.
+    Entry("q_emb_group_sim",
+      (s, d) => Drift.centroidSimMatrix(t(s, d, "embeddings"),
+        "embedding", "label"),
+      Some(Drift.duckCentroidSimMatrix("embeddings", "embedding",
+        "label", dim = 64))),
+
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).
     Entry("q_mm_decode",

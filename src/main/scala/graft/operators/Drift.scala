@@ -152,6 +152,73 @@ object Drift {
        |              sqrt(list_dot_product(lg, lg))), 6) AS centroid_cos
        |FROM f""".stripMargin
 
+  /** Pairwise centroid-cosine matrix between groups — the semantic
+    * REDUNDANCY map next to [[embeddingDrift]]'s off-blend alarm: drift
+    * compares each group to the pool; this compares groups to EACH
+    * OTHER, answering "which two sources say the same thing" (merge or
+    * downweight candidates) and "which group is the semantic outlier"
+    * (its row of cosines is uniformly low). The full matrix is
+    * group-pair-sized — trivially small for sources/labels/shards even
+    * when the corpus is 100 TB.
+    *
+    * Same exactness discipline as [[embeddingDrift]]: 1e-6-quantized
+    * components summed as exact BIGINTs in ONE (group, component)
+    * aggregate; centroid cosines fold in ascending component order on
+    * both engines. One corpus pass; the pairwise join runs on the
+    * groups-sized folded frame.
+    *
+    * Output per unordered pair (grp_a < grp_b): (grp_a, grp_b, n_a,
+    * n_b, centroid_cos).
+    */
+  def centroidSimMatrix(vecs: DataFrame, vecCol: String,
+                        grpCol: String): DataFrame = {
+    val Q = 1.0e6
+    val qcomp = Dedup.rebalance(vecs)
+      .select(col(grpCol).as("_g"), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .select(col("_g"), col("pos"),
+        floor(col("_v").cast("double") * Q + 0.5).cast("long").as("_q"))
+    val byGrp = qcomp.groupBy(col("_g"), col("pos"))
+      .agg(sum(col("_q")).as("_sq"), count(lit(1)).as("_n"))
+      .withColumn("_c",
+        col("_sq").cast("double") / (col("_n").cast("double") * lit(Q)))
+    val folded = byGrp.groupBy(col("_g"))
+      .agg(max(col("_n")).as("_nv"),
+        array_sort(collect_list(struct(col("pos"), col("_c")))).as("_arr"))
+    def dot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (s, t) => s.getField("_c") * t.getField("_c")),
+      lit(0.0), (acc, v) => acc + v)
+    folded.as("x").join(folded.as("y"), col("x._g") < col("y._g"))
+      .select(col("x._g").as("grp_a"), col("y._g").as("grp_b"),
+        col("x._nv").as("n_a"), col("y._nv").as("n_b"),
+        round(dot(col("x._arr"), col("y._arr"))
+          / (sqrt(dot(col("x._arr"), col("x._arr")))
+            * sqrt(dot(col("y._arr"), col("y._arr")))), 6)
+          .as("centroid_cos"))
+  }
+
+  /** DuckDB oracle for [[centroidSimMatrix]] — identical quantization
+    * and component-ordered folds, pairwise join on the groups-sized
+    * folded frame.
+    */
+  def duckCentroidSimMatrix(tbl: String, vecCol: String, grpCol: String,
+                            dim: Int): String =
+    s"""WITH x AS (
+       |  SELECT $grpCol AS g, pos,
+       |         CAST(floor(CAST($vecCol AS DOUBLE[])[pos] * 1000000.0 + 0.5)
+       |              AS BIGINT) AS q
+       |  FROM $tbl, range(1, ${dim + 1}) t(pos)),
+       |bg AS (SELECT g, pos, sum(q) AS sq, count(*) AS n
+       |       FROM x GROUP BY g, pos),
+       |f AS (SELECT g, CAST(max(n) AS BIGINT) AS nv,
+       |             list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                  ORDER BY pos) AS lc
+       |      FROM bg GROUP BY g)
+       |SELECT a.g AS grp_a, b.g AS grp_b, a.nv AS n_a, b.nv AS n_b,
+       |       round(list_dot_product(a.lc, b.lc) /
+       |             (sqrt(list_dot_product(a.lc, a.lc)) *
+       |              sqrt(list_dot_product(b.lc, b.lc))), 6) AS centroid_cos
+       |FROM f a JOIN f b ON a.g < b.g""".stripMargin
+
   /** DuckDB oracle for [[sourceKl]] — identical vocabulary restriction,
     * totals, quantized terms, and rounding.
     */

@@ -399,6 +399,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(solo.collect().map(_.getDouble(2)).toSeq == Seq(1.0))
   }
 
+  test("centroidSimMatrix: identical groups cos 1, orthogonal 0, opposed -1") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),     // centroid (+1, 0)
+      (3L, Seq(1f, 0f), 1),                            // centroid (+1, 0)
+      (4L, Seq(0f, 1f), 2),                            // centroid (0, +1)
+      (5L, Seq(-1f, 0f), 3), (6L, Seq(-1f, 0f), 3))    // centroid (−1, 0)
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Drift
+      .centroidSimMatrix(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 6)                      // C(4,2) unordered pairs
+    assert(got((0, 1)) == ((2L, 1L, 1.0)))     // same direction
+    assert(got((0, 2))._3 == 0.0)              // orthogonal
+    assert(got((0, 3))._3 == -1.0)             // opposed
+    assert(got((2, 3))._3 == 0.0)
+  }
+
   test("cluster split: near-dup clusters land in one split, singletons match splitOf") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
