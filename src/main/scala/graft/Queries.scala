@@ -1248,6 +1248,15 @@ object Queries {
       Some(Drift.duckCentroidSimMatrix("embeddings", "embedding",
         "label", dim = 64))),
 
+    // Within-group alignment: the EXACT mean pairwise cosine per group
+    // via (‖Σx‖² − Σ‖x‖²)/(n(n−1)) — one corpus pass, no pair
+    // enumeration; exact µ²-integer numerator, one final division.
+    Entry("q_emb_alignment",
+      (s, d) => Drift.withinGroupAlignment(t(s, d, "embeddings"),
+        "embedding", "label"),
+      Some(Drift.duckWithinGroupAlignment("embeddings", "embedding",
+        "label", dim = 64))),
+
     // Multimodal: binary payload + batched per-partition decode stub
     // (mapPartitions with explicit encoder — the mapInPandas shape).
     Entry("q_mm_decode",

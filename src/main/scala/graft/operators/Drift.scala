@@ -219,6 +219,76 @@ object Drift {
        |              sqrt(list_dot_product(b.lc, b.lc))), 6) AS centroid_cos
        |FROM f a JOIN f b ON a.g < b.g""".stripMargin
 
+  /** Within-group embedding ALIGNMENT — the exact mean pairwise cosine
+    * of every group, WITHOUT enumerating pairs: for unit-normalized
+    * vectors (the corpus contract, FIXTURES.md)
+    *
+    *   mean_{i≠j} xᵢ·xⱼ = (‖Σx‖² − Σ‖x‖²) / (n·(n−1))
+    *
+    * — the contrastive-representation diagnostic (Wang & Isola 2020's
+    * "alignment"): high = the group's embeddings agree (a coherent
+    * topic/source), near 0 = the group is semantically incoherent, and
+    * a group whose alignment rivals the dedup threshold is a semantic
+    * near-dup CLUSTER in disguise. The identity is what makes this a
+    * 100 TB operator: the naive mean pairwise cosine is n² per group,
+    * this is ONE corpus pass.
+    *
+    * Exactness: per-component 1e-6-quantized sums S_pos and squared
+    * sums Q2_pos are exact BIGINTs from one (group, component)
+    * aggregate; the numerator Σ S² − Σ Q2 stays an exact DECIMAL
+    * integer in µ² units — ONE double division at the end. Singleton
+    * groups have no pairs → NULL alignment.
+    *
+    * Output: (grpCol, n_vectors, alignment).
+    */
+  def withinGroupAlignment(vecs: DataFrame, vecCol: String,
+                           grpCol: String): DataFrame = {
+    val Q = 1.0e6
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val qcomp = Dedup.rebalance(vecs)
+      .select(col(grpCol), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .select(col(grpCol), col("pos"),
+        floor(col("_v").cast("double") * Q + 0.5).cast("long").as("_q"))
+    val byGrp = qcomp.groupBy(col(grpCol), col("pos"))
+      .agg(sum(col("_q")).as("_s"),
+        sum(d38(col("_q")) * d38(col("_q"))).as("_q2"),
+        count(lit(1)).as("_n"))
+    byGrp.groupBy(col(grpCol))
+      .agg(max(col("_n")).as("n_vectors"),
+        sum(d38(col("_s")) * d38(col("_s"))).as("_ss"),
+        sum(col("_q2")).as("_sq2"))
+      .select(col(grpCol), col("n_vectors"),
+        when(col("n_vectors") < 2L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_ss") - col("_sq2")).cast("double")
+              / (col("n_vectors") * (col("n_vectors") - 1L)).cast("double")
+              / lit(1e12), 6)).as("alignment"))
+  }
+
+  /** DuckDB oracle for [[withinGroupAlignment]] — identical quantized
+    * exact sums and the same single division.
+    */
+  def duckWithinGroupAlignment(tbl: String, vecCol: String, grpCol: String,
+                               dim: Int): String =
+    s"""WITH x AS (
+       |  SELECT $grpCol, pos,
+       |         CAST(floor(CAST($vecCol AS DOUBLE[])[pos] * 1000000.0 + 0.5)
+       |              AS BIGINT) AS q
+       |  FROM $tbl, range(1, ${dim + 1}) t(pos)),
+       |bg AS (SELECT $grpCol, pos, sum(CAST(q AS HUGEINT)) AS s,
+       |              sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS q2,
+       |              CAST(count(*) AS BIGINT) AS n
+       |       FROM x GROUP BY $grpCol, pos),
+       |g AS (SELECT $grpCol, CAST(max(n) AS BIGINT) AS n_vectors,
+       |             sum(s * s) AS ss, sum(q2) AS sq2
+       |      FROM bg GROUP BY $grpCol)
+       |SELECT $grpCol, n_vectors,
+       |       CASE WHEN n_vectors >= 2 THEN
+       |         round(CAST(ss - sq2 AS DOUBLE)
+       |               / CAST(n_vectors * (n_vectors - 1) AS DOUBLE)
+       |               / 1e12, 6) END AS alignment
+       |FROM g""".stripMargin
+
   /** DuckDB oracle for [[sourceKl]] — identical vocabulary restriction,
     * totals, quantized terms, and rounding.
     */

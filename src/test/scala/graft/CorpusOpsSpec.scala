@@ -418,6 +418,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got((2, 3))._3 == 0.0)
   }
 
+  test("withinGroupAlignment: exact mean pairwise cosine without pair enumeration") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),          // aligned: 1
+      (3L, Seq(1f, 0f), 1), (4L, Seq(-1f, 0f), 1),         // opposed: −1
+      (5L, Seq(1f, 0f), 2), (6L, Seq(0f, 1f), 2),          // orthogonal pair
+      (7L, Seq(0f, 1f), 2),
+      (8L, Seq(1f, 0f), 3))                                 // singleton
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Drift
+      .withinGroupAlignment(vecs, "embedding", "label")
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0) == ((2L, Some(1.0))))
+    assert(got(1) == ((2L, Some(-1.0))))
+    // group 2 pairs: (5,6)=0, (5,7)=0, (6,7)=1 → mean = 2/6 = 0.333333
+    assert(got(2) == ((3L, Some(0.333333))))
+    assert(got(3) == ((1L, None)))   // no pairs → undefined
+  }
+
   test("cluster split: near-dup clusters land in one split, singletons match splitOf") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
