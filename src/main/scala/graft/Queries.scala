@@ -3071,6 +3071,23 @@ object Queries {
               |)
               |SELECT * FROM th""".stripMargin)),
 
+    // Pivot-cap drop accounting for the wedge operators: what share of
+    // the total wedge volume the skew guard sheds (cap 8: the fixture
+    // graph tops out at degree 8–15, so the drop branch exercises) —
+    // every cap a queryable metric, never a silent recall loss.
+    Entry("q_graph_cap",
+      (s, d) => LinkPred.pivotCapAudit(
+        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minPairs = 2).select(col("item_a"), col("item_b")),
+        "item_a", "item_b", maxPivotDeg = 8),
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |ca AS (
+              |${LinkPred.duckPivotCapAudit("pairs", "item_a", "item_b",
+                  maxPivotDeg = 8)}
+              |)
+              |SELECT * FROM ca""".stripMargin)),
+
     // Frequent triple itemsets (one Apriori level above pair lift):
     // candidates generated on the frequent-PAIR table with all three
     // sub-pairs pruned before touching the incidence; TakeOrdered top-k.

@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   * protective — a hub shared by everyone contributes at most
   * 1/ln(maxPivotDeg) ≈ noise per pair while generating deg² of the
   * total wedge volume, so the dropped mass is the least informative
-  * signal on the graph (the repo-wide cap-drop posture; the drop is
-  * observable as `n_capped_pivots` via [[Pipeline.healthReport]]-style
-  * auditing if needed). With the cap, wedge volume is ≤ n·maxPivotDeg²
-  * and every stage is an equi-join / hash aggregate.
+  * signal on the graph (the repo-wide cap-drop posture; the drop IS a
+  * queryable metric — [[pivotCapAudit]]). With the cap, wedge volume
+  * is ≤ n·maxPivotDeg² and every stage is an equi-join / hash
+  * aggregate.
   *
   * Determinism: each pivot's contribution is µ-quantized ONCE
   * (aaµ = round(10⁶/ln deg), an exact BIGINT), so the per-pair sum is
@@ -143,6 +143,69 @@ object LinkPred {
     deg.select(col("z").as("node"), col("degree"))
       .join(reach, Seq("node"))
   }
+
+  /** Pivot-cap DROP ACCOUNTING for the wedge-generating operators
+    * ([[adamicAdar]], [[twoHopReach]]) — the repo-wide rule that every
+    * skew-guard cap must be a queryable metric, not a silent recall
+    * loss: reports how many pivots the cap excludes and what share of
+    * the TOTAL wedge volume (Σ deg·(deg−1)/2) they carried — i.e. the
+    * fraction of candidate evidence the guard trades for boundedness.
+    * wedge_kept_frac near 1 says the cap only sheds hub noise; a low
+    * value says the graph IS its hubs and the cap needs raising (or
+    * the hub family needs its own path).
+    *
+    * One degree aggregate — the same table the capped operators build
+    * anyway. Output 1 row: (n_nodes, n_capped_pivots, n_wedges_total,
+    * n_wedges_dropped, wedge_kept_frac).
+    */
+  def pivotCapAudit(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxPivotDeg: Int = 1000): DataFrame = {
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = ce.select(col("a").as("z")).union(ce.select(col("b")))
+      .groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val wedges = expr("deg * (deg - 1L) DIV 2")
+    deg.agg(
+        count(lit(1L)).as("n_nodes"),
+        count(when(col("deg") > maxPivotDeg, lit(1))).as("n_capped_pivots"),
+        sum(wedges).as("n_wedges_total"),
+        sum(when(col("deg") > maxPivotDeg, wedges).otherwise(0L))
+          .as("n_wedges_dropped"))
+      .select(col("n_nodes"), col("n_capped_pivots"),
+        col("n_wedges_total"), col("n_wedges_dropped"),
+        when(col("n_wedges_total") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("n_wedges_total") - col("n_wedges_dropped"))
+            .cast("double") / col("n_wedges_total").cast("double"), 6))
+          .as("wedge_kept_frac"))
+  }
+
+  /** DuckDB oracle twin of [[pivotCapAudit]]. */
+  def duckPivotCapAudit(edgesRel: String, srcCol: String, dstCol: String,
+                        maxPivotDeg: Int = 1000): String =
+    s"""WITH ce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+       |                   greatest($srcCol, $dstCol) AS b
+       |            FROM $edgesRel WHERE $srcCol <> $dstCol),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM
+       |          (SELECT a AS z FROM ce UNION ALL SELECT b FROM ce)
+       |        GROUP BY z),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(count(*) FILTER (WHERE deg > $maxPivotDeg) AS BIGINT)
+       |           AS n_capped_pivots,
+       |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges_total,
+       |         CAST(coalesce(sum(deg * (deg - 1) // 2)
+       |                FILTER (WHERE deg > $maxPivotDeg), 0) AS BIGINT)
+       |           AS n_wedges_dropped
+       |  FROM deg)
+       |SELECT n_nodes, n_capped_pivots, n_wedges_total, n_wedges_dropped,
+       |       CASE WHEN n_wedges_total <> 0 THEN
+       |         round(CAST(n_wedges_total - n_wedges_dropped AS DOUBLE)
+       |               / CAST(n_wedges_total AS DOUBLE), 6) END
+       |         AS wedge_kept_frac
+       |FROM agg""".stripMargin
 
   /** DuckDB oracle twin of [[twoHopReach]]. */
   def duckTwoHopReach(edgesRel: String, srcCol: String, dstCol: String,

@@ -128,4 +128,21 @@ class TrianglesSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(capped(5L) == 1L && capped(2L) == 3L && capped(4L) == 3L)
   }
+
+  test("pivotCapAudit: dropped wedge share is exactly the hub's C(deg,2) mass") {
+    import spark.implicits._
+    // same square+pendant: degrees 3,2,2,2,1 → wedges 3+1+1+1+0 = 6.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val r = graft.operators.LinkPred
+      .pivotCapAudit(edges, "src", "dst", maxPivotDeg = 2)
+      .as[(Long, Long, Long, Long, Double)].head()
+    // node 1 (deg 3, 3 wedges) is the only capped pivot → kept 3/6.
+    assert(r == ((5L, 1L, 6L, 3L, 0.5)))
+    // a high cap drops nothing
+    val rAll = graft.operators.LinkPred
+      .pivotCapAudit(edges, "src", "dst", maxPivotDeg = 100)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(rAll == ((5L, 0L, 6L, 0L, 1.0)))
+  }
 }
