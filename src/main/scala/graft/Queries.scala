@@ -1450,6 +1450,23 @@ object Queries {
             FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
                   FROM documents) d""", "q_score", "keep", grid = 100))),
 
+    // Confident-joint label-noise estimate: class-conditional
+    // confidence thresholds in cross-multiplied integer space, the
+    // (label × confident-prediction) joint, and the suspected-noise
+    // share — "how mislabeled is the keep signal".
+    Entry("q_confident_joint",
+      (s, d) => Eval.confidentJoint(
+        Dedup.rebalance(t(s, d, "documents"))
+          .withColumn("_w", TextAnalysis.tokens(col("text")))
+          .select(QualityFilters.classifierScoreOf(col("_w")).as("q_score"),
+            QualityFilters.keepOf(col("_w")).as("keep")),
+        "q_score", "keep"),
+      Some(Eval.duckConfidentJoint(
+        s"""SELECT ${QualityFilters.duckClassifierScore} AS q_score,
+                   ${QualityFilters.duckKeep} AS keep
+            FROM (SELECT *, ${TextAnalysis.duckTokensBind("text")} AS w
+                  FROM documents) d""", "q_score", "keep"))),
+
     // Paired-rater agreement between the two quality filters (Gopher
     // rules vs classifier@0.5): Cohen's κ + McNemar over one exact
     // contingency aggregate — the swap-my-filter audit.

@@ -787,6 +787,110 @@ object Eval {
        |       round(CAST(max(mn) AS DOUBLE) / 1e6, 6) AS iso_rate
        |FROM mn GROUP BY bucket, w, p""".stripMargin
 
+  /** Confident-joint label-noise estimation (confident learning,
+    * Northcutt et al. 2021) — "how much of my labeled data is
+    * mislabeled": rows whose score clears the CLASS-CONDITIONAL
+    * confidence threshold (t_j = mean score among rows labeled j) get
+    * a confident prediction, and the off-diagonal of the (label,
+    * confident prediction) joint counts the suspected noise — the
+    * quantitative tier above [[agreementStats]]' rater-vs-rater view.
+    * Binary rule: confidently positive iff q ≥ t₁, confidently negative
+    * iff q ≤ t₀; scores strictly between the thresholds stay
+    * unassigned (reported, never guessed).
+    *
+    * Exactness: thresholds are exact rationals (Σqµ / n per class)
+    * compared in cross-multiplied integer space — qµ·n_j vs Σqµ —
+    * so threshold membership is bit-deterministic with NO float mean;
+    * every output is an exact count except the one final noise-share
+    * division.
+    *
+    * Scale shape: one class aggregate (2 rows) broadcast back, one
+    * counting pass — two scans, no shuffle beyond the 2-row aggregate.
+    *
+    * Output 1 row: (n, t1, t0, c_y1_p1, c_y1_p0, c_y0_p1, c_y0_p0,
+    * n_unassigned, noise_frac) — noise_frac = off-diagonal share of
+    * assigned rows. Requires both label classes present (an absent
+    * class has no threshold; the joint degenerates to n=0). When the
+    * thresholds overlap (t₀ ≥ t₁, possible under heavy noise) a
+    * doubly-qualified score counts as confidently POSITIVE — fixed
+    * precedence, mirrored in the oracle.
+    */
+  def confidentJoint(scored: DataFrame, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val rows = scored.select(
+      round(col(scoreCol) * 1e6).cast("long").as("_q"),
+      col(labelCol).cast("long").as("_y"))
+    val th = rows.groupBy(col("_y"))
+      .agg(sum(d38(col("_q"))).as("_s"), count(lit(1L)).as("_n"))
+    val t1 = th.filter(col("_y") === 1L)
+      .select(col("_s").as("_s1"), col("_n").as("_n1"))
+    val t0 = th.filter(col("_y") === 0L)
+      .select(col("_s").as("_s0"), col("_n").as("_n0"))
+    // q ≥ t₁ ⇔ qµ·n₁ ≥ Σqµ(1);  q ≤ t₀ ⇔ qµ·n₀ ≤ Σqµ(0) — integer space
+    val joined = rows.crossJoin(broadcast(t1)).crossJoin(broadcast(t0))
+    val confPos = d38(col("_q")) * d38(col("_n1")) >= col("_s1")
+    val confNeg = d38(col("_q")) * d38(col("_n0")) <= col("_s0")
+    joined.agg(
+        count(lit(1L)).as("n"),
+        min(col("_s1")).as("_ts1"), min(col("_n1")).as("_tn1"),
+        min(col("_s0")).as("_ts0"), min(col("_n0")).as("_tn0"),
+        count(when(col("_y") === 1L && confPos, lit(1))).as("c_y1_p1"),
+        count(when(col("_y") === 1L && !confPos && confNeg, lit(1))).as("c_y1_p0"),
+        count(when(col("_y") === 0L && confPos, lit(1))).as("c_y0_p1"),
+        count(when(col("_y") === 0L && !confPos && confNeg, lit(1))).as("c_y0_p0"))
+      .select(col("n"),
+        round(d(col("_ts1")) / d(col("_tn1")) / 1e6, 6).as("t1"),
+        round(d(col("_ts0")) / d(col("_tn0")) / 1e6, 6).as("t0"),
+        col("c_y1_p1"), col("c_y1_p0"), col("c_y0_p1"), col("c_y0_p0"),
+        (col("n") - col("c_y1_p1") - col("c_y1_p0") - col("c_y0_p1")
+          - col("c_y0_p0")).as("n_unassigned"),
+        when(col("c_y1_p1") + col("c_y1_p0") + col("c_y0_p1")
+          + col("c_y0_p0") === 0L, lit(null).cast("double"))
+          .otherwise(round(d(col("c_y1_p0") + col("c_y0_p1"))
+            / d(col("c_y1_p1") + col("c_y1_p0") + col("c_y0_p1")
+              + col("c_y0_p0")), 6)).as("noise_frac"))
+  }
+
+  /** DuckDB oracle twin of [[confidentJoint]] — same integer-space
+    * threshold tests, same counts.
+    */
+  def duckConfidentJoint(innerSql: String, scoreCol: String,
+                         labelCol: String): String =
+    s"""WITH rows_ AS (
+       |  SELECT CAST(round($scoreCol * 1000000.0) AS BIGINT) AS q,
+       |         CAST($labelCol AS BIGINT) AS y
+       |  FROM ($innerSql)),
+       |th AS (SELECT y, sum(CAST(q AS HUGEINT)) AS s,
+       |              CAST(count(*) AS BIGINT) AS n
+       |       FROM rows_ GROUP BY y),
+       |j AS (SELECT r.q, r.y,
+       |             CAST(r.q AS HUGEINT) * t1.n >= t1.s AS cp,
+       |             CAST(r.q AS HUGEINT) * t0.n <= t0.s AS cn,
+       |             t1.s AS s1, t1.n AS n1, t0.s AS s0, t0.n AS n0
+       |      FROM rows_ r
+       |      CROSS JOIN (SELECT s, n FROM th WHERE y = 1) t1
+       |      CROSS JOIN (SELECT s, n FROM th WHERE y = 0) t0),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         min(s1) AS s1, min(n1) AS n1, min(s0) AS s0, min(n0) AS n0,
+       |         CAST(count(*) FILTER (WHERE y = 1 AND cp) AS BIGINT) AS c_y1_p1,
+       |         CAST(count(*) FILTER (WHERE y = 1 AND NOT cp AND cn) AS BIGINT) AS c_y1_p0,
+       |         CAST(count(*) FILTER (WHERE y = 0 AND cp) AS BIGINT) AS c_y0_p1,
+       |         CAST(count(*) FILTER (WHERE y = 0 AND NOT cp AND cn) AS BIGINT) AS c_y0_p0
+       |  FROM j)
+       |SELECT n,
+       |       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e6, 6) AS t1,
+       |       round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1e6, 6) AS t0,
+       |       c_y1_p1, c_y1_p0, c_y0_p1, c_y0_p0,
+       |       n - c_y1_p1 - c_y1_p0 - c_y0_p1 - c_y0_p0 AS n_unassigned,
+       |       CASE WHEN c_y1_p1 + c_y1_p0 + c_y0_p1 + c_y0_p0 <> 0 THEN
+       |         round(CAST(c_y1_p0 + c_y0_p1 AS DOUBLE)
+       |               / CAST(c_y1_p1 + c_y1_p0 + c_y0_p1 + c_y0_p0 AS DOUBLE), 6)
+       |       END AS noise_frac
+       |FROM a""".stripMargin
+
   /** Regression-evaluation metrics (RMSE / MAE / R²) for the
     * per-category conditional-mean predictor — the regression twin of
     * the classifier gates above, and the in-sample fit audit of

@@ -216,6 +216,26 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("confidentJoint: hand-worked thresholds, off-diagonal noise, unassigned band") {
+    import spark.implicits._
+    // y=1 scores {.9,.7,.2} → t₁=0.6; y=0 scores {.1,.3,.8} → t₀=0.4.
+    // conf-pos (≥.6): .9y1 .7y1 .8y0; conf-neg (≤.4): .2y1 .1y0 .3y0.
+    val df = Seq((0.9, 1L), (0.7, 1L), (0.2, 1L),
+      (0.1, 0L), (0.3, 0L), (0.8, 0L)).toDF("s", "y")
+    val r = Eval.confidentJoint(df, "s", "y")
+      .as[(Long, Double, Double, Long, Long, Long, Long, Long,
+           Option[Double])].head()
+    assert(r == ((6L, 0.6, 0.4, 2L, 1L, 1L, 2L, 0L, Some(0.333333))))
+
+    // Well-separated labels: zero suspected noise, the between-threshold
+    // band stays unassigned rather than guessed.
+    val clean = Seq((0.9, 1L), (0.8, 1L), (0.1, 0L), (0.2, 0L)).toDF("s", "y")
+    val rc = Eval.confidentJoint(clean, "s", "y")
+      .as[(Long, Double, Double, Long, Long, Long, Long, Long,
+           Option[Double])].head()
+    assert(rc._4 == 1L && rc._7 == 1L && rc._8 == 2L && rc._9.contains(0.0))
+  }
+
   test("isotonicCalibration: PAV pooling of a violating middle bucket; monotone output") {
     import spark.implicits._
     // buckets (by score): 20→rate 0.8, 60→rate 0.2, 80→rate 0.6.
