@@ -960,4 +960,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrdered:\n$plan")
   }
+
+  test("embedding stats (alignment/group-sim): no window, no sort — aggregates only") {
+    for (q <- Seq("q_emb_alignment", "q_emb_group_sim")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"), s"window crept into $q:\n$plan")
+      // group-sim's pairwise stage joins the GROUPS-sized folded frame —
+      // never a corpus-side sort-merge
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus-side sort-merge join in $q:\n$plan")
+    }
+  }
+
+  test("graph cap audit and confident joint: ONE corpus scan family, no corpus re-shuffle") {
+    // q_graph_cap: everything reduces to the degree table then one agg
+    val capPlan = SparkEntry.queries("q_graph_cap")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!capPlan.contains("Window") && !capPlan.contains("CartesianProduct"),
+      s"unexpected stage in q_graph_cap:\n$capPlan")
+    // q_confident_joint: class thresholds broadcast back — the corpus is
+    // never shuffled by label
+    val qe = SparkEntry.queries("q_confident_joint")(spark, sf).queryExecution
+    qe.executedPlan.execute()
+    val cjPlan = qe.executedPlan.toString()
+    val finalP = cjPlan.indexOf("== Initial Plan ==") match {
+      case -1 => cjPlan; case i => cjPlan.substring(0, i)
+    }
+    assert(!finalP.contains("SortMergeJoin") && !finalP.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the threshold join in q_confident_joint:\n$finalP")
+  }
 }
