@@ -2038,6 +2038,21 @@ object Queries {
       },
       Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
 
+    // INCREMENTAL BM25 index: build on the first half, APPEND the rest
+    // as an additive segment (O(batch) LSM posture — no rewrite), then
+    // score — must equal the full-corpus scorer bitwise (the
+    // however-produced-equals-full-rebuild IVM discipline, extended to
+    // the retrieval family next to q_ann_ivf_incr).
+    Entry("q_bm25_incr",
+      (s, d) => {
+        val dir = TempDirs.create("graft-bm25-incr").toString
+        val docs = t(s, d, "documents")
+        Bm25.buildIndex(docs.filter(col("doc_id") < 250), "text", "doc_id", dir)
+        Bm25.appendToIndex(docs.filter(col("doc_id") >= 250), "text", "doc_id", dir)
+        Bm25.scoreFromIndex(s, dir, BmTerms)
+      },
+      Some(Bm25.duckScore("documents", "text", "doc_id", BmTerms))),
+
     // BM25 from a PREBUILT index — the amortized read path
     // q_bm25_indexed pays build cost to prove: the index is built once
     // per JVM (artifactCache) and every invocation after the first is

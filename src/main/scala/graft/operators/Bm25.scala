@@ -113,6 +113,43 @@ object Bm25 {
     toks.agg(count(lit(1)).as("n"),
       sum(size(col("_w")).cast("long")).as("sumdl"))
 
+  /** INCREMENTAL index maintenance — append a new-document batch to an
+    * existing [[buildIndex]] directory as an additive SEGMENT (the LSM
+    * posture): doclen and postings rows for the new docs, per-segment
+    * term document frequencies, and a per-segment stats row. Nothing
+    * existing is rewritten — correctness rests on every index relation
+    * being ADDITIVE over disjoint doc sets (df, n, sumdl sum across
+    * segments; the read path's pivot aggregates already sum), so the
+    * append is O(batch) like [[Dedup]]'s incremental dedup and the
+    * q_ann_ivf_incr pattern, and a reader sees either the old or the
+    * new segment set (parquet file visibility), never a torn row.
+    *
+    * Contract: batch doc ids must be NEW (an update is delete+append at
+    * a higher layer — [[ChangeLog]] owns that protocol). Oracle gate:
+    * build-on-prefix + append-the-rest must score bitwise-identically
+    * to the full-corpus scorer — the "however produced = full rebuild"
+    * IVM discipline.
+    */
+  def appendToIndex(newDocs: DataFrame, textCol: String, idCol: String,
+                    dir: String): Unit = {
+    val toks = Dedup.rebalance(newDocs)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("_w"))
+    toks.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$dir/doclen")
+    val postings = toks
+      .select(col("doc_id"), explode(col("_w")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/postings")
+    postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(s"$dir/termdf")
+    spark_stats(toks).write.mode("append").parquet(s"$dir/stats")
+  }
+
   /** Score `terms` against a [[buildIndex]] directory. Identical rows
     * (bitwise) to [[score]] on the source corpus.
     */
@@ -123,7 +160,11 @@ object Bm25 {
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(terms: _*))
     val doclen = spark.read.parquet(s"$dir/doclen")
+    // stats rows are per-SEGMENT ([[appendToIndex]]) and additive —
+    // aggregate to the corpus totals (a single-segment index is the
+    // n=1 case of the same sum)
     val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
     // Pivot the query-bounded relations into ONE row / one row per doc
     // with a column per literal term — restoring the declaration-order
     // score chain that makes the fold order engine-independent.

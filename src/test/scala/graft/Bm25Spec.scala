@@ -88,4 +88,29 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(rare(1L) > common(1L))
   }
+
+  test("appendToIndex: segmented index scores identically to a full rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 20L).map(i =>
+      (i, s"spark hash window doc$i " + ("pad " * (i % 5).toInt).trim))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Bm25.buildIndex(docs, "text", "doc_id", full)
+    val segd = java.nio.file.Files.createTempDirectory("bm25seg").toString
+    Bm25.buildIndex(docs.filter(col("doc_id") <= 7), "text", "doc_id", segd)
+    Bm25.appendToIndex(docs.filter(col("doc_id") > 7 && col("doc_id") <= 14),
+      "text", "doc_id", segd)
+    Bm25.appendToIndex(docs.filter(col("doc_id") > 14), "text", "doc_id", segd)
+    // three segments, one truth: df/n/sumdl are additive over disjoint
+    // doc sets, so the segmented read equals the one-shot index AND the
+    // direct scorer.
+    val terms = Seq("spark", "pad")
+    assert(rows(Bm25.scoreFromIndex(spark, segd, terms)) ==
+      rows(Bm25.scoreFromIndex(spark, full, terms)))
+    assert(rows(Bm25.scoreFromIndex(spark, segd, terms)) ==
+      rows(Bm25.score(docs, "text", "doc_id", terms)))
+  }
 }
