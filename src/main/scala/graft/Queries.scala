@@ -2573,6 +2573,21 @@ object Queries {
     // change-log parquet directory replayed file-per-micro-batch
     // (maxFilesPerTrigger=1, modTime-ordered). Same oracle as
     // q_stream_counts: the transport must be invisible.
+    // FILE-SOURCE → checkpointed parquet FILE-SINK e2e: the sink half
+    // of the streaming-IO story — per-file micro-batches appended
+    // exactly-once; the sink directory read back must be row-identical
+    // to the log (duplicate event_ids = a double-committed batch).
+    Entry("q_stream_file_sink",
+      (s, d) => StreamSync.replayFileSink(
+        ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
+          .select(col("event_id"), col("_change_type"))),
+      Some("""SELECT event_id,
+                     CASE WHEN event_id % 10 < 6 THEN 'insert'
+                          WHEN event_id % 10 < 8 THEN 'update_postimage'
+                          WHEN event_id % 10 < 9 THEN 'update_preimage'
+                          ELSE 'delete' END AS _change_type
+              FROM events""")),
+
     Entry("q_stream_file_counts",
       (s, d) => StreamSync.replayFileCounts(
         ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")

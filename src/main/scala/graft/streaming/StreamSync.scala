@@ -1014,6 +1014,39 @@ object StreamSync {
       log.sparkSession, spark, None, Seq(stateRoot.toString, ckpt))
   }
 
+  /** FILE-SOURCE → parquet FILE-SINK e2e: a staged change-log directory
+    * streamed per-file into [[startParquetSink]] (checkpointed append —
+    * the exactly-once contract the production ingest relies on), then
+    * the SINK DIRECTORY read back as the result. This is the missing
+    * sink half of the file-source gates: q_stream_file_counts proves
+    * readStream-in, this proves writeStream-out — a replayed or
+    * double-committed micro-batch would surface as duplicate event_ids
+    * and fail the row-identity oracle.
+    *
+    * Scale shape: the sink is a pass-through append (no state, no
+    * watermark); exactly-once comes from the checkpoint's batch-id
+    * manifest tracked by the parquet sink's transaction log.
+    */
+  def replayFileSink(log: DataFrame, nChunks: Int = 3): DataFrame = {
+    val caller = log.sparkSession
+    val rows = log.select(col("event_id"), col("_change_type"))
+      .collect().sortBy(_.getLong(0)).toSeq
+    val schema = new StructType()
+      .add("event_id", "long").add("_change_type", "string")
+    val spark = caller.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val (watchDir, tempRoots) = stageChunkedLog(spark, rows, schema, nChunks)
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_file_sink")
+    val outDir = outRoot.resolve("out").toString
+    val ckpt = outRoot.resolve("ckpt").toString
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = startParquetSink(src, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    handoff(spark.read.parquet(outDir), caller, spark, None,
+      tempRoots :+ outRoot.toString)
+  }
+
   /** Start a parquet sink with a checkpoint — the streaming version of
     * [[graft.sinks.FileSink]]. Returns the running query (stop it or
     * `awaitTermination` on the caller side).
