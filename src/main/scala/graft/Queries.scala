@@ -1653,6 +1653,16 @@ object Queries {
 
     // Per-language stratified downsampling to target mixture rates,
     // audited: totals vs deterministic hash-sampled counts.
+    // Neyman optimal allocation of a 1000-doc labeling budget across
+    // sources: n_h ∝ N_h·σ_h (size × length-spread) — minimum-variance
+    // stratified sampling, one exact-moment pass + a stratum-sorted
+    // denominator fold.
+    Entry("q_neyman",
+      (s, d) => Splits.neymanAllocation(t(s, d, "documents"), "source",
+        "n_chars", budget = 1000L),
+      Some(Splits.duckNeymanAllocation("documents", "source", "n_chars",
+        budget = 1000L))),
+
     Entry("q_stratified_sample",
       (s, d) => Splits.sampleAudit(t(s, d, "documents"), "doc_id", "lang",
         rates = MixtureRates),

@@ -350,4 +350,94 @@ object Splits {
        |         ORDER BY ($key) ASC, $idCol ASC) AS BIGINT) AS pos
        |FROM e""".stripMargin
   }
+
+  /** NEYMAN optimal allocation of an annotation/evaluation budget
+    * across strata — "you can afford to label `budget` documents; how
+    * many from each source": proportional allocation wastes labels on
+    * big homogeneous strata, Neyman allocation n_h ∝ N_h·σ_h (Neyman
+    * 1934) minimizes the variance of the stratified estimate by
+    * spending budget where both size AND spread are. σ_h here is the
+    * per-stratum std-dev of the measured column (e.g. doc length or a
+    * quality score — whatever the estimate targets).
+    *
+    * Exactness: per-stratum moments are exact µ-integer DECIMAL sums
+    * from ONE pass; σ_h = √((n·Σx² − (Σx)²)/n²)/10⁶ is one mirrored
+    * double expression per stratum; the shares normalize against a
+    * stratum-sorted left fold of the N·σ terms (the q_zipf_fit
+    * convention) so the denominator adds in identical order on both
+    * engines. Allocations are reported as exact-share doubles AND the
+    * floored integer allocation (the caller tops up the remainder by
+    * share order). Single-row strata have σ undefined → allocation 0
+    * (reported, not silently dropped).
+    *
+    * Output per stratum: (stratumCol, n_h, sigma, share, alloc).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, s"neymanAllocation: budget=$budget")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val vmu = floor(d(col(valCol)) * 1e6 + 0.5).cast("decimal(38,0)")
+    val st = df.select(col(stratumCol).as("_h"), vmu.as("_v"))
+      .groupBy(col("_h"))
+      .agg(count(lit(1L)).as("n_h"), sum(col("_v")).as("_s"),
+        sum(col("_v") * col("_v")).as("_q"))
+    val sigma = when(col("n_h") < 2L, lit(null).cast("double"))
+      .otherwise(sqrt((d(col("n_h")) * d(col("_q")) - d(col("_s")) * d(col("_s")))
+        / (d(col("n_h")) * d(col("n_h")))) / 1e6)
+    val term = coalesce(d(col("n_h")) * col("_sigma"), lit(0.0))
+    val withSigma = st.withColumn("_sigma", round(sigma, 6))
+    def fold(l: Column, f: Column => Column): Column =
+      aggregate(l, lit(0.0), (acc, s) => acc + f(s))
+    val total = withSigma
+      .agg(sort_array(collect_list(struct(col("_h"), col("n_h"),
+        col("_sigma")))).as("_l"))
+      .select(fold(col("_l"), s =>
+        coalesce(s.getField("n_h").cast("double") * s.getField("_sigma"),
+          lit(0.0))).as("_tot"))
+    withSigma.crossJoin(broadcast(total))
+      .select(col("_h").as(stratumCol), col("n_h"),
+        col("_sigma").as("sigma"),
+        when(col("_tot") > 0.0, round(term / col("_tot"), 6))
+          .as("share"),
+        when(col("_tot") > 0.0,
+          floor(term / col("_tot") * budget).cast("long"))
+          .otherwise(lit(0L)).as("alloc"))
+  }
+
+  /** DuckDB oracle twin of [[neymanAllocation]] — same exact moments,
+    * same rounded σ, same stratum-sorted denominator fold.
+    */
+  def duckNeymanAllocation(rel: String, stratumCol: String, valCol: String,
+                           budget: Long): String =
+    s"""WITH st AS (
+       |  SELECT $stratumCol AS h, CAST(count(*) AS BIGINT) AS n_h,
+       |         sum(v) AS s, sum(v * v) AS q
+       |  FROM (SELECT $stratumCol,
+       |               CAST(floor(CAST($valCol AS DOUBLE) * 1000000.0 + 0.5)
+       |                    AS HUGEINT) AS v
+       |        FROM $rel)
+       |  GROUP BY 1),
+       |ws AS (
+       |  SELECT h, n_h,
+       |         CASE WHEN n_h >= 2 THEN
+       |           round(sqrt((CAST(n_h AS DOUBLE) * CAST(q AS DOUBLE)
+       |                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       |                      / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE)))
+       |                 / 1e6, 6) END AS sigma
+       |  FROM st),
+       |tot AS (
+       |  SELECT list_reduce(list_prepend(0.0,
+       |           list(coalesce(CAST(n_h AS DOUBLE) * sigma, 0.0) ORDER BY h)),
+       |           (acc, x) -> acc + x) AS t
+       |  FROM ws)
+       |SELECT h AS $stratumCol, n_h, sigma,
+       |       CASE WHEN t > 0.0 THEN
+       |         round(coalesce(CAST(n_h AS DOUBLE) * sigma, 0.0) / t, 6)
+       |       END AS share,
+       |       CASE WHEN t > 0.0 THEN
+       |         CAST(floor(coalesce(CAST(n_h AS DOUBLE) * sigma, 0.0)
+       |                    / t * $budget) AS BIGINT)
+       |       ELSE 0 END AS alloc
+       |FROM ws CROSS JOIN tot""".stripMargin
 }

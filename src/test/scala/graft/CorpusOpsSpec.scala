@@ -418,6 +418,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got((2, 3))._3 == 0.0)
   }
 
+  test("neymanAllocation: budget follows N_h·σ_h; flat and singleton strata get zero") {
+    import spark.implicits._
+    // a: {0,20} → n=2, σ=10, term 20; b: {0,0,30,30} → n=4, σ=15, term 60;
+    // flat: {10,10} → σ=0; solo: {5} → σ undefined → alloc 0 (reported).
+    val df = (Seq(("a", 0.0), ("a", 20.0), ("b", 0.0), ("b", 0.0),
+      ("b", 30.0), ("b", 30.0), ("flat", 10.0), ("flat", 10.0),
+      ("solo", 5.0))).toDF("src", "v")
+    val out = graft.operators.Splits
+      .neymanAllocation(df, "src", "v", budget = 100L)
+      .as[(String, Long, Option[Double], Option[Double], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 2L, Some(10.0), Some(0.25), 25L)))
+    assert(out("b") == (("b", 4L, Some(15.0), Some(0.75), 75L)))
+    assert(out("flat") == (("flat", 2L, Some(0.0), Some(0.0), 0L)))
+    assert(out("solo") == (("solo", 1L, None, Some(0.0), 0L)))
+    // floored allocations never exceed the budget
+    assert(out.values.map(_._5).sum <= 100L)
+  }
+
   test("withinGroupAlignment: exact mean pairwise cosine without pair enumeration") {
     import spark.implicits._
     val vecs = Seq(
