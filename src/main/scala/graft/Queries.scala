@@ -3379,6 +3379,20 @@ object Queries {
       Some(Profile.duckDpNoisedCounts("customer", "c_nationkey",
         epsilon = 0.5))),
 
+    // Fano factor of daily volume per type — the Poisson-ness audit
+    // behind the z-score/CUSUM monitors' assumptions: F = var/mean of
+    // daily counts as ONE exact rational, a single double division.
+    Entry("q_fano",
+      (s, d) => EventStats.fanoDaily(t(s, d, "events"), "ts", "event_type"),
+      Some(EventStats.duckFanoDaily(EvOracle, "ts", "event_type"))),
+
+    // Gini concentration of per-source corpus mass — "ten sources or
+    // one source wearing ten names": three exact sums over the ranked
+    // group-size table, one division.
+    Entry("q_gini",
+      (s, d) => Profile.giniConcentration(t(s, d, "documents"), "source"),
+      Some(Profile.duckGiniConcentration("documents", "source"))),
+
     // CUSUM change-point gate: fixed-point integer sequential test over
     // per-type daily volume (accumulates small persistent drifts the
     // pointwise z-score misses).

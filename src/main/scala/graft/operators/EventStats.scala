@@ -1224,4 +1224,60 @@ object EventStats {
        |               / CAST(n AS DOUBLE) / 1e6, 6)
        |       END AS winsorized_mean
        |FROM agg""".stripMargin
+
+  /** FANO FACTOR (index of dispersion) of the daily volume per type —
+    * the Poisson-ness test the z-score and CUSUM monitors assume away:
+    * F = var/mean of the daily counts, 1 under a Poisson arrival
+    * process, > 1 for bursty/clumped traffic (retries, batch
+    * ingestion, bot storms), < 1 for rate-limited/regularized flows.
+    * An alerting threshold tuned on Poisson assumptions misfires
+    * exactly when F ≠ 1 — this is the audit that says whether those
+    * monitors' assumptions hold per type.
+    *
+    * Fully exact: daily counts are integers, and F = (d·Σn² − (Σn)²) /
+    * (d·Σn) is ONE rational from exact DECIMAL sums — a single double
+    * division then round(6). One (type, day) map-side exchange + one
+    * type-keyed aggregate.
+    *
+    * Output: (event_type, n_days, n_events, fano) — fano NULL for a
+    * type with zero events (can't arise from the exchange) or a single
+    * day (variance undefined at d=1 uses the population form, which is
+    * 0/valid; NULL only when Σn = 0).
+    */
+  def fanoDaily(events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1L)).as("_n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1L)).as("n_days"),
+        sum(col("_n")).as("n_events"),
+        sum(d38(col("_n")) * d38(col("_n"))).as("_q"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        when(col("n_events") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (d38(col("n_days")) * col("_q")
+              - d38(col("n_events")) * d38(col("n_events"))).cast("double")
+              / (col("n_days") * col("n_events")).cast("double"), 6))
+          .as("fano"))
+  }
+
+  /** DuckDB oracle twin of [[fanoDaily]]. */
+  def duckFanoDaily(rel: String, tsCol: String, typeCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS d,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM $rel GROUP BY 1, 2),
+       |a AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(sum(n) AS BIGINT) AS n_events,
+       |         sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS q
+       |  FROM daily GROUP BY 1)
+       |SELECT event_type, n_days, n_events,
+       |       CASE WHEN n_events <> 0 THEN
+       |         round(CAST(CAST(n_days AS HUGEINT) * q
+       |                    - CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)
+       |                    AS DOUBLE)
+       |               / CAST(n_days * n_events AS DOUBLE), 6) END AS fano
+       |FROM a""".stripMargin
 }

@@ -896,6 +896,67 @@ object Profile {
        |FROM cum GROUP BY $groupCol""".stripMargin
   }
 
+  /** GINI concentration of group sizes — the corpus-inequality number
+    * next to [[graft.operators.Entropy]]'s diversity view: how unequal
+    * the per-source (per-domain, per-shard) row mass is, on the
+    * familiar 0 (uniform) ‥ 1 (one group owns everything) scale. The
+    * single-number answer to "is this corpus ten sources or one source
+    * wearing ten names", and the skew early-warning for any plan that
+    * partitions by the group key.
+    *
+    * Fully exact: with sizes x ranked ascending,
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — three exact DECIMAL sums and
+    * ONE double division. Tied sizes are order-invariant (a tied
+    * block's rank coefficients sum identically however it's ordered).
+    * One corpus exchange to group counts; the rank window runs on the
+    * group-cardinality table.
+    *
+    * Output 1 row: (n_groups, n_rows, gini, top_share).
+    */
+  def giniConcentration(df: DataFrame, groupExpr: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val counts = df.groupBy(expr(groupExpr).as("_g"))
+      .agg(count(lit(1L)).as("_x"))
+    val w = Window.orderBy(col("_x").asc, col("_g").asc)
+    counts.withColumn("_r", row_number().over(w).cast("long"))
+      .agg(count(lit(1L)).as("n_groups"), sum(col("_x")).as("n_rows"),
+        sum(d38(col("_r")) * d38(col("_x"))).as("_six"),
+        max(col("_x")).as("_mx"))
+      .select(col("n_groups"), col("n_rows"),
+        when(col("n_rows") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2L).cast("decimal(38,0)") * col("_six")
+              - d38(col("n_groups") + 1L) * d38(col("n_rows"))).cast("double")
+              / (d38(col("n_groups")) * d38(col("n_rows"))).cast("double"), 6))
+          .as("gini"),
+        when(col("n_rows") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("_mx").cast("double")
+            / col("n_rows").cast("double"), 6)).as("top_share"))
+  }
+
+  /** DuckDB oracle twin of [[giniConcentration]]. */
+  def duckGiniConcentration(rel: String, groupExpr: String): String =
+    s"""WITH c AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS x
+       |           FROM $rel GROUP BY 1),
+       |r AS (SELECT x, g,
+       |             CAST(row_number() OVER (ORDER BY x ASC, g ASC) AS BIGINT) AS rk
+       |      FROM c),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |             CAST(sum(x) AS BIGINT) AS n_rows,
+       |             sum(CAST(rk AS HUGEINT) * CAST(x AS HUGEINT)) AS six,
+       |             CAST(max(x) AS BIGINT) AS mx
+       |      FROM r)
+       |SELECT n_groups, n_rows,
+       |       CASE WHEN n_rows <> 0 THEN
+       |         round(CAST(2 * six - CAST(n_groups + 1 AS HUGEINT)
+       |                        * CAST(n_rows AS HUGEINT) AS DOUBLE)
+       |               / CAST(CAST(n_groups AS HUGEINT)
+       |                      * CAST(n_rows AS HUGEINT) AS DOUBLE), 6) END AS gini,
+       |       CASE WHEN n_rows <> 0 THEN
+       |         round(CAST(mx AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) END
+       |         AS top_share
+       |FROM a""".stripMargin
+
   /** ε-differentially-private released counts — the publication side of
     * the privacy family ([[kAnonymity]]/[[lDiversity]] measure
     * re-identification risk; this MASKS it): per-key counts with

@@ -334,4 +334,22 @@ class EventStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(rz("a")._6 == 16.0 && rz("a")._7.contains(16.0)
       && rz("a")._8.contains(16.0))
   }
+
+  test("fanoDaily: hand-worked dispersion; constant series reads 0; bursty reads > 1") {
+    import spark.implicits._
+    // 'a': daily counts 2, 4 → mean 3, pop var 1 → F = 1/3.
+    // 'b': constant 3,3,3 → F = 0 (regular, sub-Poisson limit).
+    // 'c': counts 1,1,10 → mean 4, var 18 → F = 4.5 (bursty).
+    val rows =
+      (for (d <- 1 to 2; _ <- 1 to Seq(2, 4)(d - 1)) yield ("a", ts(d))) ++
+      (for (d <- 1 to 3; _ <- 1 to 3) yield ("b", ts(d))) ++
+      (for (d <- 1 to 3; _ <- 1 to Seq(1, 1, 10)(d - 1)) yield ("c", ts(d)))
+    val out = EventStats.fanoDaily(rows.toDF("event_type", "ts"), "ts",
+        "event_type")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((2L, 6L, 0.333333)))
+    assert(out("b") == ((3L, 9L, 0.0)))
+    assert(out("c") == ((3L, 12L, 4.5)))
+  }
 }

@@ -269,6 +269,23 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(run(5.0).forall(r => math.abs(r._2 - 10L) <= 1L))
   }
 
+  test("giniConcentration: zero for uniform mass, hand-worked skew, degenerate single group") {
+    import spark.implicits._
+    // sizes [1, 9]: G = (2·(1·1 + 2·9) − 3·10) / (2·10) = 8/20 = 0.4
+    val skew = (Seq.fill(1)("a") ++ Seq.fill(9)("b")).toDF("src")
+    val rs = graft.operators.Profile.giniConcentration(skew, "src")
+      .as[(Long, Long, Double, Double)].head()
+    assert(rs == ((2L, 10L, 0.4, 0.9)))
+    // perfectly uniform mass → 0 regardless of group count
+    val unif = (1 to 30).map(i => "g" + (i % 5)).toDF("src")
+    assert(graft.operators.Profile.giniConcentration(unif, "src")
+      .as[(Long, Long, Double, Double)].head()._3 == 0.0)
+    // a single group is trivially uniform
+    assert(graft.operators.Profile.giniConcentration(
+      Seq("x", "x", "x").toDF("src"), "src")
+      .as[(Long, Long, Double, Double)].head() == ((1L, 3L, 0.0, 1.0)))
+  }
+
   test("tokenWeightedQuantiles: token mass pins the quantiles, not doc counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
