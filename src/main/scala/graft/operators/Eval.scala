@@ -809,11 +809,11 @@ object Eval {
     *
     * Output 1 row: (n, t1, t0, c_y1_p1, c_y1_p0, c_y0_p1, c_y0_p0,
     * n_unassigned, noise_frac) — noise_frac = off-diagonal share of
-    * assigned rows. Requires both label classes present (an absent
-    * class has no threshold; the joint degenerates to n=0). When the
-    * thresholds overlap (t₀ ≥ t₁, possible under heavy noise) a
-    * doubly-qualified score counts as confidently POSITIVE — fixed
-    * precedence, mirrored in the oracle.
+    * assigned rows. An absent label class has no threshold: its
+    * confident sets stay empty and its t is NULL (rows remain counted
+    * in n). When the thresholds overlap (t₀ ≥ t₁, possible under heavy
+    * noise) a doubly-qualified score counts as confidently POSITIVE —
+    * fixed precedence, mirrored in the oracle.
     */
   def confidentJoint(scored: DataFrame, scoreCol: String,
                      labelCol: String): DataFrame = {
@@ -822,14 +822,18 @@ object Eval {
     val rows = scored.select(
       round(col(scoreCol) * 1e6).cast("long").as("_q"),
       col(labelCol).cast("long").as("_y"))
-    val th = rows.groupBy(col("_y"))
-      .agg(sum(d38(col("_q"))).as("_s"), count(lit(1L)).as("_n"))
-    val t1 = th.filter(col("_y") === 1L)
-      .select(col("_s").as("_s1"), col("_n").as("_n1"))
-    val t0 = th.filter(col("_y") === 0L)
-      .select(col("_s").as("_s0"), col("_n").as("_n0"))
+    // BOTH class thresholds from ONE ungrouped aggregate → ONE 1-row
+    // broadcast: a per-class frame filtered twice would re-run the
+    // (expensive) upstream scoring once per broadcast subtree — the
+    // scored corpus must be computed exactly twice (thresholds pass +
+    // counting pass), never four times.
+    val thRow = rows.agg(
+      sum(when(col("_y") === 1L, d38(col("_q")))).as("_s1"),
+      count(when(col("_y") === 1L, lit(1L))).as("_n1"),
+      sum(when(col("_y") === 0L, d38(col("_q")))).as("_s0"),
+      count(when(col("_y") === 0L, lit(1L))).as("_n0"))
     // q ≥ t₁ ⇔ qµ·n₁ ≥ Σqµ(1);  q ≤ t₀ ⇔ qµ·n₀ ≤ Σqµ(0) — integer space
-    val joined = rows.crossJoin(broadcast(t1)).crossJoin(broadcast(t0))
+    val joined = rows.crossJoin(broadcast(thRow))
     val confPos = d38(col("_q")) * d38(col("_n1")) >= col("_s1")
     val confNeg = d38(col("_q")) * d38(col("_n0")) <= col("_s0")
     joined.agg(
@@ -862,16 +866,16 @@ object Eval {
        |  SELECT CAST(round($scoreCol * 1000000.0) AS BIGINT) AS q,
        |         CAST($labelCol AS BIGINT) AS y
        |  FROM ($innerSql)),
-       |th AS (SELECT y, sum(CAST(q AS HUGEINT)) AS s,
-       |              CAST(count(*) AS BIGINT) AS n
-       |       FROM rows_ GROUP BY y),
+       |th AS (SELECT sum(CAST(q AS HUGEINT)) FILTER (WHERE y = 1) AS s1,
+       |              CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n1,
+       |              sum(CAST(q AS HUGEINT)) FILTER (WHERE y = 0) AS s0,
+       |              CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n0
+       |       FROM rows_),
        |j AS (SELECT r.q, r.y,
-       |             CAST(r.q AS HUGEINT) * t1.n >= t1.s AS cp,
-       |             CAST(r.q AS HUGEINT) * t0.n <= t0.s AS cn,
-       |             t1.s AS s1, t1.n AS n1, t0.s AS s0, t0.n AS n0
-       |      FROM rows_ r
-       |      CROSS JOIN (SELECT s, n FROM th WHERE y = 1) t1
-       |      CROSS JOIN (SELECT s, n FROM th WHERE y = 0) t0),
+       |             CAST(r.q AS HUGEINT) * th.n1 >= th.s1 AS cp,
+       |             CAST(r.q AS HUGEINT) * th.n0 <= th.s0 AS cn,
+       |             th.s1 AS s1, th.n1 AS n1, th.s0 AS s0, th.n0 AS n0
+       |      FROM rows_ r CROSS JOIN th),
        |a AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |         min(s1) AS s1, min(n1) AS n1, min(s0) AS s0, min(n0) AS n0,
