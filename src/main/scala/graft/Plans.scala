@@ -24,7 +24,11 @@ object Plans {
       "q_source_drift", "q_quality_classifier", "q_dup_span",
       "q_row_hash", "q_entry_flagship", "q_quality_bins", "q_dedup_edit",
       "q_dedup_keepbest", "q_passage_chunk", "q_epoch_shuffle",
-      "q_ann_topk_agg", "q_pipeline_spans")
+      "q_ann_topk_agg", "q_pipeline_spans",
+      // round-11 continuation headliners
+      "q_quality_topp", "q_quantile_norm", "q_bootstrap_ci",
+      "q_mahalanobis", "q_adamic_adar", "q_emb_alignment",
+      "q_confident_joint", "q_isotonic")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")
