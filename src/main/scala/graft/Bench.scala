@@ -52,7 +52,7 @@ object Bench {
     "q_oov_rate" -> 0.22, "q_source_redundancy" -> 0.3,
     "q_ann_ivf_saved" -> 1.25, "q_attribution" -> 0.6, "q_basket_lift" -> 1.6,
     "q_dedup_snm" -> 1.0, "q_snm_recall" -> 2.2, "q_ann_ivf_incr" -> 2.5, "q_pagerank" -> 2.8, "q_triangles" -> 2.0, "q_event_acf" -> 0.6, "q_funnel_latency" -> 1.6, "q_event_xcorr" -> 0.6,
-    "q_degree_dist" -> 1.7, "q_time_split" -> 0.5, "q_centroid_classify" -> 1.4, "q_item_neighbors" -> 1.7, "q_phrase_search" -> 0.8, "q_attribution_linear" -> 1.2, "q_cusum" -> 0.6, "q_rfm" -> 0.5, "q_corr_matrix" -> 0.7, "q_kanon" -> 0.3, "q_mad_outliers" -> 0.5, "q_auc" -> 0.6, "q_calibration" -> 0.6, "q_label_prop" -> 2.8, "q_attribution_markov" -> 0.8, "q_seasonality" -> 0.5, "q_readability" -> 0.3, "q_feature_mi" -> 0.6, "q_silhouette" -> 0.9, "q_local_cc" -> 2.0, "q_survival" -> 0.4, "q_basket_triples" -> 1.8, "q_ndcg" -> 0.7, "q_theil_sen" -> 0.6, "q_benford" -> 0.4, "q_ttest_welch" -> 0.3, "q_chi2" -> 0.3, "q_ks_test" -> 0.4, "q_mm_phash_dedup" -> 1.5, "q_cuped" -> 0.4, "q_dedup_jaro" -> 1.6, "q_did" -> 0.4, "q_srm" -> 0.4, "q_trimmed" -> 0.5, "q_kcore" -> 2.6, "q_ppr" -> 2.8, "q_holt" -> 0.6, "q_ldiversity" -> 0.4, "q_target_encode" -> 0.6, "q_conformal" -> 0.6, "q_brier" -> 0.6, "q_basket_rules" -> 1.7, "q_agreement" -> 0.5, "q_pacf" -> 0.7, "q_att" -> 0.5, "q_pr_auc" -> 0.6, "q_vocab_coverage" -> 0.5, "q_separability" -> 0.8, "q_circadian" -> 0.4, "q_ess" -> 1.9, "q_best_f1" -> 0.6, "q_attribution_decay" -> 1.2, "q_jsd" -> 0.5, "q_dedup_hist_sizes" -> 2.0, "q_quality_topp" -> 1.1, "q_reg_metrics" -> 0.3, "q_dp_counts" -> 0.2, "q_adamic_adar" -> 2.9, "q_bootstrap_ci" -> 1.3, "q_mahalanobis" -> 2.8, "q_token_quantiles" -> 0.15, "q_quantile_norm" -> 1.5, "q_two_hop" -> 2.7, "q_fertility" -> 1.3, "q_isotonic" -> 0.9, "q_simpson" -> 0.15, "q_emb_group_sim" -> 0.6, "q_emb_alignment" -> 0.6, "q_graph_cap" -> 0.8, "q_confident_joint" -> 1.5, "q_bm25_incr" -> 3.5, "q_stream_file_sink" -> 3.0, "q_neyman" -> 0.3, "q_fano" -> 0.3, "q_gini" -> 0.3,
+    "q_degree_dist" -> 1.7, "q_time_split" -> 0.5, "q_centroid_classify" -> 1.4, "q_item_neighbors" -> 1.7, "q_phrase_search" -> 0.8, "q_attribution_linear" -> 1.2, "q_cusum" -> 0.6, "q_rfm" -> 0.5, "q_corr_matrix" -> 0.7, "q_kanon" -> 0.3, "q_mad_outliers" -> 0.5, "q_auc" -> 0.6, "q_calibration" -> 0.6, "q_label_prop" -> 2.8, "q_attribution_markov" -> 0.8, "q_seasonality" -> 0.5, "q_readability" -> 0.3, "q_feature_mi" -> 0.6, "q_silhouette" -> 0.9, "q_local_cc" -> 2.0, "q_survival" -> 0.4, "q_basket_triples" -> 1.8, "q_ndcg" -> 0.7, "q_theil_sen" -> 0.6, "q_benford" -> 0.4, "q_ttest_welch" -> 0.3, "q_chi2" -> 0.3, "q_ks_test" -> 0.4, "q_mm_phash_dedup" -> 1.5, "q_cuped" -> 0.4, "q_dedup_jaro" -> 1.6, "q_did" -> 0.4, "q_srm" -> 0.4, "q_trimmed" -> 0.5, "q_kcore" -> 2.6, "q_ppr" -> 2.8, "q_holt" -> 0.6, "q_ldiversity" -> 0.4, "q_target_encode" -> 0.6, "q_conformal" -> 0.6, "q_brier" -> 0.6, "q_basket_rules" -> 1.7, "q_agreement" -> 0.5, "q_pacf" -> 0.7, "q_att" -> 0.5, "q_pr_auc" -> 0.6, "q_vocab_coverage" -> 0.5, "q_separability" -> 0.8, "q_circadian" -> 0.4, "q_ess" -> 1.9, "q_best_f1" -> 0.6, "q_attribution_decay" -> 1.2, "q_jsd" -> 0.5, "q_dedup_hist_sizes" -> 2.0, "q_quality_topp" -> 1.1, "q_reg_metrics" -> 0.3, "q_dp_counts" -> 0.2, "q_adamic_adar" -> 2.9, "q_bootstrap_ci" -> 1.3, "q_mahalanobis" -> 2.8, "q_token_quantiles" -> 0.15, "q_quantile_norm" -> 1.5, "q_two_hop" -> 2.7, "q_fertility" -> 1.3, "q_isotonic" -> 0.9, "q_simpson" -> 0.15, "q_emb_group_sim" -> 0.6, "q_emb_alignment" -> 0.6, "q_graph_cap" -> 0.8, "q_confident_joint" -> 1.5, "q_bm25_incr" -> 3.5, "q_stream_file_sink" -> 3.0, "q_neyman" -> 0.3, "q_fano" -> 0.3, "q_gini" -> 0.3, "q_two_hop_hll" -> 2.0,
     "q_ann_pq" -> 2.69, "q_ann_ivfpq" -> 4.22,
     "q_commit_history" -> 0.17, "q_seq_pack" -> 0.19, "q_mm_frames" -> 0.20,
     "q_mm_phash" -> 0.21, "q_full" -> 0.23, "q_mixture_weights" -> 0.29,

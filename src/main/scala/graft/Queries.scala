@@ -3128,6 +3128,22 @@ object Queries {
               |)
               |SELECT * FROM th""".stripMargin)),
 
+    // HyperANF radius-2 estimate: per-node 64-register HLL of the
+    // 2-hop ball via ONE register merge pulled across each edge —
+    // edge-linear, no wedge volume, no cap (the scale path q_two_hop's
+    // exact twin audits). The gate pins the registers bit-for-bit.
+    Entry("q_two_hop_hll",
+      (s, d) => LinkPred.twoHopReachHll(
+        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minPairs = 2).select(col("item_a"), col("item_b")),
+        "item_a", "item_b"),
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
+                 "l_partkey", minPairs = 2)},
+              |hanf AS (
+              |${LinkPred.duckTwoHopReachHll("pairs", "item_a", "item_b")}
+              |)
+              |SELECT * FROM hanf""".stripMargin)),
+
     // Pivot-cap drop accounting for the wedge operators: what share of
     // the total wedge volume the skew guard sheds (cap 8: the fixture
     // graph tops out at degree 8–15, so the drop branch exercises) —

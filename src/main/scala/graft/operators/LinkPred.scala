@@ -207,6 +207,95 @@ object LinkPred {
        |         AS wedge_kept_frac
        |FROM agg""".stripMargin
 
+  /** HyperANF radius-2 neighborhood estimation (Boldi, Rosa & Vigna
+    * 2011) — the SCALE PATH [[twoHopReach]]'s docs promise: instead of
+    * materializing the 2-hop pair set (Σ deg² wedges, hence the pivot
+    * cap), every node keeps a 64-register HLL sketch of its 1-hop set
+    * and radius 2 is ONE register-merge pulled across each edge —
+    * join volume m·(registers ≤ 64), EDGE-linear, no wedge explosion,
+    * no cap, no recall loss to audit. Radius r is r−1 repetitions of
+    * the same merge; registers stay 64 numbers per node at any corpus.
+    *
+    * Uses the [[Sketches]] register machinery verbatim (same
+    * fingerprint hash, same ρ, same two-branch estimator), so the
+    * oracle mirrors it bit-for-bit — the gate pins the REGISTERS, not
+    * an approximate count against truth (q_two_hop's exact twin is the
+    * accuracy audit at gate scale).
+    *
+    * Semantics note: the estimated set is the BALL including the
+    * center (u is a neighbor's neighbor whenever deg(u) ≥ 1 — the
+    * HyperANF convention); [[twoHopReach]]'s exact count excludes
+    * self, so the expected offset is +1.
+    *
+    * Output: (node, degree, hll_ball2).
+    */
+  def twoHopReachHll(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = ce.select(col("a").as("z"), col("b").as("n"))
+      .union(ce.select(col("b"), col("a")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("degree"))
+    val h = graft.functions.TextAnalysis.fingerprint(col("n").cast("string"))
+    val regs1 = adj
+      .select(col("z").as("node"),
+        pmod(h, lit(Sketches.HllM.toLong)).as("_bucket"),
+        Sketches.rhoOf(h).as("_rho"))
+      .groupBy(col("node"), col("_bucket")).agg(max(col("_rho")).as("_mrho"))
+    // radius-2 = each node pulls its neighbors' 1-hop registers across
+    // the edge and max-merges with its own — the whole step is one
+    // edge-keyed equi-join + one (node, bucket) aggregate
+    val pulled = adj
+      .join(regs1.withColumnRenamed("node", "n"), "n")
+      .select(col("z").as("node"), col("_bucket"), col("_mrho"))
+    val merged = regs1.union(pulled)
+      .groupBy(col("node"), col("_bucket")).agg(max(col("_mrho")).as("_mrho"))
+    val sketch = merged.groupBy(col("node")).agg(
+      count(lit(1)).as("_nb"),
+      sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(_mrho AS INT))")
+        .cast("double")).as("_dpres"))
+    deg.select(col("z").as("node"), col("degree"))
+      .join(sketch, Seq("node"))
+      .select(col("node"), col("degree"),
+        round(Sketches.hllEstimate, 6).as("hll_ball2"))
+  }
+
+  /** DuckDB oracle twin of [[twoHopReachHll]] — identical registers,
+    * merge, and estimator.
+    */
+  def duckTwoHopReachHll(edgesRel: String, srcCol: String,
+                         dstCol: String): String = {
+    import Sketches.{HllM, HllSentinel}
+    val fp = graft.functions.TextAnalysis.duckFingerprint("CAST(n AS VARCHAR)")
+    s"""WITH ce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+       |                   greatest($srcCol, $dstCol) AS b
+       |            FROM $edgesRel WHERE $srcCol <> $dstCol),
+       |adj AS (SELECT a AS z, b AS n FROM ce
+       |        UNION ALL SELECT b, a FROM ce),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS degree
+       |        FROM adj GROUP BY z),
+       |hh AS (SELECT z AS node, ($fp) AS h FROM adj),
+       |r1 AS (SELECT node, h % $HllM AS bucket,
+       |              1 + CAST(log2(x & (-x)) AS BIGINT) AS rho
+       |       FROM (SELECT node, h, (h // $HllM) | $HllSentinel AS x FROM hh)),
+       |reg1 AS (SELECT node, bucket, max(rho) AS mrho FROM r1 GROUP BY 1, 2),
+       |pulled AS (SELECT adj.z AS node, reg1.bucket, reg1.mrho
+       |           FROM adj JOIN reg1 ON adj.n = reg1.node),
+       |merged AS (SELECT node, bucket, max(mrho) AS mrho
+       |           FROM (SELECT * FROM reg1 UNION ALL SELECT * FROM pulled)
+       |           GROUP BY 1, 2),
+       |sk AS (SELECT node, count(*) AS nb,
+       |              sum(1.0 / CAST(CAST(1 AS BIGINT) << CAST(mrho AS INT)
+       |                             AS DOUBLE)) AS dpres
+       |       FROM merged GROUP BY 1)
+       |SELECT deg.z AS node, degree,
+       |       round(${Sketches.duckHllEstimate("nb", "dpres")}, 6) AS hll_ball2
+       |FROM deg JOIN sk ON deg.z = sk.node""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[twoHopReach]]. */
   def duckTwoHopReach(edgesRel: String, srcCol: String, dstCol: String,
                       maxPivotDeg: Int = 1000): String =

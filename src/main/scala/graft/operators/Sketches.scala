@@ -173,7 +173,7 @@ object Sketches {
   }
 
   /** The estimator's SQL render over `nb`/`dpres` columns. */
-  private def duckHllEstimate(nb: String, dpres: String): String =
+  private[graft] def duckHllEstimate(nb: String, dpres: String): String =
     s"""CASE WHEN (CAST($HllAlpha AS DOUBLE) * CAST(${(HllM.toDouble * HllM)} AS DOUBLE) / ($dpres + CAST($HllM - $nb AS DOUBLE))) <= CAST(${2.5 * HllM} AS DOUBLE)
        |      AND ($HllM - $nb) > 0
        | THEN CAST(${HllM.toDouble} AS DOUBLE) * ln(CAST(${HllM.toDouble} AS DOUBLE) / CAST($HllM - $nb AS DOUBLE))

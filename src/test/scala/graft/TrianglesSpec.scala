@@ -129,6 +129,32 @@ class TrianglesSpec extends AnyFunSuite with SparkTestBase {
     assert(capped(5L) == 1L && capped(2L) == 3L && capped(4L) == 3L)
   }
 
+  test("twoHopReachHll: star graph gives every node the same ball; estimate tracks exact") {
+    import spark.implicits._
+    // Star 1-{2,3,4}: every node's radius-2 ball is {1,2,3,4} — the hub
+    // directly, each leaf via the hub — so all four registers sets are
+    // identical and so are the estimates.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val est = graft.operators.LinkPred.twoHopReachHll(star, "src", "dst")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(est.size == 4)
+    assert(est.values.toSet.size == 1)
+    // 64-register linear counting at n=4 is near-exact
+    assert(math.abs(est(1L) - 4.0) < 0.5)
+
+    // square+pendant: estimates track the exact ball (exact + self)
+    // within small-range HLL error
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val exact = graft.operators.LinkPred.twoHopReach(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val hll = graft.operators.LinkPred.twoHopReachHll(edges, "src", "dst")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    for ((n, ex) <- exact)
+      assert(math.abs(hll(n) - (ex + 1.0)) < 1.0,
+        s"node $n: hll ${hll(n)} vs ball ${ex + 1}")
+  }
+
   test("pivotCapAudit: dropped wedge share is exactly the hub's C(deg,2) mass") {
     import spark.implicits._
     // same square+pendant: degrees 3,2,2,2,1 → wedges 3+1+1+1+0 = 6.
