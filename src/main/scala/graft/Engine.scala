@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ChangeLog, RowHash, Sync, SyncMode}
+import graft.operators.{RowHash, Sync, SyncMode}
 import graft.sinks.{FileSink, SinkSpec}
 
 /** End-to-end export pipeline façade — the Scala shape of the reference's
@@ -48,16 +48,34 @@ object Engine {
     SyncResult(out, 0L)
   }
 
-  /** CDC export over a change log (S2–S4 emulated, SURVEY §7.4). */
+  /** CDC export over a parquet change log (S2–S4 emulated, SURVEY
+    * §7.4) — the emulation-backed convenience shape of the pluggable
+    * [[runCdc(src:graft\.sources\.ChangeSource*]] below.
+    */
   def runCdc(log: DataFrame, spec: CdcSpec,
              hash: Option[HashSpec] = None,
-             sink: Option[SinkSpec] = None): SyncResult = {
+             sink: Option[SinkSpec] = None): SyncResult =
+    runCdc(sources.ParquetChangeLog(log, spec.keyCols),
+      spec.timeCutoffMs, spec.nowMs, hash, sink)
+
+  /** CDC export over ANY [[graft.sources.ChangeSource]] — the sync-mode
+    * protocol (export.py:139–158) separated from the storage layer:
+    * first sync (`timeCutoffMs == 0`) reads the snapshot as-of the
+    * source's latest commit and anchors the watermark there (CDF
+    * retention fallback, export.py:112–114, 141–142); incremental reads
+    * changes in `(cutoff, now]` (`+1 ms` exclusive start, export.py:92,
+    * 115–116) and anchors to `nowMs` (export.py:143–144). A real Delta
+    * source drops in here unchanged when a delta jar is available; the
+    * parquet emulation is just one implementation.
+    */
+  def runCdc(src: sources.ChangeSource, timeCutoffMs: Long, nowMs: Long,
+             hash: Option[HashSpec], sink: Option[SinkSpec]): SyncResult = {
     val (df0, watermark) =
-      if (spec.timeCutoffMs == 0) {
-        val endMs = ChangeLog.latestCommitMs(log)
-        (ChangeLog.snapshotAsOf(log, spec.keyCols, endMs), endMs)
+      if (timeCutoffMs == 0) {
+        val endMs = src.latestCommitMs()
+        (src.snapshotAsOf(endMs), endMs)
       } else {
-        (ChangeLog.tableChanges(log, spec.timeCutoffMs + 1, spec.nowMs), spec.nowMs)
+        (src.tableChanges(timeCutoffMs + 1, nowMs), nowMs)
       }
     val out = hash.fold(df0)(h => RowHash.withHashColumn(df0, h.column, h.ignoreColumns))
     sink.foreach(FileSink.write(out, _))

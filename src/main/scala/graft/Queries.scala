@@ -1651,8 +1651,6 @@ object Queries {
       Some(Splits.duckClusterSplitNgram("documents", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 500, trainPct = 80, valPct = 10))),
 
-    // Per-language stratified downsampling to target mixture rates,
-    // audited: totals vs deterministic hash-sampled counts.
     // Neyman optimal allocation of a 1000-doc labeling budget across
     // sources: n_h ∝ N_h·σ_h (size × length-spread) — minimum-variance
     // stratified sampling, one exact-moment pass + a stratum-sorted
@@ -1663,6 +1661,8 @@ object Queries {
       Some(Splits.duckNeymanAllocation("documents", "source", "n_chars",
         budget = 1000L))),
 
+    // Per-language stratified downsampling to target mixture rates,
+    // audited: totals vs deterministic hash-sampled counts.
     Entry("q_stratified_sample",
       (s, d) => Splits.sampleAudit(t(s, d, "documents"), "doc_id", "lang",
         rates = MixtureRates),
@@ -1874,10 +1874,6 @@ object Queries {
       Some(Splits.duckTemperatureSample("documents", "text", "source",
         "doc_id", targetFrac = 0.6))),
 
-    // EXACT per-language length quantiles (linear interpolation — the
-    // corpus-profiling stat sheet). Exact `percentile` sorts within
-    // each group; fine at lang cardinality. Both engines interpolate
-    // lower + frac·(higher − lower); round(6) seals the last ulp.
     // TOKEN-weighted quality quantiles per language — the median TOKEN's
     // quality, not the median document's (doc-weighted stats mislead
     // when length correlates with quality). All-integer weighted-rank
@@ -1888,6 +1884,10 @@ object Queries {
       Some(Profile.duckTokenWeightedQuantiles("documents", "text",
         "doc_id", "lang"))),
 
+    // EXACT per-language length quantiles (linear interpolation — the
+    // corpus-profiling stat sheet). Exact `percentile` sorts within
+    // each group; fine at lang cardinality. Both engines interpolate
+    // lower + frac·(higher − lower); round(6) seals the last ulp.
     Entry("q_len_quantiles",
       (s, d) => t(s, d, "documents").groupBy(col("lang"))
         .agg(
@@ -2578,11 +2578,6 @@ object Queries {
                FROM events WHERE ts IS NOT NULL
                GROUP BY 1, 2""")),
 
-    // FILE-SOURCE streaming e2e gate: the SAME windowed change counts,
-    // but ingested through the production readStream path — a staged
-    // change-log parquet directory replayed file-per-micro-batch
-    // (maxFilesPerTrigger=1, modTime-ordered). Same oracle as
-    // q_stream_counts: the transport must be invisible.
     // FILE-SOURCE → checkpointed parquet FILE-SINK e2e: the sink half
     // of the streaming-IO story — per-file micro-batches appended
     // exactly-once; the sink directory read back must be row-identical
@@ -2598,6 +2593,11 @@ object Queries {
                           ELSE 'delete' END AS _change_type
               FROM events""")),
 
+    // FILE-SOURCE streaming e2e gate: the SAME windowed change counts,
+    // but ingested through the production readStream path — a staged
+    // change-log parquet directory replayed file-per-micro-batch
+    // (maxFilesPerTrigger=1, modTime-ordered). Same oracle as
+    // q_stream_counts: the transport must be invisible.
     Entry("q_stream_file_counts",
       (s, d) => StreamSync.replayFileCounts(
         ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
@@ -3385,12 +3385,14 @@ object Queries {
       Some(Profile.duckLDiversity("customer",
         Seq("c_nationkey", "floor(c_acctbal / 1000)"), "c_mktsegment"))),
 
-    // ε-DP released counts — the privacy family's PUBLICATION gate
-    // (q_kanon/q_ldiversity measure risk; this masks it): per-nation
-    // customer counts + deterministic inverse-CDF Laplace(1/ε), one
-    // map-side key aggregate and a narrow noise projection.
+    // DP-SHAPED released counts, REPLAY posture: per-nation customer
+    // counts + inverse-CDF Laplace(1/ε) over a PUBLISHED salt — the
+    // gate verifies the mechanism (one map-side key aggregate, narrow
+    // noise projection, clamp) bit-exactly on two engines. It is NOT a
+    // privacy release (a recomputable draw masks nothing); the
+    // publication path is Profile.dpNoisedCounts(secretSalt).
     Entry("q_dp_counts",
-      (s, d) => Profile.dpNoisedCounts(t(s, d, "customer"),
+      (s, d) => Profile.dpShapedCountsReplay(t(s, d, "customer"),
         "c_nationkey", epsilon = 0.5),
       Some(Profile.duckDpNoisedCounts("customer", "c_nationkey",
         epsilon = 0.5))),

@@ -125,13 +125,29 @@ object Bm25 {
     * new segment set (parquet file visibility), never a torn row.
     *
     * Contract: batch doc ids must be NEW (an update is delete+append at
-    * a higher layer — [[ChangeLog]] owns that protocol). Oracle gate:
+    * a higher layer — [[ChangeLog]] owns that protocol). The contract
+    * is ENFORCED, not assumed: a semi-join of the existing doclen ids
+    * against the (broadcast) batch ids fails the append loudly on any
+    * overlap — a silent overlap would double-count df/n/sumdl and merge
+    * tf across segments, corrupting every score with no error. Cost:
+    * one column-pruned pass over doclen's id column, LocalLimit-bounded
+    * (the job stops at the first overlapping id) — negligible next to
+    * the tokenize+write the append already pays. Oracle gate:
     * build-on-prefix + append-the-rest must score bitwise-identically
     * to the full-corpus scorer — the "however produced = full rebuild"
     * IVM discipline.
     */
   def appendToIndex(newDocs: DataFrame, textCol: String, idCol: String,
                     dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val overlapping = spark.read.parquet(s"$dir/doclen")
+      .join(broadcast(newDocs.select(col(idCol).as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(overlapping.isEmpty,
+      s"appendToIndex: batch contains doc ids already indexed at $dir " +
+        s"(e.g. ${overlapping.head.get(0)}) — an update is delete+append " +
+        "at the ChangeLog layer, never a raw re-append")
     val toks = Dedup.rebalance(newDocs)
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("_w"))

@@ -957,7 +957,12 @@ object Eval {
       round(d(col("_s")) / nD / 1e6, 6).as("mean"),
       round(sqrt(col("_sse") / nD) / 1e6, 6).as("rmse"),
       round(col("_mae") / nD / 1e6, 6).as("mae"),
-      round(lit(1.0) - col("_sse") / sst, 6).as("r2"))
+      // degenerate-denominator gate (the repo convention — see fano /
+      // gini / alignment): SST = 0 means every target value is
+      // identical, so "fraction of variance explained" is undefined —
+      // NULL on both engines, never NaN from 0/0
+      when(sst === lit(0.0), lit(null).cast("double"))
+        .otherwise(round(lit(1.0) - col("_sse") / sst, 6)).as("r2"))
   }
 
   /** DuckDB oracle twin of [[regressionMetrics]] — same µ-quantized
@@ -988,14 +993,16 @@ object Eval {
        |         sum(sg) AS s, sum(qg) AS q,
        |         ${fold("CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)")} AS sse,
        |         ${fold("CAST(ag AS DOUBLE) / CAST(ng AS DOUBLE)")} AS mae_s
-       |  FROM pg)
+       |  FROM pg),
+       |g AS (
+       |  SELECT *, CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |              / CAST(n AS DOUBLE) AS sst
+       |  FROM f)
        |SELECT n, CAST(n_groups AS BIGINT) AS n_groups,
        |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
        |       round(sqrt(sse / CAST(n AS DOUBLE)) / 1e6, 6) AS rmse,
        |       round(mae_s / CAST(n AS DOUBLE) / 1e6, 6) AS mae,
-       |       round(1.0 - sse / (CAST(q AS DOUBLE)
-       |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-       |               / CAST(n AS DOUBLE)), 6) AS r2
-       |FROM f""".stripMargin
+       |       CASE WHEN sst <> 0.0 THEN round(1.0 - sse / sst, 6) END AS r2
+       |FROM g""".stripMargin
   }
 }

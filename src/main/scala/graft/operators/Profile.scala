@@ -957,33 +957,62 @@ object Profile {
        |         AS top_share
        |FROM a""".stripMargin
 
-  /** ε-differentially-private released counts — the publication side of
-    * the privacy family ([[kAnonymity]]/[[lDiversity]] measure
-    * re-identification risk; this MASKS it): per-key counts with
-    * Laplace(1/ε) noise, the standard DP mechanism for count queries
-    * (sensitivity 1 — each row contributes to exactly one key).
+  /** Laplace(1/ε)-noised released counts — the publication side of the
+    * privacy family ([[kAnonymity]]/[[lDiversity]] measure
+    * re-identification risk; this masks it): per-key counts with
+    * inverse-CDF Laplace noise, the standard ε-DP mechanism for count
+    * queries (sensitivity 1 — each row contributes to exactly one key).
     *
-    * The noise draw is DETERMINISTIC — inverse-CDF over
-    * [[TextAnalysis.mixedUniform]] of (salt, key) (the avalanche-mixed
-    * cross-engine uniform; the raw rolling fingerprint clusters for
-    * similar keys, which would bias every draw to the same side):
+    * The noise draw is a deterministic function of (saltKey, key) via
+    * [[TextAnalysis.mixedUniform]] (the avalanche-mixed cross-engine
+    * uniform; the raw rolling fingerprint clusters for similar keys,
+    * which would bias every draw to the same side):
     *   u ∈ (0,1),  noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)
-    * so releases are reproducible across runs and engines and the gate
-    * can hash-compare them. (A production release would swap the
-    * fingerprint for a keyed PRF over a secret salt — same shape, same
-    * plan; determinism-for-replayability is the repo-wide sampling
-    * convention, see [[Splits.bucketOf]].)
+    *
+    * PRIVACY CONTRACT — explicit, because determinism cuts both ways:
+    * the release masks the true counts ONLY while `saltKey` stays
+    * secret. Anyone who knows the salt can recompute the noise and
+    * subtract it exactly. Hence two entry points, one per posture:
+    *
+    *   - [[dpNoisedCounts]] — the PUBLICATION path. Takes the secret
+    *     salt as a REQUIRED parameter (no default — a hardcoded or
+    *     defaulted salt is public by definition) and the caller owns
+    *     keeping it secret. mixedUniform keyed by a secret salt is a
+    *     (non-cryptographic) keyed PRF; a hostile-auditor release
+    *     would upgrade it to HMAC, same shape, same plan.
+    *   - [[dpShapedCountsReplay]] — the REPLAY path: DP-*shaped*
+    *     (same mechanism, clamp, plan) but NOT private, because the
+    *     salt is published so a second engine can re-derive the same
+    *     release bit-exactly (the repo-wide determinism convention,
+    *     [[Splits.bucketOf]]). This is what the `q_dp_counts` oracle
+    *     gate runs; it verifies the mechanism, not a privacy claim.
     *
     * Scale shape: ONE map-side-combined key aggregate, then the noise
     * is a narrow per-group projection — no second exchange, no state.
     * Released counts are clamped at 0 and the true count is NOT in the
-    * output (that's the point); the ε and per-key noise magnitude are
-    * derivable by the auditor from the public salt.
+    * output.
     *
     * Output: (key, released_n) — released_n = max(0, n + round(noise)).
     */
   def dpNoisedCounts(df: DataFrame, keyExpr: String, epsilon: Double,
-                     salt: String = "dp"): DataFrame = {
+                     secretSalt: String): DataFrame = {
+    require(secretSalt.nonEmpty,
+      "dpNoisedCounts: a secret salt is required — with a known salt the " +
+        "noise is recomputable and the release provides no privacy; for " +
+        "the deterministic-replay (non-private) shape use dpShapedCountsReplay")
+    noisedCounts(df, keyExpr, epsilon, secretSalt)
+  }
+
+  /** Deterministic-replay twin of [[dpNoisedCounts]] — same mechanism
+    * over a PUBLISHED salt, so it is reproducible across engines and
+    * NOT a privacy release (see the contract on [[dpNoisedCounts]]).
+    */
+  def dpShapedCountsReplay(df: DataFrame, keyExpr: String, epsilon: Double,
+                           publicSalt: String = "dp"): DataFrame =
+    noisedCounts(df, keyExpr, epsilon, publicSalt)
+
+  private def noisedCounts(df: DataFrame, keyExpr: String, epsilon: Double,
+                           salt: String): DataFrame = {
     val u = TextAnalysis.mixedUniform(
       concat_ws(":", lit(salt), col("_k").cast("string")))
     val centered = u - lit(0.5)
@@ -996,8 +1025,11 @@ object Profile {
           .as("released_n"))
   }
 
-  /** DuckDB oracle twin of [[dpNoisedCounts]] — same fingerprint
-    * uniform, same inverse-CDF Laplace, same clamp.
+  /** DuckDB oracle twin of [[dpShapedCountsReplay]] — same fingerprint
+    * uniform, same inverse-CDF Laplace, same clamp, same published
+    * salt (an oracle can only exist for the replay shape: a private
+    * release is exactly the one a second engine must NOT be able to
+    * reproduce).
     */
   def duckDpNoisedCounts(rel: String, keyExpr: String, epsilon: Double,
                          salt: String = "dp"): String = {

@@ -112,5 +112,17 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       rows(Bm25.scoreFromIndex(spark, full, terms)))
     assert(rows(Bm25.scoreFromIndex(spark, segd, terms)) ==
       rows(Bm25.score(docs, "text", "doc_id", terms)))
+
+    // The disjoint-doc-set contract is enforced, not assumed: a batch
+    // overlapping the indexed ids must fail loudly (a silent re-append
+    // double-counts df/n/sumdl and corrupts every score), and the
+    // rejected append must leave the index unchanged.
+    val before = rows(Bm25.scoreFromIndex(spark, segd, terms))
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.appendToIndex(docs.filter(col("doc_id") >= 14), "text",
+        "doc_id", segd)
+    }
+    assert(ex.getMessage.contains("already indexed"))
+    assert(rows(Bm25.scoreFromIndex(spark, segd, terms)) == before)
   }
 }

@@ -324,5 +324,13 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
       .toDF("g", "v")
     assert(Eval.regressionMetrics(none, "g", "v")
       .as[(Long, Long, Double, Double, Double, Double)].head()._6 == 0.0)
+
+    // Degenerate target (SST = 0: every value identical): "fraction of
+    // variance explained" is undefined — R² must be NULL, never the
+    // 0/0 NaN, matching the fano/gini/alignment denominator gates.
+    val flat = Seq(("a", 4.0), ("a", 4.0), ("b", 4.0)).toDF("g", "v")
+    val rf = Eval.regressionMetrics(flat, "g", "v")
+      .select("n", "rmse", "r2").collect().head
+    assert(rf.getLong(0) == 3L && rf.getDouble(1) == 0.0 && rf.isNullAt(2))
   }
 }

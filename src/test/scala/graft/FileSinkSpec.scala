@@ -307,6 +307,43 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(second.df.count() == 0L) // nothing after the watermark
   }
 
+  test("runCdc is pluggable over ChangeSource: the emulation is one implementation, the protocol is the trait's") {
+    val events = Tables.load(spark, sf, "events")
+    val log = ChangeLog.synthesize(events, "event_id", "ts")
+    val emu = graft.sources.ParquetChangeLog(log, Seq("event_id"))
+
+    // The trait path and the legacy change-log path are the same plan:
+    // identical watermark and identical rows for both sync phases.
+    val legacyFirst = Engine.runCdc(log, CdcSpec(Seq("event_id"), 0L, 0L))
+    val traitFirst = Engine.runCdc(emu, timeCutoffMs = 0L, nowMs = 0L,
+      hash = None, sink = None)
+    assert(traitFirst.newWatermarkMs == legacyFirst.newWatermarkMs)
+    assert(traitFirst.df.exceptAll(legacyFirst.df).isEmpty &&
+      legacyFirst.df.exceptAll(traitFirst.df).isEmpty)
+
+    // A NON-emulation source drives the same protocol: the dispatch
+    // (first sync → snapshotAsOf(latestCommit); incremental →
+    // tableChanges(cutoff+1, now)) is observable through a recording
+    // stub — the seam a real Delta implementation drops into.
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stub = new graft.sources.ChangeSource {
+      override def snapshotAsOf(tsMs: Long) = {
+        calls += s"snap:$tsMs"; legacyFirst.df
+      }
+      override def tableChanges(startMs: Long, endMs: Long) = {
+        calls += s"changes:$startMs:$endMs"; legacyFirst.df.limit(0)
+      }
+      override def latestCommitMs(): Long = { calls += "latest"; 42L }
+    }
+    val s1 = Engine.runCdc(stub, timeCutoffMs = 0L, nowMs = 999L,
+      hash = None, sink = None)
+    assert(s1.newWatermarkMs == 42L && calls.toList == List("latest", "snap:42"))
+    calls.clear()
+    val s2 = Engine.runCdc(stub, timeCutoffMs = 42L, nowMs = 100L,
+      hash = None, sink = None)
+    assert(s2.newWatermarkMs == 100L && calls.toList == List("changes:43:100"))
+  }
+
   test("expirePartitions drops days below the bound by directory delete only") {
     import spark.implicits._
     val dir = tmpDir("graft-expire")

@@ -249,8 +249,18 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     val df = (1L to 40L).map(i => ("k" + (i % 4))).toDF("k")
 
     def run(eps: Double, salt: String = "dp") =
-      graft.operators.Profile.dpNoisedCounts(df, "k", eps, salt)
+      graft.operators.Profile.dpShapedCountsReplay(df, "k", eps, salt)
         .as[(String, Long)].collect().sortBy(_._1).toSeq
+
+    // The publication path requires a salt (a defaulted salt is public
+    // by definition → no privacy) and is the same mechanism: keyed with
+    // the same salt it must produce the identical release.
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.dpNoisedCounts(df, "k", 0.5, secretSalt = "")
+    }
+    assert(graft.operators.Profile.dpNoisedCounts(df, "k", 0.5, "sekrit")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq ==
+      run(0.5, salt = "sekrit"))
 
     // Reproducible release: the draw is a pure function of (salt, key).
     val a = run(0.5)

@@ -244,6 +244,118 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintenance resources stay bounded: state scales with keys not batches, staging cleaned, ingest index compacts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.ChangeLog
+    import java.nio.file.{Files, Paths}
+
+    def dataFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def gone(p: String) = !Files.exists(Paths.get(p))
+
+    // --- aggregate maintenance: 6 micro-batches over the SAME 3 keys.
+    // The state is a per-key (count, Σ) row — after ANY number of
+    // batches it must hold exactly |keys| rows, the staged .__next/
+    // .__old dirs must be gone, and because each batch REWRITES the
+    // state dir (never appends), file count and bytes must not grow
+    // with batch count.
+    val aggRoot = Files.createTempDirectory("graft-bound-agg")
+    val aggState = aggRoot.resolve("state").toString
+    val aggCkpt = aggRoot.resolve("ckpt").toString
+    val aggIn = MemoryStream[(Long, Double, String, Timestamp)]
+    val aggQ = StreamSync.startAggMaintenance(
+      aggIn.toDF().toDF("k", "v", ChangeLog.ChangeType, ChangeLog.CommitTs),
+      Seq("k"), "v", aggState, aggCkpt)
+    try {
+      var filesAfterFirst = -1
+      var bytesAfterFirst = -1L
+      for (b <- 1 to 6) {
+        aggIn.addData((1 to 3).map(k =>
+          (k.toLong, 1.0, "insert", ts(f"2024-01-01 00:00:$b%02d"))): _*)
+        aggQ.processAllAvailable()
+        assert(gone(aggState + ".__next") && gone(aggState + ".__old"),
+          s"staging residue after batch $b")
+        assert(spark.read.parquet(aggState).count() == 3L,
+          s"state rows must equal key count after batch $b, not grow with batches")
+        val fs = dataFiles(aggState)
+        if (b == 1) { filesAfterFirst = fs.size; bytesAfterFirst = fs.map(_.length).sum }
+        assert(fs.size <= filesAfterFirst + 4,
+          s"state file count grew with batches: ${fs.size} after $b")
+        assert(fs.map(_.length).sum <= 3 * bytesAfterFirst,
+          s"state bytes grew with batches after $b")
+      }
+      // and the state is right: 6 inserts of 1.0 per key
+      val st = ChangeLog.aggPresent(spark.read.parquet(aggState))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(st == Set((1L, 6L, 6000000L), (2L, 6L, 6000000L), (3L, 6L, 6000000L)))
+    } finally aggQ.stop()
+
+    // --- SCD2 maintenance: versions accumulate with EVENTS (that is
+    // the operator's semantics), never with batch count, and the
+    // two-rename swap leaves no staging residue.
+    val scdRoot = Files.createTempDirectory("graft-bound-scd2")
+    val scdState = scdRoot.resolve("state").toString
+    val scdCkpt = scdRoot.resolve("ckpt").toString
+    val scdIn = MemoryStream[(Long, Long, String, String, Timestamp)]
+    val scdQ = StreamSync.startScd2Maintenance(
+      scdIn.toDF().toDF("k", "seq", "v", ChangeLog.ChangeType, ChangeLog.CommitTs),
+      Seq("k"), "seq", Seq("v"), scdState, scdCkpt)
+    try {
+      for (b <- 1 to 4) {
+        // one update per key per batch → exactly 2 new versions/batch
+        scdIn.addData(
+          (1L, b.toLong, s"v$b", if (b == 1) "insert" else "update_postimage",
+            ts(f"2024-01-01 00:00:$b%02d")),
+          (2L, 100L + b, s"w$b", if (b == 1) "insert" else "update_postimage",
+            ts(f"2024-01-01 00:00:$b%02d")))
+        scdQ.processAllAvailable()
+        assert(gone(scdState + ".__next") && gone(scdState + ".__old"),
+          s"scd2 staging residue after batch $b")
+        assert(spark.read.parquet(scdState).count() == 2L * b,
+          s"scd2 state must hold one version per event (${2 * b}), batch $b")
+      }
+    } finally scdQ.stop()
+
+    // --- deduped ingest: the output directory IS the growing dedup
+    // index. Rows stay bounded by NOVEL docs no matter how many
+    // duplicate-bearing triggers arrive; per-trigger appends fragment
+    // the index into many small files, and FileSink.compact restores it
+    // (same rows, fewer files) with dedup still correct afterwards.
+    val novel = Seq(
+      "completely new content about topic one arriving now",
+      "another novel document on a second subject entirely",
+      "a third fresh text with its own distinct vocabulary")
+    val ingRoot = Files.createTempDirectory("graft-bound-ingest")
+    val out = ingRoot.resolve("docs").toString
+    val ingCkpt = ingRoot.resolve("ckpt").toString
+    val corpus = Seq((100L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ingIn = MemoryStream[(Long, String)]
+    val ingQ = StreamSync.startDedupedIngest(
+      ingIn.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", out, ingCkpt)
+    try {
+      for (b <- 1 to 4) { // every trigger resends ALL novel docs
+        ingIn.addData(novel.zipWithIndex.map { case (t, i) =>
+          (b * 10L + i, t) }: _*)
+        ingQ.processAllAvailable()
+        // only the first trigger's copies land; later dups are dropped
+        assert(spark.read.parquet(out).count() == novel.size.toLong,
+          s"ingest index grew past the novel set after trigger $b")
+      }
+      val before = dataFiles(out).size
+      val (nBefore, nAfter) = graft.sinks.FileSink.compact(spark, out)
+      assert(nBefore == before && nAfter < nBefore,
+        s"compact must shrink the fragmented index ($nBefore -> $nAfter)")
+      assert(spark.read.parquet(out).count() == novel.size.toLong)
+      // dedup still holds against the COMPACTED index
+      ingIn.addData((99L, novel.head))
+      ingQ.processAllAvailable()
+      assert(spark.read.parquet(out).count() == novel.size.toLong)
+    } finally ingQ.stop()
+  }
+
   test("streamingIntervalJoin enriches facts with in-window dims only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
