@@ -205,11 +205,12 @@ object Bench {
       // run's typical value, while max/min would amplify one lucky
       // fast probe into a false alarm.
       val steady = canaries.drop(1)
-      val waveRatio =
+      val (waveRatio, canaryMedian) =
         if (steady.size >= 3) {
           val sorted = steady.sorted
-          sorted.last / math.max(sorted(sorted.size / 2), 1e-9)
-        } else 1.0
+          val med = math.max(sorted(sorted.size / 2), 1e-9)
+          (sorted.last / med, med)
+        } else (1.0, canaries.lastOption.getOrElse(0.0))
       val canaryArr = canaries.map(num(_, 3)).mkString("[", ",", "]")
       // `complete` = the query loop finished; `ok` = finished AND zero
       // errors. Round 8 shipped complete:true with rc=1 and 24 errored
@@ -217,7 +218,7 @@ object Bench {
       // from a green one. `ok` is the machine-checkable green bit.
       val ok = complete && errors.isEmpty
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)}}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)}}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -228,6 +229,27 @@ object Bench {
     }
 
     val registry = SparkEntry.queries // `queries` is a def: build the map once
+
+    // JVM WARMUP, discarded (round-12 protocol): janino codegen + C2
+    // JIT dominate the first ~10 s of a cold session and used to land
+    // inside pass-1 query times AND the first canary probe, inflating
+    // both cold_total and the wave ratio for reasons that have nothing
+    // to do with the engine. Absorb them here: one canary-shaped probe,
+    // one shuffle+agg+sort pipeline, one parquet-footer read — nothing
+    // recorded, no query artifact touched. External-contention waves
+    // (the 3–5× minutes-long host phenomenon, BASELINE.md round 6)
+    // remain VISIBLE by design: the canary series exists to measure
+    // them, not to mask them.
+    locally {
+      val t0 = System.nanoTime()
+      spark.range(64L * 1000 * 1000).selectExpr("bit_xor(xxhash64(id))").head()
+      spark.range(1000000L).selectExpr("id % 32 as k", "id as v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .orderBy("k").collect()
+      Tables.load(spark, sfDir, "nation").count()
+      System.err.println(f"[bench] warmup ${(System.nanoTime() - t0) / 1e9}%.2f s (discarded)")
+    }
+
     for (pass <- 1 to iters) {
       for ((name, idx) <- selected.zipWithIndex) {
         if (idx % 10 == 0) probeCanary()

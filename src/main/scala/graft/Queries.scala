@@ -1759,21 +1759,22 @@ object Queries {
     // bounded mergeable state vs q_len_quantiles' exact sort. Below the
     // accuracy bound the rank is exact, so the oracle compares the same
     // discrete order statistics bitwise (quantile_disc).
-    // SCOPE BOUND (r11): sf0.1's ~20 k-row groups drifted the GK ranks
-    // by ±2 (the one red row of the r11 full-sf0.1 pass). Empirically
-    // Spark's percentile_approx is rank-EXACT while group n ≤
-    // accuracy/2 (5 000 at the default 10 000 — the summary's
+    // SCOPE BOUND (r11, widened r12): sf0.1's ~20 k-row groups drifted
+    // the GK ranks by ±2 (the one red row of the r11 full-sf0.1 pass).
+    // Empirically Spark's percentile_approx is rank-EXACT while group
+    // n ≤ accuracy/2 (5 000 at the default 10 000 — the summary's
     // compression threshold, measured: 4 898/4 905-row groups bitwise,
-    // 5 020+ drifted), so the gate slices event_id % 8 = 0 on BOTH
-    // sides: ~2.5 k/group at sf0.1, exact at every driver SF, and the
-    // sketch's accuracy parameter stays honest instead of being
-    // inflated to chase the fixture.
+    // 5 020+ drifted), so the gate slices event_id % 64 = 0 on BOTH
+    // sides — ~3.1 k/group at sf1.0 (the r12 self-generated full-pass
+    // SF), ~310 at sf0.1 — keeping every verify SF inside the exact
+    // envelope while the sketch's accuracy parameter stays honest
+    // instead of being inflated to chase the fixture.
     Entry("q_quantile_sketch",
       (s, d) => Sketches.quantileSketch(
-        t(s, d, "events").filter(pmod(col("event_id"), lit(8)) === 0),
+        t(s, d, "events").filter(pmod(col("event_id"), lit(64)) === 0),
         "value", "event_type"),
       Some(Sketches.duckQuantileSketch(
-        s"(SELECT * FROM $EvOracle e WHERE event_id % 8 = 0)",
+        s"(SELECT * FROM $EvOracle e WHERE event_id % 64 = 0)",
         "value", "event_type"))),
 
     // Count-min heavy hitters over document tokens: 3×256-cell sketch
