@@ -325,6 +325,9 @@ object Queries {
                       event_type, value, props
                FROM r WHERE rn = 1 AND ct <> 'delete'""")),
 
+    // S4 + O1 — DESCRIBE HISTORY LIMIT 1 emulated as max commit ms
+    // over the change log (export.py:49-60); ms-precise (ChangeLog
+    // .commitMs), one max aggregate, no sort.
     Entry("q_commit_history",
       (s, d) => {
         val log = ChangeLog.synthesize(t(s, d, "events"), "event_id", "ts")
@@ -735,6 +738,10 @@ object Queries {
         "(SELECT * FROM documents WHERE doc_id < 500)", "text", "doc_id",
         n = 3, threshold = 0.5, maxDocId = 500))),
 
+    // Near-dup RESOLUTION: exact n-gram Jaccard pairs fed into the
+    // large-star/small-star connected-components loop (O(log n) rounds,
+    // checkpointed) -> one representative per duplicate cluster. Oracle
+    // = recursive-CTE closure over the same pairs.
     Entry("q_dedup_resolve",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -832,6 +839,12 @@ object Queries {
       Some(Dedup.duckJaccardHistogram("documents", "text", "doc_id",
         n = 3, bins = 20, maxDocId = 1000))),
 
+    // THE production near-dup path: MinHash signatures (native codegen
+    // MinHashSig) -> banded bucket equi-join (cap-guarded) -> exact
+    // Jaccard verification. Oracle = the exact pairwise ground truth at
+    // the same threshold: with b=42/r=3 the detect probability at
+    // tau=0.5 is ~0.997, and the verified output is a SUBSET of the
+    // exact pairs by construction, so row equality IS a recall check.
     Entry("q_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(
         t(s, d, "documents").filter(col("doc_id") < 1000), "text", "doc_id",
@@ -2911,6 +2924,10 @@ object Queries {
       Some(Profile.duckSourceRedundancy("documents", "text", "doc_id",
         "source"))),
 
+    // One-stop corpus health sheet: per-language doc/token/quality
+    // rollup UNIONed with the cap-drop census (LSH bucket caps, graph
+    // pivot caps, sign-LSH caps) so "what did the skew guards cost" is
+    // a queryable row, not a log line.
     Entry("q_health_report",
       (s, d) => Pipeline.healthReport(t(s, d, "documents"), "text",
           "doc_id", "lang")
@@ -3254,6 +3271,10 @@ object Queries {
               |${KCore.duckCoreCtes("e", k = 3, iters = 12)}
               |${KCore.duckCoreSelect(k = 3, iters = 12)}""".stripMargin)),
 
+    // Community detection on the co-purchase graph: synchronous
+    // weighted label propagation, fixed iters, integer tie-break --
+    // deterministic on any engine (the PageRank/k-core discipline:
+    // fixed-point integer state, degree-bounded exchanges).
     Entry("q_label_prop",
       (s, d) => {
         val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),
@@ -3506,6 +3527,10 @@ object Queries {
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         iters = 12))),
 
+    // Order-independent dataset checksum (sync audit): per-row md5 ->
+    // fingerprint folded two ways (XOR + bucketed modular SUM, the
+    // even-multiplicity blind-spot fix) in ONE pass; ignore-columns
+    // exercised so the hash-input projection is schema-sorted.
     Entry("q_content_checksum",
       (s, d) => RowHash.contentChecksum(t(s, d, "orders"),
         ignoreColumns = Set("o_totalprice")),
