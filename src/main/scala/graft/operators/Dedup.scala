@@ -33,6 +33,22 @@ object Dedup {
     * dimension-sized input read from one file would otherwise pin the
     * whole signature stage to a single task.
     */
+  /** Spread a CALLER-BOUNDED slice across the full parallelism
+    * UNCONDITIONALLY. [[rebalance]] only repartitions when the plan has
+    * too few partitions — but a bounded slice (`id < maxId`) of a large
+    * id-ordered fixture is contiguous in ONE file, so the plan reports
+    * the full partition count while every surviving row sits in a
+    * single task and the quadratic pair join downstream runs SERIALLY
+    * (measured: the same 1000-doc q_dedup_ngram_jaccard work took
+    * 32.4 s on a 50 k-row source vs 5.6 s on a 5 k-row one — round-12
+    * sf1.0 bench). The slice is tiny by the operator's own contract,
+    * so the unconditional shuffle is noise, and the EXPLICIT partition
+    * count keeps AQE from re-coalescing the tiny-in-bytes exchange
+    * whose downstream cost is quadratic in rows, not bytes.
+    */
+  private def spreadBounded(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Probe the physical partition count without df.rdd, which would bolt
@@ -133,7 +149,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double, maxDocId: Long): DataFrame = {
-    val withSh = rebalance(df.filter(col(idCol) < maxDocId))
+    val withSh = spreadBounded(df.filter(col(idCol) < maxDocId))
       .select(col(idCol), shingles(col(textCol), n).as("_sh"))
     val a = withSh.select(col(idCol).as("id_a"), col("_sh").as("_sha"))
     val b = withSh.select(col(idCol).as("id_b"), col("_sh").as("_shb"))
@@ -169,7 +185,7 @@ object Dedup {
   def jaccardHistogram(df: DataFrame, textCol: String, idCol: String,
                        n: Int, bins: Int, maxDocId: Long,
                        dfCap: Int = DefaultMaxBucketSize): DataFrame = {
-    val withSh = rebalance(df.filter(col(idCol) < maxDocId))
+    val withSh = spreadBounded(df.filter(col(idCol) < maxDocId))
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
       .withColumn("_n", size(col("_sh")))
     val posts = withSh
@@ -975,7 +991,7 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             threshold: Double, maxId: Long): DataFrame = {
-    val bounded = rebalance(df.filter(col(idCol) < maxId))
+    val bounded = spreadBounded(df.filter(col(idCol) < maxId))
     val a = bounded.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
     val b = bounded.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     a.join(b, col("id_a") < col("id_b"))
