@@ -177,6 +177,30 @@ object Bench {
     // — `canary_wave_ratio` near 1 certifies a clean run, >>1 says which
     // stretch of the suite to distrust without a re-run.
     val canaries = mutable.ArrayBuffer[Double]()
+    // Set by the discarded-warmup block below; emitted in the JSON so
+    // records from the pre-warmup protocol (r11 and earlier: warmup
+    // landed inside pass-1 times) are distinguishable from post-warmup
+    // ones — cross-round cold_total comparisons otherwise silently mix
+    // two protocols (ADVICE r12).
+    var warmupSec: Double = -1.0
+
+    // JVM-state telemetry (verdict r12 #2): per-query GC-time delta,
+    // old-gen occupancy, and loaded-class count expose whether the
+    // in-suite sf1.0 anomalies (q_content_chunks/q_ess ~5× in-suite vs
+    // solo) track accumulated single-JVM state — GC pressure or codegen
+    // class accumulation — rather than operator shape.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    def oldGenUsedMb(): Long =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getType == java.lang.management.MemoryType.HEAP &&
+          (p.getName.contains("Old") || p.getName.contains("Tenured")))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    def loadedClasses(): Long =
+      ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
     def probeCanary(): Unit = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: ANSI mode throws on long-sum overflow. Sized
@@ -218,7 +242,7 @@ object Bench {
       // from a green one. `ok` is the machine-checkable green bit.
       val ok = complete && errors.isEmpty
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)}}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"protocol":"min2+warmup"}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -247,12 +271,14 @@ object Bench {
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
         .orderBy("k").collect()
       Tables.load(spark, sfDir, "nation").count()
-      System.err.println(f"[bench] warmup ${(System.nanoTime() - t0) / 1e9}%.2f s (discarded)")
+      warmupSec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] warmup $warmupSec%.2f s (discarded)")
     }
 
     for (pass <- 1 to iters) {
       for ((name, idx) <- selected.zipWithIndex) {
         if (idx % 10 == 0) probeCanary()
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val err =
           try { registry(name)(spark, sfDir).count(); None }
@@ -268,7 +294,11 @@ object Bench {
         }
         // Execution-order trace on stderr (stdout carries only JSON):
         // accumulation bugs show as monotonically inflating times here.
-        System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s${err.fold("")(" ERROR " + _)}")
+        // gc = GC time spent DURING this query; old = old-gen occupancy
+        // after it; cls = cumulative loaded classes (codegen growth) —
+        // the accumulated-JVM-state telemetry for the in-suite-vs-solo
+        // anomaly (verdict r12 #2).
+        System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s  gc=${gcMillis() - gc0}%5d ms old=${oldGenUsedMb()}%6d MB cls=${loadedClasses()}%7d${err.fold("")(" ERROR " + _)}")
         emit(complete = false)
       }
       passesDone = pass

@@ -1540,15 +1540,20 @@ object Queries {
     // Per-eval-item CONTAINMENT decontamination: which benchmark item
     // leaked into which training doc, at what gram fraction — the
     // fuzzy tier between exact gram collision and embedding cosine.
-    // Threshold 0.2: the word-salad fixture has no planted eval
-    // leakage, so real hits come from chance vocabulary overlap — low
-    // enough to exercise rows, structurally identical at any t.
+    // Threshold 0.02 (r13, was 0.2): the word-salad fixture has no
+    // PLANTED eval leakage, so the only hits are chance vocabulary
+    // overlap, whose measured max containment at the driver's sf0.01
+    // gate is 0.054 — at t=0.2 the gate passed with 0 rows on both
+    // engines, verifying nothing (VERDICT r12 #3). t=0.02 compares
+    // ~68 rows at sf0.01 (~90 at sf0.001, ~9 k at sf0.1), so the join,
+    // the count, and the rounded-ratio filter are all exercised on
+    // real rows; the operator's semantics are threshold-independent.
     Entry("q_decontaminate_item",
       (s, d) => Decontaminate.itemContainment(t(s, d, "documents"), "text",
         "doc_id", evalPred = pmod(col("doc_id"), lit(97L)) === 0L,
-        n = 3, threshold = 0.2),
+        n = 3, threshold = 0.02),
       Some(Decontaminate.duckItemContainment("documents", "text", "doc_id",
-        evalPredSql = "doc_id % 97 = 0", n = 3, threshold = 0.2))),
+        evalPredSql = "doc_id % 97 = 0", n = 3, threshold = 0.02))),
 
     // SEMANTIC decontamination: cosine-vs-eval-set flagging in embedding
     // space (paraphrase leakage has no n-gram collision). τ=0.35 is the
@@ -1772,22 +1777,33 @@ object Queries {
     // bounded mergeable state vs q_len_quantiles' exact sort. Below the
     // accuracy bound the rank is exact, so the oracle compares the same
     // discrete order statistics bitwise (quantile_disc).
-    // SCOPE BOUND (r11, widened r12): sf0.1's ~20 k-row groups drifted
-    // the GK ranks by ±2 (the one red row of the r11 full-sf0.1 pass).
-    // Empirically Spark's percentile_approx is rank-EXACT while group
-    // n ≤ accuracy/2 (5 000 at the default 10 000 — the summary's
-    // compression threshold, measured: 4 898/4 905-row groups bitwise,
-    // 5 020+ drifted), so the gate slices event_id % 64 = 0 on BOTH
-    // sides — ~3.1 k/group at sf1.0 (the r12 self-generated full-pass
-    // SF), ~310 at sf0.1 — keeping every verify SF inside the exact
-    // envelope while the sketch's accuracy parameter stays honest
-    // instead of being inflated to chase the fixture.
+    // SCOPE BOUND (r11, widened r12, made per-SF r13): sf0.1's ~20 k-row
+    // groups drifted the GK ranks by ±2 (the one red row of the r11
+    // full-sf0.1 pass). Empirically Spark's percentile_approx is
+    // rank-EXACT while group n ≤ accuracy/2 (5 000 at the default
+    // 10 000 — the summary's compression threshold, measured: 4 898/
+    // 4 905-row groups bitwise, 5 020+ drifted). r12 hard-coded % 64 at
+    // every SF to fit sf1.0, which shrank sf0.1's coverage 8× (ADVICE
+    // r12); the modulus is now DERIVED FROM THE FIXTURE'S EVENTS COUNT
+    // on BOTH engines (identical tiering → identical slice): ≤200 k
+    // rows → % 8 (sf0.1: ~2.5 k/group, the original coverage), ≤2 M →
+    // % 64 (sf1.0: ~3.1 k/group), else % 512 (sf10: ~3.9 k/group) —
+    // every tier inside the exact envelope, the sketch's accuracy
+    // parameter honest at all SFs.
     Entry("q_quantile_sketch",
-      (s, d) => Sketches.quantileSketch(
-        t(s, d, "events").filter(pmod(col("event_id"), lit(64)) === 0),
-        "value", "event_type"),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val n = ev.count()
+        val m = if (n <= 200000L) 8 else if (n <= 2000000L) 64 else 512
+        Sketches.quantileSketch(
+          ev.filter(pmod(col("event_id"), lit(m)) === 0),
+          "value", "event_type")
+      },
       Some(Sketches.duckQuantileSketch(
-        s"(SELECT * FROM $EvOracle e WHERE event_id % 64 = 0)",
+        s"(SELECT * FROM $EvOracle e WHERE event_id % " +
+          "(CASE WHEN (SELECT count(*) FROM events) <= 200000 THEN 8 " +
+          "WHEN (SELECT count(*) FROM events) <= 2000000 THEN 64 " +
+          "ELSE 512 END) = 0)",
         "value", "event_type"))),
 
     // Count-min heavy hitters over document tokens: 3×256-cell sketch

@@ -140,14 +140,24 @@ object Bm25 {
   def appendToIndex(newDocs: DataFrame, textCol: String, idCol: String,
                     dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val overlapping = spark.read.parquet(s"$dir/doclen")
-      .join(broadcast(newDocs.select(col(idCol).as("doc_id"))),
-        Seq("doc_id"), "left_semi")
-      .limit(1).collect()
-    require(overlapping.isEmpty,
-      s"appendToIndex: batch contains doc ids already indexed at $dir " +
-        s"(e.g. ${overlapping.head.get(0)}) — an update is delete+append " +
-        "at the ChangeLog layer, never a raw re-append")
+    // A missing doclen relation means a FRESH index: there is nothing to
+    // overlap with, and the mode("append") writes below create the first
+    // segment. Only guard against re-appends once an index exists. The
+    // guard is ADVISORY under concurrent appenders (check-then-write is
+    // not atomic); single-writer-per-index is the operating contract,
+    // same as the reference's one-job-per-table export.
+    val doclenPath = new org.apache.hadoop.fs.Path(s"$dir/doclen")
+    val fs = doclenPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(doclenPath)) {
+      val overlapping = spark.read.parquet(s"$dir/doclen")
+        .join(broadcast(newDocs.select(col(idCol).as("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      require(overlapping.isEmpty,
+        s"appendToIndex: batch contains doc ids already indexed at $dir " +
+          s"(e.g. ${overlapping.head.get(0)}) — an update is delete+append " +
+          "at the ChangeLog layer, never a raw re-append")
+    }
     val toks = Dedup.rebalance(newDocs)
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("_w"))

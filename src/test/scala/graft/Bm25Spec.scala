@@ -124,5 +124,14 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     }
     assert(ex.getMessage.contains("already indexed"))
     assert(rows(Bm25.scoreFromIndex(spark, segd, terms)) == before)
+
+    // A FRESH index dir is a legal append target (ADVICE r12): with no
+    // doclen relation there is nothing to overlap with, and the append
+    // creates the first segment instead of throwing path-not-found.
+    val fresh = java.nio.file.Files.createTempDirectory("bm25fresh").toString + "/idx"
+    Bm25.appendToIndex(docs.filter(col("doc_id") <= 7), "text", "doc_id", fresh)
+    Bm25.appendToIndex(docs.filter(col("doc_id") > 7), "text", "doc_id", fresh)
+    assert(rows(Bm25.scoreFromIndex(spark, fresh, terms)) ==
+      rows(Bm25.score(docs, "text", "doc_id", terms)))
   }
 }

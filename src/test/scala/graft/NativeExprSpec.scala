@@ -173,4 +173,75 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(JaroWinkler.compute(UTF8String.fromString("martha"),
       UTF8String.fromString("marhta")) == 0.9611111111111111)
   }
+
+  // Shared PQ scaffolding for the two parity tests below: a real trained
+  // codebook on the fixture, the rebuilt subvector frame, and the r12
+  // CASE/HOF formulations as the bitwise reference (the forms Pq.scala
+  // used before the native expressions — kept here so parity against
+  // them stays regression-gated).
+  private val PqDim = 64; private val PqM = 8
+  private val PqSubLen = PqDim / PqM; private val PqKsub = 16
+
+  private lazy val pqFix = {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (_, cents) = graft.operators.Pq.pqModel(
+      emb, "embedding", "vec_id", PqDim, PqM, PqKsub, iters = 2)
+    val bySub = cents.groupBy(_._1).map { case (j, a) =>
+      j -> a.map(t => (t._2, t._3)).sortBy(_._1)
+    }
+    val sv = emb.select(col("vec_id").as("id"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("sub"),
+      col("embedding").as("_v"))
+      .select(col("id"), col("sub"),
+        transform(slice(col("_v"), col("sub") * PqSubLen + 1, lit(PqSubLen)),
+          x => x.cast("double")).as("subvec"))
+    val cellsArr = Array.tabulate(PqM)(j => bySub(j).map(_._1))
+    val centsArr = Array.tabulate(PqM)(j => bySub(j).map(_._2.toArray))
+    (emb, sv, bySub, cellsArr, centsArr)
+  }
+
+  test("PqArgminCell native == CASE/HOF formulation on a trained codebook") {
+    val (_, sv, bySub, cellsArr, centsArr) = pqFix
+    def bestHof(j: Int) = {
+      val scored = bySub(j).map { case (cell, cvec) =>
+        struct((-graft.operators.Pq.sqDist(col("subvec"), typedlit(cvec))).as("negd"),
+          lit(-cell).as("negcell"))
+      }
+      -array_max(array(scored.toIndexedSeq: _*)).getField("negcell")
+    }
+    val hofCell = (0 until PqM).foldRight(lit(-1L): org.apache.spark.sql.Column)(
+      (j, els) => when(col("sub") === j, bestHof(j)).otherwise(els))
+    val diff = sv.select(
+      org.apache.spark.sql.graft.PqArgminCell(
+        col("sub"), col("subvec"), cellsArr, centsArr).as("native"),
+      hofCell.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("PqAdcScore native == CASE/HOF formulation on real codes x queries") {
+    val (emb, _, bySub, cellsArr, centsArr) = pqFix
+    val (codes, _) = graft.operators.Pq.pqModel(
+      emb, "embedding", "vec_id", PqDim, PqM, PqKsub, iters = 2)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("_qv"))
+    def dpHof(j: Int) = {
+      val qsub = slice(col("_qv"), j * PqSubLen + 1, PqSubLen)
+      bySub(j).foldRight(lit(0.0): org.apache.spark.sql.Column) {
+        case ((cell, cvec), els) =>
+          when(element_at(col("codes"), j + 1) === cell,
+            Similarity.dotHof(qsub, typedlit(cvec))).otherwise(els)
+      }
+    }
+    val hofScore = (0 until PqM).foldLeft(lit(0.0): org.apache.spark.sql.Column)(
+      (acc, j) => acc + dpHof(j))
+    val diff = codes.join(q, col("vec_id") =!= col("query_id"))
+      .select(
+        org.apache.spark.sql.graft.PqAdcScore(
+          col("codes"), col("_qv"), cellsArr, centsArr, PqSubLen).as("native"),
+        hofScore.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
 }

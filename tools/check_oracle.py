@@ -42,6 +42,13 @@ def connect(sf_dir: str):
 
 def main(sf_dir: str, out_dir: str, only=None, skip=None) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # A typo in --only/--skip must not silently skip everything and
+    # print a false-green "0/0 match": reject names not in the map.
+    for flag, vals in (("--only", only), ("--skip", skip)):
+        unknown = sorted(vals - oracle.keys()) if vals else []
+        if unknown:
+            print(f"ERROR: {flag} names not in oracle_sql.json: {unknown}")
+            return 2
     failures = skipped = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
@@ -90,12 +97,19 @@ def main(sf_dir: str, out_dir: str, only=None, skip=None) -> int:
     ran = len(oracle) - skipped
     note = f" ({skipped} not dumped or filtered, skipped)" if skipped else ""
     print(f"\n{ran - failures}/{ran} oracle queries match{note}")
+    if ran == 0:
+        # "0/0 match" is not a pass — nothing was actually compared
+        # (e.g. Verify dumped to a different dir, or filters excluded all).
+        print("ERROR: zero queries ran — nothing was verified")
+        return 2
     return 1 if failures else 0
 
 
 def parse_listarg(argv, flag):
     if flag in argv:
         i = argv.index(flag)
+        if i + 1 >= len(argv):
+            sys.exit(f"ERROR: {flag} requires a comma-separated value")
         vals = set(argv[i + 1].split(","))
         del argv[i:i + 2]
         return vals
