@@ -166,6 +166,11 @@ object Bench {
     // failLast: elapsed + error from the latest failing pass (reported
     // only while no pass has succeeded).
     val okBest = mutable.Map[String, Double]()
+    // Worst successful time — paired with okBest to surface queries that
+    // get SLOWER when warm (r13: the q_token_budget cache-release bug ran
+    // 4 s cold / 20 s on every later pass, and the min-of-2 protocol
+    // reported the healthy 4 s for three rounds).
+    val okWorst = mutable.Map[String, Double]()
     val failLast = mutable.Map[String, (Double, String)]()
     val coldTimes = mutable.Map[String, Double]()
     var passesDone = 0
@@ -201,6 +206,56 @@ object Bench {
         .map(_.getUsage.getUsed).sum / (1024 * 1024)
     def loadedClasses(): Long =
       ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
+    // JIT code-cache occupancy (r13): a full code cache makes the JIT
+    // stop compiling (or flush hot methods) and explode-/HOF-heavy
+    // operators silently run interpreted — a candidate mechanism for
+    // the in-suite-only sf1.0 slowdowns that gc/old-gen alone cannot
+    // explain. Sums the segmented CodeHeap pools (non-nmethods,
+    // profiled, non-profiled).
+    def codeCacheUsedMb(): Long =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    // Per-segment occupancy vs cap: the JIT stops compiling when a
+    // SEGMENT fills (non-profiled holds C2 code, profiled holds C1),
+    // which the summed total hides — printed as used/max per segment so
+    // a sporadic "compiler gave up, hot query ran interpreted" episode
+    // is attributable post-hoc.
+    def codeHeapDetail(): String =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map { p =>
+          val tag = p.getName.replace("CodeHeap '", "").replace("'", "")
+            .replace("non-nmethods", "nn").replace("non-profiled nmethods", "np")
+            .replace("profiled nmethods", "pr")
+          s"$tag ${p.getUsage.getUsed / (1024 * 1024)}/${p.getUsage.getMax / (1024 * 1024)}"
+        }.mkString(",")
+    // JIT compile-time delta per query: a query whose wall is dominated
+    // by C2 compiling its (large) generated whole-stage code shows
+    // jit ≈ wall here; a query running interpreted because the JIT gave
+    // up (full code cache) shows jit ≈ 0 with high wall.
+    def jitMillis(): Long = {
+      val c = ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
+    // Execution-memory-squeeze telemetry: total bytes spilled to disk
+    // across all tasks, accumulated per query via a listener. A hash
+    // aggregate that degrades to sort+spill in-suite (storage pool
+    // occupied by accumulated broadcasts/cache) shows here directly.
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+            peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max _)
+          }
+        }
+      })
     def probeCanary(): Unit = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: ANSI mode throws on long-sum overflow. Sized
@@ -241,8 +296,20 @@ object Bench {
       // queries — tooling keying on one flag could not tell a red run
       // from a green one. `ok` is the machine-checkable green bit.
       val ok = complete && errors.isEmpty
+      // Queries whose worst WARM pass (pass ≥ 2) is ≥2× their cold pass
+      // AND ≥2 s absolute — i.e. the query got SLOWER after its own
+      // first run. The min protocol reports the best pass, so this
+      // state-left-behind class (the r13 q_token_budget cache-release
+      // bug: 4 s cold, 20 s every warm pass) is otherwise invisible in
+      // the artifact. Value is worst-warm/cold.
+      val warmRegr = okWorst.keys.toSeq.sorted.flatMap { n =>
+        val w = okWorst(n)
+        val cold = coldTimes.getOrElse(n, w)
+        if (w >= 2 * cold && w >= 2.0)
+          Some(jsonStr(n) + ":" + num(w / math.max(cold, 1e-9), 1)) else None
+      }.mkString("{", ",", "}")
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"protocol":"min2+warmup"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"warm_regressions":$warmRegr,"protocol":"min2+warmup"}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -279,6 +346,9 @@ object Bench {
       for ((name, idx) <- selected.zipWithIndex) {
         if (idx % 10 == 0) probeCanary()
         val gc0 = gcMillis()
+        val jit0 = jitMillis()
+        val spill0 = spillBytes.get()
+        peakExecMem.set(0L)
         val t0 = System.nanoTime()
         val err =
           try { registry(name)(spark, sfDir).count(); None }
@@ -289,7 +359,12 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (pass == 1) coldTimes(name) = sec
         err match {
-          case None => okBest(name) = math.min(sec, okBest.getOrElse(name, sec))
+          case None =>
+            okBest(name) = math.min(sec, okBest.getOrElse(name, sec))
+            // Warm passes only: pass 1 is expected to be the slow one
+            // (codegen+JIT), so it must not trip the regression flag.
+            if (pass > 1)
+              okWorst(name) = math.max(sec, okWorst.getOrElse(name, sec))
           case Some(msg) => failLast(name) = (sec, msg)
         }
         // Execution-order trace on stderr (stdout carries only JSON):
@@ -298,7 +373,16 @@ object Bench {
         // after it; cls = cumulative loaded classes (codegen growth) —
         // the accumulated-JVM-state telemetry for the in-suite-vs-solo
         // anomaly (verdict r12 #2).
-        System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s  gc=${gcMillis() - gc0}%5d ms old=${oldGenUsedMb()}%6d MB cls=${loadedClasses()}%7d${err.fold("")(" ERROR " + _)}")
+        System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s  gc=${gcMillis() - gc0}%5d ms jit=${jitMillis() - jit0}%6d ms old=${oldGenUsedMb()}%6d MB cls=${loadedClasses()}%7d cc=${codeCacheUsedMb()}%4d MB [${codeHeapDetail()}] spill=${(spillBytes.get() - spill0) / (1024 * 1024)}%6d MB peakExec=${peakExecMem.get() / (1024 * 1024)}%6d MB${err.fold("")(" ERROR " + _)}")
+        // Accumulated-state experiment knob (r13): force a full GC (and
+        // with it ContextCleaner weak-ref processing + class unloading)
+        // every N queries. If the in-suite anomaly is accumulated JVM
+        // state, this restores solo-like times at a measurable
+        // per-probe cost; the driver never sets it, so the reported
+        // protocol is unchanged.
+        sys.env.get("SPARK_GRAFT_BENCH_GC_EVERY").map(_.toInt)
+          .filter(n => n > 0 && (idx + 1) % n == 0)
+          .foreach { _ => System.gc() }
         emit(complete = false)
       }
       passesDone = pass

@@ -153,6 +153,17 @@ object Curriculum {
     // codegen (80 s). The columnar cache computes scoring once, every
     // consumer — including the broadcast's constraint filter — reads
     // the cached column.
+    // Release the PREVIOUS call's cache BEFORE persisting the new frame
+    // (r13 fix). A repeat invocation on the same inputs builds an
+    // IDENTICAL canonicalized plan, and Spark's CacheManager keys cache
+    // entries by that plan — so the old persist-then-release order made
+    // the new persist a no-op re-registration and the release then
+    // dropped the shared entry, leaving every pass after the first
+    // UNCACHED: each consumer re-ran the full scoring (the exact
+    // no-barrier failure mode documented below — measured 4.0 s pass 1
+    // → 19–21 s every later pass at sf0.1, reproducible, and masked by
+    // the bench's min-of-2 protocol until the per-pass trace existed).
+    releaseBudgetCache()
     val scored = docs
       .withColumn("_w", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
@@ -160,7 +171,6 @@ object Curriculum {
         TextAnalysis.tokenCountOf(col("_w")).as("n_tokens"))
       .withColumn("_b", floor(col("q_score") * BudgetGrid).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    releaseBudgetCache()
     lastBudgetCache.set(scored)
     val bw = Window.orderBy(col("_b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
