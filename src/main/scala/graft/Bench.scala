@@ -309,7 +309,7 @@ object Bench {
           Some(jsonStr(n) + ":" + num(w / math.max(cold, 1e-9), 1)) else None
       }.mkString("{", ",", "}")
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"warm_regressions":$warmRegr,"protocol":"min2+warmup"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"warm_regressions":$warmRegr,"protocol":"min2+warmup+gc25"}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -374,15 +374,24 @@ object Bench {
         // the accumulated-JVM-state telemetry for the in-suite-vs-solo
         // anomaly (verdict r12 #2).
         System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s  gc=${gcMillis() - gc0}%5d ms jit=${jitMillis() - jit0}%6d ms old=${oldGenUsedMb()}%6d MB cls=${loadedClasses()}%7d cc=${codeCacheUsedMb()}%4d MB [${codeHeapDetail()}] spill=${(spillBytes.get() - spill0) / (1024 * 1024)}%6d MB peakExec=${peakExecMem.get() / (1024 * 1024)}%6d MB${err.fold("")(" ERROR " + _)}")
-        // Accumulated-state experiment knob (r13): force a full GC (and
-        // with it ContextCleaner weak-ref processing + class unloading)
-        // every N queries. If the in-suite anomaly is accumulated JVM
-        // state, this restores solo-like times at a measurable
-        // per-probe cost; the driver never sets it, so the reported
-        // protocol is unchanged.
-        sys.env.get("SPARK_GRAFT_BENCH_GC_EVERY").map(_.toInt)
-          .filter(n => n > 0 && (idx + 1) % n == 0)
-          .foreach { _ => System.gc() }
+        // Periodic forced GC (r13, default every 25 queries; env
+        // overrides, 0 disables). ROOT CAUSE of the in-suite slowdowns
+        // (r12's q_content_chunks/q_ess, r13's six warm_regressions at
+        // sf10): Spark cleans broadcast/shuffle/RDD state through
+        // ContextCleaner WEAK REFERENCES, which are only enqueued when
+        // a GC actually runs — and G1 on a large mostly-idle heap can
+        // go many minutes without one (spark.cleaner.periodicGC.interval
+        // defaults to 30 min, longer than a whole suite run). The
+        // backlog grew old-gen to 31 GB and inflated state-heavy gates
+        // up to 12.9× at sf10; with a forced GC between queries the
+        // same suite ran with old-gen 2–5 GB, zero warm regressions,
+        // q_dedup_simhash 30.6 → 2.4 s, q_ann_ivfpq 48 → 8.2 s
+        // (BASELINE.md round 13 A/B). Production posture: long-lived
+        // high-throughput driver JVMs should lower
+        // spark.cleaner.periodicGC.interval instead.
+        val gcEvery = sys.env.get("SPARK_GRAFT_BENCH_GC_EVERY")
+          .map(_.toInt).getOrElse(25)
+        if (gcEvery > 0 && (idx + 1) % gcEvery == 0) System.gc()
         emit(complete = false)
       }
       passesDone = pass
