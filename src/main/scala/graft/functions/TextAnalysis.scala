@@ -198,11 +198,23 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: left fold of
-    * `acc·31 + ascii(char) mod p` over the characters. `split(c, "")`
-    * yields zero-width artifacts at the ends in some engines — the
-    * `filter(_ ≠ "")` makes both sides see exactly the characters.
+    * `acc·31 + codePoint(char) mod p` over the characters. Native
+    * codegen expression since r13 (`PolyFingerprint`) — the prior HOF
+    * formulation ([[fingerprintHof]], kept as the parity reference)
+    * paid one interpreted lambda eval per character per row and was
+    * the surface whose throughput depended on sticky per-JVM JIT
+    * state (BASELINE.md r13 bimodal-run investigation).
     */
   def fingerprint(c: Column): Column =
+    org.apache.spark.sql.graft.PolyFingerprint(c)
+
+  /** The original HOF formulation of [[fingerprint]] — retained ONLY as
+    * the cross-formulation parity reference for NativeExprSpec
+    * (`split(c, "")` yields zero-width artifacts at the ends in some
+    * engines — the `filter(_ ≠ "")` makes both sides see exactly the
+    * characters).
+    */
+  private[graft] def fingerprintHof(c: Column): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),

@@ -35,11 +35,13 @@ object ContentChunks {
     */
   def boundariesOf(text: Column, w: Int, divisor: Int): Column = {
     val n = length(text)
-    val candidates = when(n >= w, sequence(lit(w), n))
-      .otherwise(array().cast("array<int>"))
-    val bp = filter(candidates, i =>
-      pmod(TextAnalysis.fingerprint(text.substr(i - (w - 1), lit(w))),
-        lit(divisor.toLong)) === 0)
+    // Native windowed scan since r13 (CdcBoundaries): the prior HOF
+    // (`filter(sequence(w,n), i → fingerprint(substr…) % divisor = 0)`)
+    // paid interpreted lambda eval per window PER CHARACTER — the
+    // dominant cost of q_content_chunks and the operator hit hardest
+    // by the sticky-JIT failure mode (BASELINE.md r13). Bit-identical
+    // boundary positions (NativeExprSpec parity, oracle unchanged).
+    val bp = org.apache.spark.sql.graft.CdcBoundaries(text, w, divisor.toLong)
     // close the final chunk at n unless n is already a boundary (the
     // prepended-0 guard keeps element_at total on empty bp)
     when(element_at(concat(array(lit(0)), bp), -1) === n, bp)

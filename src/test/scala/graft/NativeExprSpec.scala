@@ -244,4 +244,40 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("native") =!= col("hof")).count()
     assert(diff == 0L)
   }
+
+  test("PolyFingerprint native == HOF formulation on documents + edge strings") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+    val edge = Seq("", "a", " ", "  two  spaces  ", "h\u00e9llo w\u00f6rld",
+      "\u4e2d\u6587 \u5206\u8bcd", "tab\tand\nnewline",
+      "z" * 500).toDF("text")
+    val diff = docs.unionByName(edge).select(
+      graft.functions.TextAnalysis.fingerprint(col("text")).as("native"),
+      graft.functions.TextAnalysis.fingerprintHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("CdcBoundaries native == HOF filter-over-windows on documents + edge strings") {
+    import spark.implicits._
+    val w = 8; val divisor = 32
+    // The pre-r13 HOF formulation, reconstructed as the parity reference.
+    def hofB(text: org.apache.spark.sql.Column) = {
+      val n = length(text)
+      val candidates = when(n >= w, sequence(lit(w), n))
+        .otherwise(array().cast("array<int>"))
+      filter(candidates, i =>
+        pmod(graft.functions.TextAnalysis.fingerprintHof(
+          text.substr(i - (w - 1), lit(w))), lit(divisor.toLong)) === 0)
+    }
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+    val edge = Seq("", "short", "exactly8", "exactly8!",
+      "h\u00e9llo w\u00f6rld h\u00e9llo w\u00f6rld", "z" * 100).toDF("text")
+    val diff = docs.unionByName(edge).select(
+      org.apache.spark.sql.graft.CdcBoundaries(col("text"), w, divisor.toLong)
+        .as("native"),
+      hofB(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
 }
