@@ -240,18 +240,25 @@ object Bench {
       if (c != null && c.isCompilationTimeMonitoringSupported)
         c.getTotalCompilationTime else 0L
     }
-    // Execution-memory-squeeze telemetry: total bytes spilled to disk
-    // across all tasks, accumulated per query via a listener. A hash
-    // aggregate that degrades to sort+spill in-suite (storage pool
-    // occupied by accumulated broadcasts/cache) shows here directly.
-    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    // Execution-memory-squeeze telemetry: bytes spilled across all
+    // tasks, accumulated per query via a listener; disk and memory
+    // spill are tracked separately (disk = the expensive one; memory =
+    // "would have spilled" pressure). ATTRIBUTION SKEW (ADVICE r13):
+    // the listener bus is async and these counters are read (and
+    // peakExecMem reset) synchronously around each query, so the tail
+    // of one query's task-end events can land in the NEXT query's
+    // trace line — treat per-query spill/peakExec as ±one-line
+    // approximate; the per-pass totals are exact.
+    val diskSpillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val memSpillBytes = new java.util.concurrent.atomic.AtomicLong()
     val peakExecMem = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
           if (m != null) {
-            spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+            diskSpillBytes.addAndGet(m.diskBytesSpilled)
+            memSpillBytes.addAndGet(m.memoryBytesSpilled)
             peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max _)
           }
         }
@@ -302,9 +309,14 @@ object Bench {
       // state-left-behind class (the r13 q_token_budget cache-release
       // bug: 4 s cold, 20 s every warm pass) is otherwise invisible in
       // the artifact. Value is worst-warm/cold.
+      // coldTimes only holds SUCCESSFUL pass-1 runs (a query that
+      // errored cold and succeeded warm must not have its ratio
+      // computed against a failed-run elapsed — ADVICE r13); a query
+      // with no successful cold run falls back to its best successful
+      // time, so the ratio always compares successful executions.
       val warmRegr = okWorst.keys.toSeq.sorted.flatMap { n =>
         val w = okWorst(n)
-        val cold = coldTimes.getOrElse(n, w)
+        val cold = coldTimes.getOrElse(n, okBest.getOrElse(n, w))
         if (w >= 2 * cold && w >= 2.0)
           Some(jsonStr(n) + ":" + num(w / math.max(cold, 1e-9), 1)) else None
       }.mkString("{", ",", "}")
@@ -342,12 +354,20 @@ object Bench {
       System.err.println(f"[bench] warmup $warmupSec%.2f s (discarded)")
     }
 
+    // Periodic forced GC cadence (r13; see the comment at the call
+    // site). Parsed ONCE, guarded: a malformed env value falls back to
+    // the default instead of aborting the whole bench pass mid-run
+    // with an uncaught NumberFormatException (ADVICE r13).
+    val gcEvery = sys.env.get("SPARK_GRAFT_BENCH_GC_EVERY")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(25)
+
     for (pass <- 1 to iters) {
       for ((name, idx) <- selected.zipWithIndex) {
         if (idx % 10 == 0) probeCanary()
         val gc0 = gcMillis()
         val jit0 = jitMillis()
-        val spill0 = spillBytes.get()
+        val dspill0 = diskSpillBytes.get()
+        val mspill0 = memSpillBytes.get()
         peakExecMem.set(0L)
         val t0 = System.nanoTime()
         val err =
@@ -357,7 +377,7 @@ object Bench {
               Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (pass == 1) coldTimes(name) = sec
+        if (pass == 1 && err.isEmpty) coldTimes(name) = sec
         err match {
           case None =>
             okBest(name) = math.min(sec, okBest.getOrElse(name, sec))
@@ -373,7 +393,7 @@ object Bench {
         // after it; cls = cumulative loaded classes (codegen growth) —
         // the accumulated-JVM-state telemetry for the in-suite-vs-solo
         // anomaly (verdict r12 #2).
-        System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s  gc=${gcMillis() - gc0}%5d ms jit=${jitMillis() - jit0}%6d ms old=${oldGenUsedMb()}%6d MB cls=${loadedClasses()}%7d cc=${codeCacheUsedMb()}%4d MB [${codeHeapDetail()}] spill=${(spillBytes.get() - spill0) / (1024 * 1024)}%6d MB peakExec=${peakExecMem.get() / (1024 * 1024)}%6d MB${err.fold("")(" ERROR " + _)}")
+        System.err.println(f"[bench] pass $pass $name%-28s $sec%8.2f s  gc=${gcMillis() - gc0}%5d ms jit=${jitMillis() - jit0}%6d ms old=${oldGenUsedMb()}%6d MB cls=${loadedClasses()}%7d cc=${codeCacheUsedMb()}%4d MB [${codeHeapDetail()}] dspill=${(diskSpillBytes.get() - dspill0) / (1024 * 1024)}%6d MB mspill=${(memSpillBytes.get() - mspill0) / (1024 * 1024)}%6d MB peakExec=${peakExecMem.get() / (1024 * 1024)}%6d MB${err.fold("")(" ERROR " + _)}")
         // Periodic forced GC (r13, default every 25 queries; env
         // overrides, 0 disables). ROOT CAUSE of the in-suite slowdowns
         // (r12's q_content_chunks/q_ess, r13's six warm_regressions at
@@ -389,8 +409,6 @@ object Bench {
         // (BASELINE.md round 13 A/B). Production posture: long-lived
         // high-throughput driver JVMs should lower
         // spark.cleaner.periodicGC.interval instead.
-        val gcEvery = sys.env.get("SPARK_GRAFT_BENCH_GC_EVERY")
-          .map(_.toInt).getOrElse(25)
         if (gcEvery > 0 && (idx + 1) % gcEvery == 0) System.gc()
         emit(complete = false)
       }

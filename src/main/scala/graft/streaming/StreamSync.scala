@@ -161,19 +161,21 @@ object StreamSync {
     */
   val SentinelKey: Long = Long.MinValue
 
-  /** State/shuffle parallelism for a bounded replay. MEASURED decision
-    * (r13, verdict #6): scaling this with replayed row count (~64 k
-    * rows/partition, so 16–31 partitions at the sf1.0 fixture) was
-    * A/B-tested against the fixed 4 on the full streaming family at
-    * sf1.0 and LOST on every stateful gate — dedup addBatch 8.5 s @ 4
-    * partitions vs 15.9–41 s @ 31, sessions 7.0 s vs 13.8 s,
+  /** State/shuffle parallelism for a bounded replay — FIXED at 4 by a
+    * MEASURED decision (r13, verdict #6): scaling this with replayed
+    * row count (~64 k rows/partition, so 16–31 partitions at the sf1.0
+    * fixture) was A/B-tested against the fixed 4 on the full streaming
+    * family at sf1.0 and LOST on every stateful gate — dedup addBatch
+    * 8.5 s @ 4 partitions vs 15.9–41 s @ 31, sessions 7.0 s vs 13.8 s,
     * change_counts 5.8 s vs 21.1 s (per-batch `[stream]` telemetry,
     * BASELINE.md round 13). A one-batch bounded replay is dominated by
     * per-partition state-store commit/maintenance, not by CPU, so more
-    * partitions only multiply that overhead. Kept as a function so the
-    * measurement and its conclusion live next to the knob.
+    * partitions only multiply that overhead. A constant (r14, ADVICE):
+    * the former `replayPartitions(n)` signature implied row-count
+    * scaling it deliberately does not do, and feeding its ignored
+    * argument cost the file-source path an extra count() job.
     */
-  private def replayPartitions(n: Long): Int = 4
+  private val ReplayPartitions: Int = 4
 
   /** Per-batch timing telemetry (VERDICT r12 #6): after a replay
     * drains, print each micro-batch's trigger wall and operator
@@ -211,7 +213,7 @@ object StreamSync {
   private def stageChunkedLogDistributed(df: DataFrame, orderCol: String,
                                          nChunks: Int,
                                          sentinels: Seq[org.apache.spark.sql.Row] = Nil)
-      : (String, Seq[String], Long) = {
+      : (String, Seq[String]) = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     val spark = df.sparkSession
     val schema = df.schema
@@ -250,10 +252,7 @@ object StreamSync {
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
     }
-    // Staged row count for [[replayPartitions]]: parquet count() is a
-    // footer-only read, no data scan.
-    val staged = spark.read.parquet(watch.toString).count()
-    (watch.toString, Seq(root.toString), staged)
+    (watch.toString, Seq(root.toString))
   }
 
   /** FILE-SOURCE streaming e2e: [[readChangeLog]] over a staged
@@ -284,11 +283,11 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), SentinelChangeType),
       org.apache.spark.sql.Row(
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
-    val (watchDir, tempRoots, stagedRows) =
+    val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "_commit_timestamp", nChunks, sentinels)
     val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(stagedRows).toString)
+      ReplayPartitions.toString)
     val name = s"graft_replay_filecounts_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -321,11 +320,11 @@ object StreamSync {
       .add(keyCol, "long").add(valueCol, "double")
       .add(graft.operators.ChangeLog.ChangeType, "string")
       .add(graft.operators.ChangeLog.CommitTs, "timestamp")
-    val (watchDir, tempRoots, stagedRows) = stageChunkedLogDistributed(
+    val (watchDir, tempRoots) = stageChunkedLogDistributed(
       input, graft.operators.ChangeLog.CommitTs, nChunks)
     val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(stagedRows).toString)
+      ReplayPartitions.toString)
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_file_agg_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_file_agg_ckpt").toString
@@ -370,14 +369,13 @@ object StreamSync {
     require(rows.forall(_._1 != SentinelKey), s"key $SentinelKey is reserved")
     // Dedicated session: stateful streaming cost scales with the state
     // store's partition count (one store instance committed per shuffle
-    // partition per micro-batch), so gate-scale replays keep few
-    // partitions while large-fixture replays scale up with the row
-    // count ([[replayPartitions]]). newSession shares the SparkContext
-    // but isolates the conf, so the caller's shuffle parallelism is
-    // untouched.
+    // partition per micro-batch), so replays run at the fixed
+    // [[ReplayPartitions]] = 4 (the r13 A/B measurement at the knob).
+    // newSession shares the SparkContext but isolates the conf, so the
+    // caller's shuffle parallelism is untouched.
     val spark = events.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
@@ -429,7 +427,7 @@ object StreamSync {
         s"$idCol alone is only oracle-equivalent for unique ids")
     val spark = events.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
@@ -470,7 +468,7 @@ object StreamSync {
     }
     val spark = events.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
@@ -559,7 +557,7 @@ object StreamSync {
       s"change type $SentinelChangeType is reserved")
     val spark = log.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
@@ -611,7 +609,7 @@ object StreamSync {
     val dRows = rowsOf(dims)
     val spark = facts.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(fRows.size.toLong + dRows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
@@ -675,7 +673,7 @@ object StreamSync {
     }
     val spark = events.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // The static side must live in the REPLAY session (a DataFrame is
@@ -818,7 +816,7 @@ object StreamSync {
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
     val spark = log.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scd2_state")
@@ -914,7 +912,7 @@ object StreamSync {
       s"value $SentinelDistinctValue is reserved")
     val spark = events.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
@@ -980,7 +978,7 @@ object StreamSync {
       s"value $SentinelDistinctValue is reserved")
     val spark = events.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
@@ -1079,7 +1077,7 @@ object StreamSync {
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
     val spark = log.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(rows.size.toLong).toString)
+      ReplayPartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_agg_state")
@@ -1121,11 +1119,11 @@ object StreamSync {
       col("_change_type").cast("string"))
     val schema = new StructType()
       .add("event_id", "long").add("_change_type", "string")
-    val (watchDir, tempRoots, stagedRows) =
+    val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "event_id", nChunks)
     val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
-      replayPartitions(stagedRows).toString)
+      ReplayPartitions.toString)
     val outRoot = java.nio.file.Files.createTempDirectory("graft_file_sink")
     val outDir = outRoot.resolve("out").toString
     val ckpt = outRoot.resolve("ckpt").toString
