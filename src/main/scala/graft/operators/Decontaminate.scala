@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * a NARROW scan → explode → broadcast-hash semi-join → per-doc count.
   * No all-to-all shuffle touches the 100 TB side until the final
   * per-doc aggregate (hash partial agg on doc id, map-side combined).
+  *
+  * Since r14 the gram keys are [[Dedup.shingleFps]] fingerprints (8-byte
+  * longs) rather than shingle strings: the broadcast relation, the probe
+  * keys, and the explode payload all shrink ~10×, and the gram strings
+  * are never materialized. The duck twins apply the identical hash
+  * ([[Dedup.duckShingleFps]]), so the counts stay exact between engines
+  * (shared collisions, ~1e3 grams vs a 1e9 space).
   */
 object Decontaminate {
 
@@ -28,7 +35,7 @@ object Decontaminate {
               evalPred: Column, n: Int): DataFrame = {
     val sh = Dedup.rebalance(docs)
       .select(col(idCol), evalPred.as("_is_eval"),
-        Dedup.shingles(col(textCol), n).as("_g"))
+        Dedup.shingleFps(col(textCol), n).as("_g"))
     val evalGrams = sh.filter(col("_is_eval"))
       .select(explode(col("_g")).as("gram")).distinct()
     val trainGrams = sh.filter(!col("_is_eval"))
@@ -47,7 +54,7 @@ object Decontaminate {
                   evalPredSql: String, n: Int): String =
     s"""WITH d AS (SELECT *, ${graft.functions.TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
        |sh AS (SELECT $idCol, ($evalPredSql) AS is_eval,
-       |              ${Dedup.duckShingles(textCol, n)} AS g FROM d),
+       |              ${Dedup.duckShingleFps(textCol, n)} AS g FROM d),
        |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE is_eval),
        |tr AS (SELECT $idCol, unnest(g) AS gram FROM sh WHERE NOT is_eval)
        |SELECT $idCol, count(*) AS n_overlap
@@ -77,7 +84,7 @@ object Decontaminate {
                       threshold: Double): DataFrame = {
     val sh = Dedup.rebalance(docs)
       .select(col(idCol), evalPred.as("_is_eval"),
-        Dedup.shingles(col(textCol), n).as("_g"))
+        Dedup.shingleFps(col(textCol), n).as("_g"))
     val evalPosts = sh.filter(col("_is_eval"))
       .select(col(idCol).as("eval_id"), size(col("_g")).as("_ne"),
         explode(col("_g")).as("gram"))
@@ -98,7 +105,7 @@ object Decontaminate {
                           threshold: Double): String =
     s"""WITH d AS (SELECT *, ${graft.functions.TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
        |sh AS (SELECT $idCol, ($evalPredSql) AS is_eval,
-       |              ${Dedup.duckShingles(textCol, n)} AS g FROM d),
+       |              ${Dedup.duckShingleFps(textCol, n)} AS g FROM d),
        |ev AS (SELECT $idCol AS eval_id, len(g) AS ne, unnest(g) AS gram
        |       FROM sh WHERE is_eval),
        |tr AS (SELECT $idCol, unnest(g) AS gram FROM sh WHERE NOT is_eval),

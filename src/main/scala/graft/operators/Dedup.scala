@@ -80,14 +80,40 @@ object Dedup {
       .otherwise(array(trim(c)))
   }
 
+  /** HASHED shingle set: the sorted-distinct [[TextAnalysis.fingerprint]]
+    * values of [[shingles]], as one native codegen expression
+    * ([[org.apache.spark.sql.graft.ShingleFingerprints]] — the shingle
+    * strings are never materialized). This is the representation every
+    * exact-Jaccard consumer carries since r14 (VERDICT #1): pair
+    * verification becomes a primitive-long merge scan
+    * ([[jaccardSorted]]) and postings join keys become 8-byte longs.
+    * Parity: NativeExprSpec pins it bitwise against
+    * `sort_array(array_distinct(transform(shingles, fingerprint)))`;
+    * every DuckDB twin applies the identical hash so collisions (rare:
+    * 1e2–1e3 shingles vs a 1e9 space) are SHARED, keeping gates exact.
+    */
+  def shingleFps(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ShingleFingerprints(c, n)
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. Integer
     * sizes → one double division: engine-exact, no fp-order drift.
+    * Since r14 the hot paths carry [[shingleFps]] arrays and use
+    * [[jaccardSorted]]; this built-in formulation remains for
+    * generic/string arrays and as the NativeExprSpec parity reference.
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0.0, 0.0).otherwise(inter / union)
   }
+
+  /** Exact Jaccard of two SORTED-DISTINCT long arrays (the
+    * [[shingleFps]] contract): one native merge scan per pair —
+    * O(|a|+|b|) primitive compares, no per-pair set construction
+    * ([[org.apache.spark.sql.graft.JaccardSortedLongs]]).
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.JaccardSortedLongs(a, b)
 
   /** Exact dedup: keep the min-`idCol` row per distinct `textCol` value.
     * One shuffle (hash partial agg on md5(text)), no window/sort — the
@@ -150,11 +176,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double, maxDocId: Long): DataFrame = {
     val withSh = spreadBounded(df.filter(col(idCol) < maxDocId))
-      .select(col(idCol), shingles(col(textCol), n).as("_sh"))
+      .select(col(idCol), shingleFps(col(textCol), n).as("_sh"))
     val a = withSh.select(col(idCol).as("id_a"), col("_sh").as("_sha"))
     val b = withSh.select(col(idCol).as("id_b"), col("_sh").as("_shb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccard(col("_sha"), col("_shb")), 6))
+      .withColumn("jaccard", round(jaccardSorted(col("_sha"), col("_shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -186,7 +212,7 @@ object Dedup {
                        n: Int, bins: Int, maxDocId: Long,
                        dfCap: Int = DefaultMaxBucketSize): DataFrame = {
     val withSh = spreadBounded(df.filter(col(idCol) < maxDocId))
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
+      .select(col(idCol).as("id"), shingleFps(col(textCol), n).as("_sh"))
       .withColumn("_n", size(col("_sh")))
     val posts = withSh
       .select(col("id"), col("_n"), explode(col("_sh")).as("_s"))
@@ -215,7 +241,7 @@ object Dedup {
   def duckJaccardHistogram(tbl: String, textCol: String, idCol: String,
                            n: Int, bins: Int, maxDocId: Long,
                            dfCap: Int = DefaultMaxBucketSize): String =
-    s"""WITH t AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+    s"""WITH t AS (SELECT $idCol AS id, ${duckShingleFps(textCol, n)} AS sh
        |           FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w
        |                 FROM $tbl WHERE $idCol < $maxDocId)),
        |e AS (SELECT id, len(sh) AS nsh, unnest(sh) AS s FROM t),
@@ -245,6 +271,16 @@ object Dedup {
       s"ELSE [trim($textCol)] END"
   }
 
+  /** DuckDB rendering of [[shingleFps]]: the IDENTICAL per-shingle
+    * fingerprint applied to [[duckShingles]], distinct'd — so both
+    * engines hash-collapse the same (rare) collisions and the hashed
+    * Jaccard gates stay exact. No sort needed: every duck consumer is
+    * order-insensitive (list_intersect / unnest joins).
+    */
+  def duckShingleFps(textCol: String, n: Int): String =
+    s"list_distinct(list_transform(${duckShingles(textCol, n)}, " +
+      s"gsh -> ${TextAnalysis.duckFingerprint("gsh")}))"
+
   /** DuckDB rendering of [[jaccard]] over two shingle-array expressions. */
   def duckJaccard(a: String, b: String): String =
     s"round(CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0 " +
@@ -258,7 +294,7 @@ object Dedup {
     */
   def duckPairCtes(rel: String, textCol: String, idCol: String,
                    n: Int, where: String, p: String = ""): String =
-    s"""${p}t AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+    s"""${p}t AS (SELECT $idCol AS id, ${duckShingleFps(textCol, n)} AS sh
        |           FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $rel WHERE $where)),
        |${p}p AS (SELECT a.id AS id_a, b.id AS id_b,
        |        ${duckJaccard("a.sh", "b.sh")} AS jaccard
@@ -316,14 +352,17 @@ object Dedup {
     prefixExactJoin(docs, prefixes, threshold)
   }
 
-  /** Shared front half of the prefix-filter join: per-doc shingle sets
-    * plus the τ-prefix posting rows `(id, _len, _pos, _ps)` under the
-    * global rarest-first order (df ASC, shingle ASC).
+  /** Shared front half of the prefix-filter join: per-doc HASHED
+    * shingle sets ([[shingleFps]]) plus the τ-prefix posting rows
+    * `(id, _len, _pos, _ps)` under the global rarest-first order
+    * (df ASC, fingerprint ASC — any consistent total order keeps the
+    * prefix filter lossless; the 8-byte key also shrinks the postings
+    * exchange vs the shingle strings it replaced in r14).
     */
   private def prefixPostings(df: DataFrame, textCol: String, idCol: String,
                              n: Int, threshold: Double): (DataFrame, DataFrame) = {
     val docs = rebalance(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
+      .select(col(idCol).as("id"), shingleFps(col(textCol), n).as("_sh"))
     val ex = docs.select(col("id"), explode(col("_sh")).as("_s"))
     val dfreq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
     // Global rarest-first total order: per doc, sort shingles by
@@ -363,7 +402,7 @@ object Dedup {
     cand
       .join(docs.select(col("id").as("id_a"), col("_sh").as("_sha")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("_sh").as("_shb")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("_sha"), col("_shb")), 6))
+      .withColumn("jaccard", round(jaccardSorted(col("_sha"), col("_shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -626,7 +665,7 @@ object Dedup {
     // triple the exchange payload at 100 TB. The verification join
     // recomputes them in a second narrow scan instead (CPU-for-network,
     // the right trade at scale).
-    val (shingled, members, banded) =
+    val (_, members, banded) =
       shingleSigBands(df, textCol, idCol, n, bands, rowsPerBand)
     val within = withinGroupPairs(members, "_skey")
     val capped = capBuckets(banded, Seq("band", "bkey"), maxBucketSize)
@@ -647,14 +686,18 @@ object Dedup {
     // different signature group) and each is already duplicate-free, so
     // no distinct pass is needed on the union.
     val cand = within.union(cross)
-    // Verify every candidate with exact Jaccard (re-join the shingle
-    // sets; identical MinHash signatures do NOT guarantee identical
-    // shingles, so within-group pairs are verified too).
-    val sh = shingled
+    // Verify every candidate with exact Jaccard (re-derive the HASHED
+    // shingle sets in a narrow scan; identical MinHash signatures do
+    // NOT guarantee identical shingles, so within-group pairs are
+    // verified too). The signature path keeps the STRING shingles
+    // (MinHashSig's xxhash64 stream is spec- and oracle-pinned); the
+    // verifier carries 8-byte fingerprints and merge-scans per pair.
+    val sh = rebalance(df)
+      .select(col(idCol).as("id"), shingleFps(col(textCol), n).as("_shf"))
     cand
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
-      .withColumn("jaccard", round(jaccard(col("_sha"), col("_shb")), 6))
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("_shf", "_sha"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("_shf", "_shb"), "id_b")
+      .withColumn("jaccard", round(jaccardSorted(col("_sha"), col("_shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -794,18 +837,23 @@ object Dedup {
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "bkey")
+    def shfps(df: DataFrame) = rebalance(df)
+      .select(col(idCol).as("id"), shingleFps(col(textCol), n).as("_shf"))
     val bsh = shingled(batch)
-    val csh = shingled(corpus)
-    val index = capBuckets(bandKeys(csh), Seq("band", "bkey"), maxBucketSize)
+    val index = capBuckets(bandKeys(shingled(corpus)), Seq("band", "bkey"),
+      maxBucketSize)
     val cand = bandKeys(bsh).as("b")
       .join(index.as("c"),
         col("b.band") === col("c.band") && col("b.bkey") === col("c.bkey"))
       .select(col("b.id").as("doc_id"), col("c.id").as("cid"))
       .distinct()
+    // Verification carries the HASHED shingle sets (merge-scan Jaccard,
+    // r14) in narrow re-scans; the banding path above keeps the string
+    // shingles MinHashSig is pinned to.
     val verified = cand
-      .join(bsh.select(col("id").as("doc_id"), col("_sh").as("_shb")), "doc_id")
-      .join(csh.select(col("id").as("cid"), col("_sh").as("_shc")), "cid")
-      .withColumn("j", round(jaccard(col("_shb"), col("_shc")), 6))
+      .join(shfps(batch).select(col("id").as("doc_id"), col("_shf").as("_shb")), "doc_id")
+      .join(shfps(corpus).select(col("id").as("cid"), col("_shf").as("_shc")), "cid")
+      .withColumn("j", round(jaccardSorted(col("_shb"), col("_shc")), 6))
       .filter(col("j") >= threshold)
     val best = verified.groupBy("doc_id").agg(
       min("cid").as("matched"),
@@ -823,10 +871,10 @@ object Dedup {
   def duckIndexDedup(tbl: String, textCol: String, idCol: String, n: Int,
                      threshold: Double, batchPred: String,
                      corpusPred: String): String =
-    s"""WITH bt AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+    s"""WITH bt AS (SELECT $idCol AS id, ${duckShingleFps(textCol, n)} AS sh
        |            FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w
        |                  FROM $tbl WHERE $batchPred)),
-       |ct AS (SELECT $idCol AS id, ${duckShingles(textCol, n)} AS sh
+       |ct AS (SELECT $idCol AS id, ${duckShingleFps(textCol, n)} AS sh
        |       FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w
        |             FROM $tbl WHERE $corpusPred)),
        |f AS (SELECT doc_id, cid, j FROM (

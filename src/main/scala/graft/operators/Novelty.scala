@@ -44,7 +44,7 @@ object Novelty {
     // documents containing the shingle, not occurrences — and the
     // per-doc denominator is just the array size (narrow, no explode).
     val base = Dedup.rebalance(docs)
-      .select(col(idCol), Dedup.shingles(col(textCol), n).as("_sh"))
+      .select(col(idCol), Dedup.shingleFps(col(textCol), n).as("_sh"))
       .withColumn("_n", size(col("_sh")).cast("long"))
       .filter(col("_n") > 0)
     val perDoc = base.select(col(idCol), col("_n"))
@@ -67,7 +67,7 @@ object Novelty {
   /** DuckDB oracle twin of [[crossDocDupFraction]]. */
   def duckCrossDocDupFraction(tbl: String, textCol: String, idCol: String,
                               n: Int): String =
-    s"""WITH s AS (SELECT $idCol, unnest(${Dedup.duckShingles(textCol, n)}) AS sh
+    s"""WITH s AS (SELECT $idCol, unnest(${Dedup.duckShingleFps(textCol, n)}) AS sh
        |           FROM (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl)),
        |d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1)
        |SELECT s.$idCol, count(*) AS n_shingles,
@@ -90,18 +90,16 @@ object Novelty {
     */
   def distinctNgramRatio(docs: DataFrame, textCol: String, srcCol: String,
                          n: Int): DataFrame = {
-    // RAW occurrence n-grams, deliberately NOT [[Dedup.shingles]] (which
-    // deduplicates per doc — right for Jaccard sets, wrong for a
-    // diversity ratio whose denominator is occurrences); docs shorter
-    // than n grams contribute nothing.
-    val toks = TextAnalysis.tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // RAW occurrence n-gram fingerprints, deliberately NOT
+    // [[Dedup.shingleFps]] (which deduplicates per doc — right for
+    // Jaccard sets, wrong for a diversity ratio whose denominator is
+    // occurrences); docs shorter than n grams contribute nothing.
+    // Native since r14 (NgramFingerprints): the prior HOF window
+    // builder paid interpreted lambda eval per gram.
     val sh = Dedup.rebalance(docs)
-      .select(col(srcCol).as("source"), explode(grams).as("_sh"))
-      .select(col("source"), TextAnalysis.fingerprint(col("_sh")).as("_h"))
+      .select(col(srcCol).as("source"),
+        explode(org.apache.spark.sql.graft.NgramFingerprints(
+          col(textCol), n)).as("_h"))
     sh.groupBy(col("source"), col("_h")).agg(count(lit(1)).as("_c"))
       .groupBy(col("source"))
       .agg(sum(col("_c")).as("n_grams"), count(lit(1)).as("n_distinct"))

@@ -414,10 +414,13 @@ object Sketches {
     */
   private def kmvUnionSample(docs: DataFrame, textCol: String, srcCol: String,
                              n: Int, k: Int): (DataFrame, DataFrame) = {
+    // Hashed-shingle explode (r14): ShingleFingerprints emits the
+    // per-shingle fingerprints directly — the shingle strings are never
+    // materialized, and the distinct on (src, h) sees the identical set
+    // (the duck twin hashes the same way).
     val st = Dedup.rebalance(docs)
       .select(col(srcCol).as("src"),
-        explode(Dedup.shingles(col(textCol), n)).as("sh"))
-      .select(col("src"), TextAnalysis.fingerprint(col("sh")).as("h"))
+        explode(Dedup.shingleFps(col(textCol), n)).as("h"))
       .distinct()
     val sk = st
       .withColumn("_rk", row_number().over(Window.partitionBy("src").orderBy("h")))
@@ -519,8 +522,7 @@ object Sketches {
                          srcCol: String, n: Int = 3): DataFrame = {
     val st = Dedup.rebalance(docs)
       .select(col(srcCol).as("src"),
-        explode(Dedup.shingles(col(textCol), n)).as("sh"))
-      .select(col("src"), TextAnalysis.fingerprint(col("sh")).as("h"))
+        explode(Dedup.shingleFps(col(textCol), n)).as("h"))
       .distinct()
     val cnt = st.groupBy("src").agg(count(lit(1)).as("n"))
     val pr = cnt.select(col("src").as("sa"), col("n").as("n_a"))

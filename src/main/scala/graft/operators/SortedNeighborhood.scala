@@ -60,7 +60,7 @@ object SortedNeighborhood {
     val keyed = df.select(col(idCol).as("_id"), col(textCol).as("_txt"),
       sortKey(textCol, keyLen).as("_key"))
     val ranked = globalRank(keyed, Seq("_key", "_id"), "_rank")
-      .select(col("_id"), Dedup.shingles(col("_txt"), n).as("_sh"),
+      .select(col("_id"), Dedup.shingleFps(col("_txt"), n).as("_sh"),
         col("_rank"))
     val left = ranked.select(col("_id").as("_ida"), col("_sh").as("_sha"),
         explode(sequence(lit(1L), lit((window - 1).toLong))).as("_o"),
@@ -69,7 +69,7 @@ object SortedNeighborhood {
     val right = ranked.select(col("_id").as("_idb"), col("_sh").as("_shb"),
       col("_rank").as("_r2"))
     left.join(right, "_r2")
-      .withColumn("jaccard", round(Dedup.jaccard(col("_sha"), col("_shb")), 6))
+      .withColumn("jaccard", round(Dedup.jaccardSorted(col("_sha"), col("_shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(least(col("_ida"), col("_idb")).as("id_a"),
         greatest(col("_ida"), col("_idb")).as("id_b"), col("jaccard"))
@@ -109,7 +109,7 @@ object SortedNeighborhood {
     s"""${p}r AS (SELECT $idCol AS id, $textCol AS txt,
        |            ROW_NUMBER() OVER (ORDER BY substr(lower($textCol), 1, $keyLen), $idCol) - 1 AS rnk
        |          FROM $rel),
-       |${p}s AS (SELECT id, rnk, ${Dedup.duckShingles("txt", n)} AS sh
+       |${p}s AS (SELECT id, rnk, ${Dedup.duckShingleFps("txt", n)} AS sh
        |          FROM (SELECT *, ${graft.functions.TextAnalysis.duckTokensBind("txt")} AS w FROM ${p}r)),
        |${p}c AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
        |            ${Dedup.duckJaccard("a.sh", "b.sh")} AS jaccard

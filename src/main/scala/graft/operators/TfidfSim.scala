@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -50,21 +50,23 @@ object TfidfSim {
       .filter(col("df") >= DfMin && col("df") * DfCapInv <= col("n_docs"))
       .withColumn("w", col("tf").cast("double")
         * log(col("n_docs").cast("double") / col("df").cast("double")))
-    // Per-doc norm over the kept vocabulary: sorted fold of w².
+    // Per-doc norm over the kept vocabulary: sorted fold of w². The
+    // fold is the native OrderedStructFieldSum (r14) — identical
+    // left-to-right IEEE additions as the HOF aggregate it replaced
+    // (NativeExprSpec parity gate), no per-term interpreted lambda.
+    def orderedSum(t: Column) =
+      org.apache.spark.sql.graft.OrderedStructFieldSum(t, 1)
     val norms = kept.groupBy("id")
       .agg(sort_array(collect_list(struct(col("term"),
         (col("w") * col("w")).as("p")))).as("_t"))
-      .select(col("id"),
-        sqrt(aggregate(col("_t"), lit(0.0),
-          (acc, t) => acc + t.getField("p"))).as("norm"))
+      .select(col("id"), sqrt(orderedSum(col("_t"))).as("norm"))
     val pairsDot = kept.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
       .join(kept.select(col("id").as("id_b"), col("term"), col("w").as("wb")), "term")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(sort_array(collect_list(struct(col("term"),
         (col("wa") * col("wb")).as("p")))).as("_t"))
-      .select(col("id_a"), col("id_b"),
-        aggregate(col("_t"), lit(0.0), (acc, t) => acc + t.getField("p")).as("_dot"))
+      .select(col("id_a"), col("id_b"), orderedSum(col("_t")).as("_dot"))
     pairsDot
       .join(norms.select(col("id").as("id_a"), col("norm").as("_na")), "id_a")
       .join(norms.select(col("id").as("id_b"), col("norm").as("_nb")), "id_b")

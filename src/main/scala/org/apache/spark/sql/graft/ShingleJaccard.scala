@@ -1,0 +1,246 @@
+package org.apache.spark.sql.graft
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native SORTED-DISTINCT shingle-fingerprint set: the hashed face of
+  * [[Shingles]]. For each word-n-gram shingle (identical windowing,
+  * trim, and short-text fallback semantics as [[Shingles]] — parity is
+  * spec-pinned against `sort_array(array_distinct(transform(shingles,
+  * fingerprint)))` in NativeExprSpec) this emits the [[PolyHash]]
+  * rolling fingerprint of the joined-with-space shingle string,
+  * deduplicated and ASCENDING-sorted.
+  *
+  * Why (r14, VERDICT #1): the exact-Jaccard dedup family compared
+  * shingle STRING arrays via `array_intersect`/`array_union`, paying
+  * per-pair UTF8String set construction and byte-wise comparisons —
+  * the last n-gram/Jaccard surface still episode-vulnerable after the
+  * r13 fingerprint nativization (q_dedup_ngram_jaccard 2.41 → 11.2 s
+  * mid-episode, BASELINE.md r13). Hashing each shingle ONCE at
+  * signature-build time turns every downstream pair comparison into a
+  * primitive-long merge scan ([[JaccardSortedLongs]]) and every
+  * postings join key into an 8-byte long. The shingle string itself is
+  * never materialized: the fold runs straight over the window's token
+  * code points with a single `0x20` step between tokens — bit-identical
+  * to `PolyHash.fingerprint(tokens.mkString(" "))`.
+  *
+  * Collision posture: fingerprints live in [0, 1e9+7); two DISTINCT
+  * shingles may collide, collapsing them in the set. Every oracle twin
+  * applies the IDENTICAL hash (`TextAnalysis.duckFingerprint`) so both
+  * engines see the same collisions — parity is exact, not
+  * probabilistic; the measured effect on gate-scale Jaccard values is
+  * zero because the values only shift when a collision lands inside
+  * one pair's union (~1e2–1e3 shingles against a 1e9 space).
+  */
+case class ShingleFingerprints(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, s"n=$n must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_fingerprints"
+
+  /** Same pattern instance Spark's `split(c, "\\s+")` compiles. */
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  def compute(input: UTF8String): ArrayData = {
+    // Mirror Shingles exactly: UTF8String.trim (0x20 only, like Spark's
+    // trim()), whole-trimmed-text fallback below n tokens.
+    val trimmed = input.trim()
+    val str = trimmed.toString
+    if (trimmed.numBytes() == 0) {
+      return new GenericArrayData(Array(0L)) // fingerprint("") == 0
+    }
+    val toks = ws.split(str, -1)
+    if (toks.length < n) {
+      return new GenericArrayData(Array(PolyHash.fingerprint(trimmed)))
+    }
+    val m = toks.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * PolyHash.Base + 0x20L) % PolyHash.Mod
+        val t = toks(i + j)
+        var k = 0
+        val len = t.length
+        while (k < len) {
+          val cp = t.codePointAt(k)
+          h = (h * PolyHash.Base + cp) % PolyHash.Mod
+          k += java.lang.Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // In-place adjacent dedup over the sorted array.
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleFpExpr", this,
+      classOf[ShingleFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleFingerprints =
+    copy(child = newChild)
+}
+
+object ShingleFingerprints {
+  /** Column-API entry point. */
+  def apply(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      ShingleFingerprints(ExpressionUtils.expression(text), n))
+}
+
+/** OCCURRENCE-order word-n-gram fingerprints: every n-token window's
+  * [[PolyHash]] fingerprint in document order, duplicates KEPT — the
+  * diversity-ratio / distinct-n representation (denominator =
+  * occurrences), deliberately NOT the [[ShingleFingerprints]] set
+  * semantics. Fewer than n tokens (or empty text) → empty array, the
+  * `tokens()`-based HOF formulation's behavior it replaces (that chain
+  * — `transform(sequence…)` with a `concat_ws(slice…)` lambda feeding
+  * a per-gram fingerprint — paid interpreted lambda eval per window).
+  */
+case class NgramFingerprints(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, s"n=$n must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_ngram_fingerprints"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  def compute(input: UTF8String): ArrayData = {
+    val trimmed = input.trim()
+    val str = trimmed.toString
+    if (trimmed.numBytes() == 0) return new GenericArrayData(Array.empty[Long])
+    val toks = ws.split(str, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val m = toks.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * PolyHash.Base + 0x20L) % PolyHash.Mod
+        val t = toks(i + j)
+        var k = 0
+        val len = t.length
+        while (k < len) {
+          val cp = t.codePointAt(k)
+          h = (h * PolyHash.Base + cp) % PolyHash.Mod
+          k += java.lang.Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramFpExpr", this,
+      classOf[NgramFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramFingerprints =
+    copy(child = newChild)
+}
+
+object NgramFingerprints {
+  /** Column-API entry point. */
+  def apply(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      NgramFingerprints(ExpressionUtils.expression(text), n))
+}
+
+/** Exact Jaccard of two SORTED-DISTINCT long arrays (the
+  * [[ShingleFingerprints]] contract) via a single merge scan — O(|a| +
+  * |b|), no per-pair hash-set construction, pure primitive-long
+  * compares inside whole-stage codegen. Replaces the
+  * `array_intersect`/`array_union` string formulation (see
+  * [[ShingleFingerprints]] for the r14 rationale). Both-empty → 0.0,
+  * the same guard as the string formulation and its DuckDB twin.
+  */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  def compute(ad: ArrayData, bd: ArrayData): Double = {
+    val na = ad.numElements()
+    val nb = bd.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = ad.getLong(i)
+      val y = bd.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccardSortedExpr", this,
+      classOf[JaccardSortedLongs].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): JaccardSortedLongs =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSortedLongs {
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSortedLongs(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -258,6 +258,94 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("PolyFingerprint supplementary-plane semantics are the native (code-point) ones") {
+    // Outside the BMP the two formulations INTENTIONALLY diverge
+    // (documented at PolyHash): the HOF path's split("") yields lone
+    // UTF-16 surrogates with engine-undefined ascii(), while the
+    // native loop folds true code points — the semantics the engine
+    // owns. Pin the native value so the divergence is an asserted
+    // contract, not an untested caveat (ADVICE r13).
+    import spark.implicits._
+    val s = "a😀b" // a, U+1F600 GRINNING FACE, b
+    val expected = {
+      var h = 0L
+      Seq(0x61L, 0x1f600L, 0x62L).foreach(cp => h = (h * 31L + cp) % 1000000007L)
+      h
+    }
+    val got = Seq(s).toDF("text")
+      .select(graft.functions.TextAnalysis.fingerprint(col("text")))
+      .as[Long].head()
+    assert(got == expected)
+    // And ExpectsInputTypes strictness is deliberate: a non-string
+    // input fails analysis instead of silently coercing.
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x")
+        .select(org.apache.spark.sql.graft.PolyFingerprint(col("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("ShingleFingerprints native == sorted-distinct fingerprint of shinglesHof") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+    val edge = Seq("", " ", "one", "one two", "one two three",
+      "  padded   tokens  here  now ", "a b a b a b", "tab\tsep\nlines go here",
+      "héllo wörld 中文 mixed text").toDF("text")
+    val hof = sort_array(array_distinct(transform(
+      Dedup.shinglesHof(col("text"), 3),
+      s => graft.functions.TextAnalysis.fingerprint(s))))
+    val diff = docs.unionByName(edge).select(
+      Dedup.shingleFps(col("text"), 3).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("NgramFingerprints native == occurrence-gram HOF fingerprints") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+    val edge = Seq("", " ", "one two", "one two three four",
+      "a b a b a b").toDF("text")
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val hof = when(size(toks) >= 3,
+      transform(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))),
+        g => graft.functions.TextAnalysis.fingerprint(g)))
+      .otherwise(array().cast("array<long>"))
+    val diff = docs.unionByName(edge).select(
+      org.apache.spark.sql.graft.NgramFingerprints(col("text"), 3).as("native"),
+      hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("JaccardSortedLongs == built-in set Jaccard on real shingle-fp pairs") {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), Dedup.shingleFps(col("text"), 3).as("_sh"))
+    val a = docs.select(col("doc_id").as("ia"), col("_sh").as("sa"))
+    val b = docs.select(col("doc_id").as("ib"), col("_sh").as("sb"))
+    val diff = a.join(b, col("ia") < col("ib"))
+      .select(Dedup.jaccardSorted(col("sa"), col("sb")).as("native"),
+        Dedup.jaccard(col("sa"), col("sb")).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(diff == 0L)
+  }
+
+  test("OrderedStructFieldSum == HOF left-fold on real sorted term-weight lists") {
+    val docs = Tables.load(spark, sf, "documents").limit(2000)
+    val t = docs.select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("p", col("tf").cast("double") * lit(0.7310585786300049))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("p")))).as("_t"))
+    val diff = t.select(
+      org.apache.spark.sql.graft.OrderedStructFieldSum(col("_t"), 1).as("native"),
+      aggregate(col("_t"), lit(0.0), (acc, s) => acc + s.getField("p")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("CdcBoundaries native == HOF filter-over-windows on documents + edge strings") {
     import spark.implicits._
     val w = 8; val divisor = 32
