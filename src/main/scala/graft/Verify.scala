@@ -47,12 +47,47 @@ object Verify {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (Bench.CostHint.getOrElse(name, 3.0), name) }
-    ordered.foreach { case (name, fn) =>
+    // Episode self-report (VERDICT r13 #5): Bench's warm_regressions
+    // field cannot exist here (Verify runs each query once), but a
+    // contended or sticky-JIT-episodic verify run used to be invisible
+    // in the artifact. Record per-query elapsed plus the same
+    // fixed-work canary series Bench uses (probed every 10 queries) →
+    // `verify_timing.json` next to the dump: `canary_wave_ratio` ≈ 1
+    // certifies a clean window; a query whose elapsed is far above its
+    // committed BENCH time in a wave-1 window is the episode signature.
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    def probeCanary(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(256L * 1000 * 1000).selectExpr("bit_xor(xxhash64(id))").head()
+      canaries += (System.nanoTime() - t0) / 1e9
+    }
+    ordered.zipWithIndex.foreach { case ((name, fn), idx) =>
+      if (idx % 10 == 0) probeCanary()
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      timings(name) = (System.nanoTime() - t0) / 1e9
+    }
+    locally {
+      def num(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      // max/median over the steady tail (first probe carries JIT warmup)
+      // — the Bench canary_wave_ratio definition.
+      val steady = canaries.drop(1)
+      val wave =
+        if (steady.size >= 3) {
+          val sorted = steady.sorted
+          sorted.last / math.max(sorted(sorted.size / 2), 1e-9)
+        } else 1.0
+      val qs = timings.map { case (k, v) => s"${q(k)}:${num(v)}" }
+        .mkString("{", ",", "}")
+      val cs = canaries.map(num).mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/verify_timing.json"),
+        s"""{"queries":$qs,"canary":$cs,"canary_wave_ratio":${num(wave)}}""" + "\n")
     }
     spark.stop()
   }

@@ -296,6 +296,55 @@ object LinkPred {
        |FROM deg JOIN sk ON deg.z = sk.node""".stripMargin
   }
 
+  /** DEGREE-CAPPED [[twoHopReachHll]] (r14, VERDICT r13 #4): drop
+    * every canonical edge with an endpoint of degree > `maxDeg` and run
+    * the HLL radius-2 estimator on the surviving subgraph. Purpose: a
+    * BOUNDED oracle shape for the top-SF audits — the full gate's
+    * DuckDB twin must materialize the exact two-hop expansion the HLL
+    * sketch exists to avoid, which spilled past the host's disk on the
+    * sf10 mult-100 graph (BASELINE.md r13); with both endpoints capped
+    * the oracle's expansion is ≤ n·maxDeg², DuckDB-feasible at any SF.
+    * On the shipped fixtures (degree ≤ 15 at cap 16) the subgraph is
+    * the whole graph, so the small-SF gate stays non-vacuous and
+    * coincides with [[twoHopReachHll]]. Output degrees are degrees IN
+    * the capped subgraph (the oracle mirrors the same cap).
+    */
+  def twoHopReachHllCapped(edges: DataFrame, srcCol: String,
+                           dstCol: String, maxDeg: Int): DataFrame = {
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = ce.select(col("a").as("z"), col("b").as("n"))
+      .union(ce.select(col("b"), col("a")))
+    val ok = adj.groupBy(col("z")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") <= maxDeg).select(col("z"))
+    val capped = ce
+      .join(ok.withColumnRenamed("z", "a"), "a")
+      .join(ok.withColumnRenamed("z", "b"), "b")
+      .select(col("a").as(srcCol), col("b").as(dstCol))
+    twoHopReachHll(capped, srcCol, dstCol)
+  }
+
+  /** DuckDB oracle twin of [[twoHopReachHllCapped]] — same cap, then
+    * the standard register/merge/estimator chain over the capped rel.
+    */
+  def duckTwoHopReachHllCapped(edgesRel: String, srcCol: String,
+                               dstCol: String, maxDeg: Int): String =
+    s"""WITH kce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+       |                    greatest($srcCol, $dstCol) AS b
+       |             FROM $edgesRel WHERE $srcCol <> $dstCol),
+       |kadj AS (SELECT a AS z, b AS n FROM kce
+       |         UNION ALL SELECT b, a FROM kce),
+       |kok AS (SELECT z FROM kadj GROUP BY z HAVING count(*) <= $maxDeg),
+       |kpe AS (SELECT kce.a AS $srcCol, kce.b AS $dstCol FROM kce
+       |        JOIN kok ka ON kce.a = ka.z
+       |        JOIN kok kb ON kce.b = kb.z)
+       |SELECT * FROM (
+       |${duckTwoHopReachHll("kpe", srcCol, dstCol)}
+       |)""".stripMargin
+
   /** DuckDB oracle twin of [[twoHopReach]]. */
   def duckTwoHopReach(edgesRel: String, srcCol: String, dstCol: String,
                       maxPivotDeg: Int = 1000): String =
