@@ -22,19 +22,31 @@ import org.apache.spark.sql.functions._
   * bit-mirrorable in SQL.)
   *
   * Exactness discipline: both coordinates are µ-quantized once and the
-  * five moments (Σx, Σy, Σx², Σy², Σxy) are exact DECIMAL integer sums
-  * — partial-agg order irrelevant; means/variances/covariance and the
+  * five moments (Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums —
+  * partial-agg order irrelevant; means/variances/covariance and the
   * per-row d² are doubles in one mirrored expression; the top-k order
-  * key is the µ-quantized d² with the id as tie-break.
+  * key is the µ-quantized d² with the id as tie-break. Since r14 the
+  * exact sums are salted long LIMB sums (see [[mahalanobis2]]) — the
+  * same integers the previous decimal(38,0) formulation produced
+  * (RehearseMahalanobis pins the equality bitwise), with zero per-row
+  * Decimal work.
   *
-  * Scale shape: ONE map-side-combinable moment aggregate (a 6-number
-  * result broadcast back via crossJoin — no driver round-trip), then a
-  * narrow codegen scoring projection and a TakeOrdered top-k. Nothing
-  * shuffles corpus-sized data.
+  * Scale shape: ONE map-side-combinable moment aggregate (1024 salt
+  * rows, then a 6-number decimal combine broadcast back via crossJoin —
+  * no driver round-trip), then a narrow codegen scoring projection and
+  * a TakeOrdered top-k. Nothing shuffles corpus-sized data.
   *
   * Output: top-k rows (idCol, xCol, yCol, md2), md2 DESC.
   */
 object Outliers {
+
+  /** Limb-split shift for the exact long-arithmetic moment sums: µ-
+    * quantized |x| < 2^37 (TPC-H price·1e6 tops out ~1e11) splits as
+    * x = a·2^19 + b with every per-row limb product < 2^38 — pure
+    * primitive-long codegen per row, no Decimal anywhere on the scan.
+    */
+  private val LimbShift = 19
+  private val SaltGroups = 1024L
 
   def mahalanobis2(df: DataFrame, idCol: String, xCol: String,
                    yCol: String, topK: Int): DataFrame = {
@@ -42,16 +54,54 @@ object Outliers {
     // repo-wide measure-zero tie assumption) and skips Spark round()'s
     // per-row BigDecimal — measured 5x cheaper on the 600k-row scan;
     // the oracle uses the IDENTICAL floor form.
+    //
+    // r14 (VERDICT r13 #2): per-row values stay LONG end-to-end. The
+    // previous shape quantized to decimal(38,0) and summed decimals —
+    // once Σx² left the compact-long range every partial-agg add ran
+    // on boxed BigDecimals, the operator's one interpreted hot loop
+    // (and its sticky-JIT episode surface; RehearseMahalanobis A/B).
+    // The exact moments now come from SALTED LIMB SUMS: per salt group
+    // (pmod(id, 1024)) eleven long sums of the 2^19-limb products —
+    // ANSI-checked long arithmetic, capacity ≈ 3e13 rows per group
+    // tier before a sum could overflow (a 100 TB corpus is ~1e11 rows;
+    // ANSI would throw, never corrupt) — then ONE decimal combine over
+    // the 1024 group rows reconstructs Σx², Σy², Σxy exactly.
+    // RehearseMahalanobis pins the reconstruction bitwise against the
+    // decimal formulation at sf0.1, so the oracle is unchanged.
     def mu(c: String) =
-      floor(col(c).cast("double") * 1e6 + 0.5).cast("decimal(38,0)")
+      floor(col(c).cast("double") * 1e6 + 0.5).cast("long")
     val base = df.select(col(idCol).cast("long").as("_id"),
       mu(xCol).as("_x"), mu(yCol).as("_y"))
-    val moments = base.agg(
-      count(lit(1L)).as("_n"),
-      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-      sum(col("_x") * col("_x")).as("_sxx"),
-      sum(col("_y") * col("_y")).as("_syy"),
-      sum(col("_x") * col("_y")).as("_sxy"))
+    val s = LimbShift
+    val mask = (1L << s) - 1L
+    val grouped = base
+      .withColumn("_g", pmod(col("_id"), lit(SaltGroups)))
+      .withColumn("_xa", shiftright(col("_x"), s))
+      .withColumn("_xb", col("_x").bitwiseAND(mask))
+      .withColumn("_ya", shiftright(col("_y"), s))
+      .withColumn("_yb", col("_y").bitwiseAND(mask))
+      .groupBy("_g").agg(
+        count(lit(1L)).as("n"),
+        sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+        sum(col("_xa") * col("_xa")).as("xaa"),
+        sum(col("_xa") * col("_xb")).as("xab"),
+        sum(col("_xb") * col("_xb")).as("xbb"),
+        sum(col("_ya") * col("_ya")).as("yaa"),
+        sum(col("_ya") * col("_yb")).as("yab"),
+        sum(col("_yb") * col("_yb")).as("ybb"),
+        sum(col("_xa") * col("_ya")).as("paa"),
+        sum(col("_xa") * col("_yb") + col("_xb") * col("_ya")).as("pab"),
+        sum(col("_xb") * col("_yb")).as("pbb"))
+    def dec(c: String) = col(c).cast("decimal(38,0)")
+    val two = lit(2L).cast("decimal(38,0)")
+    val sq = lit(1L << (2 * s)).cast("decimal(38,0)")
+    val hf = lit(1L << s).cast("decimal(38,0)")
+    val moments = grouped.agg(
+      sum(col("n")).as("_n"),
+      sum(dec("sx")).as("_sx"), sum(dec("sy")).as("_sy"),
+      sum(dec("xaa") * sq + two * dec("xab") * hf + dec("xbb")).as("_sxx"),
+      sum(dec("yaa") * sq + two * dec("yab") * hf + dec("ybb")).as("_syy"),
+      sum(dec("paa") * sq + dec("pab") * hf + dec("pbb")).as("_sxy"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val scored = base.crossJoin(broadcast(moments))
     val nD = d(col("_n"))
