@@ -105,7 +105,9 @@ object Dsir {
       .agg(count(lit(1)).as("n_feats"),
         sort_array(collect_list(struct(col("bucket"), col("_lnw")))).as("_t"))
       .select(col(idCol), col("n_feats"),
-        round(aggregate(col("_t"), lit(0.0), (acc, t) => acc + t.getField("_lnw")), 6)
+        // Native ordered fold (r14): same left-to-right IEEE adds as
+        // the aggregate() HOF it replaces (NativeExprSpec parity).
+        round(org.apache.spark.sql.graft.OrderedStructFieldSum(col("_t"), 1), 6)
           .as("logw"))
   }
 

@@ -61,7 +61,8 @@ object Perplexity {
         sort_array(collect_list(struct(col("w1"), col("w2"), col("_lnp"))))
           .as("_t"))
       .select(col(idCol), col("n_bigrams"),
-        round(-aggregate(col("_t"), lit(0.0), (acc, t) => acc + t.getField("_lnp"))
+        // Native ordered fold (r14): bitwise-equal to the HOF aggregate.
+        round(-org.apache.spark.sql.graft.OrderedStructFieldSum(col("_t"), 2)
           / col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
