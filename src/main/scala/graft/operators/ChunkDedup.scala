@@ -41,9 +41,15 @@ object ChunkDedup {
     */
   def stats(docs: DataFrame, textCol: String, idCol: String,
             chunkTokens: Int): DataFrame = {
+    // Chunks serve ONLY as keys here, so they travel as 8-byte
+    // fingerprints (native ChunkFingerprints, r14) — the HOF
+    // slice/concat chunk builder remains in [[stripBoilerplate]],
+    // which must reassemble the strings. The duck twin hashes chunks
+    // identically, so the (rare) collisions are shared.
     val exploded = Dedup.rebalance(docs)
-      .withColumn("_w", TextAnalysis.tokens(col(textCol)))
-      .select(col(idCol), posexplode(chunkArray(chunkTokens)).as(Seq("_pos", "_chunk")))
+      .select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.ChunkFingerprints(
+          col(textCol), chunkTokens)).as(Seq("_pos", "_chunk")))
     val byChunk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_chunk"))
     exploded
@@ -63,9 +69,11 @@ object ChunkDedup {
                 chunkTokens: Int): String = {
     val sz = chunkTokens
     s"""WITH d AS (SELECT *, ${TextAnalysis.duckTokensBind(textCol)} AS w FROM $tbl),
-       |ch AS (SELECT $idCol, i AS pos,
-       |              array_to_string(w[(i*$sz+1):(i*$sz+$sz)], ' ') AS chunk
+       |ch0 AS (SELECT $idCol, i AS pos,
+       |              array_to_string(w[(i*$sz+1):(i*$sz+$sz)], ' ') AS chunk_s
        |       FROM d, unnest(range(0, CAST(ceil(len(w)/CAST($sz AS DOUBLE)) AS INT))) AS t(i)),
+       |ch AS (SELECT $idCol, pos, (${TextAnalysis.duckFingerprint("chunk_s")}) AS chunk
+       |       FROM ch0),
        |k AS (SELECT *, min($idCol) OVER (PARTITION BY chunk) AS keeper FROM ch)
        |SELECT $idCol,
        |       count(*) AS n_chunks,

@@ -189,6 +189,77 @@ object NgramFingerprints {
       NgramFingerprints(ExpressionUtils.expression(text), n))
 }
 
+/** NON-OVERLAPPING fixed-size token-chunk fingerprints in position
+  * order (duplicates kept, tail chunk shorter than `sz` included) —
+  * the hashed face of `ChunkDedup.chunkArray` for consumers that use
+  * chunks only as KEYS (dedup stats windows); the rewrite path that
+  * must reassemble text keeps the string form. Empty/whitespace text →
+  * empty array, mirroring `tokens()`.
+  */
+case class ChunkFingerprints(child: Expression, sz: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(sz > 0, s"sz=$sz must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_chunk_fingerprints"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  def compute(input: UTF8String): ArrayData = {
+    val trimmed = input.trim()
+    val str = trimmed.toString
+    if (trimmed.numBytes() == 0) return new GenericArrayData(Array.empty[Long])
+    val toks = ws.split(str, -1)
+    val n = toks.length
+    val m = (n + sz - 1) / sz
+    val out = new Array[Long](m)
+    var c = 0
+    while (c < m) {
+      var h = 0L
+      var j = c * sz
+      val end = math.min(j + sz, n)
+      while (j < end) {
+        if (j > c * sz) h = (h * PolyHash.Base + 0x20L) % PolyHash.Mod
+        val t = toks(j)
+        var k = 0
+        val len = t.length
+        while (k < len) {
+          val cp = t.codePointAt(k)
+          h = (h * PolyHash.Base + cp) % PolyHash.Mod
+          k += java.lang.Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(c) = h
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chunkFpExpr", this,
+      classOf[ChunkFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkFingerprints =
+    copy(child = newChild)
+}
+
+object ChunkFingerprints {
+  /** Column-API entry point. */
+  def apply(text: Column, sz: Int): Column =
+    ExpressionUtils.column(
+      ChunkFingerprints(ExpressionUtils.expression(text), sz))
+}
+
 /** Exact Jaccard of two SORTED-DISTINCT long arrays (the
   * [[ShingleFingerprints]] contract) via a single merge scan — O(|a| +
   * |b|), no per-pair hash-set construction, pure primitive-long

@@ -318,6 +318,26 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("ChunkFingerprints native == HOF chunk builder + fingerprint") {
+    import spark.implicits._
+    val sz = 5
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+    val edge = Seq("", " ", "one", "a b c d e", "a b c d e f",
+      "a b c d e f g h i j k").toDF("text")
+    val w = graft.functions.TextAnalysis.tokens(col("text"))
+    val nChunks = ceil(size(w).cast("double") / sz).cast("int")
+    val hofChunks = when(size(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(w, i * sz + 1, lit(sz)))))
+    val hof = transform(hofChunks,
+      c => graft.functions.TextAnalysis.fingerprint(c))
+    val diff = docs.unionByName(edge).select(
+      org.apache.spark.sql.graft.ChunkFingerprints(col("text"), sz).as("native"),
+      hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("JaccardSortedLongs == built-in set Jaccard on real shingle-fp pairs") {
     val docs = Tables.load(spark, sf, "documents")
       .filter(col("doc_id") < 300)
