@@ -3253,17 +3253,31 @@ object Queries {
     // register/merge/estimator chain over the subgraph with both edge
     // endpoints of degree ≤ 16 — the BOUNDED oracle shape for top-SF
     // audits (the uncapped gate's oracle must materialize the exact
-    // two-hop expansion and spilled past the host's disk at sf10;
-    // capped, its expansion is ≤ n·16²). On the shipped fixtures
-    // (max degree ≤ 15) the cap is a no-op, so this gate equals
+    // two-hop expansion and spilled past the host's disk at sf10).
+    // Two bounds compose: the degree cap bounds the PER-NODE expansion,
+    // and an SF-tiered order slice (the q_range_join_sample /
+    // q_quantile_sketch pattern, identical tiering in both engines)
+    // bounds the GRAPH itself at the top SFs, where even building the
+    // co-pair wedge set and the edges×64-register pull exceeds the
+    // checker's temp disk. On the shipped fixtures both bounds are
+    // no-ops (slice 1, max degree ≤ 15), so the gate equals
     // q_two_hop_hll at small SF and stays non-vacuous.
     Entry("q_two_hop_hll_capped",
-      (s, d) => LinkPred.twoHopReachHllCapped(
-        MarketBasket.coPairs(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
-          minPairs = 2).select(col("item_a"), col("item_b")),
-        "item_a", "item_b", maxDeg = 16),
-      Some(s"""WITH ${MarketBasket.duckCoPairCtes("lineitem", "l_orderkey",
-                 "l_partkey", minPairs = 2)},
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val m = if (li.count() <= 10000000L) 1L else 11L
+        LinkPred.twoHopReachHllCapped(
+          MarketBasket.coPairs(
+            li.filter(pmod(col("l_orderkey"), lit(m)) === 0L),
+            "l_orderkey", "l_partkey", minPairs = 2)
+            .select(col("item_a"), col("item_b")),
+          "item_a", "item_b", maxDeg = 16)
+      },
+      Some(s"""WITH ${MarketBasket.duckCoPairCtes(
+                 "(SELECT * FROM lineitem WHERE l_orderkey % " +
+                   "(CASE WHEN (SELECT count(*) FROM lineitem) <= 10000000 " +
+                   "THEN 1 ELSE 11 END) = 0)",
+                 "l_orderkey", "l_partkey", minPairs = 2)},
               |hanfc AS (
               |${LinkPred.duckTwoHopReachHllCapped("pairs", "item_a", "item_b",
                  maxDeg = 16)}

@@ -270,10 +270,10 @@ object LinkPred {
                          dstCol: String): String = {
     import Sketches.{HllM, HllSentinel}
     val fp = graft.functions.TextAnalysis.duckFingerprint("CAST(n AS VARCHAR)")
-    s"""WITH ce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+    s"""WITH ce AS MATERIALIZED (SELECT DISTINCT least($srcCol, $dstCol) AS a,
        |                   greatest($srcCol, $dstCol) AS b
        |            FROM $edgesRel WHERE $srcCol <> $dstCol),
-       |adj AS (SELECT a AS z, b AS n FROM ce
+       |adj AS MATERIALIZED (SELECT a AS z, b AS n FROM ce
        |        UNION ALL SELECT b, a FROM ce),
        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS degree
        |        FROM adj GROUP BY z),
@@ -281,7 +281,7 @@ object LinkPred {
        |r1 AS (SELECT node, h % $HllM AS bucket,
        |              1 + CAST(log2(x & (-x)) AS BIGINT) AS rho
        |       FROM (SELECT node, h, (h // $HllM) | $HllSentinel AS x FROM hh)),
-       |reg1 AS (SELECT node, bucket, max(rho) AS mrho FROM r1 GROUP BY 1, 2),
+       |reg1 AS MATERIALIZED (SELECT node, bucket, max(rho) AS mrho FROM r1 GROUP BY 1, 2),
        |pulled AS (SELECT adj.z AS node, reg1.bucket, reg1.mrho
        |           FROM adj JOIN reg1 ON adj.n = reg1.node),
        |merged AS (SELECT node, bucket, max(mrho) AS mrho
@@ -332,13 +332,13 @@ object LinkPred {
     */
   def duckTwoHopReachHllCapped(edgesRel: String, srcCol: String,
                                dstCol: String, maxDeg: Int): String =
-    s"""WITH kce AS (SELECT DISTINCT least($srcCol, $dstCol) AS a,
+    s"""WITH kce AS MATERIALIZED (SELECT DISTINCT least($srcCol, $dstCol) AS a,
        |                    greatest($srcCol, $dstCol) AS b
        |             FROM $edgesRel WHERE $srcCol <> $dstCol),
-       |kadj AS (SELECT a AS z, b AS n FROM kce
+       |kadj AS MATERIALIZED (SELECT a AS z, b AS n FROM kce
        |         UNION ALL SELECT b, a FROM kce),
-       |kok AS (SELECT z FROM kadj GROUP BY z HAVING count(*) <= $maxDeg),
-       |kpe AS (SELECT kce.a AS $srcCol, kce.b AS $dstCol FROM kce
+       |kok AS MATERIALIZED (SELECT z FROM kadj GROUP BY z HAVING count(*) <= $maxDeg),
+       |kpe AS MATERIALIZED (SELECT kce.a AS $srcCol, kce.b AS $dstCol FROM kce
        |        JOIN kok ka ON kce.a = ka.z
        |        JOIN kok kb ON kce.b = kb.z)
        |SELECT * FROM (

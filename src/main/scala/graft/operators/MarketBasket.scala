@@ -69,8 +69,15 @@ object MarketBasket {
   /** DuckDB CTEs for [[coPairs]]: declares `${p}items` and `${p}pairs`. */
   def duckCoPairCtes(rel: String, basketCol: String, itemCol: String,
                      minPairs: Long, p: String = ""): String =
-    s"""${p}items AS (SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $rel),
-       |${p}pairs AS (SELECT x.i AS item_a, y.i AS item_b,
+    // AS MATERIALIZED (r14): DuckDB 1.0 INLINES every CTE reference —
+    // a consumer chain that touches `pairs` several times re-ran the
+    // full basket scan + wedge aggregate per reference (16 inlined
+    // 60 M-row scans in the q_two_hop_hll_capped oracle at sf10, which
+    // then spilled past the host's disk running them concurrently;
+    // measured 3.6 s materialized). A pure execution hint — results
+    // are unchanged and every small-SF gate re-verified.
+    s"""${p}items AS MATERIALIZED (SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $rel),
+       |${p}pairs AS MATERIALIZED (SELECT x.i AS item_a, y.i AS item_b,
        |               CAST(count(*) AS BIGINT) AS pair_count
        |             FROM ${p}items x JOIN ${p}items y ON x.b = y.b AND x.i < y.i
        |             GROUP BY 1, 2
