@@ -33,9 +33,24 @@ object QualityFilters {
   val MaxDup2gramRatio = 0.1
 
   // ---------------------------------------------------------------- Spark
+  // All four features read the single-pass native counts struct
+  // (org.apache.spark.sql.graft.GopherCounts, r14): the counts are
+  // exact integers, the ratio/guard/round math below is unchanged
+  // Column code, so emitted values are bit-identical to the prior HOF
+  // formulations (kept below as *OfHof, NativeExprSpec parity gates).
+  // Identical counts(w) subtrees CSE inside whole-stage codegen.
+
+  private def countsOf(w: Column): Column =
+    org.apache.spark.sql.graft.GopherCounts(w)
 
   /** Mean word length: Σ len(token) / n_tokens (0 for empty docs). */
   def meanWordLenOf(w: Column): Column =
+    round(when(size(w) === 0, 0.0).otherwise(
+      countsOf(w).getField("sum_len")
+        .cast("double") / size(w).cast("double")), 6)
+
+  /** HOF reference formulation of [[meanWordLenOf]] (parity gate). */
+  private[graft] def meanWordLenOfHof(w: Column): Column =
     round(when(size(w) === 0, 0.0).otherwise(
       aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long"))
         .cast("double") / size(w).cast("double")), 6)
@@ -43,12 +58,23 @@ object QualityFilters {
   /** Unique-word ratio: |distinct tokens| / n_tokens (0 for empty). */
   def uniqWordRatioOf(w: Column): Column =
     round(when(size(w) === 0, 0.0).otherwise(
+      countsOf(w).getField("n_uniq").cast("double") / size(w).cast("double")), 6)
+
+  /** HOF reference formulation of [[uniqWordRatioOf]] (parity gate). */
+  private[graft] def uniqWordRatioOfHof(w: Column): Column =
+    round(when(size(w) === 0, 0.0).otherwise(
       size(array_distinct(w)).cast("double") / size(w).cast("double")), 6)
 
-  /** Top-word ratio: max single-token frequency / n_tokens. The scan is
-    * O(distinct · n) per row — fine for document-sized arrays.
-    */
+  /** Top-word ratio: max single-token frequency / n_tokens. */
   def topWordRatioOf(w: Column): Column =
+    round(when(size(w) === 0, 0.0).otherwise(
+      countsOf(w).getField("top_freq")
+        .cast("double") / size(w).cast("double")), 6)
+
+  /** HOF reference formulation of [[topWordRatioOf]] — the O(distinct ·
+    * n) interpreted scan the native counts replaced (parity gate).
+    */
+  private[graft] def topWordRatioOfHof(w: Column): Column =
     round(when(size(w) === 0, 0.0).otherwise(
       array_max(transform(array_distinct(w),
         x => size(filter(w, t => t === x))))
@@ -58,6 +84,8 @@ object QualityFilters {
     * repetition is exactly what we are measuring). Guarded: Spark's
     * `sequence(1, 0)` would generate a DESCENDING range, so short docs
     * short-circuit to an empty array before the sequence is built.
+    * (Parity-reference helper; the shipped ratio reads the native
+    * counts.)
     */
   def bigramsOf(w: Column): Column =
     when(size(w) < 2, array().cast("array<string>"))
@@ -68,6 +96,12 @@ object QualityFilters {
     * Gopher repetition signal; 0 for docs shorter than 2 tokens).
     */
   def dup2gramRatioOf(w: Column): Column =
+    round(when(size(w) < 2, 0.0).otherwise(
+      lit(1.0) - countsOf(w).getField("uniq_bigrams").cast("double")
+        / (size(w) - 1).cast("double")), 6)
+
+  /** HOF reference formulation of [[dup2gramRatioOf]] (parity gate). */
+  private[graft] def dup2gramRatioOfHof(w: Column): Column =
     round(when(size(w) < 2, 0.0).otherwise(
       lit(1.0) - size(array_distinct(bigramsOf(w))).cast("double")
         / (size(w) - 1).cast("double")), 6)

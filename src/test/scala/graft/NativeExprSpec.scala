@@ -318,6 +318,23 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("GopherCounts-backed quality features == HOF formulations") {
+    import spark.implicits._
+    import graft.functions.{QualityFilters => QF, TextAnalysis}
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+    val edge = Seq("", " ", "one", "a a a a", "a b a b", "x", "tab\ttokens here",
+      "héllo héllo wörld").toDF("text")
+    val w = TextAnalysis.tokens(col("text"))
+    val diff = docs.unionByName(edge).select(
+      QF.meanWordLenOf(w).as("m_n"), QF.meanWordLenOfHof(w).as("m_h"),
+      QF.uniqWordRatioOf(w).as("u_n"), QF.uniqWordRatioOfHof(w).as("u_h"),
+      QF.topWordRatioOf(w).as("t_n"), QF.topWordRatioOfHof(w).as("t_h"),
+      QF.dup2gramRatioOf(w).as("d_n"), QF.dup2gramRatioOfHof(w).as("d_h"))
+      .filter(col("m_n") =!= col("m_h") || col("u_n") =!= col("u_h") ||
+        col("t_n") =!= col("t_h") || col("d_n") =!= col("d_h")).count()
+    assert(diff == 0L)
+  }
+
   test("ChunkFingerprints native == HOF chunk builder + fingerprint") {
     import spark.implicits._
     val sz = 5
