@@ -71,7 +71,28 @@ object TextAnalysis {
     */
   def tokenCountOf(w: Column): Column = size(w).cast("long")
 
-  def wordCountOf(w: Column, word: String): Column =
+  /** One shared literal vocabulary for every marker/stopword count:
+    * all consumers read items of the SAME `WordListCounts(w, list)`
+    * subtree, which whole-stage codegen's subexpression elimination
+    * folds to ONE token pass per row — where the prior
+    * `size(filter(w, t = word))` formulation paid an interpreted
+    * lambda scan per WORD per row (~20+ across stopwords + the
+    * langId CASE chain; r14).
+    */
+  private val SharedWordList: Seq[String] =
+    (Stopwords ++ LangMarkers.flatMap(_._2)).distinct
+
+  private def sharedCounts(w: Column): Column =
+    org.apache.spark.sql.graft.WordListCounts(w, SharedWordList)
+
+  def wordCountOf(w: Column, word: String): Column = {
+    val i = SharedWordList.indexOf(word)
+    if (i >= 0) sharedCounts(w).getItem(i)
+    else org.apache.spark.sql.graft.WordListCounts(w, Seq(word)).getItem(0)
+  }
+
+  /** HOF reference formulation of [[wordCountOf]] (parity gate). */
+  private[graft] def wordCountOfHof(w: Column, word: String): Column =
     size(filter(w, t => t === lit(word))).cast("long")
 
   def stopwordCountOf(w: Column): Column =
@@ -102,7 +123,7 @@ object TextAnalysis {
 
   /** Exact-word occurrence count (duplicates counted). */
   def wordCount(c: Column, word: String): Column =
-    size(filter(tokens(c), t => t === lit(word))).cast("long")
+    wordCountOf(tokens(c), word)
 
   def stopwordCount(c: Column): Column =
     Stopwords.map(wordCount(c, _)).reduce(_ + _)

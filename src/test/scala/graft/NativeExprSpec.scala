@@ -335,6 +335,36 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("WordListCounts-backed word counts == HOF filter scans") {
+    import spark.implicits._
+    import graft.functions.{TextAnalysis => TA}
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+    val edge = Seq("", "the the the", "el los una der", "a to of and the",
+      "unlisted words only").toDF("text")
+    val w = TA.tokens(col("text"))
+    val probes = TA.Stopwords ++ Seq("el", "und", "une", "zzz_not_listed")
+    val cols = probes.zipWithIndex.flatMap { case (word, i) =>
+      Seq(TA.wordCountOf(w, word).as(s"n$i"), TA.wordCountOfHof(w, word).as(s"h$i"))
+    }
+    val pred = probes.indices.map(i => col(s"n$i") =!= col(s"h$i")).reduce(_ || _)
+    val diff = docs.unionByName(edge).select(cols: _*).filter(pred).count()
+    assert(diff == 0L)
+    // langId composes the same counts through a CASE chain — pin it too.
+    val hofLang = {
+      val scores = TA.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(TA.wordCountOfHof(w, _)).reduce(_ + _)
+      }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldRight(lit("und")) { case ((l, s), els) =>
+        when(s > 0 && s === best, lit(l)).otherwise(els)
+      }
+    }
+    val diff2 = docs.unionByName(edge)
+      .select(TA.langIdOf(w).as("n"), hofLang.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff2 == 0L)
+  }
+
   test("ChunkFingerprints native == HOF chunk builder + fingerprint") {
     import spark.implicits._
     val sz = 5
