@@ -967,55 +967,61 @@ object StreamSync {
     */
   def replayDistinctCounts(events: DataFrame, tsCol: String, valueCol: String,
                            windowLength: String, nBatches: Int = 2): DataFrame = {
-    val rows = {
-      val spark = events.sparkSession
-      import spark.implicits._
-      events.filter(col(tsCol).isNotNull)
-        .select(col(tsCol), col(valueCol).cast("string"))
-        .as[(java.sql.Timestamp, String)].collect().sortBy(_._1.getTime).toSeq
-    }
-    require(rows.forall(_._2 != SentinelDistinctValue),
+    // DISTRIBUTED feeder (r14): the MemoryStream variant collected and
+    // driver-encoded the whole event set per replay — at sf10 that
+    // single-threaded 10 M-row encode dominated the gate (236 s); the
+    // chunked file-source staging (the q_stream_file_counts transport)
+    // writes the time-ordered chunks with the executors and streams
+    // them as per-file micro-batches. Registers are max-merged, so the
+    // transport and batch boundaries stay invisible to the oracle.
+    val caller = events.sparkSession
+    val input = events.filter(col(tsCol).isNotNull)
+      .select(col(tsCol).cast("timestamp").as(tsCol),
+        col(valueCol).cast("string").as(valueCol))
+    require(input.filter(col(valueCol) === SentinelDistinctValue)
+      .limit(1).isEmpty,
       s"value $SentinelDistinctValue is reserved")
-    val spark = events.sparkSession.newSession()
+    val schema = new StructType()
+      .add(tsCol, "timestamp").add(valueCol, "string")
+    val sentinels = Seq(
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), SentinelDistinctValue),
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelDistinctValue))
+    val (watchDir, tempRoots) =
+      stageChunkedLogDistributed(input, tsCol, nBatches, sentinels)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(java.sql.Timestamp, String)]
     val name = s"graft_replay_distinct_${ReplaySeq.incrementAndGet()}"
-    val q = streamingDistinctRegisters(
-        input.toDF().toDF(tsCol, valueCol),
-        tsCol, valueCol, watermarkDelay = "0 seconds", windowLength)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = streamingDistinctRegisters(src, tsCol, valueCol,
+        watermarkDelay = "0 seconds", windowLength)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
-      rows.grouped(chunk).foreach { batch =>
-        input.addData(batch)
-        q.processAllAvailable()
-      }
-      input.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
-        SentinelDistinctValue))
-      q.processAllAvailable()
-      input.addData((java.sql.Timestamp.valueOf("2101-01-01 00:00:00"),
-        SentinelDistinctValue))
-      q.processAllAvailable()
-      logBatchTimings(q, "distinct_counts")
-    } finally q.stop()
+    try { q.processAllAvailable(); logBatchTimings(q, "distinct_counts") }
+    finally q.stop()
     val regs = spark.table(name)
       .filter(col("window_start") < lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
     val sketch = regs.groupBy(col("window_start")).agg(
       count(lit(1)).as("_nb"),
       sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(mrho AS INT))")
         .cast("double")).as("_dpres"))
-    val exact = rows.toDF(tsCol, valueCol)
+    // Hand the windows-sized sketch back to the CALLER's session first
+    // (a frame must not join across sessions), then join the
+    // batch-exact twin there — the exact side stays a distributed
+    // aggregate over the caller's events, never a driver collect.
+    val sketchBack = handoff(sketch, caller, spark, Some(name), tempRoots)
+    val exact = events.filter(col(tsCol).isNotNull)
+      .select(col(tsCol).cast("timestamp").as(tsCol),
+        col(valueCol).cast("string").as(valueCol))
       .groupBy(window(col(tsCol), windowLength))
       .agg(countDistinct(col(valueCol)).as("n_exact"))
       .select(col("window.start").as("window_start"), col("n_exact"))
-    handoff(sketch.join(exact, "window_start")
+    sketchBack.join(exact, "window_start")
       .select(col("window_start"), col("n_exact"),
-        round(graft.operators.Sketches.hllEstimate, 6).as("hll_estimate")),
-      events.sparkSession, spark, Some(name))
+        round(graft.operators.Sketches.hllEstimate, 6).as("hll_estimate"))
   }
 
   /** STREAMING incremental-aggregate maintenance: each micro-batch of
