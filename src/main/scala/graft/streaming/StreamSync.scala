@@ -901,60 +901,65 @@ object StreamSync {
   def replayCmsCounts(events: DataFrame, tsCol: String, termCol: String,
                       windowLength: String, terms: Seq[String],
                       nBatches: Int = 2): DataFrame = {
-    val rows = {
-      val spark = events.sparkSession
-      import spark.implicits._
-      events.filter(col(tsCol).isNotNull)
-        .select(col(tsCol), col(termCol).cast("string"))
-        .as[(java.sql.Timestamp, String)].collect().sortBy(_._1.getTime).toSeq
-    }
-    require(rows.forall(_._2 != SentinelDistinctValue),
+    // Distributed feeder + distributed exact twin (r14) — the same
+    // transport swap as [[replayDistinctCounts]]; CMS cells are
+    // additive, so batch boundaries and the transport are invisible to
+    // the oracle.
+    val caller = events.sparkSession
+    val input = events.filter(col(tsCol).isNotNull)
+      .select(col(tsCol).cast("timestamp").as(tsCol),
+        col(termCol).cast("string").as(termCol))
+    require(input.filter(col(termCol) === SentinelDistinctValue)
+      .limit(1).isEmpty,
       s"value $SentinelDistinctValue is reserved")
-    val spark = events.sparkSession.newSession()
+    val schema = new StructType()
+      .add(tsCol, "timestamp").add(termCol, "string")
+    val sentinels = Seq(
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), SentinelDistinctValue),
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelDistinctValue))
+    val (watchDir, tempRoots) =
+      stageChunkedLogDistributed(input, tsCol, nBatches, sentinels)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(java.sql.Timestamp, String)]
     val name = s"graft_replay_cms_${ReplaySeq.incrementAndGet()}"
-    val q = streamingCmsCells(
-        input.toDF().toDF(tsCol, termCol),
-        tsCol, termCol, watermarkDelay = "0 seconds", windowLength)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = streamingCmsCells(src, tsCol, termCol,
+        watermarkDelay = "0 seconds", windowLength)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
-      rows.grouped(chunk).foreach { batch =>
-        input.addData(batch)
-        q.processAllAvailable()
-      }
-      input.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
-        SentinelDistinctValue))
-      q.processAllAvailable()
-      input.addData((java.sql.Timestamp.valueOf("2101-01-01 00:00:00"),
-        SentinelDistinctValue))
-      q.processAllAvailable()
-      logBatchTimings(q, "cms_counts")
-    } finally q.stop()
+    try { q.processAllAvailable(); logBatchTimings(q, "cms_counts") }
+    finally q.stop()
     val cells = spark.table(name)
       .filter(col("window_start") < lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
-    val probes = terms.zipWithIndex.flatMap { case (t, _) =>
+    val probesLocal = terms.flatMap { t =>
       (0 until graft.operators.Sketches.CmsDepth).map(i => (t, i))
-    }.toDF("term", "h_row")
-      .withColumn("bucket",
-        graft.operators.Sketches.cmsBucketDyn(col("term"), col("h_row")))
+    }
+    val probes = {
+      import spark.implicits._
+      probesLocal.toDF("term", "h_row")
+        .withColumn("bucket",
+          graft.operators.Sketches.cmsBucketDyn(col("term"), col("h_row")))
+    }
     val est = cells.join(broadcast(probes), Seq("h_row", "bucket"))
       .groupBy(col("window_start"), col("term"))
       .agg(min(col("cell_n")).as("cms_estimate"))
-    val exact = rows.toDF(tsCol, termCol)
+    // Hand the (windows × terms)-sized estimates back to the caller,
+    // then join the exact twin there as a distributed aggregate.
+    val estBack = handoff(est, caller, spark, Some(name), tempRoots)
+    val exact = events.filter(col(tsCol).isNotNull)
+      .select(col(tsCol).cast("timestamp").as(tsCol),
+        col(termCol).cast("string").as(termCol))
       .filter(col(termCol).isin(terms: _*))
       .groupBy(window(col(tsCol), windowLength), col(termCol).as("term"))
       .agg(count(lit(1)).as("n_exact"))
       .select(col("window.start").as("window_start"), col("term"), col("n_exact"))
-    handoff(est.join(exact, Seq("window_start", "term"))
+    estBack.join(exact, Seq("window_start", "term"))
       .select(col("window_start"), col("term"), col("n_exact"),
-        col("cms_estimate")),
-      events.sparkSession, spark, Some(name))
+        col("cms_estimate"))
   }
 
   /** Drive [[streamingDistinctRegisters]] over a BOUNDED event set in
