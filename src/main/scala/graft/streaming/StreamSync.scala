@@ -1076,39 +1076,38 @@ object StreamSync {
     */
   def replayAgg(log: DataFrame, keyCol: String, valueCol: String,
                 nBatches: Int = 3): DataFrame = {
-    val rows = {
-      val spark = log.sparkSession
-      import spark.implicits._
-      log.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
-          col(graft.operators.ChangeLog.ChangeType),
-          col(graft.operators.ChangeLog.CommitTs))
-        .as[(Option[Long], Option[Double], String, java.sql.Timestamp)]
-        .collect().sortBy(r => (r._4.getTime, r._2.getOrElse(0.0))).toSeq
-    }
+    // Distributed feeder (r14, the replayDistinctCounts transport): the
+    // maintained state's sums are µ-quantized integers (sum_value_q6),
+    // so batch boundaries — and therefore the chunking/transport — are
+    // invisible by construction; no sentinels needed (foreachBatch has
+    // no watermark). At sf10 the prior 10 M-row driver collect +
+    // MemoryStream encode dominated the gate (70 s).
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
-    val spark = log.sparkSession.newSession()
+    val caller = log.sparkSession
+    val input = log.select(col(keyCol).cast("long").as(keyCol),
+      col(valueCol).cast("double").as(valueCol),
+      col(graft.operators.ChangeLog.ChangeType),
+      col(graft.operators.ChangeLog.CommitTs))
+    val schema = new StructType()
+      .add(keyCol, "long").add(valueCol, "double")
+      .add(graft.operators.ChangeLog.ChangeType, "string")
+      .add(graft.operators.ChangeLog.CommitTs, "timestamp")
+    val (watchDir, tempRoots) = stageChunkedLogDistributed(
+      input, graft.operators.ChangeLog.CommitTs, nBatches)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_agg_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_agg_ckpt").toString
-    val input = MemoryStream[(Option[Long], Option[Double], String, java.sql.Timestamp)]
-    val q = startAggMaintenance(
-      input.toDF().toDF(keyCol, valueCol,
-        graft.operators.ChangeLog.ChangeType, graft.operators.ChangeLog.CommitTs),
-      Seq(keyCol), valueCol, stateDir, ckpt)
-    try {
-      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
-      rows.grouped(chunk).foreach { batch =>
-        input.addData(batch)
-        q.processAllAvailable()
-      }
-      logBatchTimings(q, "agg")
-    } finally q.stop()
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = startAggMaintenance(src, Seq(keyCol), valueCol, stateDir, ckpt)
+    try { q.processAllAvailable(); logBatchTimings(q, "agg") }
+    finally q.stop()
     handoff(graft.operators.ChangeLog.aggPresent(spark.read.parquet(stateDir)),
-      log.sparkSession, spark, None, Seq(stateRoot.toString, ckpt))
+      caller, spark, None,
+      tempRoots ++ Seq(stateRoot.toString, ckpt))
   }
 
   /** FILE-SOURCE → parquet FILE-SINK e2e: a staged change-log directory
