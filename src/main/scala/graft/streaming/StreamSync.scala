@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
@@ -341,60 +340,60 @@ object StreamSync {
     * the completed sessions as a batch DataFrame — the harness that lets
     * a batch oracle prove the streaming operator (q_stream_sessions).
     *
-    * Replay protocol: all real rows arrive as micro-batch 1 (watermark
-    * is still epoch-0, so nothing is late-dropped); two far-future
-    * sentinel rows then arrive as batches 2 and 3, each advancing the
-    * event-time watermark computed from the PREVIOUS batch — by batch 3
-    * the watermark (year 2100) is past every real session end, so Append
-    * mode has deterministically closed and emitted every real session
-    * before `processAllAvailable` returns (no reliance on no-data
-    * micro-batch scheduling). Sentinel sessions are filtered back out.
-    *
-    * The driver-side `collect`/`addData` is the bounded-replay harness,
-    * not a scale path: production ingest uses `readChangeLog` +
-    * [[streamingSessions]] directly, whose state stays bounded by open
-    * sessions per key.
+    * DISTRIBUTED feeder (r15, VERDICT r14 #1): the input stages through
+    * [[stageChunkedLogDistributed]] — time-range-ordered chunks written
+    * by the executors, streamed as per-file micro-batches — never a
+    * driver collect (the class that cost q_stream_distinct 236 s at
+    * sf10 before the r14 transport swap). Chunk order IS event-time
+    * order, so the 0-delay watermark late-drops nothing, and a session
+    * is only ever CLOSED correctly across chunk boundaries: a session
+    * closes when the watermark (= max ts of the previous batch) passes
+    * its end = last_event + gap, and every later chunk's rows sit at
+    * ts ≥ that watermark > last_event + gap — i.e. genuinely outside
+    * the gap, a new session. Two far-future sentinel FILES then advance
+    * the watermark past every real session end so Append mode emits
+    * them all before `processAllAvailable` returns (no reliance on
+    * no-data micro-batch scheduling); sentinel sessions filter back out
+    * by their reserved key.
     */
   def replaySessions(events: DataFrame, keyCol: String, tsCol: String,
-                     gap: String): DataFrame = {
-    val rows = {
-      val spark = events.sparkSession
-      import spark.implicits._
-      // Null keys/timestamps are excluded (the primitive encoder would
-      // throw on them); gate oracles must filter the same way.
-      events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-        .select(col(keyCol).cast("long"), col(tsCol))
-        .as[(Long, java.sql.Timestamp)].collect().toSeq
-    }
-    require(rows.forall(_._1 != SentinelKey), s"key $SentinelKey is reserved")
+                     gap: String, nChunks: Int = 3): DataFrame = {
+    val caller = events.sparkSession
+    // Null keys/timestamps are excluded (an open session needs both);
+    // gate oracles must filter the same way.
+    val input = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as(keyCol),
+        col(tsCol).cast("timestamp").as(tsCol))
+    require(input.filter(col(keyCol) === SentinelKey).limit(1).isEmpty,
+      s"key $SentinelKey is reserved")
+    val schema = new StructType().add(keyCol, "long").add(tsCol, "timestamp")
+    val sentinels = Seq(
+      org.apache.spark.sql.Row(
+        SentinelKey, java.sql.Timestamp.valueOf("2100-01-01 00:00:00")),
+      org.apache.spark.sql.Row(
+        SentinelKey, java.sql.Timestamp.valueOf("2101-01-01 00:00:00")))
+    val (watchDir, tempRoots) =
+      stageChunkedLogDistributed(input, tsCol, nChunks, sentinels)
     // Dedicated session: stateful streaming cost scales with the state
     // store's partition count (one store instance committed per shuffle
     // partition per micro-batch), so replays run at the fixed
     // [[ReplayPartitions]] = 4 (the r13 A/B measurement at the knob).
     // newSession shares the SparkContext but isolates the conf, so the
     // caller's shuffle parallelism is untouched.
-    val spark = events.sparkSession.newSession()
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(Long, java.sql.Timestamp)]
     val name = s"graft_replay_sessions_${ReplaySeq.incrementAndGet()}"
-    val q = streamingSessions(input.toDF().toDF(keyCol, tsCol), tsCol, keyCol,
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = streamingSessions(src, tsCol, keyCol,
         watermarkDelay = "0 seconds", gap = gap)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      input.addData(rows)
-      q.processAllAvailable()
-      input.addData((SentinelKey, java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
-      q.processAllAvailable()
-      input.addData((SentinelKey, java.sql.Timestamp.valueOf("2101-01-01 00:00:00")))
-      q.processAllAvailable()
-      logBatchTimings(q, "sessions")
-    } finally q.stop()
+    try { q.processAllAvailable(); logBatchTimings(q, "sessions") }
+    finally q.stop()
     handoff(spark.table(name).filter(col(keyCol) =!= SentinelKey),
-      events.sparkSession, spark, Some(name))
+      caller, spark, Some(name), tempRoots)
   }
 
   /** Drive [[streamingDedup]] over a BOUNDED (id, ts) set with every row
@@ -407,95 +406,117 @@ object StreamSync {
     * batch, so no sentinel watermark advancement is needed.
     */
   def replayDedup(events: DataFrame, idCol: String, tsCol: String,
-                  watermarkDelay: String): DataFrame = {
-    val rows = {
-      val spark = events.sparkSession
-      import spark.implicits._
-      // Null ids/timestamps excluded, mirroring replaySessions.
-      events.filter(col(idCol).isNotNull && col(tsCol).isNotNull)
-        .select(col(idCol).cast("long"), col(tsCol))
-        .as[(Long, java.sql.Timestamp)].collect().toSeq
-    }
+                  watermarkDelay: String, nChunks: Int = 3): DataFrame = {
+    val caller = events.sparkSession
+    // Null ids/timestamps excluded, mirroring replaySessions.
+    val input = events.filter(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        col(tsCol).cast("timestamp").as("_commit_timestamp"))
     // The gate's oracle keeps every non-null (id, ts) row, while the
     // stream dedups on idCol alone — equivalent ONLY when ids are
     // unique in the fixture (the kept row among same-id-different-ts
     // rows would be arrival-order nondeterministic). Enforce that
-    // precondition loudly so a fixture change turns the gate red here,
-    // not flakily downstream.
-    require(rows.map(_._1).distinct.size == rows.size,
+    // precondition loudly (one small distributed aggregate, never a
+    // collect) so a fixture change turns the gate red here, not flakily
+    // downstream.
+    require(input.groupBy(col(idCol)).count()
+      .filter(col("count") > 1L).limit(1).isEmpty,
       s"replayDedup fixture must have unique $idCol values: dedup on " +
         s"$idCol alone is only oracle-equivalent for unique ids")
-    val spark = events.sparkSession.newSession()
+    // DISTRIBUTED feeder (r15, VERDICT r14 #1): both copies of every row
+    // stage through [[stageChunkedLogDistributed]] in one executor-side
+    // write — the doubled input is range-partitioned on the timestamp,
+    // and range partitioning puts EQUAL keys in the SAME partition, so
+    // the two identical copies of a row always land in the same chunk =
+    // same micro-batch, exactly the old one-batch injection protocol
+    // per row. Cross-chunk is covered too: chunks are time-ordered, so
+    // no input row ever arrives below the watermark (nothing late-drops)
+    // and a same-ts duplicate is by construction within the watermark of
+    // its original. Kept rows emit in their arrival batch — no sentinels.
+    val (watchDir, tempRoots) = stageChunkedLogDistributed(
+      input.union(input), "_commit_timestamp", nChunks)
+    val schema = new StructType()
+      .add(idCol, "long").add("_commit_timestamp", "timestamp")
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(Long, java.sql.Timestamp)]
     val name = s"graft_replay_dedup_${ReplaySeq.incrementAndGet()}"
-    val q = streamingDedup(input.toDF().toDF(idCol, "_commit_timestamp"),
-        Seq(idCol), watermarkDelay)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = streamingDedup(src, Seq(idCol), watermarkDelay)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      input.addData(rows ++ rows)
-      q.processAllAvailable()
-      logBatchTimings(q, "dedup")
-    } finally q.stop()
+    try { q.processAllAvailable(); logBatchTimings(q, "dedup") }
+    finally q.stop()
     handoff(spark.table(name).withColumnRenamed("_commit_timestamp", tsCol),
-      events.sparkSession, spark, Some(name))
+      caller, spark, Some(name), tempRoots)
   }
 
   /** Drive [[streamingLatestByKey]] over a BOUNDED event set and return
     * the final latest-per-key rows as a batch DataFrame, json-decoded
     * back to typed columns (the q_stream_latest driver gate — the
     * streaming face of batch ScdLatest proved by the same oracle
-    * shape). All rows arrive as ONE micro-batch, so Update mode emits
-    * each touched key exactly once and the memory sink holds the final
-    * answer; `stateTtl = None` because pending processing-time timers
+    * shape). `stateTtl = None` because pending processing-time timers
     * never let `processAllAvailable` settle. The round trip exercises
     * the full state machinery: projection → to_json state → maxBy
     * fold → emission → from_json decode.
+    *
+    * DISTRIBUTED feeder (r15, VERDICT r14 #1): time-range-ordered
+    * chunks staged by the executors and streamed per-file — no driver
+    * collect. Update mode emits each touched key once PER TRIGGER, so
+    * the memory sink accumulates one row per (key, touching batch); the
+    * per-key emission sequence is monotone non-decreasing in
+    * (commitUs, json) by the operator's own fold, so the FINAL state is
+    * exactly the per-key max(struct(commitUs, json)) over the sink —
+    * the standard "read the latest update" consumer of an update-mode
+    * feed, not a re-implementation of the operator (the json payload
+    * only ever comes out of the state machinery). No sentinels:
+    * flatMapGroupsWithState carries no watermark here.
     */
   def replayLatest(events: DataFrame, keyCol: String, tsCol: String,
-                   typeCol: String, valueCol: String): DataFrame = {
-    val rows = {
-      val spark = events.sparkSession
-      import spark.implicits._
-      events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-        .select(col(keyCol).cast("long"), col(tsCol),
-          col(typeCol).cast("string"), col(valueCol).cast("double"))
-        .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
-    }
-    val spark = events.sparkSession.newSession()
+                   typeCol: String, valueCol: String,
+                   nChunks: Int = 3): DataFrame = {
+    val caller = events.sparkSession
+    val input = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as(keyCol),
+        col(tsCol).cast("timestamp").as("_commit_timestamp"),
+        col(typeCol).cast("string").as(typeCol),
+        col(valueCol).cast("double").as(valueCol))
+    val srcSchema = new StructType()
+      .add(keyCol, "long").add("_commit_timestamp", "timestamp")
+      .add(typeCol, "string").add(valueCol, "double")
+    val (watchDir, tempRoots) =
+      stageChunkedLogDistributed(input, "_commit_timestamp", nChunks)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
     val name = s"graft_replay_latest_${ReplaySeq.incrementAndGet()}"
-    val log = input.toDF().toDF(keyCol, "_commit_timestamp", typeCol, valueCol)
-    val q = streamingLatestByKey(log, keyCol, stateTtl = None)
+    val src = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = streamingLatestByKey(src, keyCol, stateTtl = None)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Update()).start()
-    try {
-      input.addData(rows)
-      q.processAllAvailable()
-      logBatchTimings(q, "latest")
-    } finally q.stop()
-    // ts comes from the state's µs-exact commitUs — to_json renders
-    // timestamps at ms precision, so decoding it from the json would
-    // silently truncate the microseconds the CDC contract preserves.
+    try { q.processAllAvailable(); logBatchTimings(q, "latest") }
+    finally q.stop()
+    // Final state per key = max emission (struct comparison is
+    // field-lexicographic: commitUs then json — the operator's own
+    // tie-break order). ts comes from the state's µs-exact commitUs —
+    // to_json renders timestamps at ms precision, so decoding it from
+    // the json would silently truncate the microseconds the CDC
+    // contract preserves.
     val schema = new StructType()
       .add(keyCol, "long").add("_commit_timestamp", "timestamp")
       .add(typeCol, "string").add(valueCol, "double")
     handoff(spark.table(name)
-      .select(col("key"), col("commitUs"),
-        from_json(col("json"), schema).as("_r"))
+      .groupBy(col("key"))
+      .agg(max(struct(col("commitUs"), col("json"))).as("_m"))
+      .select(col("key"), col("_m.commitUs").as("commitUs"),
+        from_json(col("_m.json"), schema).as("_r"))
       .select(col("key").as(keyCol),
         timestamp_micros(col("commitUs")).as(tsCol),
         col(s"_r.$typeCol").as(typeCol),
         col(s"_r.$valueCol").as(valueCol)),
-      events.sparkSession, spark, Some(name))
+      caller, spark, Some(name), tempRoots)
   }
 
   /** Stream-stream interval join: enrich a fact stream with ALL
@@ -546,38 +567,45 @@ object StreamSync {
     * back out by their reserved change type.
     */
   def replayChangeCounts(log: DataFrame, windowLength: String): DataFrame = {
-    val rows = {
-      val spark = log.sparkSession
-      import spark.implicits._
-      log.filter(col("_commit_timestamp").isNotNull)
-        .select(col("_commit_timestamp"), col("_change_type"))
-        .as[(java.sql.Timestamp, String)].collect().toSeq
-    }
-    require(rows.forall(_._2 != SentinelChangeType),
+    // DISTRIBUTED feeder (r15, VERDICT r14 #1) that KEEPS the one-batch
+    // protocol this gate exists to prove: the real rows stage as ONE
+    // chunk file (nChunks = 1 — repartitionByRange(1) writes through an
+    // executor task, never a driver collect) so micro-batch 1 carries
+    // the whole unordered log under the still-epoch-0 watermark, and the
+    // two sentinel FILES advance the watermark as batches 2 and 3. The
+    // multi-chunk per-file transport over the SAME operator and oracle
+    // is q_stream_file_counts ([[replayFileCounts]]) — the two gates
+    // differ exactly in batch granularity (protocol vs scale transport).
+    val caller = log.sparkSession
+    val input = log.filter(col("_commit_timestamp").isNotNull)
+      .select(col("_commit_timestamp").cast("timestamp"),
+        col("_change_type").cast("string"))
+    require(input.filter(col("_change_type") === SentinelChangeType)
+      .limit(1).isEmpty,
       s"change type $SentinelChangeType is reserved")
-    val spark = log.sparkSession.newSession()
+    val schema = new StructType()
+      .add("_commit_timestamp", "timestamp").add("_change_type", "string")
+    val sentinels = Seq(
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), SentinelChangeType),
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
+    val (watchDir, tempRoots) =
+      stageChunkedLogDistributed(input, "_commit_timestamp", 1, sentinels)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(java.sql.Timestamp, String)]
     val name = s"graft_replay_counts_${ReplaySeq.incrementAndGet()}"
-    val q = windowedChangeCounts(
-        input.toDF().toDF("_commit_timestamp", "_change_type"),
-        watermarkDelay = "0 seconds", windowLength = windowLength)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = windowedChangeCounts(src, watermarkDelay = "0 seconds",
+        windowLength = windowLength)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      input.addData(rows)
-      q.processAllAvailable()
-      input.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), SentinelChangeType))
-      q.processAllAvailable()
-      input.addData((java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
-      q.processAllAvailable()
-      logBatchTimings(q, "change_counts")
-    } finally q.stop()
+    try { q.processAllAvailable(); logBatchTimings(q, "change_counts") }
+    finally q.stop()
     handoff(spark.table(name).filter(col("_change_type") =!= SentinelChangeType),
-      log.sparkSession, spark, Some(name))
+      caller, spark, Some(name), tempRoots)
   }
 
   /** Drive [[streamingIntervalJoin]] over BOUNDED fact/dim sets and
@@ -596,42 +624,51 @@ object StreamSync {
     */
   def replayIntervalJoin(facts: DataFrame, dims: DataFrame, keyCol: String,
                          tsCol: String, idCol: String, watermarkDelay: String,
-                         joinWindowSeconds: Long): DataFrame = {
-    def rowsOf(df: DataFrame): Seq[(Long, java.sql.Timestamp, Long)] = {
-      val spark = df.sparkSession
-      import spark.implicits._
-      // Null keys/timestamps/ids excluded, mirroring replaySessions.
-      df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(idCol).isNotNull)
-        .select(col(keyCol).cast("long"), col(tsCol), col(idCol).cast("long"))
-        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
-    }
-    val fRows = rowsOf(facts)
-    val dRows = rowsOf(dims)
-    val spark = facts.sparkSession.newSession()
+                         joinWindowSeconds: Long, nChunks: Int = 2): DataFrame = {
+    // DISTRIBUTED feeder (r15, VERDICT r14 #1): BOTH sides stage as
+    // time-range-ordered chunk directories written by the executors and
+    // stream as per-file micro-batches (one file per side per trigger) —
+    // no driver collect. Inner-join completeness across chunks holds by
+    // the watermark contract: the global watermark is the MIN over both
+    // sides' (previous-batch max − delay), every later chunk's rows sit
+    // at or above it (ordered chunks = zero lateness), and eviction can
+    // never race a future match — a buffered fact f is evicted only when
+    // the watermark passes f.ts, after which every arriving dim has
+    // dim_ts > f.ts (outside the [f.ts − window, f.ts] condition); a
+    // buffered dim d only when the watermark passes d.ts + window, after
+    // which every arriving fact has fact_ts − window > d.ts.
+    val caller = facts.sparkSession
+    val schema = new StructType()
+      .add(keyCol, "long").add(tsCol, "timestamp").add(idCol, "long")
+    def stage(df: DataFrame): (String, Seq[String]) =
+      stageChunkedLogDistributed(
+        // Null keys/timestamps/ids excluded, mirroring replaySessions.
+        df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+            col(idCol).isNotNull)
+          .select(col(keyCol).cast("long").as(keyCol),
+            col(tsCol).cast("timestamp").as(tsCol),
+            col(idCol).cast("long").as(idCol)),
+        tsCol, nChunks)
+    val (fDir, fRoots) = stage(facts)
+    val (dDir, dRoots) = stage(dims)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val fIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
-    val dIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val name = s"graft_replay_ijoin_${ReplaySeq.incrementAndGet()}"
+    def src(dir: String): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
     val q = streamingIntervalJoin(
-        fIn.toDF().toDF(keyCol, tsCol, idCol), tsCol,
-        dIn.toDF().toDF(keyCol, tsCol, idCol), tsCol,
+        src(fDir), tsCol, src(dDir), tsCol,
         keyCol, watermarkDelay, joinWindowSeconds)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      fIn.addData(fRows)
-      dIn.addData(dRows)
-      q.processAllAvailable()
-      logBatchTimings(q, "interval_join")
-    } finally q.stop()
+    try { q.processAllAvailable(); logBatchTimings(q, "interval_join") }
+    finally q.stop()
     handoff(spark.table(name).select(
       col(keyCol),
       col(tsCol).as("fact_ts"), col(idCol).as("fact_id"),
       col(s"dim_$tsCol").as("dim_ts"), col(s"dim_$idCol").as("dim_id")),
-      facts.sparkSession, spark, Some(name))
+      caller, spark, Some(name), fRoots ++ dRoots)
   }
 
   /** Stream-STATIC dimension enrichment — the fourth streaming join
@@ -662,38 +699,43 @@ object StreamSync {
     * under test.
     */
   def replayEnrich(events: DataFrame, dim: DataFrame, keyCol: String,
-                   tsCol: String, idCol: String, dimKey: String): DataFrame = {
-    val rows = {
-      val spark = events.sparkSession
-      import spark.implicits._
+                   tsCol: String, idCol: String, dimKey: String,
+                   nChunks: Int = 2): DataFrame = {
+    // DISTRIBUTED feeder (r15, VERDICT r14 #1 class): the stream side
+    // stages through [[stageChunkedLogDistributed]] (stateless join —
+    // every micro-batch enriches independently, so chunking is trivially
+    // invisible); the STATIC side must live in the replay session (a
+    // DataFrame is bound to the SparkSession that resolved it; mixing
+    // sessions in one plan breaks analysis) and crosses over as a temp
+    // parquet written and re-read by the executors — never a driver
+    // collect of the dimension.
+    val caller = events.sparkSession
+    val input = events
       // Null keys/timestamps/ids excluded, mirroring replaySessions.
-      events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(idCol).isNotNull)
-        .select(col(keyCol).cast("long"), col(tsCol), col(idCol).cast("long"))
-        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
-    }
-    val spark = events.sparkSession.newSession()
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).cast("long").as(keyCol),
+        col(tsCol).cast("timestamp").as(tsCol),
+        col(idCol).cast("long").as(idCol))
+    val schema = new StructType()
+      .add(keyCol, "long").add(tsCol, "timestamp").add(idCol, "long")
+    val (watchDir, tempRoots) = stageChunkedLogDistributed(input, tsCol, nChunks)
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft_enrich_dim")
+    val dimDir = dimRoot.resolve("dim").toString
+    dim.write.parquet(dimDir)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // The static side must live in the REPLAY session (a DataFrame is
-    // bound to the SparkSession that resolved it; mixing sessions in one
-    // plan breaks analysis) — rebuild it from collected rows.
-    val dimRows = dim.collect().toSeq
-    val dimLocal = spark.createDataFrame(
-      spark.sparkContext.parallelize(dimRows, 1), dim.schema)
-    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val dimLocal = spark.read.schema(dim.schema).parquet(dimDir)
     val name = s"graft_replay_enrich_${ReplaySeq.incrementAndGet()}"
-    val q = streamingEnrich(input.toDF().toDF(keyCol, tsCol, idCol),
-        dimLocal, keyCol, dimKey)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = streamingEnrich(src, dimLocal, keyCol, dimKey)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      input.addData(rows)
-      q.processAllAvailable()
-      logBatchTimings(q, "enrich")
-    } finally q.stop()
-    handoff(spark.table(name), events.sparkSession, spark, Some(name))
+    try { q.processAllAvailable(); logBatchTimings(q, "enrich") }
+    finally q.stop()
+    handoff(spark.table(name), caller, spark, Some(name),
+      tempRoots :+ dimRoot.toString)
   }
 
   /** Continuous-ingestion dedup: every micro-batch of incoming documents
@@ -804,39 +846,42 @@ object StreamSync {
     */
   def replayScd2(log: DataFrame, keyCol: String, tieBreakCol: String,
                  dataCol: String, nBatches: Int = 2): DataFrame = {
-    val rows = {
-      val spark = log.sparkSession
-      import spark.implicits._
-      log.select(col(keyCol).cast("long"), col(tieBreakCol).cast("long"),
-          col(dataCol).cast("string"), col(graft.operators.ChangeLog.ChangeType),
-          col(graft.operators.ChangeLog.CommitTs))
-        .as[(Option[Long], Long, String, String, java.sql.Timestamp)]
-        .collect().sortBy(r => (r._5.getTime, r._2)).toSeq
-    }
+    // DISTRIBUTED feeder (r15, VERDICT r14 #1): the change log stages as
+    // commit-time-range-ordered chunks written by the executors and
+    // streams per-file into the foreachBatch maintenance loop — no
+    // driver collect. Chronology holds chunk-to-chunk (range partitions
+    // are ordered; equal commit timestamps never straddle a boundary),
+    // and WITHIN a batch order is irrelevant by scd2Apply's own equality
+    // contract ("even out-of-order batch boundaries hold" — the window
+    // recomputation sees the per-key event multiset). Null keys ride
+    // through parquet natively (the old encoder needed Option for them).
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
-    val spark = log.sparkSession.newSession()
+    val caller = log.sparkSession
+    val input = log.select(col(keyCol).cast("long").as(keyCol),
+      col(tieBreakCol).cast("long").as(tieBreakCol),
+      col(dataCol).cast("string").as(dataCol),
+      col(graft.operators.ChangeLog.ChangeType),
+      col(graft.operators.ChangeLog.CommitTs))
+    val schema = new StructType()
+      .add(keyCol, "long").add(tieBreakCol, "long").add(dataCol, "string")
+      .add(graft.operators.ChangeLog.ChangeType, "string")
+      .add(graft.operators.ChangeLog.CommitTs, "timestamp")
+    val (watchDir, tempRoots) = stageChunkedLogDistributed(
+      input, graft.operators.ChangeLog.CommitTs, nBatches)
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions",
       ReplayPartitions.toString)
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scd2_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
-    val input = MemoryStream[(Option[Long], Long, String, String, java.sql.Timestamp)]
-    val q = startScd2Maintenance(
-      input.toDF().toDF(keyCol, tieBreakCol, dataCol,
-        graft.operators.ChangeLog.ChangeType, graft.operators.ChangeLog.CommitTs),
-      Seq(keyCol), tieBreakCol, Seq(dataCol), stateDir, ckpt)
-    try {
-      val chunk = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
-      rows.grouped(chunk).foreach { batch =>
-        input.addData(batch)
-        q.processAllAvailable()
-      }
-      logBatchTimings(q, "scd2")
-    } finally q.stop()
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watchDir)
+    val q = startScd2Maintenance(src, Seq(keyCol), tieBreakCol, Seq(dataCol),
+      stateDir, ckpt)
+    try { q.processAllAvailable(); logBatchTimings(q, "scd2") }
+    finally q.stop()
     handoff(graft.operators.ChangeLog.scd2Present(spark.read.parquet(stateDir)),
-      log.sparkSession, spark, None, Seq(stateRoot.toString, ckpt))
+      caller, spark, None, tempRoots ++ Seq(stateRoot.toString, ckpt))
   }
 
   /** STREAMING windowed DISTINCT-COUNT registers: per tumbling
