@@ -58,4 +58,21 @@ lazy val delta = (project in file("delta"))
     Compile / unmanagedSourceDirectories := {
       if (hasDeltaJar) Seq((Compile / scalaSource).value) else Seq.empty
     },
+    // r15 (VERDICT r14 #6): the one-command e2e. Without a delta jar,
+    // `sbt delta/test` is a clean no-op (empty test source set — same
+    // gate as Compile); with one, `DELTA_JARS=<dir> sbt delta/test`
+    // runs DeltaChangeSourceIntegrationSpec end-to-end (real commits,
+    // CDF reads, idle-window guard) so a signature bit-rot in the
+    // drop-in cannot hide behind the compile gate. scalatest resolves
+    // from the same pre-warmed offline cache as root's test deps.
+    Test / unmanagedSourceDirectories := {
+      if (hasDeltaJar) Seq((Test / scalaSource).value) else Seq.empty
+    },
+    libraryDependencies += "org.scalatest" %% "scalatest" % "3.2.19" % Test,
+    Test / fork := true,
+    Test / javaOptions ++= jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-Xmx4g",
+    ),
   )

@@ -29,7 +29,11 @@ import graft.sources.ChangeSource
   * commit-granular and inclusive, so they serve as coarse pruning
   * while the filter is exact — the caller owns the reference's +1 ms
   * exclusive start, exactly as with the emulation); the snapshot scan
-  * tags every row `'INSERT'` (export.py:114).
+  * tags every row `'INSERT'` (export.py:114). An IDLE window — startMs
+  * past the table's last commit, where Delta's CDF read would throw
+  * `timestampGreaterThanLatestCommit` — returns an EMPTY frame with
+  * the full CDF schema, matching the emulation's behavior for a sync
+  * tick that found no new commits.
   *
   * This module is compile-gated in build.sbt (empty source set until a
   * delta jar exists); a parser-only syntax gate in the root test suite
@@ -51,6 +55,23 @@ final case class DeltaChangeSource(spark: SparkSession, tableRef: String)
   }
 
   override def tableChanges(startMs: Long, endMs: Long): DataFrame = {
+    // Idle-window guard (r15, ADVICE): Delta's CDF read THROWS when
+    // startingTimestamp exceeds the table's last commit, but a sync
+    // window with no commits since cutoff+1 ms is a routine occurrence
+    // the emulation answers with an empty frame — match that. The
+    // empty frame is built from the CDF schema read at version
+    // granularity (startingVersion=0 is metadata-only under LIMIT 0
+    // semantics of .schema), so the column set is identical either way.
+    if (startMs > latestCommitMs()) {
+      val shape = spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .table(tableRef)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape.schema)
+      return empty.select(ChangeLog.mpChangeType(col(ChangeLog.ChangeType))
+        .as(ChangeLog.MpChangeType) +: empty.columns.map(col): _*)
+    }
     val cdf = spark.read.format("delta")
       .option("readChangeFeed", "true")
       .option("startingTimestamp", isoOf(startMs))

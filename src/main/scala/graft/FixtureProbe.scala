@@ -86,6 +86,33 @@ object FixtureProbe {
       }
     }
 
+  /** Exact fixture row count from parquet FOOTER metadata only — one
+    * footer read per file on the driver, NO Spark job and no data scan.
+    * For SF-tier decisions inside a gate (q_two_hop_hll_capped picks
+    * its graph slice by fixture size) this replaces a cluster-wide
+    * `df.count()` that at 100x would spend a full-scan job deciding a
+    * modulus (VERDICT r14 #3). Footer record counts are exact for
+    * parquet (every writer stamps them), so tier selection is identical
+    * to the count() it replaces — and the DuckDB oracle's
+    * `(SELECT count(*) FROM t)` twin also answers from footer metadata,
+    * keeping the two engines' tier choice in lockstep.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, table: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      else Array(root)
+    files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Print mismatches to stderr; returns true when the contract holds. */
   def report(spark: SparkSession, sfDir: String): Boolean = {
     val ms = check(spark, sfDir)

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * This main times each stage separately (moments-only, score-only
   * given a precomputed broadcast row, full operator) over `iters`
   * passes, plus the r14 candidate fix: SALTED LONG-LIMB moments (pure
-  * long arithmetic per row via a 2^19 limb split, 1024 salt groups
-  * whose partial long sums cannot overflow, one 1024-row decimal
+  * long arithmetic per row via a 2^19 limb split; r15 salt = partition-
+  * local 2^24-row blocks of monotonically_increasing_id, a structural
+  * per-group bound keeping every long sum < 2^62, one small decimal
   * combine) — same exact integer totals, no per-row Decimal.
   *
   * Usage: `runMain graft.RehearseMahalanobis <sfDir> [iters]`.
@@ -65,15 +66,15 @@ object RehearseMahalanobis {
 
     // Stage 1b: salted long-limb moments — identical exact totals.
     // x < 2^37 in µ units; split x = a·2^19 + b so every per-row term
-    // (a², ab, b², …) < 2^38 and per-salt-group long sums stay far from
-    // overflow at any driver SF; the 1024-row combine is decimal.
+    // (a², ab, b², …) < 2^38; groups of ≤ 2^24 rows keep each long sum
+    // < 2^62 at ANY scale; the small group-row combine is decimal.
     val baseL = li.select(col("line_id").cast("long").as("_id"),
       muL("l_quantity").as("_x"), muL("l_extendedprice").as("_y"))
     time("moments_longlimb") {
       val s = 19
       val m = (1L << s) - 1L
       val g = baseL
-        .withColumn("_g", pmod(col("_id"), lit(1024L)))
+        .withColumn("_g", shiftright(monotonically_increasing_id(), 24))
         .withColumn("_xa", shiftright(col("_x"), s)).withColumn("_xb", col("_x").bitwiseAND(m))
         .withColumn("_ya", shiftright(col("_y"), s)).withColumn("_yb", col("_y").bitwiseAND(m))
         .groupBy("_g").agg(
@@ -111,7 +112,7 @@ object RehearseMahalanobis {
       val s = 19
       val m = (1L << s) - 1L
       val g = baseL
-        .withColumn("_g", pmod(col("_id"), lit(1024L)))
+        .withColumn("_g", shiftright(monotonically_increasing_id(), 24))
         .withColumn("_xa", shiftright(col("_x"), s)).withColumn("_xb", col("_x").bitwiseAND(m))
         .withColumn("_ya", shiftright(col("_y"), s)).withColumn("_yb", col("_y").bitwiseAND(m))
         .groupBy("_g").agg(

@@ -72,6 +72,34 @@ object Verify {
       }
       timings(name) = (System.nanoTime() - t0) / 1e9
     }
+    // warm_regressions (VERDICT r14 #5): Bench's field, same definition
+    // (worst WARM pass ≥2x the cold pass AND ≥2 s — the state-left-
+    // behind / sticky-JIT episode signature), measurable here only by a
+    // second pass. Re-running all 260 gates would double the dump, so
+    // the probe re-runs just the expensive tail (cold ≥ 2 s — the only
+    // gates that can trip the absolute bound) into a scratch dir that
+    // is deleted afterwards, leaving the driver-facing dump bit-
+    // identical to the single-pass artifact.
+    val warmRatios = scala.collection.mutable.LinkedHashMap[String, Double]()
+    locally {
+      val tail = ordered.filter { case (n, _) => timings.getOrElse(n, 0.0) >= 2.0 }
+      val scratch = s"$outDir/_warmprobe"
+      tail.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$scratch/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] warm probe $name failed: ${e.getMessage}")
+        }
+        val warm = (System.nanoTime() - t0) / 1e9
+        val cold = math.max(timings(name), 1e-9)
+        if (warm >= 2 * cold && warm >= 2.0) warmRatios(name) = warm / cold
+      }
+      if (tail.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(scratch)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
     locally {
       def num(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -86,8 +114,11 @@ object Verify {
       val qs = timings.map { case (k, v) => s"${q(k)}:${num(v)}" }
         .mkString("{", ",", "}")
       val cs = canaries.map(num).mkString("[", ",", "]")
+      val wr = warmRatios.map { case (k, v) =>
+        s"${q(k)}:${String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))}"
+      }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/verify_timing.json"),
-        s"""{"queries":$qs,"canary":$cs,"canary_wave_ratio":${num(wave)}}""" + "\n")
+        s"""{"queries":$qs,"canary":$cs,"canary_wave_ratio":${num(wave)},"warm_regressions":$wr}""" + "\n")
     }
     spark.stop()
   }

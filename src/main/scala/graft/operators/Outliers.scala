@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * (RehearseMahalanobis pins the equality bitwise), with zero per-row
   * Decimal work.
   *
-  * Scale shape: ONE map-side-combinable moment aggregate (1024 salt
-  * rows, then a 6-number decimal combine broadcast back via crossJoin —
-  * no driver round-trip), then a narrow codegen scoring projection and
-  * a TakeOrdered top-k. Nothing shuffles corpus-sized data.
+  * Scale shape: ONE map-side-combinable moment aggregate (partition-
+  * local salt groups of ≤ 2^24 rows each, then a 6-number decimal
+  * combine broadcast back via crossJoin — no driver round-trip), then a
+  * narrow codegen scoring projection and a TakeOrdered top-k. Nothing
+  * shuffles corpus-sized data.
   *
   * Output: top-k rows (idCol, xCol, yCol, md2), md2 DESC.
   */
@@ -46,7 +47,19 @@ object Outliers {
     * primitive-long codegen per row, no Decimal anywhere on the scan.
     */
   private val LimbShift = 19
-  private val SaltGroups = 1024L
+
+  /** Rows-per-salt-group bound as a shift of the within-partition row
+    * index: `monotonically_increasing_id()` is `partitionId·2^33 +
+    * rowIdxInPartition`, so `mid >> GroupShift` buckets AT MOST
+    * 2^24 rows per group, each group wholly inside one partition
+    * (map-side combine emits one row per group, the shuffle moves only
+    * group rows). The bound is structural — no id-distribution or
+    * corpus-size assumption — and group count grows with the data, so
+    * there is no scale ceiling (r15, ADVICE: the previous fixed
+    * pmod(id,1024) salt capped safe capacity at ~3.4e10 rows total and
+    * less under id skew).
+    */
+  private val GroupShift = 24
 
   def mahalanobis2(df: DataFrame, idCol: String, xCol: String,
                    yCol: String, topK: Int): DataFrame = {
@@ -61,11 +74,15 @@ object Outliers {
     // on boxed BigDecimals, the operator's one interpreted hot loop
     // (and its sticky-JIT episode surface; RehearseMahalanobis A/B).
     // The exact moments now come from SALTED LIMB SUMS: per salt group
-    // (pmod(id, 1024)) eleven long sums of the 2^19-limb products —
-    // ANSI-checked long arithmetic, capacity ≈ 3e13 rows per group
-    // tier before a sum could overflow (a 100 TB corpus is ~1e11 rows;
-    // ANSI would throw, never corrupt) — then ONE decimal combine over
-    // the 1024 group rows reconstructs Σx², Σy², Σxy exactly.
+    // (mid >> 24 — see GroupShift) eleven long sums of the 2^19-limb
+    // products. Capacity (r15, corrected): with |x| < 2^37 the worst
+    // per-row limb term (xb², |xa·yb + xb·ya|) is < 2^38, so a group of
+    // ≤ 2^24 rows keeps every long sum < 2^62 — 2x headroom under
+    // ANSI-checked arithmetic (which would throw, never corrupt) — and
+    // the 2^24 bound holds structurally for ANY corpus size or id
+    // distribution. Then ONE decimal combine over the group rows
+    // (~1 per 16.7M rows, plus one per partition) reconstructs
+    // Σx², Σy², Σxy exactly.
     // RehearseMahalanobis pins the reconstruction bitwise against the
     // decimal formulation at sf0.1, so the oracle is unchanged.
     def mu(c: String) =
@@ -75,7 +92,7 @@ object Outliers {
     val s = LimbShift
     val mask = (1L << s) - 1L
     val grouped = base
-      .withColumn("_g", pmod(col("_id"), lit(SaltGroups)))
+      .withColumn("_g", shiftright(monotonically_increasing_id(), GroupShift))
       .withColumn("_xa", shiftright(col("_x"), s))
       .withColumn("_xb", col("_x").bitwiseAND(mask))
       .withColumn("_ya", shiftright(col("_y"), s))

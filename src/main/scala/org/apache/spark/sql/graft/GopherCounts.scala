@@ -53,10 +53,16 @@ case class GopherCounts(child: Expression)
     val freq = new java.util.HashMap[UTF8String, Integer](math.max(8, n * 2))
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      sumLen += t.numChars()
-      val c = freq.merge(t, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
-      if (c > top) top = c
+      // null elements are skipped everywhere below (ArrayType(StringType)
+      // admits containsNull; TextAnalysis.tokens() never produces one, but
+      // a null token must not NPE a new caller — it simply contributes to
+      // no count, the same "absent" treatment WordListCounts gives it)
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        sumLen += t.numChars()
+        val c = freq.merge(t, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        if (c > top) top = c
+      }
       i += 1
     }
     var uniqBigrams = 0
@@ -64,8 +70,10 @@ case class GopherCounts(child: Expression)
       val big = new java.util.HashSet[UTF8String](math.max(8, n * 2))
       i = 0
       while (i + 1 < n) {
-        big.add(UTF8String.concat(arr.getUTF8String(i), Space,
-          arr.getUTF8String(i + 1)))
+        if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+          big.add(UTF8String.concat(arr.getUTF8String(i), Space,
+            arr.getUTF8String(i + 1)))
+        }
         i += 1
       }
       uniqBigrams = big.size
