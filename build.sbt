@@ -27,7 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // A/B hook (r15): extra whitespace-separated JVM flags / -Dspark.*
+  // confs for forked runs, e.g.
+  //   SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.codegen.methodSplitThreshold=512"
+  // Empty (a no-op) unless explicitly set — the bench protocol itself
+  // never sets it; it exists so perf hypotheses are testable without
+  // build edits.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
 // Explicit root so the delta module below is NOT aggregated: the
 // driver's `sbt compile` / `sbt test` / `runMain` contract touches only

@@ -236,6 +236,16 @@ object LinkPred {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    twoHopReachHllCanonical(ce)
+  }
+
+  /** [[twoHopReachHll]] body over an edge set that is ALREADY canonical
+    * (columns `a < b`, distinct) — split out (r15) so the capped
+    * variant, whose cap pipeline produces exactly that shape, does not
+    * pay a second canonicalize+distinct exchange over the full edge
+    * set just to re-derive what it already has.
+    */
+  private def twoHopReachHllCanonical(ce: DataFrame): DataFrame = {
     val adj = ce.select(col("a").as("z"), col("b").as("n"))
       .union(ce.select(col("b"), col("a")))
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("degree"))
@@ -320,11 +330,13 @@ object LinkPred {
       .union(ce.select(col("b"), col("a")))
     val ok = adj.groupBy(col("z")).agg(count(lit(1)).as("_d"))
       .filter(col("_d") <= maxDeg).select(col("z"))
+    // ce is canonical+distinct and the semijoins preserve that, so the
+    // HLL chain runs on it directly — no second distinct exchange.
     val capped = ce
       .join(ok.withColumnRenamed("z", "a"), "a")
       .join(ok.withColumnRenamed("z", "b"), "b")
-      .select(col("a").as(srcCol), col("b").as(dstCol))
-    twoHopReachHll(capped, srcCol, dstCol)
+      .select(col("a"), col("b"))
+    twoHopReachHllCanonical(capped)
   }
 
   /** DuckDB oracle twin of [[twoHopReachHllCapped]] — same cap, then
