@@ -173,8 +173,17 @@ object StreamSync {
     * the former `replayPartitions(n)` signature implied row-count
     * scaling it deliberately does not do, and feeding its ignored
     * argument cost the file-source path an extra count() job.
+    *
+    * Env override (r15): `SPARK_GRAFT_REPLAY_PARTITIONS` exists for
+    * A/B measurement only — the sf10 distributed-feeder runs showed the
+    * binding constraint FLIPS at ~10 M state rows from per-partition
+    * commit overhead (where 4 wins) to per-partition state size (heap
+    * state store GC: sessions/dedup spent 28–42 s in GC at 4
+    * partitions, old-gen 5–6 GB). The default stays 4, the measured
+    * small-SF winner; the sf10 A/B is recorded in BASELINE.md r15.
     */
-  private val ReplayPartitions: Int = 4
+  private val ReplayPartitions: Int =
+    sys.env.get("SPARK_GRAFT_REPLAY_PARTITIONS").map(_.toInt).getOrElse(4)
 
   /** Per-batch timing telemetry (VERDICT r12 #6): after a replay
     * drains, print each micro-batch's trigger wall and operator
