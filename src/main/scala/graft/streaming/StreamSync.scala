@@ -185,6 +185,29 @@ object StreamSync {
   private val ReplayPartitions: Int =
     sys.env.get("SPARK_GRAFT_REPLAY_PARTITIONS").map(_.toInt).getOrElse(4)
 
+  /** Dedicated session for one replay: isolated conf (shared
+    * SparkContext) pinned at the fixed [[ReplayPartitions]]
+    * parallelism, so the caller's shuffle settings are untouched.
+    * `SPARK_GRAFT_REPLAY_STATESTORE=rocksdb` (or a provider class name)
+    * switches the state-store provider for A/B measurement — the sf10
+    * runs showed the default HEAP store's GC dominating the
+    * sessions/dedup replays at ~10 M state rows (BASELINE.md r15);
+    * RocksDB is the standard production answer for state that outgrows
+    * the heap, and the knob makes that claim measurable here.
+    */
+  private def replaySession(caller: SparkSession): SparkSession = {
+    val spark = caller.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", ReplayPartitions.toString)
+    sys.env.get("SPARK_GRAFT_REPLAY_STATESTORE").foreach { v =>
+      val cls =
+        if (v == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else v
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
+    spark
+  }
+
   /** Per-batch timing telemetry (VERDICT r12 #6): after a replay
     * drains, print each micro-batch's trigger wall and operator
     * (addBatch) time to stderr. The gap between a gate's wall clock
@@ -293,9 +316,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "_commit_timestamp", nChunks, sentinels)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_filecounts_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -330,9 +351,7 @@ object StreamSync {
       .add(graft.operators.ChangeLog.CommitTs, "timestamp")
     val (watchDir, tempRoots) = stageChunkedLogDistributed(
       input, graft.operators.ChangeLog.CommitTs, nChunks)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_file_agg_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_file_agg_ckpt").toString
@@ -389,9 +408,7 @@ object StreamSync {
     // [[ReplayPartitions]] = 4 (the r13 A/B measurement at the knob).
     // newSession shares the SparkContext but isolates the conf, so the
     // caller's shuffle parallelism is untouched.
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_sessions_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -446,9 +463,7 @@ object StreamSync {
       input.union(input), "_commit_timestamp", nChunks)
     val schema = new StructType()
       .add(idCol, "long").add("_commit_timestamp", "timestamp")
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_dedup_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -496,9 +511,7 @@ object StreamSync {
       .add(typeCol, "string").add(valueCol, "double")
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "_commit_timestamp", nChunks)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_latest_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -601,9 +614,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "_commit_timestamp", 1, sentinels)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_counts_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -660,9 +671,7 @@ object StreamSync {
         tsCol, nChunks)
     val (fDir, fRoots) = stage(facts)
     val (dDir, dRoots) = stage(dims)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_ijoin_${ReplaySeq.incrementAndGet()}"
     def src(dir: String): DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -731,9 +740,7 @@ object StreamSync {
     val dimRoot = java.nio.file.Files.createTempDirectory("graft_enrich_dim")
     val dimDir = dimRoot.resolve("dim").toString
     dim.write.parquet(dimDir)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val dimLocal = spark.read.schema(dim.schema).parquet(dimDir)
     val name = s"graft_replay_enrich_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
@@ -877,9 +884,7 @@ object StreamSync {
       .add(graft.operators.ChangeLog.CommitTs, "timestamp")
     val (watchDir, tempRoots) = stageChunkedLogDistributed(
       input, graft.operators.ChangeLog.CommitTs, nBatches)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scd2_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
@@ -975,9 +980,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelDistinctValue))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, tsCol, nBatches, sentinels)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_cms_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -1049,9 +1052,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelDistinctValue))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, tsCol, nBatches, sentinels)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val name = s"graft_replay_distinct_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -1148,9 +1149,7 @@ object StreamSync {
       .add(graft.operators.ChangeLog.CommitTs, "timestamp")
     val (watchDir, tempRoots) = stageChunkedLogDistributed(
       input, graft.operators.ChangeLog.CommitTs, nBatches)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_agg_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_agg_ckpt").toString
@@ -1185,9 +1184,7 @@ object StreamSync {
       .add("event_id", "long").add("_change_type", "string")
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "event_id", nChunks)
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      ReplayPartitions.toString)
+    val spark = replaySession(caller)
     val outRoot = java.nio.file.Files.createTempDirectory("graft_file_sink")
     val outDir = outRoot.resolve("out").toString
     val ckpt = outRoot.resolve("ckpt").toString
