@@ -62,7 +62,20 @@ final case class DeltaChangeSource(spark: SparkSession, tableRef: String)
     // empty frame is built from the CDF schema read at version
     // granularity (startingVersion=0 is metadata-only under LIMIT 0
     // semantics of .schema), so the column set is identical either way.
-    if (startMs > latestCommitMs()) {
+    //
+    // Check-then-read race (r16, ADVICE): a commit can land between the
+    // history probe and the return, and answering THAT window with an
+    // empty frame would skip the commit forever if the caller advanced
+    // its cutoff to endMs. Two defenses: (1) the probe is re-taken once
+    // before committing to the empty answer, falling through to the
+    // real CDF read when it moved; (2) the contract — documented here,
+    // and what [[graft.Engine.runCdc]] does with the emulation — is
+    // that a caller advances its cutoff only to the OBSERVED
+    // latestCommitMs (the sync protocol's commit-ts end anchor,
+    // export.py:49–60), never to its requested endMs, so a commit that
+    // slips past both probes is simply picked up by the next window.
+    val idleOnFirstProbe = startMs > latestCommitMs()
+    if (idleOnFirstProbe && startMs > latestCommitMs()) {
       val shape = spark.read.format("delta")
         .option("readChangeFeed", "true")
         .option("startingVersion", "0")

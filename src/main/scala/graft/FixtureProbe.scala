@@ -101,10 +101,16 @@ object FixtureProbe {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
     val fs = root.getFileSystem(conf)
+    // Hidden-file semantics must match Spark's reader EXACTLY (r16,
+    // ADVICE): HiddenFileFilter skips names starting with `_` OR `.`
+    // (and directories), so a '.'-prefixed stray file counted here but
+    // invisible to the df.count() this replaces would silently skew
+    // tier selection.
     val files =
       if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        fs.listStatus(root).filter(_.isFile).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith("_") && !p.getName.startsWith("."))
       else Array(root)
     files.map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)

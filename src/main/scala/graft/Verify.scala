@@ -83,19 +83,25 @@ object Verify {
     val warmRatios = scala.collection.mutable.LinkedHashMap[String, Double]()
     locally {
       val tail = ordered.filter { case (n, _) => timings.getOrElse(n, 0.0) >= 2.0 }
-      val scratch = s"$outDir/_warmprobe"
-      tail.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$scratch/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] warm probe $name failed: ${e.getMessage}")
+      // Scratch OUTSIDE outDir (r16, ADVICE): the probe re-runs the
+      // most expensive gates, which is exactly when a crash/OOM is
+      // likeliest — partial probe output must never be able to pollute
+      // the driver-facing dump, and the finally covers the crash path
+      // a post-loop delete did not.
+      val scratch = Files.createTempDirectory("graft_warmprobe").toString
+      try {
+        tail.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$scratch/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] warm probe $name failed: ${e.getMessage}")
+          }
+          val warm = (System.nanoTime() - t0) / 1e9
+          val cold = math.max(timings(name), 1e-9)
+          if (warm >= 2 * cold && warm >= 2.0) warmRatios(name) = warm / cold
         }
-        val warm = (System.nanoTime() - t0) / 1e9
-        val cold = math.max(timings(name), 1e-9)
-        if (warm >= 2 * cold && warm >= 2.0) warmRatios(name) = warm / cold
-      }
-      if (tail.nonEmpty) {
+      } finally {
         val p = new org.apache.hadoop.fs.Path(scratch)
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
       }
