@@ -160,34 +160,72 @@ object StreamSync {
     */
   val SentinelKey: Long = Long.MinValue
 
-  /** State/shuffle parallelism for a bounded replay — FIXED at 4 by a
-    * MEASURED decision (r13, verdict #6): scaling this with replayed
-    * row count (~64 k rows/partition, so 16–31 partitions at the sf1.0
-    * fixture) was A/B-tested against the fixed 4 on the full streaming
-    * family at sf1.0 and LOST on every stateful gate — dedup addBatch
-    * 8.5 s @ 4 partitions vs 15.9–41 s @ 31, sessions 7.0 s vs 13.8 s,
-    * change_counts 5.8 s vs 21.1 s (per-batch `[stream]` telemetry,
-    * BASELINE.md round 13). A one-batch bounded replay is dominated by
-    * per-partition state-store commit/maintenance, not by CPU, so more
-    * partitions only multiply that overhead. A constant (r14, ADVICE):
-    * the former `replayPartitions(n)` signature implied row-count
-    * scaling it deliberately does not do, and feeding its ignored
-    * argument cost the file-source path an extra count() job.
-    *
-    * Env override (r15): `SPARK_GRAFT_REPLAY_PARTITIONS` exists for
-    * A/B measurement only — the sf10 distributed-feeder runs showed the
-    * binding constraint FLIPS at ~10 M state rows from per-partition
-    * commit overhead (where 4 wins) to per-partition state size (heap
-    * state store GC: sessions/dedup spent 28–42 s in GC at 4
-    * partitions, old-gen 5–6 GB). The default stays 4, the measured
-    * small-SF winner; the sf10 A/B is recorded in BASELINE.md r15.
+  /** Operator-precedence env override for the replay parallelism; when
+    * unset the count is ADAPTIVE per replay (see [[replayPartitions]]).
     */
-  private val ReplayPartitions: Int =
-    sys.env.get("SPARK_GRAFT_REPLAY_PARTITIONS").map(_.toInt).getOrElse(4)
+  private val ReplayPartitionsOverride: Option[Int] =
+    sys.env.get("SPARK_GRAFT_REPLAY_PARTITIONS").map { raw =>
+      // Validated parse (r16, ADVICE): a malformed or non-positive
+      // value must fail with a message naming the env var, not
+      // surface as an ExceptionInInitializerError from this object's
+      // static init (or silently zero the shuffle parallelism).
+      val n = scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_REPLAY_PARTITIONS must be an integer, got '$raw'"))
+      require(n > 0, s"SPARK_GRAFT_REPLAY_PARTITIONS must be > 0, got $n")
+      n
+    }
+
+  /** Exact staged row count from the chunk files' parquet FOOTERS —
+    * driver-side metadata reads over a handful of local files, no
+    * Spark job (the FixtureProbe.rowCount pattern). The staging write
+    * has just produced these files, so the count is free and exact.
+    */
+  private def stagedRowCount(conf: org.apache.hadoop.conf.Configuration,
+                             watchDirs: Seq[String]): Long =
+    watchDirs.map { dir =>
+      val files = {
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .iterator().asScala.toVector
+        finally ls.close()
+      }
+      files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.sum
+
+  /** State/shuffle parallelism for one bounded replay — ADAPTIVE from
+    * the staged row count (r16, VERDICT r15 #5), because the binding
+    * constraint was MEASURED to flip with state size:
+    *
+    *   - small replays (r13 A/B at sf1.0, ~1 M rows): per-partition
+    *     state-store commit/maintenance dominates, and 4 partitions
+    *     beat 31 on every stateful gate (dedup addBatch 8.5 s vs
+    *     15.9–41 s, sessions 7.0 s vs 13.8 s, change_counts 5.8 s vs
+    *     21.1 s — BASELINE.md round 13);
+    *   - large replays (r15 A/B at sf10, ~10 M state rows): per-
+    *     partition state SIZE dominates (heap state store GC 28–42 s
+    *     at 4 partitions, old-gen 5–6 GB) and 16 partitions won
+    *     (sessions 167 s → 119 s).
+    *
+    * The flip sits between the two measured points; 4 M rows is their
+    * geometric midpoint (sqrt(1M × 10M) ≈ 3.2 M, rounded to a round
+    * number). Both regimes keep their measured winners; the fixture
+    * sizes near the threshold are the flat part of both curves, so the
+    * cost of landing on the wrong side there is small by construction.
+    * `SPARK_GRAFT_REPLAY_PARTITIONS` still pins the count for A/B runs.
+    */
+  private[streaming] def replayPartitions(stagedRows: Long): Int =
+    ReplayPartitionsOverride.getOrElse(if (stagedRows >= 4000000L) 16 else 4)
 
   /** Dedicated session for one replay: isolated conf (shared
-    * SparkContext) pinned at the fixed [[ReplayPartitions]]
-    * parallelism, so the caller's shuffle settings are untouched.
+    * SparkContext) pinned at the [[replayPartitions]] parallelism
+    * chosen from the just-staged input's footer row count, so the
+    * caller's shuffle settings are untouched.
     * `SPARK_GRAFT_REPLAY_STATESTORE=rocksdb` (or a provider class name)
     * switches the state-store provider for A/B measurement — the sf10
     * runs showed the default HEAP store's GC dominating the
@@ -195,9 +233,14 @@ object StreamSync {
     * RocksDB is the standard production answer for state that outgrows
     * the heap, and the knob makes that claim measurable here.
     */
-  private def replaySession(caller: SparkSession): SparkSession = {
+  private def replaySession(caller: SparkSession,
+                            watchDirs: String*): SparkSession = {
     val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", ReplayPartitions.toString)
+    val rows = stagedRowCount(caller.sessionState.newHadoopConf(), watchDirs)
+    val parts = replayPartitions(rows)
+    if (parts != 4)
+      System.err.println(s"[stream] replay partitions=$parts (staged rows=$rows)")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     sys.env.get("SPARK_GRAFT_REPLAY_STATESTORE").foreach { v =>
       val cls =
         if (v == "rocksdb")
@@ -316,7 +359,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "_commit_timestamp", nChunks, sentinels)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val name = s"graft_replay_filecounts_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -351,7 +394,7 @@ object StreamSync {
       .add(graft.operators.ChangeLog.CommitTs, "timestamp")
     val (watchDir, tempRoots) = stageChunkedLogDistributed(
       input, graft.operators.ChangeLog.CommitTs, nChunks)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_file_agg_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_file_agg_ckpt").toString
@@ -404,11 +447,11 @@ object StreamSync {
       stageChunkedLogDistributed(input, tsCol, nChunks, sentinels)
     // Dedicated session: stateful streaming cost scales with the state
     // store's partition count (one store instance committed per shuffle
-    // partition per micro-batch), so replays run at the fixed
-    // [[ReplayPartitions]] = 4 (the r13 A/B measurement at the knob).
+    // partition per micro-batch), so replays run at the adaptive
+    // [[replayPartitions]] count chosen from the staged row size.
     // newSession shares the SparkContext but isolates the conf, so the
     // caller's shuffle parallelism is untouched.
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val name = s"graft_replay_sessions_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -463,7 +506,7 @@ object StreamSync {
       input.union(input), "_commit_timestamp", nChunks)
     val schema = new StructType()
       .add(idCol, "long").add("_commit_timestamp", "timestamp")
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val name = s"graft_replay_dedup_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -511,7 +554,7 @@ object StreamSync {
       .add(typeCol, "string").add(valueCol, "double")
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "_commit_timestamp", nChunks)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val name = s"graft_replay_latest_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -614,7 +657,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelChangeType))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "_commit_timestamp", 1, sentinels)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val name = s"graft_replay_counts_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -671,7 +714,7 @@ object StreamSync {
         tsCol, nChunks)
     val (fDir, fRoots) = stage(facts)
     val (dDir, dRoots) = stage(dims)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, fDir, dDir)
     val name = s"graft_replay_ijoin_${ReplaySeq.incrementAndGet()}"
     def src(dir: String): DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -740,7 +783,7 @@ object StreamSync {
     val dimRoot = java.nio.file.Files.createTempDirectory("graft_enrich_dim")
     val dimDir = dimRoot.resolve("dim").toString
     dim.write.parquet(dimDir)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val dimLocal = spark.read.schema(dim.schema).parquet(dimDir)
     val name = s"graft_replay_enrich_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
@@ -884,7 +927,7 @@ object StreamSync {
       .add(graft.operators.ChangeLog.CommitTs, "timestamp")
     val (watchDir, tempRoots) = stageChunkedLogDistributed(
       input, graft.operators.ChangeLog.CommitTs, nBatches)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scd2_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
@@ -980,7 +1023,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelDistinctValue))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, tsCol, nBatches, sentinels)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val name = s"graft_replay_cms_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -1052,7 +1095,7 @@ object StreamSync {
         java.sql.Timestamp.valueOf("2101-01-01 00:00:00"), SentinelDistinctValue))
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, tsCol, nBatches, sentinels)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val name = s"graft_replay_distinct_${ReplaySeq.incrementAndGet()}"
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -1149,7 +1192,7 @@ object StreamSync {
       .add(graft.operators.ChangeLog.CommitTs, "timestamp")
     val (watchDir, tempRoots) = stageChunkedLogDistributed(
       input, graft.operators.ChangeLog.CommitTs, nBatches)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_agg_state")
     val stateDir = stateRoot.resolve("state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_agg_ckpt").toString
@@ -1184,7 +1227,7 @@ object StreamSync {
       .add("event_id", "long").add("_change_type", "string")
     val (watchDir, tempRoots) =
       stageChunkedLogDistributed(input, "event_id", nChunks)
-    val spark = replaySession(caller)
+    val spark = replaySession(caller, watchDir)
     val outRoot = java.nio.file.Files.createTempDirectory("graft_file_sink")
     val outDir = outRoot.resolve("out").toString
     val ckpt = outRoot.resolve("ckpt").toString
