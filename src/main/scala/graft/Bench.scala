@@ -121,6 +121,16 @@ object Bench {
     "q_stream_cms" -> 5.1, "q_zorder_roundtrip" -> 1.3, "q_health_report" -> 1.6,
     "q_fd_check" -> 0.45)
 
+  /** Fixed-work canary wall on this host with NO external contention —
+    * the clean-run reference for `canary_norm_total`. Source: the r14
+    * clean full-suite window measured canary median 0.252 s
+    * (BENCH_r14); the r15 contended windows read 0.31–0.33 with wave
+    * ratio 2.98, and scaling r15's total by 0.252/median reproduced
+    * the r14 total within 2% (VERDICT r15). Host-specific by nature —
+    * re-measure if the fleet hardware changes.
+    */
+  private[graft] val CanaryCleanRef: Double = 0.252
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -166,6 +176,13 @@ object Bench {
     // failLast: elapsed + error from the latest failing pass (reported
     // only while no pass has succeeded).
     val okBest = mutable.Map[String, Double]()
+    // Post-suite SOLO retest results (r16, VERDICT r15 #1): best time
+    // and pre-run canary for every gate the suite flagged as a >2×
+    // mover — the artifact self-explains a contention-wave outlier
+    // (solo_min ≈ committed + solo canary ≈ clean says "wave, operator
+    // healthy") without a narrative or a manual re-run.
+    val soloMin = mutable.Map[String, Double]()
+    val soloCanaryAt = mutable.Map[String, Double]()
     // Worst successful time — paired with okBest to surface queries that
     // get SLOWER when warm (r13: the q_token_budget cache-release bug ran
     // 4 s cold / 20 s on every later pass, and the min-of-2 protocol
@@ -263,14 +280,15 @@ object Bench {
           }
         }
       })
-    def probeCanary(): Unit = {
+    // bit_xor, not sum: ANSI mode throws on long-sum overflow. Sized
+    // so one probe is a few hundred ms — long enough that scheduler
+    // jitter amortizes, short enough to cost ~2% of the suite.
+    def canaryOnce(): Double = {
       val t0 = System.nanoTime()
-      // bit_xor, not sum: ANSI mode throws on long-sum overflow. Sized
-      // so one probe is a few hundred ms — long enough that scheduler
-      // jitter amortizes, short enough to cost ~2% of the suite.
       spark.range(256L * 1000 * 1000).selectExpr("bit_xor(xxhash64(id))").head()
-      canaries += (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    def probeCanary(): Unit = canaries += canaryOnce()
 
     def emit(complete: Boolean): Unit = {
       val names = (okBest.keySet ++ failLast.keySet).toSeq.sorted
@@ -320,8 +338,28 @@ object Bench {
         if (w >= 2 * cold && w >= 2.0)
           Some(jsonStr(n) + ":" + num(w / math.max(cold, 1e-9), 1)) else None
       }.mkString("{", ",", "}")
+      // Self-explaining contention fields (r16, VERDICT r15 #1):
+      // `solo_min`/`solo_canary` carry the post-suite solo retest of
+      // every flagged >2× mover; `total_solo_adjusted` substitutes each
+      // gate's solo best into the total; `canary_norm_total` scales
+      // that by clean-ref/median canary — the exact arithmetic the r15
+      // judge had to do by hand (346.4 s at canary 0.312 → 279.8 s).
+      // Normalization only CORRECTS contention (factor capped at 1):
+      // a faster-than-reference host must not inflate its own number.
+      val soloJson = soloMin.toSeq.sortBy(_._1)
+        .map { case (k, v) => jsonStr(k) + ":" + num(v, 3) }
+        .mkString("{", ",", "}")
+      val soloCanaryJson = soloCanaryAt.toSeq.sortBy(_._1)
+        .map { case (k, v) => jsonStr(k) + ":" + num(v, 3) }
+        .mkString("{", ",", "}")
+      val adjTotal = results.map { case (n, v) =>
+        math.min(v, soloMin.getOrElse(n, v))
+      }.sum
+      val normFactor =
+        if (canaryMedian > 1e-9) math.min(1.0, CanaryCleanRef / canaryMedian)
+        else 1.0
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"warm_regressions":$warmRegr,"protocol":"min2+warmup+gc25"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"warm_regressions":$warmRegr,"solo_min":$soloJson,"solo_canary":$soloCanaryJson,"total_solo_adjusted":${num(adjTotal, 3)},"canary_clean_ref":${num(CanaryCleanRef, 3)},"canary_norm_factor":${num(normFactor, 3)},"canary_norm_total":${num(adjTotal * normFactor, 3)},"protocol":"min2+warmup+gc25+solo"}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -413,6 +451,63 @@ object Bench {
         emit(complete = false)
       }
       passesDone = pass
+    }
+    // Suite finished: the artifact is COMPLETE from here (a timeout in
+    // the solo phase below cannot lose any suite number), and the solo
+    // retest only appends explanatory fields, re-emitting as it goes.
+    emit(complete = true)
+
+    // SOLO RETEST of flagged movers (r16, VERDICT r15 #1). Two rounds
+    // running, the driver's number of record needed a narrative because
+    // host-contention waves landed on individual gates (q_mahalanobis
+    // 25.4 s/10.4× in BENCH_r15 on a proven-healthy operator) — and
+    // two >3× movers had NO telemetry at all. Flag a gate when either
+    //   (a) its worst WARM pass is ≥2× its cold pass and ≥2 s (the
+    //       warm_regressions definition — state-left-behind OR a wave
+    //       mid-suite), or
+    //   (b) its best time is ≥2× its committed per-query cost and ≥2 s
+    //       (CostHint, measured at sf0.1 — applied only when this run
+    //       IS at sf0.1, the driver's bench SF).
+    // Each flagged gate is re-run solo after a forced GC with its own
+    // canary probe: solo_min ≈ committed with a clean solo canary says
+    // "wave — operator healthy"; solo_min ≈ the inflated suite time
+    // says "real regression". The verdict is now data in the artifact.
+    locally {
+      val committedSf = sfDir.contains("sf0.1")
+      val flagged = okBest.keys.toSeq.filter { n =>
+        val best = okBest(n)
+        val cold = coldTimes.getOrElse(n, best)
+        val warmBad = okWorst.get(n).exists(w => w >= 2 * cold && w >= 2.0)
+        val committedBad = committedSf &&
+          CostHint.get(n).exists(h => best >= 2 * h && best >= 2.0)
+        warmBad || committedBad
+      }
+      // Budget cap: a suite-wide wave can flag dozens. Keep the 20
+      // worst offenders by inflation ratio, then run them cheapest-
+      // first so a driver timeout still yields the most verdicts.
+      val capped = flagged.sortBy { n =>
+        -(okBest(n) / math.max(
+          CostHint.getOrElse(n, coldTimes.getOrElse(n, okBest(n))), 1e-9))
+      }.take(20).sortBy(n => okBest(n))
+      if (capped.nonEmpty)
+        System.err.println(s"[bench] solo retest of ${capped.size} flagged gate(s): ${capped.mkString(", ")}")
+      capped.foreach { name =>
+        System.gc()
+        soloCanaryAt(name) = canaryOnce()
+        var best = Double.MaxValue
+        for (_ <- 1 to 2) {
+          val t0 = System.nanoTime()
+          try {
+            registry(name)(spark, sfDir).count()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] solo $name failed: ${e.getMessage}")
+          }
+        }
+        if (best < Double.MaxValue) soloMin(name) = best
+        System.err.println(f"[bench] solo $name%-28s ${soloMin.get(name).fold("fail")(v => f"$v%.2f s")}  canary=${soloCanaryAt(name)}%.3f  suite_best=${okBest(name)}%.2f")
+        emit(complete = true)
+      }
     }
     emit(complete = true)
     // Tail-parse insurance: a driver that scrapes stdout can trip on
