@@ -90,35 +90,69 @@ object ChunkDedup {
     * rewritten to its non-boilerplate chunks joined in position order.
     *
     * Scale shape: the frequency pass is one chunk-key hash exchange
-    * whose OUTPUT is threshold-pruned to ≤ total-chunks/minDocs rows;
-    * that pruned set is collapsed to a single array row and broadcast,
-    * so the rewrite itself is a NARROW projection (HOF filter inside the
-    * row — no explode, no per-doc re-aggregation exchange, document
-    * order untouched). If a corpus ever yields a boiler set too big to
-    * broadcast, the fallback is the [[stats]] shape: explode, broadcast
-    * hash ANTI-join on the chunk key, and one doc-keyed exchange to
-    * reassemble — same semantics, one more shuffle.
+    * whose OUTPUT is threshold-pruned to ≤ total-chunks/minDocs rows.
+    * The pruned set is materialized once (localCheckpoint + a bounded
+    * count job — the price of a data-dependent shape choice, negligible
+    * next to the frequency exchange it reuses) and the REWRITE then
+    * takes one of two shapes (r16, VERDICT r15 #6):
+    *
+    *   - `|boiler| ≤ broadcastMaxChunks` — the set collapses to a
+    *     single array row and broadcasts; the rewrite is a NARROW
+    *     projection (HOF filter inside the row — no explode, no
+    *     per-doc re-aggregation exchange, document order untouched).
+    *     Each doc probes the array at O(|bset|) per chunk, so this
+    *     shape is for small sets only;
+    *   - above the threshold (a web-crawl boilerplate set can reach
+    *     millions of chunks — single-row and broadcast limits become a
+    *     ceiling) — explode + LEFT-ANTI join on the chunk key +
+    *     position-ordered re-aggregate, re-joined to the doc base so
+    *     fully-boilerplate and empty docs keep their rows. Same
+    *     semantics, one more doc-keyed exchange, no single-row
+    *     collapse anywhere.
     *
     * Output: (idCol, clean_text, n_chunks, n_dropped).
     */
   def stripBoilerplate(docs: DataFrame, textCol: String, idCol: String,
-                       chunkTokens: Int, minDocs: Int): DataFrame = {
+                       chunkTokens: Int, minDocs: Int,
+                       broadcastMaxChunks: Long = 1000000L): DataFrame = {
     val withChunks = Dedup.rebalance(docs)
       .withColumn("_w", TextAnalysis.tokens(col(textCol)))
       .withColumn("_chunks", chunkArray(chunkTokens))
-    val boiler = withChunks
+    val boilerKeys = withChunks
       .select(col(idCol), explode(col("_chunks")).as("_chunk"))
       .groupBy(col("_chunk"))
       .agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= minDocs)
-      .agg(collect_set(col("_chunk")).as("_bset"))
-    val kept = filter(col("_chunks"), c => !array_contains(col("_bset"), c))
-    withChunks.crossJoin(broadcast(boiler))
-      .select(
-        col(idCol),
-        concat_ws(" ", kept).as("clean_text"),
-        size(col("_chunks")).cast("long").as("n_chunks"),
-        (size(col("_chunks")) - size(kept)).cast("long").as("n_dropped"))
+      .select(col("_chunk"))
+      .localCheckpoint()
+    if (boilerKeys.count() <= broadcastMaxChunks) {
+      val boiler = boilerKeys.agg(collect_set(col("_chunk")).as("_bset"))
+      val kept = filter(col("_chunks"), c => !array_contains(col("_bset"), c))
+      withChunks.crossJoin(broadcast(boiler))
+        .select(
+          col(idCol),
+          concat_ws(" ", kept).as("clean_text"),
+          size(col("_chunks")).cast("long").as("n_chunks"),
+          (size(col("_chunks")) - size(kept)).cast("long").as("n_dropped"))
+    } else {
+      val keptAgg = withChunks
+        .select(col(idCol), posexplode(col("_chunks")).as(Seq("_pos", "_chunk")))
+        .join(boilerKeys, Seq("_chunk"), "left_anti")
+        .groupBy(col(idCol))
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("_pos"), col("_chunk")))),
+            s => s.getField("_chunk"))).as("_clean"),
+          count(lit(1)).as("_kept"))
+      withChunks
+        .select(col(idCol), size(col("_chunks")).cast("long").as("n_chunks"))
+        .join(keptAgg, Seq(idCol), "left")
+        .select(
+          col(idCol),
+          coalesce(col("_clean"), lit("")).as("clean_text"),
+          col("n_chunks"),
+          (col("n_chunks") - coalesce(col("_kept"), lit(0L))).as("n_dropped"))
+    }
   }
 
   /** DuckDB oracle for [[stripBoilerplate]] — same chunking, same

@@ -114,6 +114,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       5L -> (("", 0L, 0L))))
   }
 
+  test("boilerplate strip: anti-join shape (above the broadcast ceiling) matches the broadcast shape") {
+    // broadcastMaxChunks = -1 forces the explode + left-anti + re-agg
+    // path; same fixture and expectations as the broadcast-shape test,
+    // including the all-boilerplate doc (6) and the empty doc (5) that
+    // the doc-base re-join must keep.
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "x y a b"),
+      (4L, "c d g g a b a b"),
+      (5L, ""),
+      (6L, "a b")        // fully boilerplate: every chunk dropped
+    ).toDF("doc_id", "text")
+    val got = ChunkDedup.stripBoilerplate(df, "text", "doc_id",
+        chunkTokens = 2, minDocs = 3, broadcastMaxChunks = -1L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("c d", 2L, 1L)),
+      2L -> (("e f", 2L, 1L)),
+      3L -> (("x y", 2L, 1L)),
+      4L -> (("c d g g", 4L, 2L)),
+      5L -> (("", 0L, 0L)),
+      6L -> (("", 1L, 1L))))
+    val broadcastShape = ChunkDedup.stripBoilerplate(df, "text", "doc_id",
+        chunkTokens = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == broadcastShape)
+  }
+
   test("boilerplate strip: empty boiler set leaves every document unchanged") {
     val df = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
     val got = ChunkDedup.stripBoilerplate(df, "text", "doc_id",

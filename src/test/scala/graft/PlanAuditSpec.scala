@@ -414,6 +414,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"an exchange sits above the boiler cross join — the rewrite is no longer narrow:\n${df.queryExecution.executedPlan}")
   }
 
+  test("boilerplate strip above the broadcast ceiling: left-anti join on the chunk key, no single-row collapse") {
+    import graft.operators.ChunkDedup
+    import graft.Tables
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+    val df = ChunkDedup.stripBoilerplate(docs, "text", "doc_id",
+      chunkTokens = 20, minDocs = 3, broadcastMaxChunks = -1L)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftAnti"),
+      s"scale shape must prune via a left-anti join on the chunk key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the single-row boiler-array cross join must be gone above the ceiling:\n$plan")
+    // The guarded path must never funnel the boiler set through a
+    // 1-row collect_set (the 100 TB ceiling this shape exists to avoid).
+    assert(!plan.contains("collect_set"),
+      s"boiler set must stay a keyed relation, not a collected array:\n$plan")
+  }
+
   test("rand_proj and pca scoring are pure narrow projections: zero exchanges") {
     for (q <- Seq("q_rand_proj", "q_pca_power")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
