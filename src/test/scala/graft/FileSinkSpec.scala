@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
 
 import graft.operators.{ChangeLog, SyncMode}
-import graft.sinks.{FileSink, SinkSpec}
+import graft.sinks.{FileSink, GcsAuth, SinkSpec}
 
 class FileSinkSpec extends AnyFunSuite with SparkTestBase {
 
@@ -14,6 +14,57 @@ class FileSinkSpec extends AnyFunSuite with SparkTestBase {
     val p = Files.createTempDirectory(name)
     p.toFile.deleteOnExit()
     p.resolve("out").toString
+  }
+
+  test("gs:// sink branch EXECUTES: auth confs applied, bytes round-trip through the gs scheme") {
+    import spark.implicits._
+    // Register the mock gs filesystem through the SESSION conf — the
+    // same SQLConf→Hadoop-conf propagation path the fs.gs.* auth keys
+    // from configureGcs travel (SessionState.newHadoopConf copies SQL
+    // conf entries verbatim), so a typo'd conf KEY would break this
+    // test the same way it would break a real connector.
+    spark.conf.set("fs.gs.impl", classOf[GsMockFileSystem].getName)
+    try {
+      val local = tmpDir("graft-gs-sink")
+      val uri = s"gs://test-bucket$local"
+      val df = spark.range(0, 1000)
+        .select(col("id"), concat(lit("row-"), col("id")).as("tag"))
+      val auth = GcsAuth("proj-1", "svc@example.test", "-----KEY-----", "kid-9")
+      FileSink.write(df, SinkSpec("json", uri,
+        maxRecordsPerFile = Some(250L), gcsAuth = Some(auth)))
+      // configureGcs ran (the gs:// branch guard): every fs.gs.* auth
+      // conf is present in the session conf the write job read.
+      assert(spark.conf.get("fs.gs.project.id") == "proj-1")
+      assert(spark.conf.get("fs.gs.auth.service.account.email") == "svc@example.test")
+      assert(spark.conf.get("fs.gs.auth.service.account.private.key.id") == "kid-9")
+      assert(spark.conf.get("google.cloud.auth.service.account.enable") == "true")
+      // Bytes LANDED (not just plan-checked): the mock maps
+      // gs://bucket/<path> to local <path>, so the gzip json part files
+      // must exist on local disk with real content...
+      val partFiles = Paths.get(local).toFile.listFiles
+        .filter(f => f.isFile && f.getName.endsWith(".json.gz"))
+      assert(partFiles.length >= 4,
+        s"maxRecordsPerFile=250 over 1000 rows should yield >=4 gz parts, got ${partFiles.map(_.getName).mkString(", ")}")
+      assert(partFiles.forall(_.length > 0))
+      // ...and round-trip bit-exactly when read back THROUGH the gs URI.
+      val back = spark.read.json(uri).select(col("id"), col("tag"))
+      assert(back.as[(Long, String)].collect().toSet ==
+        (0L until 1000L).map(i => (i, s"row-$i")).toSet)
+      // The CSV branch (coalesce(1) + header + gzip) through the same scheme.
+      val csvLocal = tmpDir("graft-gs-sink-csv")
+      FileSink.write(df, SinkSpec("csv", s"gs://test-bucket$csvLocal",
+        gcsAuth = Some(auth)))
+      val csvParts = Paths.get(csvLocal).toFile.listFiles
+        .filter(f => f.isFile && f.getName.endsWith(".csv.gz"))
+      assert(csvParts.length == 1, "single-file CSV contract must hold on gs too")
+      val csvBack = spark.read.option("header", "true").csv(s"gs://test-bucket$csvLocal")
+      assert(csvBack.count() == 1000 && csvBack.columns.toSeq == Seq("id", "tag"))
+    } finally {
+      Seq("fs.gs.impl", "fs.gs.project.id", "fs.gs.auth.service.account.email",
+        "fs.gs.auth.service.account.private.key",
+        "fs.gs.auth.service.account.private.key.id",
+        "google.cloud.auth.service.account.enable").foreach(spark.conf.unset)
+    }
   }
 
   test("compact collapses a many-small-file directory losslessly and atomically") {
