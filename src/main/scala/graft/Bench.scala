@@ -119,7 +119,11 @@ object Bench {
     "q_stream_distinct" -> 4.6, "q_ewma" -> 0.4, "q_distinct_ngrams" -> 0.5,
     "q_top_paths" -> 1.2, "q_ann_recall" -> 0.7, "q_psi" -> 1.7,
     "q_stream_cms" -> 5.1, "q_zorder_roundtrip" -> 1.3, "q_health_report" -> 1.6,
-    "q_fd_check" -> 0.45)
+    "q_fd_check" -> 0.45,
+    // round-16 additions (SF-tiered oracle twins; sliced above sf1.0):
+    "q_scd_latest_tiered" -> 1.0, "q_scd_latest_keys" -> 0.4,
+    "q_cdc_sync_tiered" -> 1.3, "q_dedup_minhash_tiered" -> 1.5,
+    "q_hll_tiered" -> 0.5)
 
   /** Fixed-work canary wall on this host with NO external contention —
     * the clean-run reference for `canary_norm_total`. Source: the r14

@@ -3686,7 +3686,119 @@ object Queries {
                    |',"o_orderpriority":"' || o_orderpriority ||
                    |'","o_orderstatus":"' || o_orderstatus ||
                    |'"}')""".stripMargin.linesIterator.map(_.trim).mkString)}) AS fp
-                     FROM orders)"""))
+                     FROM orders)""")),
+
+    // ── Bounded oracles for the mult-1000 tier (r16, VERDICT r15 #4) ──
+    // The 600 M-row fixture previously carried NO oracle (row-level
+    // DuckDB compare infeasible at 20 GB inputs). These twins SF-tier a
+    // deterministic slice from the fixture's footer row count — the
+    // q_range_join_sample pattern, identical tier arithmetic on both
+    // engines via `(SELECT count(*) FROM t)` (footer-answered in
+    // DuckDB) — so each headline family keeps a row/schema/hash-level
+    // oracle at EVERY tier: full input at the driver's SFs, ~150 k-row
+    // slices at sf100. The unsliced headline gates stay untouched (they
+    // are the bench surface); the twins are the correctness carriers.
+
+    // scd-latest over an o_custkey-deterministic slice: modulus on the
+    // PARTITION key keeps every sliced group complete, so the window
+    // semantics are identical to the full gate's on the kept keys.
+    Entry("q_scd_latest_tiered",
+      (s, d) => {
+        val n = FixtureProbe.rowCount(s, d, "orders")
+        val m = if (n <= 2000000L) 1L else if (n <= 20000000L) 101L else 1009L
+        Sync.plan(
+          t(s, d, "orders").filter(pmod(col("o_custkey"), lit(m)) === 0L),
+          SyncMode.ScdLatest("o_custkey", "o_orderdate", keepRank = true,
+            tieBreakers = Seq("o_orderkey")))
+          .withColumn("row_num", col("row_num").cast("long"))
+      },
+      Some("""SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS row_num
+                FROM orders
+                WHERE o_custkey % (CASE WHEN (SELECT count(*) FROM orders) <= 2000000 THEN 1
+                                        WHEN (SELECT count(*) FROM orders) <= 20000000 THEN 101
+                                        ELSE 1009 END) = 0) RankedRows
+              WHERE row_num = 1""")),
+
+    // FULL-data cardinality audit for scd-latest — the aggregate-count
+    // companion (the q_range_join_count pattern): the operator's output
+    // cardinality over the ENTIRE fixture equals the distinct partition
+    // keys, which DuckDB aggregates without sorting/hashing row-level
+    // output even at 150 M orders — top-tier correctness signal on the
+    // unsliced data.
+    Entry("q_scd_latest_keys",
+      (s, d) => Sync.latestByGroup(t(s, d, "orders"), "o_custkey",
+          struct(col("o_orderdate"), col("o_orderkey")))
+        .agg(count(lit(1)).as("n_latest_rows"),
+          countDistinct(col("o_custkey")).as("n_distinct_keys")),
+      Some("""SELECT count(DISTINCT o_custkey) AS n_latest_rows,
+                     count(DISTINCT o_custkey) AS n_distinct_keys
+              FROM orders""")),
+
+    // CDC first-sync over an event_id-deterministic slice; the
+    // synthesized change-type mapping keys on event_id, so the slice's
+    // fold keeps the exact full-gate semantics on the kept ids.
+    Entry("q_cdc_sync_tiered",
+      (s, d) => {
+        val n = FixtureProbe.rowCount(s, d, "events")
+        val m = if (n <= 2000000L) 1L else if (n <= 20000000L) 101L else 677L
+        val log = ChangeLog.synthesize(
+          t(s, d, "events").filter(pmod(col("event_id"), lit(m)) === 0L),
+          "event_id", "ts")
+        ChangeLog.snapshotAsOf(log, Seq("event_id"), ChangeLog.latestCommitMs(log))
+      },
+      Some(s"""SELECT 'INSERT' AS _mp_change_type, event_id, ts, user_id,
+                      event_type, value, props
+               FROM $EvOracle e WHERE event_id % 10 < 8
+                 AND event_id % (CASE WHEN (SELECT count(*) FROM events) <= 2000000 THEN 1
+                                      WHEN (SELECT count(*) FROM events) <= 20000000 THEN 101
+                                      ELSE 677 END) = 0""")),
+
+    // MinHash-LSH near-dup over a deterministic BLOCK slice: keep whole
+    // contiguous 500-doc blocks ((doc_id div 500) % m = 0), ~500–1500
+    // docs per tier (the exact-pairwise oracle's feasible region). A
+    // plain id-modulus slice would be VACUOUS above sf1.0 — the scale
+    // fixture plants its dup pairs id-ADJACENTLY ((id−1, id) at
+    // id≡99 mod 100, (id−2, id) at id≡499 mod 500,
+    // MakeScaleFixture.documents) and no m>1 keeps both endpoints; the
+    // 500-block slice preserves every planted pair because pair offsets
+    // (97‥99, 497‥499) never straddle a 500 boundary.
+    Entry("q_dedup_minhash_tiered",
+      (s, d) => {
+        val n = FixtureProbe.rowCount(s, d, "documents")
+        val m = if (n <= 1600L) 1L else if (n <= 160000L) 101L
+                else if (n <= 1600000L) 499L else 3989L
+        Dedup.minhashLshPairs(
+          t(s, d, "documents")
+            .filter(pmod(expr("doc_id div 500"), lit(m)) === 0L),
+          "text", "doc_id", n = 3, bands = 42, rowsPerBand = 3, threshold = 0.5)
+      },
+      Some(Dedup.duckNgramJaccardPairs(
+        """(SELECT * FROM documents
+           WHERE (doc_id // 500) % (CASE WHEN (SELECT count(*) FROM documents) <= 1600 THEN 1
+                                         WHEN (SELECT count(*) FROM documents) <= 160000 THEN 101
+                                         WHEN (SELECT count(*) FROM documents) <= 1600000 THEN 499
+                                         ELSE 3989 END) = 0)""",
+        "text", "doc_id", n = 3, threshold = 0.5, maxDocId = Long.MaxValue))),
+
+    // HLL registers over an event_id-deterministic slice (~1 M rows at
+    // sf100): register-bitwise oracle at every tier.
+    Entry("q_hll_tiered",
+      (s, d) => {
+        val n = FixtureProbe.rowCount(s, d, "events")
+        val m = if (n <= 2000000L) 1L else if (n <= 20000000L) 11L else 101L
+        Sketches.hllDistinct(
+          t(s, d, "events").filter(pmod(col("event_id"), lit(m)) === 0L),
+          "user_id", "event_type")
+      },
+      Some(Sketches.duckHllDistinct(
+        s"""(SELECT * FROM $EvOracle e
+            WHERE event_id % (CASE WHEN (SELECT count(*) FROM events) <= 2000000 THEN 1
+                                   WHEN (SELECT count(*) FROM events) <= 20000000 THEN 11
+                                   ELSE 101 END) = 0)""",
+        "user_id", "event_type")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
