@@ -145,6 +145,121 @@ object Outliers {
         round(d(col("_m")) / 1e6, 6).as("md2"))
   }
 
+  /** GENERAL-d Mahalanobis scoring over a vector column (r16, VERDICT
+    * r15 #8) — the d-dimensional member the bivariate gate documents:
+    * d² = (v−µ)ᵀ Σ⁻¹ (v−µ) over an `array<float/double>` embedding
+    * column, top-k by score.
+    *
+    * Shape ([[Pca]]'s posture exactly): ONE scan accumulates the d mean
+    * sums and the d(d+1)/2 upper-triangle second-moment sums — each
+    * row renders them as one array (nested HOF lambdas, O(1) plan size
+    * in d), posexplode + position-keyed exact long sums of 1e-9-quantum
+    * integers (order-independent, so the moments are bit-identical
+    * under ANY partitioning); the driver inverts the d×d covariance
+    * (Gauss–Jordan with partial pivoting — metadata-scale, like the
+    * power iteration); Σ⁻¹ and µ broadcast back as plan-time literals
+    * and scoring is a narrow O(d²)-per-row projection + TakeOrdered.
+    * Nothing corpus-sized shuffles.
+    *
+    * Why no DuckDB gate: a pivoting SOLVER is not bit-mirrorable in
+    * SQL (elimination order decides last-ulp bits), unlike the
+    * adjugate closed form of [[mahalanobis2]]. The correctness
+    * contract is therefore (OutliersSpec): exact-integer moments ⇒
+    * PARTITIONING-INVARIANT output (a determinism property DuckDB
+    * could not witness anyway), plus d=2 equivalence to the
+    * closed-form bivariate path within rounding.
+    *
+    * Overflow bound (the Pca bound): per-row quanta ≤ Q·max|vᵢvⱼ|, so
+    * unit-normalized embeddings keep every position's long sum safe to
+    * ~9e9 rows; ANSI mode throws (never corrupts) beyond — shrink the
+    * quantum or pre-aggregate per partition past that.
+    *
+    * Output: top-k (idCol, md2 to 6 dp), md2 DESC, id ASC tie-break.
+    */
+  def mahalanobisD(df: DataFrame, vecCol: String, idCol: String,
+                   dim: Int, topK: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val Q = 1.0e9
+    val e = col("_e")
+    val meanPart = transform(sequence(lit(0), lit(dim - 1)), i =>
+      floor(get(e, i) * Q + 0.5).cast("long"))
+    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        floor(get(e, i) * get(e, j) * Q + 0.5).cast("long"))))
+    val vd = transform(col(vecCol), _.cast("double"))
+    val sums = df
+      .select(vd.as("_e"))
+      .filter(e.isNotNull && size(e) === dim)
+      .select(posexplode_outer(concat(meanPart, tri)).as(Seq("_i", "_q")))
+      .filter(col("_q").isNotNull)
+      .groupBy(col("_i")).agg(count(lit(1)).as("_n"), sum(col("_q")).as("_s"))
+      .collect()
+    require(sums.nonEmpty, "mahalanobisD: no complete vectors to score")
+    val nRows = sums.map(_.getLong(1)).max
+    val flat = new Array[Long](dim + dim * (dim + 1) / 2)
+    sums.foreach(r => flat(r.getInt(0)) = r.getLong(2))
+    val mu = Array.tabulate(dim)(i => flat(i) / Q / nRows)
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val m2 = flat(idx) / Q / nRows
+      val c = m2 - mu(i) * mu(j)
+      cov(i)(j) = c
+      cov(j)(i) = c
+      idx += 1
+    }
+    val ainv = invert(cov)
+    val muLit = array(mu.toIndexedSeq.map(lit(_)): _*)
+    val aLit = array(ainv.toIndexedSeq.map(row =>
+      array(row.toIndexedSeq.map(lit(_)): _*)): _*)
+    val dIdx = sequence(lit(0), lit(dim - 1))
+    val diff = col("_diff")
+    val md2 = aggregate(dIdx, lit(0.0), (acc, i) =>
+      acc + get(diff, i) * aggregate(dIdx, lit(0.0), (a2, j) =>
+        a2 + get(get(aLit, i), j) * get(diff, j)))
+    df.select(col(idCol).cast("long").as("_id"), vd.as("_e"))
+      .filter(e.isNotNull && size(e) === dim)
+      .withColumn("_diff", zip_with(e, muLit, (x, m) => x - m))
+      .withColumn("_m", floor(md2 * 1e6 + 0.5).cast("long"))
+      .orderBy(col("_m").desc_nulls_last, col("_id").asc)
+      .limit(topK)
+      .select(col("_id").as(idCol),
+        round(col("_m").cast("double") / 1e6, 6).as("md2"))
+  }
+
+  /** Driver-side Gauss–Jordan inversion with partial pivoting —
+    * metadata-scale (d×d). Throws on a (near-)singular covariance: a
+    * constant or linearly dependent dimension has no Mahalanobis
+    * metric; callers drop the dimension or regularize explicitly
+    * (silent ridge-regularization would change scores invisibly).
+    */
+  private[operators] def invert(m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m0.length
+    val a = Array.tabulate(d, d)((i, j) => m0(i)(j))
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(a.map(_.map(math.abs).max).max, java.lang.Double.MIN_NORMAL)
+    for (c <- 0 until d) {
+      val p = (c until d).maxBy(r => math.abs(a(r)(c)))
+      require(math.abs(a(p)(c)) > 1e-12 * scale,
+        s"covariance is singular at dimension $c (constant or linearly dependent); drop the dimension or regularize")
+      if (p != c) {
+        val t = a(p); a(p) = a(c); a(c) = t
+        val u = inv(p); inv(p) = inv(c); inv(c) = u
+      }
+      val piv = a(c)(c)
+      var j = 0
+      while (j < d) { a(c)(j) /= piv; inv(c)(j) /= piv; j += 1 }
+      for (r <- 0 until d if r != c) {
+        val f = a(r)(c)
+        if (f != 0.0) {
+          var k = 0
+          while (k < d) { a(r)(k) -= f * a(c)(k); inv(r)(k) -= f * inv(c)(k); k += 1 }
+        }
+      }
+    }
+    inv
+  }
+
   /** DuckDB oracle twin of [[mahalanobis2]] — same exact moments, same
     * mirrored closed-form expression, same µ-quantized order key.
     */
