@@ -241,7 +241,11 @@ object StreamSync {
     if (parts != 4)
       System.err.println(s"[stream] replay partitions=$parts (staged rows=$rows)")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    sys.env.get("SPARK_GRAFT_REPLAY_STATESTORE").foreach { v =>
+    // System property first (runtime-settable, so one rehearsal JVM can
+    // A/B both providers — RehearseStateStore), env second (per-process
+    // pinning for driver runs).
+    sys.props.get("graft.replay.statestore")
+      .orElse(sys.env.get("SPARK_GRAFT_REPLAY_STATESTORE")).foreach { v =>
       val cls =
         if (v == "rocksdb")
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
