@@ -219,7 +219,7 @@ object StreamSync {
     * cost of landing on the wrong side there is small by construction.
     * `SPARK_GRAFT_REPLAY_PARTITIONS` still pins the count for A/B runs.
     */
-  private[streaming] def replayPartitions(stagedRows: Long): Int =
+  private[graft] def replayPartitions(stagedRows: Long): Int =
     ReplayPartitionsOverride.getOrElse(if (stagedRows >= 4000000L) 16 else 4)
 
   /** Dedicated session for one replay: isolated conf (shared

@@ -486,4 +486,20 @@ class StreamSyncSpec extends AnyFunSuite with SparkTestBase {
         s"nChunks=$nChunks diverged: $got")
     }
   }
+
+  test("adaptive replay partitions: 4 below the measured flip, 16 above (unless env-pinned)") {
+    // The env override (an A/B-only knob) wins when set; the adaptive
+    // default follows the r13/r15 measured regimes either side of 4M
+    // staged rows.
+    sys.env.get("SPARK_GRAFT_REPLAY_PARTITIONS") match {
+      case Some(pinned) =>
+        assert(StreamSync.replayPartitions(1000L) == pinned.trim.toInt)
+      case None =>
+        assert(StreamSync.replayPartitions(0L) == 4)
+        assert(StreamSync.replayPartitions(1000000L) == 4)
+        assert(StreamSync.replayPartitions(3999999L) == 4)
+        assert(StreamSync.replayPartitions(4000000L) == 16)
+        assert(StreamSync.replayPartitions(100000000L) == 16)
+    }
+  }
 }
