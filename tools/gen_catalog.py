@@ -118,7 +118,8 @@ def main() -> None:
             impl = f"{obj}.{meth}"
             break
 
-        oracle = "DuckDB" if re.search(r"\bSome\(", body) else "rows-only"
+        # `Some(` and the brace-argument form `Some {` both declare a twin.
+        oracle = "DuckDB" if re.search(r"\bSome\s*[({]", body) else "rows-only"
         scale = SCALE_NOTES.get(impl.split(".")[0], DEFAULT_SCALE_NOTE)
         rows.append((name, impl, oracle, scale, desc))
 
