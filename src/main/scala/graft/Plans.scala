@@ -28,7 +28,10 @@ object Plans {
       // round-11 continuation headliners
       "q_quality_topp", "q_quantile_norm", "q_bootstrap_ci",
       "q_mahalanobis", "q_adamic_adar", "q_emb_alignment",
-      "q_confident_joint", "q_isotonic")
+      "q_confident_joint", "q_isotonic",
+      // round-16 tiered oracle twins
+      "q_scd_latest_tiered", "q_scd_latest_keys", "q_cdc_sync_tiered",
+      "q_dedup_minhash_tiered", "q_hll_tiered")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n========== $n ==========\n")
