@@ -187,6 +187,9 @@ object Bench {
     // healthy") without a narrative or a manual re-run.
     val soloMin = mutable.Map[String, Double]()
     val soloCanaryAt = mutable.Map[String, Double]()
+    // Flagged gates the retest budget cap dropped — a silent cap would
+    // read as "everything flagged was retested" when it wasn't.
+    val soloSkipped = mutable.ArrayBuffer[String]()
     // Worst successful time — paired with okBest to surface queries that
     // get SLOWER when warm (r13: the q_token_budget cache-release bug ran
     // 4 s cold / 20 s on every later pass, and the min-of-2 protocol
@@ -356,6 +359,8 @@ object Bench {
       val soloCanaryJson = soloCanaryAt.toSeq.sortBy(_._1)
         .map { case (k, v) => jsonStr(k) + ":" + num(v, 3) }
         .mkString("{", ",", "}")
+      val soloSkippedJson =
+        soloSkipped.sorted.map(jsonStr).mkString("[", ",", "]")
       val adjTotal = results.map { case (n, v) =>
         math.min(v, soloMin.getOrElse(n, v))
       }.sum
@@ -363,7 +368,7 @@ object Bench {
         if (canaryMedian > 1e-9) math.min(1.0, CanaryCleanRef / canaryMedian)
         else 1.0
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"warm_regressions":$warmRegr,"solo_min":$soloJson,"solo_canary":$soloCanaryJson,"total_solo_adjusted":${num(adjTotal, 3)},"canary_clean_ref":${num(CanaryCleanRef, 3)},"canary_norm_factor":${num(normFactor, 3)},"canary_norm_total":${num(adjTotal * normFactor, 3)},"protocol":"min2+warmup+gc25+solo"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":${math.min(passesDone + 1, iters)},"cold_total":$coldTotal,"done_queries":${names.size},"complete":$complete,"ok":$ok,"canary":$canaryArr,"canary_wave_ratio":${num(waveRatio, 2)},"canary_median":${num(canaryMedian, 3)},"warmup_sec":${num(warmupSec, 2)},"warm_regressions":$warmRegr,"solo_min":$soloJson,"solo_canary":$soloCanaryJson,"solo_skipped":$soloSkippedJson,"total_solo_adjusted":${num(adjTotal, 3)},"canary_clean_ref":${num(CanaryCleanRef, 3)},"canary_norm_factor":${num(normFactor, 3)},"canary_norm_total":${num(adjTotal * normFactor, 3)},"protocol":"min2+warmup+gc25+solo"}"""
       println(json)
       // Atomic replace: a reader (or a kill) mid-write still sees a
       // complete previous JSON, never a torn file.
@@ -489,10 +494,12 @@ object Bench {
       // Budget cap: a suite-wide wave can flag dozens. Keep the 20
       // worst offenders by inflation ratio, then run them cheapest-
       // first so a driver timeout still yields the most verdicts.
-      val capped = flagged.sortBy { n =>
+      val byInflation = flagged.sortBy { n =>
         -(okBest(n) / math.max(
           CostHint.getOrElse(n, coldTimes.getOrElse(n, okBest(n))), 1e-9))
-      }.take(20).sortBy(n => okBest(n))
+      }
+      val capped = byInflation.take(20).sortBy(n => okBest(n))
+      soloSkipped ++= byInflation.drop(20)
       if (capped.nonEmpty)
         System.err.println(s"[bench] solo retest of ${capped.size} flagged gate(s): ${capped.mkString(", ")}")
       capped.foreach { name =>
