@@ -41,7 +41,17 @@ object KCore {
       .filter(col("_s") =!= col("_d"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // Early exit on a STABLE round (r16 optimization): each round's edge
+    // set is a subset of the previous one, so an unchanged count means an
+    // unchanged set — degrees, the survivor set, and every later round
+    // are then bit-identical no-ops and can be skipped. Peel depth, not
+    // `iters`, becomes the executed round count (the oracle still unrolls
+    // all `iters` rounds; no-op rounds compute the identical relation, so
+    // results are unchanged by construction). The count is a cheap job
+    // over the just-materialized checkpoint blocks.
+    var nEdges = e.count()
+    var stable = false
+    for (_ <- 1 to iters if !stable) {
       val keep = e.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
         .filter(col("_deg") >= k)
         .select(col("_s").as("_keep"))
@@ -49,6 +59,9 @@ object KCore {
         .join(keep.select(col("_keep").as("_s")), Seq("_s"), "left_semi")
         .join(keep.select(col("_keep").as("_d")), Seq("_d"), "left_semi")
         .localCheckpoint()
+      val n = e.count()
+      stable = n == nEdges
+      nEdges = n
     }
     e.groupBy(col("_s").as("node")).agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= k)

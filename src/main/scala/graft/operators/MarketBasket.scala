@@ -65,6 +65,18 @@ object MarketBasket {
       .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minPairs)
+      // PIN the pair table (r16 optimization): every graph gate built on
+      // it references `pairs` 2–16× (both union orientations, degree
+      // tables, adjacency, wedge self-joins), and exchange reuse only
+      // dedupes IDENTICAL subtrees — a differently-pruned reference
+      // replays the whole incidence self-join from the scan (the
+      // q_two_hop_hll_capped initial plan carried 478 Exchange nodes
+      // before this pin). Materializing once collapses every consumer
+      // plan to joins over a pinned, pair-set-sized RDD scan: smaller
+      // plans, one codegen unit per stage instead of per reference, and
+      // the self-join runs exactly once. Cluster posture: swap
+      // localCheckpoint for reliable checkpoint() (the PageRank note).
+      .localCheckpoint()
 
   /** DuckDB CTEs for [[coPairs]]: declares `${p}items` and `${p}pairs`. */
   def duckCoPairCtes(rel: String, basketCol: String, itemCol: String,

@@ -58,17 +58,22 @@ object PageRank {
       .localCheckpoint()
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("_src").as("node"))
-      .agg(count(lit(1)).as("_outdeg")).localCheckpoint()
+    // Out-degree attached to the edge list ONCE (r16 optimization): the
+    // iteration used to pay a second src-keyed join (ranks ⋈ e ⋈ outdeg)
+    // every round for a value that never changes between rounds. One
+    // pre-joined pinned table halves the per-iteration join count; the
+    // summed per-edge contributions are unchanged integers.
+    val ec = e
+      .join(e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg")), "_src")
+      .localCheckpoint()
     val nn = nodes.agg(count(lit(1)).as("_n"))
     // Base (teleport) mass per node, and the uniform start rank.
     val base = expr(s"(($scale * ${100 - dampPct}) div 100) div _n")
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$scale div _n").as("_r"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = ec
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
-        .join(outdeg.withColumnRenamed("node", "_src"), "_src")
         .groupBy(col("_dst").as("node"))
         .agg(sum(expr("_r div _outdeg")).as("_in"))
       ranks = nodes.crossJoin(broadcast(nn))
@@ -110,17 +115,18 @@ object PageRank {
       .join(seed.withColumn("_s", lit(1)), Seq("node"), "left")
       .select(col("node"), col("_s").isNotNull.as("_isSeed"))
       .localCheckpoint()
-    val outdeg = e.groupBy(col("_src").as("node"))
-      .agg(count(lit(1)).as("_outdeg")).localCheckpoint()
+    // Out-degree pre-joined onto the pinned edge list, as in [[ranks]].
+    val ec = e
+      .join(e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg")), "_src")
+      .localCheckpoint()
     val ns = seed.agg(count(lit(1)).as("_ns"))
     def teleport(mass: String) =
       when(col("_isSeed"), expr(s"($mass) div _ns")).otherwise(lit(0L))
     var ranks = flagged.crossJoin(broadcast(ns))
       .select(col("node"), teleport(s"$scale").as("_r"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = ec
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
-        .join(outdeg.withColumnRenamed("node", "_src"), "_src")
         .groupBy(col("_dst").as("node"))
         .agg(sum(expr("_r div _outdeg")).as("_in"))
       ranks = flagged.crossJoin(broadcast(ns))

@@ -32,6 +32,19 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
     assert(KCore.coreMembers(path, "src", "dst", k = 2, iters = 3).count() == 0)
   }
 
+  test("coreMembers: early exit on a stable round equals the full unroll") {
+    // Clique + pendant chain stabilizes after 2 peel rounds; a large
+    // `iters` must produce the identical core via the stable-count exit
+    // (the r16 optimization) — extra rounds are no-ops by monotonicity.
+    val edges = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val full = KCore.coreMembers(edges, "src", "dst", k = 3, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val long = KCore.coreMembers(edges, "src", "dst", k = 3, iters = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(long == full && full.nonEmpty)
+  }
+
   test("coreMembers: self-loops and duplicate edges don't inflate degrees") {
     val edges = sym((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L))
       .union(Seq((1L, 1L)).toDF("src", "dst"))
