@@ -32,13 +32,21 @@ import graft.functions.TextAnalysis
   */
 object Bpe {
 
-  /** Word-type table: (word, freq, syms) with syms = character symbols. */
+  /** Word-type table: (word, freq, _capped, syms) over EVERY corpus
+    * word; `_capped` marks words of length ≤ `maxWordLen` — the only
+    * ones that feed merge LEARNING ([[pairCounts]] filters on it).
+    * Longer words ride along so the learn loop's incremental fold
+    * renders them too: [[tokenCounts]] then reads token counts for the
+    * whole vocabulary straight off the final loop state instead of
+    * re-folding a k-deep [[applyMerge]] chain (whose whole-stage
+    * codegen + JIT, not its row count, dominated the gate — r16).
+    */
   private def vocabOf(docs: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
     Dedup.rebalance(docs)
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
-      .filter(length(col("word")) <= maxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
+        (length(col("word")) <= maxWordLen).as("_capped"),
         filter(split(col("word"), ""), ch => ch =!= "").as("syms"))
 
   /** Adjacent-pair counts over the symbol table, frequency-weighted. */
@@ -78,19 +86,37 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, textCol: String, k: Int,
                   maxWordLen: Int): DataFrame = {
+    val (merges, vocab) = learnMergesWithVocab(docs, textCol, k, maxWordLen)
+    vocab.unpersist(blocking = false)
+    merges
+  }
+
+  /** [[learnMerges]] plus the FINAL merged vocabulary it already
+    * computed — (word, freq, _capped, syms) over EVERY corpus word,
+    * with all learned merges applied in order. The learn loop
+    * materializes exactly this table on its last iteration; returning
+    * it lets [[tokenCounts]] skip re-folding the whole merge chain over
+    * the word-type table (r16 optimization — the incremental per-merge
+    * folds and the chained re-fold compute the identical left-fold
+    * semantics, so reuse cannot change results). The vocab is LIVE
+    * persisted storage; [[tokenCounts]] consumes it within one query.
+    */
+  private[operators] def learnMergesWithVocab(
+      docs: DataFrame, textCol: String, k: Int,
+      maxWordLen: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var vocab = vocabOf(docs, textCol, maxWordLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     for (rank <- 1 to k) {
-      val top = pairCounts(vocab)
+      val top = pairCounts(vocab.filter(col("_capped")))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (top.nonEmpty) {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank.toLong, l, r, l + r, cnt))
         val next = vocab
-          .select(col("word"), col("freq"),
+          .select(col("word"), col("freq"), col("_capped"),
             applyMerge(col("syms"), l, r).as("syms"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before freeing the parent
@@ -98,9 +124,9 @@ object Bpe {
         vocab = next
       }
     }
-    vocab.unpersist(blocking = false)
     import spark.implicits._
-    merges.toSeq.toDF("rank", "merge_left", "merge_right", "merged", "pair_count")
+    (merges.toSeq.toDF("rank", "merge_left", "merge_right", "merged", "pair_count"),
+      vocab)
   }
 
   /** Tokenize the corpus WITH the merges [[learnMerges]] learns on it:
@@ -117,10 +143,25 @@ object Bpe {
     * never folded per occurrence.
     */
   def tokenCounts(docs: DataFrame, textCol: String, idCol: String,
-                  k: Int, maxWordLen: Int): DataFrame =
-    tokenCountsWithMerges(docs, textCol, idCol,
-      learnMerges(docs, textCol, k, maxWordLen)
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+                  k: Int, maxWordLen: Int): DataFrame = {
+    // Reuse the learn loop's FINAL vocabulary (r16 optimization): the
+    // loop has already applied every merge, in order, to EVERY corpus
+    // word (long words ride along flagged `_capped = false`, excluded
+    // from the pair statistics only) — re-folding a k-deep
+    // [[applyMerge]] chain over the distinct word-type table (the
+    // former tokenCountsWithMerges call) repeated exactly that work,
+    // and its whole-stage-codegen unit alone cost seconds of JIT per
+    // run, independent of the row count. Token counts now read
+    // straight off the final loop state: one word-keyed join, no fold.
+    val (_, vocab) = learnMergesWithVocab(docs, textCol, k, maxWordLen)
+    val words = Dedup.rebalance(docs).select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+    val rendered = vocab
+      .select(col("word"), size(col("syms")).cast("long").as("_wt"))
+    words.join(rendered, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_wt")).as("n_bpe_tokens"))
+  }
 
   /** [[tokenCounts]]'s application half against an ALREADY-LEARNED
     * ordered merge list — the amortized production path (learn once
@@ -128,6 +169,29 @@ object Bpe {
     */
   def tokenCountsWithMerges(docs: DataFrame, textCol: String, idCol: String,
                             merges: Seq[(String, String)]): DataFrame = {
+    val words = Dedup.rebalance(docs).select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+    // Native merge application ([[org.apache.spark.sql.graft
+    // .BpeTokenCount]], r16): the k-chained HOF fold this replaces is
+    // kept as [[tokenCountsWithMergesHof]], the executable parity spec
+    // — its k-deep codegen unit cost seconds of compile+JIT per plan
+    // (row-count-independent), the dominant wall of the apply-side
+    // gates at bench SF.
+    val rendered = words.select(col("word")).distinct()
+      .select(col("word"), org.apache.spark.sql.graft
+        .BpeTokenCount(col("word"), merges).cast("long").as("_wt"))
+    words.join(rendered, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_wt")).as("n_bpe_tokens"))
+  }
+
+  /** Built-in-only formulation of [[tokenCountsWithMerges]] (chained
+    * [[applyMerge]] folds over the symbol array) — the executable spec
+    * the native expression is parity-tested against (BpeSpec).
+    */
+  private[graft] def tokenCountsWithMergesHof(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val words = Dedup.rebalance(docs).select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
     val types0 = words.select(col("word")).distinct()

@@ -61,6 +61,26 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((1L, "aa", 3L), (2L, "aaaa", 1L)))
   }
 
+  test("native BpeTokenCount matches the chained HOF fold on varied words") {
+    import spark.implicits._
+    // Cascade bait (aaaa/aaa), multi-byte UTF-8, the learned-merge
+    // boundary cases, and words no merge touches — the native
+    // expression must reproduce the fold's counts exactly (r16).
+    val docs = Seq(
+      (1L, "banana bananas ban anana"),
+      (2L, "aaaa aaa aa a"),
+      (3L, "héllo wörld ünïcode"),
+      (4L, "x" * 25 + " " + "an" * 12),
+      (5L, "b anana banana nab")).toDF("doc_id", "text")
+    val merges = Seq("a" -> "n", "an" -> "a", "an" -> "ana", "b" -> "anana",
+      "a" -> "a")
+    val native = Bpe.tokenCountsWithMerges(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hof = Bpe.tokenCountsWithMergesHof(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native == hof && native.size == 5)
+  }
+
   test("fertilityByGroup: tokens-per-word ratio per group; merges lower it") {
     import spark.implicits._
     // No merges: every word splits to characters → fertility = mean
