@@ -2481,7 +2481,12 @@ object Queries {
     // (doubles, ms-timestamps, strings) for the hash to match.
     Entry("q_sink_roundtrip",
       (s, d) => {
-        val out = Sync.plan(t(s, d, "lineitem"), SyncMode.Full, Seq("l_returnflag"))
+        // Rebalance before the sink (r16): the single-file fixture scan
+        // is one partition, so the gzip+JSON render otherwise serializes
+        // on one task — rows/files are unchanged, only write parallelism.
+        // (q_sink_roundtrip_csv keeps coalesce(1): that IS its contract.)
+        val out = Dedup.rebalance(
+          Sync.plan(t(s, d, "lineitem"), SyncMode.Full, Seq("l_returnflag")))
         // Per-run unique dir: a fixed path lets two concurrent runs
         // (Bench alongside Verify) clobber each other mid-read.
         val uri = "file:" +
@@ -2501,7 +2506,10 @@ object Queries {
       (s, d) => {
         val src = t(s, d, "lineitem")
         val dir = TempDirs.create("graft-compact").toString + "/lineitem"
-        src.write.option("maxRecordsPerFile", "2000").parquet(dir)
+        // Rebalanced small-file setup write (r16): same row set, same
+        // ~KB file sizing, but rendered by every core instead of the
+        // single fixture-scan partition.
+        Dedup.rebalance(src).write.option("maxRecordsPerFile", "2000").parquet(dir)
         FileSink.compact(s, dir, targetFileBytes = 64L * 1024 * 1024)
         s.read.parquet(dir)
       },
@@ -2534,7 +2542,11 @@ object Queries {
       (s, d) => {
         val src = t(s, d, "events")
         val dir = TempDirs.create("graft-compact-part").toString + "/events"
-        src.write.option("maxRecordsPerFile", "1000")
+        // One writer per event_type leaf (maxRecordsPerFile still yields
+        // the ~KB small-file setup the gate compacts), written in
+        // parallel instead of from the single fixture-scan task.
+        src.repartition(col("event_type"))
+          .write.option("maxRecordsPerFile", "1000")
           .partitionBy("event_type").parquet(dir)
         FileSink.compactPartitioned(s, dir, targetFileBytes = 64L * 1024 * 1024)
         // Re-select the source column order: partition discovery appends
@@ -2554,8 +2566,14 @@ object Queries {
     Entry("q_retention_expire",
       (s, d) => {
         val dir = TempDirs.create("graft-retention").toString + "/events"
+        // Repartition BY the hive key before a partitionBy write (r16,
+        // guide §6): keyless rebalance here made every task write every
+        // date (tasks × dates small files — measured 3× slower); keying
+        // on the date gives one writer per partition directory, written
+        // in parallel. Rows are unchanged.
         t(s, d, "events")
           .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .repartition(col("event_date"))
           .write.partitionBy("event_date").parquet(dir)
         FileSink.expirePartitions(s, dir, "event_date", keepFrom = "2024-01-15")
         // Partition-column type inference reads the day back as DATE —
