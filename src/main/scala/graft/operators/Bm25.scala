@@ -103,10 +103,18 @@ object Bm25 {
     postings.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.parquet(s"$dir/postings")
-    postings.groupBy(col("term"))
+    // Derive termdf and stats from the relations JUST WRITTEN instead of
+    // re-tokenizing the corpus (r16): df per term = the row count of its
+    // postings, and (n, sumdl) = doclen's count/sum — identical values,
+    // two corpus passes removed (buildIndex paid four).
+    val spark = docs.sparkSession
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .write.parquet(s"$dir/termdf")
-    spark_stats(toks).write.parquet(s"$dir/stats")
+    spark.read.parquet(s"$dir/doclen")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .write.parquet(s"$dir/stats")
   }
 
   private def spark_stats(toks: DataFrame): DataFrame =
@@ -158,15 +166,22 @@ object Bm25 {
           s"(e.g. ${overlapping.head.get(0)}) — an update is delete+append " +
           "at the ChangeLog layer, never a raw re-append")
     }
+    // Tokenize the batch ONCE (r16): four derived writes used to re-run
+    // the tokenize (+ the postings aggregate twice) per segment. The
+    // persisted relations are batch-sized; mode(append) forbids the
+    // buildIndex read-back trick (the directory already holds other
+    // segments), so spill-safe persistence is the reuse mechanism here.
     val toks = Dedup.rebalance(newDocs)
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/doclen")
     val postings = toks
       .select(col("doc_id"), explode(col("_w")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     postings.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("append").parquet(s"$dir/postings")
@@ -174,6 +189,8 @@ object Bm25 {
       .agg(count(lit(1)).as("df"))
       .write.mode("append").parquet(s"$dir/termdf")
     spark_stats(toks).write.mode("append").parquet(s"$dir/stats")
+    postings.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
   }
 
   /** Score `terms` against a [[buildIndex]] directory. Identical rows
