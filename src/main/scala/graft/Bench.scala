@@ -502,21 +502,43 @@ object Bench {
       soloSkipped ++= byInflation.drop(20)
       if (capped.nonEmpty)
         System.err.println(s"[bench] solo retest of ${capped.size} flagged gate(s): ${capped.mkString(", ")}")
-      capped.foreach { name =>
-        System.gc()
-        soloCanaryAt(name) = canaryOnce()
-        var best = Double.MaxValue
-        for (_ <- 1 to 2) {
-          val t0 = System.nanoTime()
-          try {
-            registry(name)(spark, sfDir).count()
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] solo $name failed: ${e.getMessage}")
-          }
+      // WALL budget for the whole solo phase (r17). The r16 driver's
+      // 32-CPU bench died rc=124 in a contention window; this
+      // post-suite phase is pure explanation, not suite numbers (the
+      // artifact is already complete:true), so it must never be the
+      // reason the run blows the external timeout. The r17 baseline
+      // measured 18 retests = ~160 s of wall; the default 90 s keeps
+      // most verdicts (cheapest-first) and the skipped tail is recorded
+      // in solo_skipped — a silent cut would read as "retested".
+      val soloBudgetSec = sys.env.get("SPARK_GRAFT_SOLO_BUDGET")
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption).getOrElse(90.0)
+      val soloStart = System.nanoTime()
+      val (inBudget, overBudget) = {
+        var used = 0.0
+        capped.partition { n =>
+          // Predicted cost of one retest: GC+canary (~1.5 s) + 2 runs.
+          used += 1.5 + 2 * okBest(n)
+          used <= soloBudgetSec
         }
-        if (best < Double.MaxValue) soloMin(name) = best
-        System.err.println(f"[bench] solo $name%-28s ${soloMin.get(name).fold("fail")(v => f"$v%.2f s")}  canary=${soloCanaryAt(name)}%.3f  suite_best=${okBest(name)}%.2f")
+      }
+      soloSkipped ++= overBudget
+      inBudget.foreach { name =>
+        if ((System.nanoTime() - soloStart) / 1e9 < soloBudgetSec) {
+          System.gc()
+          soloCanaryAt(name) = canaryOnce()
+          var best = Double.MaxValue
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            try {
+              registry(name)(spark, sfDir).count()
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] solo $name failed: ${e.getMessage}")
+            }
+          }
+          if (best < Double.MaxValue) soloMin(name) = best
+          System.err.println(f"[bench] solo $name%-28s ${soloMin.get(name).fold("fail")(v => f"$v%.2f s")}  canary=${soloCanaryAt(name)}%.3f  suite_best=${okBest(name)}%.2f")
+        } else soloSkipped += name
         emit(complete = true)
       }
     }

@@ -50,16 +50,20 @@ object Dsir {
     * bigrams (joined by one space) hashed into `buckets`.
     */
   private def features(docs: DataFrame, textCol: String, idCol: String,
-                       buckets: Int): DataFrame = {
-    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_w"))
-    val uni = base.select(col(idCol), explode(col("_w")).as("_f"))
+                       buckets: Int,
+                       extraCols: Seq[String] = Nil): DataFrame = {
+    val carry = extraCols.map(col)
+    val base = docs.select(
+      col(idCol) +: carry :+ TextAnalysis.tokens(col(textCol)).as("_w"): _*)
+    val uni = base.select(col(idCol) +: carry :+ explode(col("_w")).as("_f"): _*)
     // Docs with <2 tokens contribute no bigrams (descending `sequence`
     // guard — the Perplexity.docScores lesson).
     val bi = base.filter(size(col("_w")) >= 2)
-      .select(col(idCol), explode(expr(
+      .select(col(idCol) +: carry :+ explode(expr(
         "transform(sequence(1, size(_w) - 1), i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"))
-        .as("_f"))
-    uni.unionByName(bi).select(col(idCol), bucketOf(col("_f"), buckets).as("bucket"))
+        .as("_f"): _*)
+    uni.unionByName(bi).select(
+      col(idCol) +: carry :+ bucketOf(col("_f"), buckets).as("bucket"): _*)
   }
 
   /** Per-document DSIR log-importance-weights against the target slice
@@ -73,29 +77,35 @@ object Dsir {
                         buckets: Int = DefaultBuckets): DataFrame = {
     val d = Dedup.rebalance(docs)
     val raw = features(d, textCol, idCol, buckets)
-    val tgt = features(d.filter(expr(targetPred)), textCol, idCol, buckets)
-    // Materialize the two bucket-count tables ONCE (≤ B rows each — the
-    // barrier costs kilobytes) and DERIVE the feature totals from them:
-    // nr = Σ cr by definition. Without this, the corpus-wide feature
-    // explode re-executed for every consumer (counts, totals, and the
-    // per-doc rollup = 3 full passes; measured ~0.8 s of q_dsir_* at
-    // sf0.1, a full extra corpus pass at 100 TB). The per-doc rollup
-    // below still re-scans features once — that second pass is the
-    // deliberate alternative to materializing the exploded relation,
-    // which is ~10× the corpus on disk.
-    val rawCnt = raw.groupBy("bucket").agg(count(lit(1)).as("cr")).localCheckpoint()
-    val tgtCnt = tgt.groupBy("bucket").agg(count(lit(1)).as("ct")).localCheckpoint()
-    val rawTot = rawCnt.select(coalesce(sum(col("cr")), lit(0L)).as("nr"))
-    val tgtTot = tgtCnt.select(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    // Every bucket a document can produce exists in `raw` by definition,
-    // so a left join from rawCnt is total; absent target counts are 0.
-    // Every join in this operator is broadcast (plan-gated): the count
-    // tables are ≤ B rows and the totals are 1 row each.
-    val weights = rawCnt
-      .join(broadcast(tgtCnt), Seq("bucket"), "left")
+    // ONE flagged feature pass builds BOTH bucket-count tables (r17):
+    // the target slice is a subset of the corpus, so `ct` is a
+    // conditional count over the same feature stream — the separate
+    // tokenize+explode of the filtered corpus (a second full pass over
+    // the target slice, and a second B-row exchange) is gone. The
+    // combined table is materialized ONCE (≤ B rows — the barrier costs
+    // kilobytes) and the feature totals DERIVE from it: nr = Σ cr,
+    // nt = Σ ct by definition. The per-doc rollup below still re-scans
+    // features once — that second pass is the deliberate alternative to
+    // materializing the exploded relation, which is ~10× the corpus on
+    // disk. A doc whose target predicate is NULL counts as non-target,
+    // exactly as the filter dropped it before.
+    val isTgt = expr(targetPred)
+    val cnt = features(
+        d.withColumn("_is_t", coalesce(isTgt, lit(false))),
+        textCol, idCol, buckets, extraCols = Seq("_is_t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("_is_t"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
+    val rawTot = cnt.select(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    val tgtTot = cnt.select(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    // Every bucket a document can produce exists in `cnt` by definition
+    // (cr counts the whole corpus), so the weight table is total; the
+    // totals are 1-row broadcasts.
+    val weights = cnt
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
       .select(col("bucket"),
-        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+        (log((col("ct") + 1).cast("double")
             / (col("nt") + buckets).cast("double"))
           - log((col("cr") + 1).cast("double")
             / (col("nr") + buckets).cast("double"))).as("_lnw"))
