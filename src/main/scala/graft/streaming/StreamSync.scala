@@ -217,10 +217,21 @@ object StreamSync {
     * number). Both regimes keep their measured winners; the fixture
     * sizes near the threshold are the flat part of both curves, so the
     * cost of landing on the wrong side there is small by construction.
+    *
+    * r17 adds a SMALL tier below the r13 measurement point: at sf0.1
+    * (~100–200 k staged rows) a matched-window A/B over all 13 replay
+    * gates measured 2 partitions at 0.71× of 4 (72.9 → 51.7 s family
+    * total, canary 0.407 vs 0.400; 1 partition ≈ 2 after window
+    * normalization) — per-partition state-store commit overhead
+    * dominates harder the smaller the replay. The r13-measured ~1 M-row
+    * regime keeps its winner (4).
     * `SPARK_GRAFT_REPLAY_PARTITIONS` still pins the count for A/B runs.
     */
   private[graft] def replayPartitions(stagedRows: Long): Int =
-    ReplayPartitionsOverride.getOrElse(if (stagedRows >= 4000000L) 16 else 4)
+    ReplayPartitionsOverride.getOrElse(
+      if (stagedRows >= 4000000L) 16
+      else if (stagedRows >= 1000000L) 4
+      else 2)
 
   /** Dedicated session for one replay: isolated conf (shared
     * SparkContext) pinned at the [[replayPartitions]] parallelism
