@@ -1084,7 +1084,25 @@ object Dedup {
     * if `maxIters` rounds pass without convergence rather than returning
     * wrong labels.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  /** Edge-count ceiling for the driver-local union-find tier of
+    * [[connectedComponents]] — 200 k edges ≈ a few MB collected, far
+    * inside driver headroom; env-tunable for A/B (`GRAFT_CC_LOCAL_MAX`,
+    * 0 disables the local tier entirely).
+    */
+  private[graft] val LocalCcMaxEdges: Long =
+    sys.env.get("GRAFT_CC_LOCAL_MAX")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(200000L)
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsWith(pairs, maxIters, LocalCcMaxEdges)
+
+  /** [[connectedComponents]] with an explicit local-tier ceiling —
+    * test seam for the local-vs-distributed equivalence gate (DedupSpec)
+    * without touching the process environment.
+    */
+  private[graft] def connectedComponentsWith(pairs: DataFrame, maxIters: Int,
+                                             localMaxEdges: Long): DataFrame = {
     // Convergence = edge-set fixpoint, detected by (count, xor of row
     // hashes) — one tiny aggregate per round, no full-set comparison.
     // bit_xor is order-independent and cannot overflow (ANSI mode
@@ -1101,6 +1119,51 @@ object Dedup {
     if (prevSig._1 == 0L) { // no edges at all — nothing to cluster
       checkpointRdd(edges).foreach(_.unpersist(false))
       return pairs.limit(0).select(col("id_a").as("id"), col("id_b").as("lbl"))
+    }
+    // SCALE-ADAPTIVE local tier (r17): below `LocalCcMaxEdges` the edge
+    // set is metadata-scale (the count is already on hand from the
+    // sig probe) and each large-star/small-star round costs a fixed
+    // ~2 Spark jobs regardless of size — at bench SF the rounds, not
+    // the data, were the wall. A driver union-find over the collected
+    // edges produces the IDENTICAL (id, component-min) label set in one
+    // collect; the distributed loop is untouched above the threshold,
+    // where it remains the only shape that scales. Long ids only (every
+    // gate's ids are BIGINT); any other type keeps the distributed path.
+    if (prevSig._1 <= localMaxEdges &&
+        edges.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val collected = edges.collect()
+      checkpointRdd(edges).foreach(_.unpersist(false))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) parent.put(math.max(a, b), math.min(a, b))
+      }
+      // Component min = the root under min-directed unions (every union
+      // points the larger root at the smaller, so each tree's root is
+      // its component's minimum id).
+      val nodes = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val spark = pairs.sparkSession
+      import scala.jdk.CollectionConverters._
+      // Nullability mirrors the distributed path's output (join/union of
+      // nullable-sourced columns) so downstream gate schemas are
+      // bit-identical on either tier.
+      return spark.createDataFrame(
+        nodes.map(n => org.apache.spark.sql.Row(n, find(n))).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("lbl",
+            org.apache.spark.sql.types.LongType, nullable = true))))
     }
     var converged = false
     var i = 0

@@ -197,8 +197,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxIters = 1).collect()
+      // localMaxEdges = 0 forces the distributed loop — the local
+      // union-find tier has no rounds to run out of.
+      Dedup.connectedComponentsWith(pairs, maxIters = 1, localMaxEdges = 0L)
+        .collect()
     }
+  }
+
+  test("local union-find tier and distributed star loop label identically") {
+    import spark.implicits._
+    // Mixed shapes: a chain, a star, a triangle with a duplicate and a
+    // reversed edge, self-loop noise, and two singletons-by-pairing.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain → min 1
+      (10L, 11L), (10L, 12L), (10L, 13L),    // star → min 10
+      (20L, 21L), (21L, 22L), (22L, 20L),    // triangle → min 20
+      (21L, 22L), (22L, 21L),                // dup + reversed
+      (30L, 30L),                            // self-loop (filtered)
+      (40L, 41L), (50L, 51L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponentsWith(pairs, 50, Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponentsWith(pairs, 50, 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(local.contains((4L, 1L)) && local.contains((13L, 10L)) &&
+      local.contains((22L, 20L)) && local.contains((41L, 40L)))
   }
 
   test("resolvePairs with no pairs keeps everything") {
