@@ -1115,6 +1115,7 @@ object Dedup {
     var edges = cutLineage(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
+    var localEdges: Array[org.apache.spark.sql.Row] = null
     var prevSig = sigOf(edges)
     if (prevSig._1 == 0L) { // no edges at all — nothing to cluster
       checkpointRdd(edges).foreach(_.unpersist(false))
@@ -1131,8 +1132,15 @@ object Dedup {
     // gate's ids are BIGINT); any other type keeps the distributed path.
     if (prevSig._1 <= localMaxEdges &&
         edges.schema.fields.forall(_.dataType ==
-          org.apache.spark.sql.types.LongType)) {
-      val collected = edges.collect()
+          org.apache.spark.sql.types.LongType) &&
+        { val c = edges.collect()
+          // Null ids keep the distributed path (its join/group-key null
+          // semantics, never a local NPE); non-null is the normal case —
+          // every gate's pair ids are non-null by construction.
+          if (c.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+            localEdges = c; true
+          } else false }) {
+      val collected = localEdges
       checkpointRdd(edges).foreach(_.unpersist(false))
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {

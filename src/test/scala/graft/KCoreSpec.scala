@@ -52,4 +52,22 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("local peel tier and distributed peel label identically (incl. partial peel)") {
+    // Clique {1..4} + pendant chain 4-5-6: full peel and a deliberately
+    // PARTIAL peel (iters=1, chain only half-removed) must agree across
+    // tiers -- the local tier replicates the synchronous rounds, not
+    // just the fixpoint.
+    val edges = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    for (it <- Seq(1, 3)) {
+      val local = KCore.coreMembersWith(edges, "src", "dst", k = 2,
+        iters = it, localMaxEdges = Long.MaxValue)
+        .as[(Long, Long)].collect().toMap
+      val dist = KCore.coreMembersWith(edges, "src", "dst", k = 2,
+        iters = it, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"iters=$it: local $local != dist $dist")
+    }
+  }
 }

@@ -30,4 +30,23 @@ class LabelPropSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("local LPA tier and distributed LPA label identically (weights, ties, no-inbound)") {
+    import spark.implicits._
+    val undirected = Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (4L, 5L, 2L), (4L, 6L, 2L), (5L, 6L, 2L),
+      (3L, 4L, 1L))
+    val edges = (undirected ++ undirected.map(e => (e._2, e._1, e._3)) ++
+      Seq((7L, 1L, 1L), (8L, 7L, 1L), (7L, 8L, 1L))).toDF("src", "dst", "w")
+    for (it <- Seq(0, 1, 3)) {
+      val local = LabelProp.communitiesWith(edges, "src", "dst", "w",
+        iters = it, localMaxEdges = Long.MaxValue)
+        .as[(Long, Long)].collect().toMap
+      val dist = LabelProp.communitiesWith(edges, "src", "dst", "w",
+        iters = it, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"iters=$it: local $local != dist $dist")
+    }
+  }
 }
