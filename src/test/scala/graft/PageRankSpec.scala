@@ -66,4 +66,30 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Double)].collect().toMap
     assert(gotGhost == Map(1L -> 0.85, 2L -> 0.15, 3L -> 0.0))
   }
+
+  test("local integer tier and distributed loop rank identically (ranks + personalized)") {
+    import spark.implicits._
+    // Asymmetric graph with a sink hub, a cycle, and a dangling source;
+    // iters chosen small so partial convergence must also agree.
+    val el = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L), (1L, 3L),
+      (3L, 4L), (5L, 1L))
+    val edges = el.toDF("src", "dst")
+    for (it <- Seq(0, 1, 5)) {
+      val local = PageRank.ranksWith(edges, "src", "dst", it, 85L,
+        PageRank.DefaultScale, Long.MaxValue)
+        .as[(Long, Double)].collect().toMap
+      val dist = PageRank.ranksWith(edges, "src", "dst", it, 85L,
+        PageRank.DefaultScale, 0L)
+        .as[(Long, Double)].collect().toMap
+      assert(local == dist, s"iters=$it: $local != $dist")
+    }
+    val seeds = Seq(2L, 99L).toDF("node") // 99 is outside the graph
+    val localP = PageRank.personalizedWith(edges, "src", "dst", seeds,
+      "node", 4, 85L, PageRank.DefaultScale, Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    val distP = PageRank.personalizedWith(edges, "src", "dst", seeds,
+      "node", 4, 85L, PageRank.DefaultScale, 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(localP == distP, s"personalized: $localP != $distP")
+  }
 }
