@@ -91,30 +91,46 @@ object Bm25 {
     val toks = Dedup.rebalance(docs)
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("_w"))
-    toks.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
-      .write.parquet(s"$dir/doclen")
     val postings = toks
       .select(col("doc_id"), explode(col("_w")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    // Term-sorted postings: range partition + in-file sort give tight
-    // per-row-group term bounds — a term-predicated read prunes to the
-    // groups that can match (same posture as FileSink.writeRangeSorted).
-    postings.repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.parquet(s"$dir/postings")
+    // OVERLAP the independent writes (r17, guide §2.6 — the FileSink
+    // sink-gate pattern): doclen and the term-sorted postings share no
+    // dependency, and neither do the two read-back derivations, so each
+    // pair runs as two concurrent jobs — the second job's tasks
+    // back-fill the first's straggler tail instead of waiting for it.
+    // (A tokenize-once persist was A/B'd and REVERTED: columnar-caching
+    // the token arrays cost more than the second tokenize.)
+    def par(a: => Unit, b: => Unit): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fa = Future(a); val fb = Future(b)
+      Await.result(fa, Duration.Inf); Await.result(fb, Duration.Inf)
+    }
+    par(
+      toks.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
+        .write.parquet(s"$dir/doclen"),
+      // Term-sorted postings: range partition + in-file sort give tight
+      // per-row-group term bounds — a term-predicated read prunes to the
+      // groups that can match (FileSink.writeRangeSorted posture).
+      postings.repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.parquet(s"$dir/postings"))
     // Derive termdf and stats from the relations JUST WRITTEN instead of
     // re-tokenizing the corpus (r16): df per term = the row count of its
     // postings, and (n, sumdl) = doclen's count/sum — identical values,
     // two corpus passes removed (buildIndex paid four).
     val spark = docs.sparkSession
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .write.parquet(s"$dir/termdf")
-    spark.read.parquet(s"$dir/doclen")
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      .write.parquet(s"$dir/stats")
+    par(
+      spark.read.parquet(s"$dir/postings")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .write.parquet(s"$dir/termdf"),
+      spark.read.parquet(s"$dir/doclen")
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .write.parquet(s"$dir/stats"))
   }
 
   private def spark_stats(toks: DataFrame): DataFrame =
@@ -175,6 +191,19 @@ object Bm25 {
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("_w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the token cache with the (cheap) doclen write first,
+    // then OVERLAP the remaining writes (r17, guide §2.6): the postings
+    // write, termdf, and stats all read persisted relations — postings
+    // segment + termdf share the persisted postings, stats reads the
+    // persisted toks — so the pairs below are independent jobs whose
+    // tasks back-fill each other's straggler tails.
+    def par(a: => Unit, b: => Unit): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fa = Future(a); val fb = Future(b)
+      Await.result(fa, Duration.Inf); Await.result(fb, Duration.Inf)
+    }
     toks.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/doclen")
     val postings = toks
@@ -182,13 +211,14 @@ object Bm25 {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    postings.repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").parquet(s"$dir/postings")
+    par(
+      postings.repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("append").parquet(s"$dir/postings"),
+      spark_stats(toks).write.mode("append").parquet(s"$dir/stats"))
     postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .write.mode("append").parquet(s"$dir/termdf")
-    spark_stats(toks).write.mode("append").parquet(s"$dir/stats")
     postings.unpersist(blocking = false)
     toks.unpersist(blocking = false)
   }
