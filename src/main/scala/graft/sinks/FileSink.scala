@@ -283,12 +283,28 @@ object FileSink {
         .filter(_.getPath.getName.contains("=")) // partition dirs only
       if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(s => leaves(s.getPath))
     }
-    leaves(root)
+    // Leaves compact CONCURRENTLY (r17, guide §2.6): each leaf's
+    // rewrite is an independent job in its own directory (per-leaf temp
+    // + atomic swap), and sequential leaves left the cluster idle on
+    // every leaf's straggler tail. A small fixed pool bounds in-flight
+    // jobs (enough to back-fill, not enough to fight for executors).
+    val leafDirs = leaves(root)
       .filter(p => p != root || fs.listStatus(p).exists(_.isFile)) // skip an all-dir root
-      .map { leaf =>
-        val (before, after) = compact(spark, leaf.toString, targetFileBytes)
-        val rel = leaf.toString.stripPrefix(root.toString).stripPrefix("/")
-        (if (rel.isEmpty) "." else rel, before, after)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, leafDirs.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val futs = leafDirs.map { leaf =>
+        Future {
+          val (before, after) = compact(spark, leaf.toString, targetFileBytes)
+          val rel = leaf.toString.stripPrefix(root.toString).stripPrefix("/")
+          (if (rel.isEmpty) "." else rel, before, after)
+        }
       }
+      futs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
   }
 }
