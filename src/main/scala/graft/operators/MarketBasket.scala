@@ -32,7 +32,8 @@ object MarketBasket {
     */
   def pairLift(df: DataFrame, basketCol: String, itemCol: String,
                minPairs: Long, topK: Int): DataFrame = {
-    val items = pinnedItems(df, basketCol, itemCol)
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
     val nb = items.agg(count_distinct(col("_b")).as("_n"))
     val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
     val pairs = coPairsOf(items, minPairs)
@@ -58,20 +59,6 @@ object MarketBasket {
     coPairsOf(df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .distinct(), minPairs)
 
-  /** Pinned basket×item incidence (r17): the basket gates consume
-    * `items` 3–5× per query (both self-join sides, per-item frequency
-    * dim, basket total, and [[tripleCounts]]'s three support joins) and
-    * only IDENTICAL subtrees get exchange reuse — the executed
-    * q_basket_lift plan re-ran scan+filter+distinct THREE times from
-    * parquet (plans/r17/q_basket_lift_before.txt, scans (2)/(14)/(26)).
-    * One localCheckpoint makes every consumer read the deduped
-    * incidence RDD instead. Cluster posture: reliable checkpoint()
-    * (the coPairsOf note).
-    */
-  private def pinnedItems(df: DataFrame, basketCol: String,
-                          itemCol: String): DataFrame =
-    df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct().localCheckpoint()
 
   private def coPairsOf(items: DataFrame, minPairs: Long): DataFrame =
     items.as("x").join(items.as("y"),
@@ -125,7 +112,8 @@ object MarketBasket {
     */
   def itemNeighbors(df: DataFrame, basketCol: String, itemCol: String,
                     minPairs: Long, topK: Int): DataFrame = {
-    val items = pinnedItems(df, basketCol, itemCol)
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
     val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
     val pairs = coPairsOf(items, minPairs)
     val sym = pairs.select(col("item_a").as("item"), col("item_b").as("neighbor"),
@@ -185,7 +173,8 @@ object MarketBasket {
                        minPairs: Long, minConfPct: Int, topK: Int): DataFrame = {
     require(minConfPct >= 0 && minConfPct <= 100,
       s"associationRules: bad minConfPct=$minConfPct")
-    val items = pinnedItems(df, basketCol, itemCol)
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
     val nb = items.agg(count_distinct(col("_b")).as("_n"))
     val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
     val pairs = coPairsOf(items, minPairs)
@@ -281,7 +270,8 @@ object MarketBasket {
     */
   def tripleCounts(df: DataFrame, basketCol: String, itemCol: String,
                    minCount: Long, topK: Int): DataFrame = {
-    val items = pinnedItems(df, basketCol, itemCol)
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
     val fp = coPairsOf(items, minCount)
       .select(col("item_a"), col("item_b"))
     // Apriori candidates: (a,b) ∧ (b,c) frequent wedge + (a,c) frequent.
