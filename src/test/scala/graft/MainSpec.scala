@@ -125,8 +125,12 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     // assertable surface.)
     val s = Engine.session()
     assert(s.sparkContext.getCheckpointDir.isDefined)
-    val labels = operators.Dedup.connectedComponents(
-      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    // localMaxEdges = 0 pins the DISTRIBUTED tier — the reliable-
+    // checkpoint posture under test is that tier's property (the r17
+    // driver-local tier returns a LocalRelation and never checkpoints).
+    val labels = operators.Dedup.connectedComponentsWith(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"),
+      maxIters = 50, localMaxEdges = 0L)
     val rdd = labels.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.get

@@ -722,7 +722,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("pagerank: iteration inputs are checkpointed scans, contributions combine map-side") {
-    val plan = SparkEntry.queries("q_pagerank")(spark, sf)
+    // The fixture graph sits under the r17 driver-local tier's edge
+    // ceiling, so the GATE plans as a LocalTableScan + round projection
+    // (asserted below). The shape gate here pins the DISTRIBUTED tier —
+    // the 100 TB path — via the test seam (localMaxEdges = 0) over the
+    // same pinned co-pair edges the gate feeds it.
+    val gatePlan = SparkEntry.queries("q_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(gatePlan.contains("LocalTableScan") &&
+      !gatePlan.contains("Scan parquet"),
+      s"small-graph pagerank gate should take the local tier:\n$gatePlan")
+    val pairs = graft.operators.MarketBasket.coPairs(
+      Tables.load(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+      minPairs = 2)
+    val sym = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .union(pairs.select(col("item_b"), col("item_a")))
+    val plan = graft.operators.PageRank.ranksWith(sym, "src", "dst",
+        iters = 5, dampPct = 85L,
+        scale = graft.operators.PageRank.DefaultScale, localMaxEdges = 0L)
       .queryExecution.executedPlan.toString()
     // the upstream co-purchase self-join must be pinned behind the
     // checkpoint barrier, not replayed per iteration: every edge/node/
